@@ -1,0 +1,85 @@
+"""Canonical loaders for the driver's test tables.
+
+The reference's "crawler" registers one table per S3 path in a catalog
+(README.md:104,117); here the analogous surface is: load a Parquet table from
+``{sf_dir}/{name}.parquet`` into a DataFrame with a *canonical* schema, and
+optionally register it as a temp view for the SQL API.
+
+Schema canonicalization handled here (and nowhere else, so every query sees
+the same shape):
+
+* ``events.ts`` is stored as parquet TIMESTAMP(NANOS). Spark reads it as a
+  long (ns since epoch) under ``nanosAsLong``; we convert to a microsecond
+  TIMESTAMP_NTZ via integer division — the exact value DuckDB 1.x produces
+  when it reads the same file (it truncates ns -> us). This keeps the
+  correctness oracle byte-comparable on time columns.
+* All other tables pass through untouched (``o_orderdate``/``l_shipdate``
+  arrive as TIMESTAMP_NTZ already, matching DuckDB's naive TIMESTAMP).
+
+At 100 TB these loaders are where partition discovery and predicate pushdown
+start: they return *lazy* scans (no action is triggered), so Catalyst prunes
+columns and pushes filters into the Parquet reader for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .session import configure
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor (they grow
+# sub-linearly or not at all in TPC-H-style data).
+BROADCAST_TABLES = ("region", "nation", "supplier")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` canonicalized to microsecond TIMESTAMP_NTZ.
+
+    ``ts div 1000`` stays in integer arithmetic (a double division would lose
+    precision at ~1.7e18 ns magnitudes), then ``timestamp_micros`` builds the
+    timestamp; the final cast to NTZ is wall-clock-identical under the UTC
+    session timezone.
+    """
+    configure(spark)
+    raw = spark.read.parquet(table_path(sf_dir, "events"))
+    return raw.withColumn(
+        "ts",
+        F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register each table as a temp view so ``spark.sql`` sees the same
+    canonical schemas the DataFrame API does."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

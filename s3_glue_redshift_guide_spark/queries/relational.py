@@ -1,0 +1,162 @@
+"""Core relational queries (SURVEY.md §2.2-§2.6 — scan/project/filter/join/
+agg/sort/limit), each with its DuckDB oracle.
+
+These are the "what the reference's ETL output warehouse would be queried
+with" workload: star-schema joins over the TPC-H-ish test tables. All joins
+declare the plan declaratively and let Catalyst/AQE pick physical strategies;
+dimension sides that stay small at every scale factor get an explicit
+``broadcast`` hint (region=5, nation=25, supplier=10 rows — constant-size in
+TPC-H-style data, so the hint is safe at 100 TB too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H-Q5-shaped regional revenue rollup.
+# Exercises S10 scan, P1-P6 projection/filter, J1/J2 joins (broadcast dims),
+# A1/A2 aggregation, O1 sort in one query — the reference's pipeline shape
+# (ingest -> schema-map -> load -> warehouse query) expressed as the
+# warehouse query itself. Reference scope: README.md:104 (crawler+job),
+# README.md:149-151 (schema mapping); joins/aggs are driver-mandated (M).
+# --------------------------------------------------------------------------
+@query(
+    "q5_regional_revenue",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           n.n_name AS nation_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem l
+    JOIN orders o     ON l.l_orderkey = o.o_orderkey
+    JOIN customer c   ON o.o_custkey = c.c_custkey
+    JOIN supplier s   ON l.l_suppkey = s.s_suppkey
+    JOIN nation n     ON s.s_nationkey = n.n_nationkey
+    JOIN region r     ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region/nation over a date window (flagship; TPC-H Q5 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(
+            (orders.o_orderdate >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (orders.o_orderdate < F.lit("1999-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy(
+            region.r_name.alias("region_name"),
+            nation.n_name.alias("nation_name"),
+        )
+        .agg(
+            F.round(F.sum(li.l_extendedprice * (1 - li.l_discount)), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q1-shaped pricing summary: wide aggregate over the fact table.
+# Exercises A1/A2 (8 aggregates, map-side partial agg for free via Catalyst).
+# --------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           round(sum(l_quantity), 2)                                       AS sum_qty,
+           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                       AS avg_qty,
+           round(avg(l_extendedprice), 4)                                  AS avg_price,
+           round(avg(l_discount), 4)                                       AS avg_disc,
+           count(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report (TPC-H Q1 shape): 8 aggregates over 2 keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = li.l_extendedprice * (1 - li.l_discount)
+    return (
+        li.filter(li.l_shipdate <= F.lit("2000-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + li.l_tax)), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q3-shaped top-k: join + agg + deterministic top-10.
+# Exercises O3 (Catalyst plans TakeOrderedAndProject — no global sort).
+# Ordering includes the unique o_orderkey tiebreak so the selected set is
+# engine-independent.
+# --------------------------------------------------------------------------
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT o.o_orderkey,
+           o.o_orderdate AS order_date,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 unshipped-revenue orders for one market segment (TPC-H Q3 shape)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        cust.filter(cust.c_mktsegment == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (orders.o_orderdate < F.lit("1998-03-15").cast("timestamp_ntz"))
+            & (li.l_shipdate > F.lit("1995-03-15").cast("timestamp_ntz"))
+        )
+        .groupBy(orders.o_orderkey, orders.o_orderdate.alias("order_date"))
+        .agg(F.round(F.sum(li.l_extendedprice * (1 - li.l_discount)), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )

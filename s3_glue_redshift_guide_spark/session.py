@@ -1,0 +1,74 @@
+"""SparkSession construction and the runtime confs the engine depends on.
+
+Two entry paths:
+
+* ``get_spark()`` — build a local session (tests, bench). Sized for
+  ``local[N]`` single-JVM mode; on a real cluster the same confs apply
+  except ``driver.memory`` (executors have their own sizing).
+* ``configure(spark)`` — apply the *runtime-settable* confs to a session we
+  did not create (the correctness driver owns its own SparkSession). Every
+  query entry point calls this so behavior does not depend on who built the
+  session.
+
+Scale notes (100 TB posture):
+* AQE on everywhere: runtime shuffle-partition coalescing, skew-join
+  splitting, and join-strategy downgrade to broadcast are the single
+  highest-leverage knobs at scale.
+* ``spark.sql.shuffle.partitions`` here is a local-mode default; at cluster
+  scale AQE coalesces from a deliberately high initial number, so the
+  static value matters little as long as AQE is on.
+* Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle and are location-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are runtime-settable and must hold on ANY session running our
+# queries (including the correctness driver's own session).
+RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    # rejects by default; read as long (ns since epoch) and convert in
+    # catalog.load_events.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for toPandas / pandas_udf hot paths.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-owned session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf may be static on some builds; never fail a query over it.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "s3_glue_redshift_guide_spark",
+              cpus: int | None = None) -> SparkSession:
+    """Local session sized from $SPARK_GRAFT_CPUS (default: all cores)."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", os.path.join(os.path.dirname(__file__), "..", ".spark-warehouse"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure(spark)
