@@ -1,0 +1,140 @@
+"""J1-J8 — join operators, including the two Spark lacks natively.
+
+Standard joins (inner/outer/semi/anti/cross/theta) are direct DataFrame
+calls — Catalyst + AQE pick broadcast-hash vs shuffled-hash vs sort-merge
+and handle skew; wrapping them would only hide the plan. What this module
+adds are the two composite algorithms the engine needs as first-class ops:
+
+* ``range_join`` — equi-join on a bucketed time/number key plus residual
+  range predicate. Without bucketing, Spark plans ``a.ts BETWEEN b.lo AND
+  b.hi`` as a broadcast-nested-loop (O(n*m) compares); with bucketing the
+  compare count drops to pairs sharing adjacent buckets — the standard
+  Spark range-join decomposition, and the one that survives 100 TB.
+
+* ``as_of_join`` — "latest left-side row at or before each right-side
+  time, per key" without a per-key shuffle-heavy self-join: union both
+  sides tagged, one window pass per key ordered by time carries the most
+  recent left payload forward (``last(ignoreNulls=True)``), then filter
+  back to right rows. One shuffle on the key — the same cost as a single
+  groupBy — instead of a join whose build side is the whole left table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower: Column | str | int,
+    upper: Column | str | int,
+    bucket_seconds: int,
+    extra_on: list[tuple[str, str]] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows where ``right_ts`` falls in [left_ts + lower, left_ts + upper).
+
+    ``lower``/``upper`` are second offsets; ``bucket_seconds`` should be
+    >= (upper - lower) so each left row lands in at most 2 candidate buckets.
+    ``extra_on`` adds equi-key pairs (joined before the range residual, so
+    they participate in the shuffle key — crucial for skew control).
+
+    All comparisons run at microsecond precision (``unix_micros``); a
+    second-granularity residual would silently mis-classify sub-second
+    boundaries.
+
+    Note on ``how="left"``: unmatched left rows surface once per candidate
+    bucket; aggregate on a left-side key afterwards (as any windowed-count
+    caller does) or use inner semantics for row-level output.
+    """
+    us = 1_000_000
+    lo = (F.lit(lower) if not isinstance(lower, Column) else lower) * us
+    hi = (F.lit(upper) if not isinstance(upper, Column) else upper) * us
+    bucket_us = bucket_seconds * us
+
+    lb = left.withColumn(
+        "__win_start", F.unix_micros(F.col(left_ts).cast("timestamp")) + lo
+    ).withColumn("__win_end", F.unix_micros(F.col(left_ts).cast("timestamp")) + hi)
+    rb = right.withColumn("__r_us", F.unix_micros(F.col(right_ts).cast("timestamp")))
+
+    # Left row spans bucket(win_start) .. bucket(win_end): explode candidates.
+    lb = lb.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"__win_start div {bucket_us}"),
+                F.expr(f"__win_end div {bucket_us}"),
+            )
+        ),
+    )
+    rb = rb.withColumn("__bucket", F.expr(f"__r_us div {bucket_us}"))
+
+    on = [lb["__bucket"] == rb["__bucket"]]
+    for lcol, rcol in extra_on or []:
+        on.append(lb[lcol] == rb[rcol])
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    residual = (rb["__r_us"] >= lb["__win_start"]) & (rb["__r_us"] < lb["__win_end"])
+
+    joined = lb.join(rb, cond & residual, how)
+    for d in ["__win_start", "__win_end", "__r_us", "__bucket"]:
+        joined = joined.drop(d)
+    return joined
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """For each ``right`` row, attach the latest ``left`` row with
+    left_ts <= right_ts (or < if ``strict``) sharing the ``on`` key.
+
+    Implementation: tag and union both sides, sort within key by
+    (ts, side-order), carry ``value_cols`` forward with
+    ``last(ignoreNulls)``, keep right rows. Left rows order before right
+    rows at equal timestamps unless ``strict`` (then after), which encodes
+    the <= / < boundary without a second pass.
+    """
+    tag_left = 1 if not strict else 2
+    tag_right = 2 if not strict else 1
+
+    lhs = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(tag_left).alias("__side"),
+        F.lit(None).cast("long").alias("__rid"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    rhs = right.withColumn("__rid", F.monotonically_increasing_id())
+    rhs_tagged = rhs.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(tag_right).alias("__side"),
+        F.col("__rid"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__v_{c}") for c in value_cols],
+    )
+
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = lhs.unionByName(rhs_tagged)
+    for c in value_cols:
+        merged = merged.withColumn(
+            f"__v_{c}", F.last(f"__v_{c}", ignorenulls=True).over(w)
+        )
+    carried = merged.filter(F.col("__side") == F.lit(2 if not strict else 1)).select(
+        "__rid", *[F.col(f"__v_{c}").alias(f"asof_{c}") for c in value_cols]
+    )
+    out = rhs.join(carried, "__rid", "left").drop("__rid")
+    return out

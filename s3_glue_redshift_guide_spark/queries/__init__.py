@@ -12,6 +12,11 @@ from .registry import REGISTRY, Query, oracle_queries, query, spark_queries
 
 _MODULES = [
     "relational",
+    "projection_suite",
+    "join_suite",
+    "agg_suite",
+    "window_suite",
+    "function_suite",
 ]
 
 for _m in _MODULES:

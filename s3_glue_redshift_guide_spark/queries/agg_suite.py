@@ -1,0 +1,200 @@
+"""A1-A7 — aggregation coverage (SURVEY.md §2.4).
+
+Catalyst plans every groupBy here as partial (map-side) + final aggregation
+automatically — the 100 TB behavior is the default. Approximate aggregates
+(HLL distinct, quantile sketches) have no bit-exact oracle; they register
+without oracle SQL (rows-only driver check) and carry tolerance self-checks
+in tests/test_operators.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from .registry import query
+from .util import dsum, money
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(var_samp(l_quantity), 4)         AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(min(l_extendedprice), 2)         AS min_price,
+           round(max(l_extendedprice), 2)         AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark, sf_dir):
+    """Statistical aggregates (A2): stddev/variance/correlation per flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    """Exact multi-column distinct counting (A2) — Catalyst expands to
+    a single pass with per-distinct-column aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    SELECT o_orderstatus,
+           max_by(o_orderkey, o_totalprice) AS top_order,
+           min_by(o_orderkey, o_totalprice) AS bottom_order,
+           round(max(o_totalprice), 2) AS top_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_minmax_by(spark, sf_dir):
+    """max_by/min_by argmax aggregates (A2)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("top_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("bottom_order"),
+        F.round(F.max("o_totalprice"), 2).alias("top_price"),
+    )
+
+
+@query(
+    "agg_collect_set",
+    oracle="""
+    SELECT n_regionkey,
+           list_sort(list(DISTINCT n_name)) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect_set(spark, sf_dir):
+    """collect_set with a deterministic sort (A2) — set semantics, then
+    sort_array so the value hash is order-stable."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_set("n_name")).alias("nations")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals with grouping indicators (A5)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        dsum(money("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """CUBE: all grouping-set combinations (A5)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum(money("l_extendedprice")).alias("sum_price")
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "O",
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "F"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot (A7) with an explicit value list — no extra distinct-scan, and
+    the column set is stable at any data size."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(money("l_quantity")).cast("double"))
+    )
+
+
+@query(
+    "agg_dedup_distinct",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def agg_dedup_distinct(spark, sf_dir):
+    """distinct() as dedup-by-all-columns (A6)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# ---- approximate aggregates: no bit-exact oracle (rows-only + self-check) --
+
+
+@query("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark, sf_dir):
+    """HLL++ approximate distinct (A3). Tolerance vs exact counts is
+    asserted in tests; the driver records a rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query("agg_approx_quantiles", oracle=None)
+def agg_approx_quantiles(spark, sf_dir):
+    """Approximate quantiles (A4) via percentile_approx sketches."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias(
+            "price_quartiles"
+        ),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("exact_median"),
+    )

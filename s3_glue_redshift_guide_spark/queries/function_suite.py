@@ -1,0 +1,222 @@
+"""§2.7 — scalar function families: string, date/time, math, conditional,
+array, map, JSON. One query per family, over the columns that exercise it
+(events.props for JSON, embeddings.embedding for arrays).
+
+All functions here are JVM-side built-ins inside whole-stage codegen — the
+fast path the engine prefers over any UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name)                             AS name_lower,
+           upper(p_brand)                            AS brand_upper,
+           length(p_name)                            AS name_len,
+           substring(p_type, 1, 5)                   AS type_prefix,
+           concat_ws('|', p_brand, p_type)           AS brand_type,
+           replace(p_name, ' ', '_')                 AS name_snake,
+           CAST(p_name LIKE '%steel%' AS INTEGER)    AS has_steel,
+           regexp_extract(p_type, '([A-Z]+)', 1)     AS first_caps
+    FROM part
+    """,
+)
+def fn_string(spark, sf_dir):
+    """String family: case, length, substring, concat, replace, LIKE, regex."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.col("p_name").like("%steel%").cast("int").alias("has_steel"),
+        F.regexp_extract("p_type", r"([A-Z]+)", 1).alias("first_caps"),
+    )
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)    AS order_year,
+           CAST(month(o_orderdate) AS INTEGER)   AS order_month,
+           CAST(dayofmonth(o_orderdate) AS INTEGER) AS order_dom,
+           date_trunc('month', o_orderdate)      AS month_start,
+           o_orderdate + INTERVAL 30 DAY         AS due_ts,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+                                                 AS days_since_epoch_start
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def fn_datetime(spark, sf_dir):
+    """Date/time family: extract, truncate, interval arithmetic, datediff."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_dom"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_ts"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        ).cast("bigint").alias("days_since_epoch_start"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1)                   AS price_r1,
+           CAST(floor(l_extendedprice) AS BIGINT)      AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT)       AS price_ceil,
+           abs(l_discount - 0.05)                      AS disc_dev,
+           round(sqrt(l_quantity), 6)                  AS qty_sqrt,
+           round(pow(1 + l_tax, 2), 6)                 AS tax_sq,
+           round(ln(l_extendedprice), 6)               AS price_ln,
+           greatest(l_discount, l_tax)                 AS max_rate,
+           least(l_discount, l_tax)                    AS min_rate
+    FROM lineitem WHERE l_orderkey < 300
+    """,
+)
+def fn_math(spark, sf_dir):
+    """Math family: rounding, roots, powers, logs, greatest/least."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END                       AS price_band,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open
+    FROM orders
+    """,
+)
+def fn_conditional(spark, sf_dir):
+    """Conditional family: CASE WHEN chains, coalesce, nullif."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                       AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6)               AS first_val,
+           round(CAST(list_aggregate(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE)), 'sum') AS DOUBLE), 4) AS vec_sum,
+           round(CAST(list_aggregate(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')
+                 AS DOUBLE), 4)                                AS sq_norm,
+           list_sort(list_transform(list_slice(embedding, 1, 3),
+                                    x -> round(CAST(x AS DOUBLE), 4))) AS head3_sorted
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def fn_array(spark, sf_dir):
+    """Array family over 64-dim embeddings: size, index, slice, transform,
+    aggregate (the dot-product building blocks for similarity search)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("vec_sum"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), 4
+        ).alias("sq_norm"),
+        F.sort_array(
+            F.transform(F.slice(dbl, 1, 3), lambda x: F.round(x, 4))
+        ).alias("head3_sorted"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')                    AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER)   AS k_int,
+           CAST(json_extract_string(props, '$.missing') IS NULL AS INTEGER) AS missing_is_null
+    FROM events WHERE user_id < 10
+    """,
+)
+def fn_json(spark, sf_dir):
+    """JSON family on events.props: path extraction + typed parse (S12/§2.7)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing")
+        .isNull()
+        .cast("int")
+        .alias("missing_is_null"),
+    )
+
+
+@query(
+    "fn_map_entries",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 2) AS k_total
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_map_entries(spark, sf_dir):
+    """from_json into a typed map + map_values aggregation (§2.7 map/JSON):
+    the engine-side parse is a typed MapType, not string re-extraction."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("pmap", F.from_json("props", "map<string,double>"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.element_at(F.col("pmap"), F.lit("k"))), 2).alias("k_total"),
+    )

@@ -1,0 +1,229 @@
+"""J1-J8 — join operator coverage (SURVEY.md §2.3), each with an oracle.
+
+Broadcast hints go on the constant-size dimensions; everything else is left
+to Catalyst/AQE. The range and as-of joins use the engine's composite
+implementations (operators/joins.py) — their oracles use plain SQL
+inequality joins / DuckDB's native ASOF, which is the point: same
+semantics, scale-safe plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from ..operators.joins import as_of_join, range_join
+from .registry import query
+from .util import dsum, money
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey,
+           count(o.o_orderkey) AS n_orders,
+           CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    """Customers with their order counts, keeping zero-order customers (J3)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(
+            F.count(o.o_orderkey).alias("n_orders"),
+            F.coalesce(F.sum(money(o.o_totalprice)), F.lit(0)).cast("double").alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+    FROM orders o
+    RIGHT JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_right_outer(spark, sf_dir):
+    """Right outer: same result as the left variant with sides swapped (J3)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, c.c_custkey == o.o_custkey, "right")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("n_orders"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(cn.nk, sn.nk) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """Customer vs supplier presence per nation; unmatched on both sides (J3).
+
+    Pre-aggregating each side BEFORE the outer join shrinks the shuffle to
+    one row per nation — the scale-correct shape for outer joins on skewed
+    foreign keys.
+    """
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("n_cust"))
+    sn = s.groupBy(F.col("s_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return (
+        cn.join(sn, "nk", "full")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@query(
+    "join_semi_exists",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def join_semi_exists(spark, sf_dir):
+    """EXISTS as left-semi join (J4): no duplication, probe side only."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti_not_exists",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_not_exists(spark, sf_dir):
+    """NOT EXISTS as left-anti join (J4)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT s.s_suppkey, r.r_regionkey
+    FROM supplier s JOIN region r ON s.s_acctbal > r.r_regionkey * 1000
+    """,
+)
+def join_theta(spark, sf_dir):
+    """Pure non-equi (theta) join (J5): broadcast-nested-loop on a
+    constant-size side — the only plan shape where BNL is acceptable."""
+    s = _t(spark, sf_dir, "supplier")
+    r = _t(spark, sf_dir, "region")
+    return s.join(
+        F.broadcast(r), s.s_acctbal > r.r_regionkey * 1000
+    ).select("s_suppkey", "r_regionkey")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark, sf_dir):
+    """Cross join (J8) of two constant-size dimensions (5 x 25)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
+
+
+@query(
+    "join_range_events",
+    oracle="""
+    SELECT a.event_id AS purchase_id,
+           count(b.event_id) AS n_clicks_before
+    FROM events a
+    LEFT JOIN events b
+      ON b.user_id = a.user_id
+     AND b.event_type = 'click'
+     AND b.ts >= a.ts - INTERVAL 30 MINUTE
+     AND b.ts <  a.ts
+    WHERE a.event_type = 'purchase'
+    GROUP BY a.event_id
+    """,
+)
+def join_range_events(spark, sf_dir):
+    """Range join (J6): clicks in the 30 minutes before each purchase,
+    via the bucketed-range-join decomposition (no nested-loop at scale)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"), "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = range_join(
+        purchases,
+        clicks,
+        left_ts="ts",
+        right_ts="click_ts",
+        lower=-30 * 60,
+        upper=0,
+        bucket_seconds=30 * 60,
+        extra_on=[("p_user", "c_user")],
+        how="left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("click_id").alias("n_clicks_before")
+    )
+
+
+@query(
+    "join_asof_events",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           round(c.value, 2) AS last_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_events(spark, sf_dir):
+    """As-of join (J7): latest click value at or before each purchase,
+    one window pass per user instead of a per-row subquery."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = as_of_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"],
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        F.round(F.col("asof_value"), 2).alias("last_click_value"),
+    )

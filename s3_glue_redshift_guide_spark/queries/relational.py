@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
 from .registry import query
+from .util import dsum, money
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -34,7 +35,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
     SELECT r.r_name AS region_name,
            n.n_name AS nation_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
            count(*) AS n_rows
     FROM lineitem l
     JOIN orders o     ON l.l_orderkey = o.o_orderkey
@@ -71,7 +73,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             nation.n_name.alias("nation_name"),
         )
         .agg(
-            F.round(F.sum(li.l_extendedprice * (1 - li.l_discount)), 2).alias("revenue"),
+            dsum(money(li.l_extendedprice) * (1 - money(li.l_discount))).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -86,10 +88,13 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            l_linestatus,
-           round(sum(l_quantity), 2)                                       AS sum_qty,
-           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)          AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)     AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)  AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)       AS sum_charge,
            round(avg(l_quantity), 4)                                       AS avg_qty,
            round(avg(l_extendedprice), 4)                                  AS avg_price,
            round(avg(l_discount), 4)                                       AS avg_disc,
@@ -102,15 +107,15 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary report (TPC-H Q1 shape): 8 aggregates over 2 keys."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = li.l_extendedprice * (1 - li.l_discount)
+    disc_price = money(li.l_extendedprice) * (1 - money(li.l_discount))
     return (
         li.filter(li.l_shipdate <= F.lit("2000-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + li.l_tax)), 2).alias("sum_charge"),
+            dsum(money(li.l_quantity)).alias("sum_qty"),
+            dsum(money(li.l_extendedprice)).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + money(li.l_tax))).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -130,7 +135,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderkey,
            o.o_orderdate AS order_date,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -156,7 +162,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (li.l_shipdate > F.lit("1995-03-15").cast("timestamp_ntz"))
         )
         .groupBy(orders.o_orderkey, orders.o_orderdate.alias("order_date"))
-        .agg(F.round(F.sum(li.l_extendedprice * (1 - li.l_discount)), 2).alias("revenue"))
+        .agg(dsum(money(li.l_extendedprice) * (1 - money(li.l_discount))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )

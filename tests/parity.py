@@ -59,8 +59,9 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str 
         diffs = [
             (i, a, b) for i, (a, b) in enumerate(zip(srows, orows)) if a != b
         ][:3]
-        only_s = [r for r in srows if r not in set(orows)][:2]
-        only_o = [r for r in orows if r not in set(srows)][:2]
+        oset, sset = set(orows), set(srows)
+        only_s = [r for r in srows if r not in oset][:2]
+        only_o = [r for r in orows if r not in sset][:2]
         problems.append(
             f"{name}: value mismatch; first row-diffs={diffs}; "
             f"spark-only={only_s}; oracle-only={only_o}; cols={scols}"
