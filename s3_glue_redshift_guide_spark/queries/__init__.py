@@ -17,6 +17,7 @@ _MODULES = [
     "agg_suite",
     "window_suite",
     "function_suite",
+    "event_suite",
 ]
 
 for _m in _MODULES:

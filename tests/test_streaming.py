@@ -1,0 +1,87 @@
+"""M4 — streaming mode proofs: the same transforms that pass the batch
+oracle produce identical results under readStream (memory sink,
+availableNow), watermarked dedup bounds state, and the stateful
+sessionizer matches session_window semantics for closed sessions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s3_glue_redshift_guide_spark.catalog import load_table
+from s3_glue_redshift_guide_spark.streaming import (
+    first_event_per_key,
+    streaming_dedup,
+    tumbling_counts,
+)
+from s3_glue_redshift_guide_spark.streaming.source import read_events_stream
+from s3_glue_redshift_guide_spark.streaming.stateful import sessionize_stream
+from s3_glue_redshift_guide_spark.streaming.windows import session_stats
+
+from .conftest import SF_SMOKE
+
+
+def _run_stream(df, name, tmp_path, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_tumbling_equals_batch(spark, tmp_path):
+    stream = read_events_stream(spark, SF_SMOKE)
+    agg = tumbling_counts(stream.withWatermark("ts", "10 minutes"))
+    got = _run_stream(agg, "t_tumbling", tmp_path, mode="complete")
+    want = tumbling_counts(load_table(spark, SF_SMOKE, "events"))
+    cols = ["window_start", "event_type", "n_events", "value_total"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_dedup_equals_batch_first(spark, tmp_path):
+    stream = read_events_stream(spark, SF_SMOKE)
+    dedup = streaming_dedup(stream, ["user_id", "event_type"])
+    got = _run_stream(dedup, "t_dedup", tmp_path)
+    # one row per key; batch twin keeps the deterministic earliest row,
+    # streaming keeps the first *seen* — key sets must match exactly.
+    want = first_event_per_key(load_table(spark, SF_SMOKE, "events"),
+                               ["user_id", "event_type"])
+    cols = ["user_id", "event_type"]
+    assert _rows(got.select(*cols), cols) == _rows(want.select(*cols), cols)
+
+
+def test_stateful_sessionizer_matches_session_window(spark, tmp_path):
+    stream = read_events_stream(spark, SF_SMOKE).filter(F.col("user_id") < 8)
+    sessions = sessionize_stream(stream, gap_seconds=300)
+    got = _run_stream(sessions, "t_sessions", tmp_path)
+    # The stateful operator emits CLOSED sessions; the last session per user
+    # stays open in state. Compare against session_window minus each user's
+    # final session.
+    batch = session_stats(
+        load_table(spark, SF_SMOKE, "events").filter(F.col("user_id") < 8),
+        "5 minutes",
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("session_start"))
+    closed = (
+        batch.withColumn("rn", F.row_number().over(w)).filter("rn > 1").drop("rn")
+    )
+    got_keys = _rows(
+        got.select("user_id", F.col("session_start").cast("timestamp_ntz").alias("s"),
+                   "n_events"),
+        ["user_id", "s", "n_events"],
+    )
+    want_keys = _rows(
+        closed.select("user_id", F.col("session_start").alias("s"), "n_events"),
+        ["user_id", "s", "n_events"],
+    )
+    assert got_keys == want_keys
