@@ -1,0 +1,263 @@
+"""L1/L2 — deduplication operators for training-data pipelines.
+
+Four near-dup families, all shuffle-bounded (never O(n^2) over the corpus):
+
+* **exact** — hash-groupBy on content (or sha2 of content): one shuffle.
+* **n-gram Jaccard** — inverted-index self-join: docs sharing a shingle
+  meet in the shingle's shuffle bucket; pair intersection counts come from
+  a groupBy on (a,b). Cost ~ sum over shingles of df^2 — bounded by
+  dropping ultra-frequent shingles (stopword shingles), the classic trick.
+* **MinHash + LSH** — k seeded min-hashes per doc -> b bands of r rows;
+  docs equal on any band's composite hash meet in that band's bucket.
+  Candidates then verify with EXACT Jaccard, so precision is 1.0 and only
+  recall depends on (b, r). Fully deterministic: hash seeds are literals.
+* **SimHash** — 64-bit signature from token hashes; near-dups have small
+  Hamming distance. Banding the signature into 4x16-bit blocks guarantees
+  any pair within Hamming distance 3 shares a block (pigeonhole) — the
+  bucket join finds them without a cross join.
+
+Everything is pure DataFrame expressions (xxhash64 / bit ops / aggregate
+folds), so the heavy lifting stays in codegen and the only shuffles are the
+bucket joins and groupBys — the shape that survives 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.text import shingles, tokens
+
+
+def exact_dedup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """L1: one row per distinct content with the canonical (min) id and the
+    duplicate count. ``sha2(content)`` as the group key keeps the shuffle
+    rows small when content is large (hash, not the document, moves)."""
+    return (
+        df.groupBy(F.sha2(F.col(content_col), 256).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) pairs, deduped per doc, plus per-doc shingle counts."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingles(tokens(F.col(text_col)), n)).alias("sh"),
+    )
+    return sh.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """L2 (exact): all doc pairs with shingle-set Jaccard >= threshold via
+    the inverted-index join. ``max_shingle_freq`` drops shingles occurring
+    in more than that many docs — the skew guard that keeps the self-join
+    linear-ish at corpus scale."""
+    ex = _doc_shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        ex = ex.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle")
+    a = ex.select(
+        F.col("shingle"),
+        F.col("doc").alias("doc_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = ex.select(
+        F.col("shingle"),
+        F.col("doc").alias("doc_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return inter.select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def _minhash_sig(sh: Column, n_hashes: int) -> Column:
+    """Array of ``n_hashes`` min-hash values; seed varies per hash via a
+    literal second argument to the (seeded murmur-ish) xxhash64."""
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """L2 candidates: (doc_a, doc_b) sharing at least one LSH band.
+
+    rows-per-band r = n_hashes/bands; collision probability for Jaccard j
+    is 1-(1-j^r)^b (r=4,b=8: j=0.5 -> 0.42, j=0.8 -> 0.98). Deterministic —
+    every hash seed is a literal.
+    """
+    r = n_hashes // bands
+    docs = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingles(tokens(F.col(text_col)), n)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sig = docs.select("doc", _minhash_sig(F.col("sh"), n_hashes).alias("sig"))
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", band * r + j + 1) for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    a = banded.select("band", "bucket", F.col("doc").alias("doc_a"))
+    b = banded.select("band", "bucket", F.col("doc").alias("doc_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """L2 (scale path): LSH candidates verified with exact Jaccard — output
+    is a SUBSET of ``jaccard_pairs`` (precision 1.0; recall set by b/r).
+    The verify join touches only candidate pairs, not the corpus square."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, n_hashes, bands)
+    docs = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingles(tokens(F.col(text_col)), n)).alias("sh"),
+    )
+    a = docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter / union, 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_signature(text: Column) -> Column:
+    """64-bit SimHash of the whitespace tokens, as a bigint.
+
+    Per token a 64-bit hash votes +1/-1 on each bit; the signature takes
+    the sign of each bit's total. One aggregate fold over a 64-slot vote
+    array — no explode, no shuffle."""
+    toks = tokens(text)
+    votes = F.aggregate(
+        F.transform(toks, lambda t: F.xxhash64(t)),
+        F.array_repeat(F.lit(0).cast("bigint"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            # bit index must be a Python literal (shiftright takes an int,
+            # not a Column), so the 64-slot vote array is built explicitly
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    )
+                    .otherwise(F.lit(-1))
+                    .cast("bigint")
+                    for i in range(64)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    sig = F.lit(0).cast("bigint")
+    for i in range(64):
+        # shiftleft(1L, 63) wraps to min-long in the JVM — exactly the bit
+        # pattern we want (a Python 1<<63 literal would overflow LongType)
+        sig = sig.bitwiseOR(
+            F.when(
+                F.element_at(votes, i + 1) > 0,
+                F.shiftleft(F.lit(1).cast("bigint"), i),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    return sig
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """L2 via SimHash: pairs within ``max_hamming`` bits. Banding the 64-bit
+    signature into ``blocks`` equal blocks guarantees (pigeonhole) that any
+    pair with <= blocks-1 differing bits collides on some block, so the
+    bucket join is exhaustive for max_hamming <= blocks-1."""
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    sigs = df.select(
+        F.col(id_col).alias("doc"), simhash_signature(F.col(text_col)).alias("sig")
+    )
+    banded = sigs.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftright("sig", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "sig", "bk.block", "bk.key")
+    a = banded.select("block", "key", F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    b = banded.select("block", "key", F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        a.join(b, ["block", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,140 @@
+"""L3 — similarity search over embedding columns.
+
+* ``topk_bruteforce`` — exact cosine top-k: query set x corpus join with a
+  per-query window top-k. Correct at any scale where |queries| x |corpus|
+  compares are affordable (batch scoring, eval sets); the corpus never
+  shuffles — the (small) query side broadcasts.
+* ``lsh_topk`` — the scale path: random-hyperplane LSH. Each vector gets a
+  b-bit signature (sign of dot with b fixed hyperplanes); candidates are
+  corpus vectors sharing a signature band with the query, re-ranked
+  exactly. Hyperplanes derive deterministically from a seed so results are
+  reproducible run-to-run.
+
+Both use the sequential-fold vector primitives (functions/vectors.py) —
+JVM expressions, no UDFs, bit-stable across engines for the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from ..functions.vectors import cosine, dot
+
+
+def topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (self-matches excluded).
+
+    Ranking key is (rounded cosine DESC, neighbor id ASC): rounding to 6
+    decimals makes the rank stable across engines' last-ulp float noise,
+    and the id tiebreak makes it total.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (unit-free; only the sign is used)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).round(6).tolist()
+
+
+def _signature(vec_col, planes: list[list[float]]):
+    bits = [
+        F.when(dot(vec_col, F.array(*[F.lit(x) for x in p])) > 0, 1).otherwise(0)
+        for p in planes
+    ]
+    sig = F.lit(0).cast("bigint")
+    for i, b in enumerate(bits):
+        sig = sig + (b.cast("bigint") * F.lit(1 << i))
+    return sig
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: bucket join on hyperplane-signature bands, exact re-rank
+    within candidates. Recall grows with bands; compares drop from |Q|x|C|
+    to |Q| x (bucket size) — the curve that matters at 10^9 vectors."""
+    planes = hyperplanes(dim, n_planes, seed)
+    width = n_planes // bands
+    mask = (1 << width) - 1
+
+    def banded(df, id_alias):
+        sig = _signature(F.col(vec_col), planes)
+        return df.select(
+            F.col("*"), sig.alias("__sig")
+        ).select(
+            F.col(id_alias[0]).alias(id_alias[1]),
+            F.col(vec_col).alias(id_alias[2]),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftright("__sig", i * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("key"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(id_alias[1], id_alias[2], "bk.band", "bk.key")
+
+    qb = banded(queries, (query_id, "query_id", "qv"))
+    cb = banded(corpus, (corpus_id, "neighbor_id", "cv"))
+    cands = (
+        qb.join(cb, ["band", "key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -18,6 +18,7 @@ _MODULES = [
     "window_suite",
     "function_suite",
     "event_suite",
+    "llm_suite",
 ]
 
 for _m in _MODULES:
