@@ -26,11 +26,19 @@ from s3_glue_redshift_guide_spark.queries import REGISTRY  # noqa: E402
 from s3_glue_redshift_guide_spark.session import get_spark  # noqa: E402
 
 # Headline set: the scale-critical representatives of each operator family.
-# Falls back to "every registered query" for names not yet implemented.
 HEADLINE = [
-    "q1_pricing_summary",
-    "q5_regional_revenue",
-    "q3_shipping_priority",
+    "q1_pricing_summary",      # wide aggregate over the fact table
+    "q5_regional_revenue",     # 6-table star join + agg
+    "q3_shipping_priority",    # join + agg + top-k
+    "join_range_events",       # bucketed range join
+    "join_asof_events",        # as-of join (window pass)
+    "win_rank_topk",           # top-k per group window
+    "agg_rollup",              # grouping-sets aggregation
+    "ev_session_window",       # session windows
+    "llm_jaccard_pairs",       # inverted-index near-dup
+    "llm_minhash_pairs",       # MinHash LSH dedup
+    "llm_topk_similarity",     # brute-force ANN baseline
+    "llm_text_stats",          # tokenize/fingerprint featurization
 ]
 
 

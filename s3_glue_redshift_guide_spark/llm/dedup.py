@@ -28,6 +28,35 @@ from pyspark.sql import Column, DataFrame, functions as F
 from ..functions.text import shingles, tokens
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a (possibly single-file) corpus across all cores before
+    per-document featurization. Shingling/minhashing are higher-order
+    expression folds — evaluated, not codegen'd — so they're CPU-bound and
+    a one-partition scan serializes them; the tiny shuffle here buys full
+    parallelism. At cluster scale a 100 TB corpus already has thousands of
+    input splits and this is a cheap no-op-ish rebalance."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Optimizer barrier for expensive featurization columns.
+
+    Catalyst pushes filters (including the size>0/isnotnull ones it infers
+    from explode) THROUGH projections by alias substitution — duplicating
+    the expensive shingle/signature expression, and with higher-order
+    lambdas each array access re-inlines its argument subtree, so the
+    "cheap" inferred filter degenerates into re-tokenizing every document
+    dozens of times, below the repartition (single-threaded on a one-file
+    corpus). A plain projection split does not survive (column pruning +
+    CollapseProject undo it); ``localCheckpoint(eager=False)`` does: the
+    RDD boundary is opaque to the optimizer, so the features are computed
+    exactly once, in parallel, and every downstream reference reads the
+    materialized value. Executor-local storage; both sides of a self-join
+    share the one materialization."""
+    return df.localCheckpoint(eager=False)
+
+
 def exact_dedup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """L1: one row per distinct content with the canonical (min) id and the
     duplicate count. ``sha2(content)`` as the group key keeps the shuffle
@@ -41,12 +70,30 @@ def exact_dedup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFram
     )
 
 
+def _doc_shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, sh: array<string>) — distinct shingle set per document.
+
+    Tokenization and shingling are SEPARATE selects on purpose: composing
+    ``shingles(tokens(text))`` as one expression duplicates the whole
+    tokens() subtree at every array access inside the shingle lambda
+    (3 accesses x ~50 shingles => tokens recomputed ~150x per document,
+    interpreted). Materializing tokens as a column first makes each lambda
+    access a cheap bound reference; CollapseProject keeps non-cheap
+    duplicated aliases un-inlined, so the split survives optimization.
+    """
+    toked = _spread(df).select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    )
+    return _materialize(
+        toked.select(
+            "doc", F.array_distinct(shingles(F.col("__toks"), n)).alias("sh")
+        )
+    )
+
+
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle) pairs, deduped per doc, plus per-doc shingle counts."""
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct(shingles(tokens(F.col(text_col)), n)).alias("sh"),
-    )
+    sh = _doc_shingle_sets(df, id_col, text_col, n)
     return sh.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
 
 
@@ -116,11 +163,13 @@ def minhash_lsh_candidates(
     every hash seed is a literal.
     """
     r = n_hashes // bands
-    docs = df.select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct(shingles(tokens(F.col(text_col)), n)).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    sig = docs.select("doc", _minhash_sig(F.col("sh"), n_hashes).alias("sig"))
+    docs = _doc_shingle_sets(df, id_col, text_col, n).filter(F.size("sh") > 0)
+    # barrier: the banding select reads sig 32x via element_at; without it
+    # CollapseProject inlines (and recomputes) the whole 32-minhash
+    # expression at every reference.
+    sig = _materialize(
+        docs.select("doc", _minhash_sig(F.col("sh"), n_hashes).alias("sig"))
+    )
     banded = sig.select(
         "doc",
         F.explode(
@@ -160,10 +209,7 @@ def minhash_near_dup_pairs(
     is a SUBSET of ``jaccard_pairs`` (precision 1.0; recall set by b/r).
     The verify join touches only candidate pairs, not the corpus square."""
     cands = minhash_lsh_candidates(df, id_col, text_col, n, n_hashes, bands)
-    docs = df.select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct(shingles(tokens(F.col(text_col)), n)).alias("sh"),
-    )
+    docs = _doc_shingle_sets(df, id_col, text_col, n)
     a = docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = cands.join(a, "doc_a").join(b, "doc_b")
@@ -229,8 +275,11 @@ def simhash_near_dup_pairs(
     bucket join is exhaustive for max_hamming <= blocks-1."""
     width = 64 // blocks
     mask = (1 << width) - 1
-    sigs = df.select(
-        F.col(id_col).alias("doc"), simhash_signature(F.col(text_col)).alias("sig")
+    sigs = _materialize(
+        _spread(df).select(
+            F.col(id_col).alias("doc"),
+            simhash_signature(F.col(text_col)).alias("sig"),
+        )
     )
     banded = sigs.select(
         "doc",

@@ -21,6 +21,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from ..functions.vectors import cosine, dot
+from .dedup import _materialize, _spread
 
 
 def topk_bruteforce(
@@ -40,7 +41,7 @@ def topk_bruteforce(
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     scored = (
@@ -99,9 +100,9 @@ def lsh_topk(
 
     def banded(df, id_alias):
         sig = _signature(F.col(vec_col), planes)
-        return df.select(
-            F.col("*"), sig.alias("__sig")
-        ).select(
+        # barrier: the band explode reads __sig per band; without it
+        # CollapseProject inlines the n_planes dot products per read.
+        return _materialize(df.select(F.col("*"), sig.alias("__sig"))).select(
             F.col(id_alias[0]).alias(id_alias[1]),
             F.col(vec_col).alias(id_alias[2]),
             F.explode(
@@ -120,7 +121,7 @@ def lsh_topk(
         ).select(id_alias[1], id_alias[2], "bk.band", "bk.key")
 
     qb = banded(queries, (query_id, "query_id", "qv"))
-    cb = banded(corpus, (corpus_id, "neighbor_id", "cv"))
+    cb = banded(_spread(corpus), (corpus_id, "neighbor_id", "cv"))
     cands = (
         qb.join(cb, ["band", "key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
