@@ -19,6 +19,7 @@ _MODULES = [
     "function_suite",
     "event_suite",
     "llm_suite",
+    "udf_suite",
 ]
 
 for _m in _MODULES:

@@ -1,0 +1,127 @@
+"""U1-U4 — the user-defined-function surface (SURVEY.md §2.10; the
+reference's "prepare your python transform script" hook, README.md:151).
+
+Ladder of preference, demonstrated in order:
+  built-ins (everything else in this package)
+  > pandas_udf / applyInPandas (Arrow-batched, here)
+  > row-at-a-time Python UDF (u1 — shown once, deliberately trivial).
+
+Numeric parity notes: pandas/numpy reductions use pairwise summation while
+DuckDB folds sequentially, so grouped-agg results are rounded at 4+
+decimals where the margin dwarfs last-ulp noise (see functions/numeric.py
+for the policy).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "udf_python_row",
+    oracle="""
+    SELECT o_orderkey,
+           concat('ORD-', CAST(o_orderkey AS VARCHAR), '/', o_orderstatus) AS order_tag
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def udf_python_row(spark, sf_dir):
+    """U1: row-at-a-time Python UDF — the reference's script hook, shown on
+    a deliberately small slice (per-row serde makes this the slow path; the
+    vectorized variants below are the production shape)."""
+
+    @F.udf(T.StringType())
+    def order_tag(key, status):
+        return f"ORD-{key}/{status}"
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey", order_tag("o_orderkey", "o_orderstatus").alias("order_tag")
+    )
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(ln(1 + l_extendedprice) * 2, 6) AS scaled_log_price
+    FROM lineitem WHERE l_orderkey < 400
+    """,
+)
+def udf_pandas_scalar(spark, sf_dir):
+    """U2: scalar pandas_udf — Arrow batches in/out, numpy vectorized."""
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType())
+    def scaled_log_price(price: pd.Series) -> pd.Series:
+        return np.round(np.log1p(price) * 2, 6)
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        scaled_log_price("l_extendedprice").alias("scaled_log_price"),
+    )
+
+
+@query(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+             AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_grouped_agg(spark, sf_dir):
+    """U4: grouped-aggregate pandas_udf (UDAF) — quantity-weighted mean
+    price; Catalyst still plans partial aggregation around it."""
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType())
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float(np.round(np.dot(price, qty) / qty.sum(), 4))
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        weighted_avg("l_extendedprice", "l_quantity").alias("weighted_avg_price")
+    )
+
+
+@query(
+    "udf_grouped_map",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
+                 / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 4)
+             AS balance_zscore
+    FROM customer
+    """,
+)
+def udf_grouped_map(spark, sf_dir):
+    """U3: grouped-map applyInPandas (UDTF-like) — per-segment z-score of
+    account balance; whole groups arrive as pandas DataFrames."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean, std = pdf["c_acctbal"].mean(), pdf["c_acctbal"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "balance_zscore": ((pdf["c_acctbal"] - mean) / std).round(4),
+            }
+        )
+
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").applyInPandas(
+        zscore, schema="c_custkey bigint, c_mktsegment string, balance_zscore double"
+    )
