@@ -20,6 +20,7 @@ _MODULES = [
     "event_suite",
     "llm_suite",
     "udf_suite",
+    "sql_suite",
 ]
 
 for _m in _MODULES:
