@@ -48,6 +48,45 @@ def p_change_schema(spark, sf_dir):
 
 
 @query(
+    "etl_string_first_typing",
+    oracle="""
+    SELECT order_id, qty, ship_ts FROM (
+      SELECT CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS order_id,
+             CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty,
+             CAST(CAST(l_shipdate AS VARCHAR) AS TIMESTAMP) AS ship_ts,
+             TRY_CAST(l_returnflag AS INTEGER) AS bad_cast
+      FROM lineitem)
+    WHERE bad_cast IS NULL
+    """,
+)
+def etl_string_first_typing(spark, sf_dir):
+    """The reference's CSV pipeline semantics in-gate (S1+P5): every value
+    becomes a string first (OpenCSVSerde reads all columns as string,
+    README.md:125-131), then the Change-schema step types it — with
+    malformed casts nulling the cell, not the row (try_cast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    stringified = li.select(
+        F.col("l_orderkey").cast("string").alias("s_key"),
+        F.col("l_quantity").cast("string").alias("s_qty"),
+        F.col("l_shipdate").cast("string").alias("s_ship"),
+        F.col("l_returnflag").alias("s_flag"),
+    )
+    mapping = SchemaMapping.from_dict(
+        {
+            "order_id": ("s_key", "bigint"),
+            "qty": ("s_qty", "double"),
+            "ship_ts": ("s_ship", "timestamp_ntz"),
+            "bad_cast": ("s_flag", "int"),  # 'A'/'N'/'R' -> NULL, row kept
+        }
+    )
+    return (
+        mapping.apply(stringified)
+        .filter(F.col("bad_cast").isNull())
+        .select("order_id", "qty", "ship_ts")
+    )
+
+
+@query(
     "p_filter_predicates",
     oracle="""
     SELECT o_orderkey, o_orderstatus, o_orderpriority
