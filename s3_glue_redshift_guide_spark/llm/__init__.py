@@ -19,6 +19,7 @@ from .dedup import (
     simhash_near_dup_pairs,
     simhash_signature,
 )
+from .components import connected_components, dedup_keep_canonical
 from .similarity import lsh_topk, topk_bruteforce
 
 __all__ = [
@@ -30,4 +31,6 @@ __all__ = [
     "simhash_near_dup_pairs",
     "topk_bruteforce",
     "lsh_topk",
+    "connected_components",
+    "dedup_keep_canonical",
 ]

@@ -25,6 +25,7 @@ from ..llm.dedup import (
     minhash_near_dup_pairs,
     simhash_near_dup_pairs,
 )
+from ..llm.components import connected_components
 from ..llm.multimodal import attach_fake_media, decode_image_features
 from ..llm.similarity import lsh_topk, topk_bruteforce
 from .registry import query
@@ -314,3 +315,13 @@ def llm_multimodal_features(spark, sf_dir):
     feature extraction (decoder stubbed deterministically; Spark contract
     real). Determinism asserted in tests/test_llm.py."""
     return decode_image_features(attach_fake_media(_docs(spark, sf_dir)))
+
+
+@query("llm_dedup_components", oracle=None)
+def llm_dedup_components(spark, sf_dir):
+    """Near-dup groups (L2 final step): connected components over the exact
+    Jaccard pair graph via iterative min-label propagation — O(log n)
+    join rounds, no driver-side graph. Verified against a Python union-find
+    in tests/test_llm.py."""
+    pairs = jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.2)
+    return connected_components(pairs)

@@ -91,3 +91,47 @@ def test_exact_dedup_counts_all_docs_once(spark):
     agg = df.agg(F.sum("n_copies").alias("total"),
                  F.count(F.lit(1)).alias("groups")).collect()[0]
     assert agg["total"] == 500 and agg["groups"] == 500
+
+
+def test_connected_components_match_union_find(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.15)
+    edges = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert edges, "need a non-trivial pair graph for this test"
+
+    from s3_glue_redshift_guide_spark.llm import connected_components
+
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+
+    # reference union-find over the collected edges
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {v: find(v) for v in parent}
+    # normalize: component id must be the min member on both sides
+    from collections import defaultdict
+
+    def canon(labels):
+        groups = defaultdict(set)
+        for v, c in labels.items():
+            groups[c].add(v)
+        return {frozenset(g | {c}) if c not in g else frozenset(g)
+                for c, g in groups.items()}
+
+    assert canon(got) == canon(want)
