@@ -180,3 +180,41 @@ class TestReferencePipelineEndToEnd:
             "SELECT order_id, amount_usd FROM orders_wh ORDER BY order_id"
         ).fetchall()
         assert got == [(1, 10.5), (2, 20.5)]  # .txt filtered, no double-loads
+
+
+class TestJsonSource:
+    def test_json_lines_ingest_with_schema(self, spark, tmp_path):
+        """S12: JSON-lines ingest — declared schema (no inference pass over
+        a 100 TB prefix) incl. a nested struct column."""
+        _write(
+            str(tmp_path / "j" / "a.jsonl"),
+            '{"id": 1, "tags": ["a", "b"], "meta": {"src": "x", "score": 0.5}}\n'
+            '{"id": 2, "tags": [], "meta": {"src": "y", "score": 1.5}}\n',
+        )
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("tags", T.ArrayType(T.StringType())),
+                T.StructField(
+                    "meta",
+                    T.StructType(
+                        [
+                            T.StructField("src", T.StringType()),
+                            T.StructField("score", T.DoubleType()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        df = spark.read.schema(schema).json(str(tmp_path / "j"))
+        rows = {r["id"]: r for r in df.collect()}
+        assert rows[1]["meta"]["src"] == "x" and rows[1]["tags"] == ["a", "b"]
+        assert rows[2]["meta"]["score"] == 1.5
+
+    def test_json_crawl_infers(self, spark, tmp_path):
+        _write(str(tmp_path / "j2" / "a.jsonl"), '{"id": 7, "name": "n7"}\n')
+        from s3_glue_redshift_guide_spark.sources import crawl
+
+        entry = crawl(spark, "crawled_json", str(tmp_path / "j2"), fmt="json")
+        assert {f.name for f in entry.schema.fields} == {"id", "name"}
+        assert spark.sql("SELECT name FROM crawled_json").collect()[0][0] == "n7"
