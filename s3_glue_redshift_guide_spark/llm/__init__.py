@@ -20,7 +20,7 @@ from .dedup import (
     simhash_signature,
 )
 from .components import connected_components, dedup_keep_canonical
-from .similarity import lsh_topk, topk_bruteforce
+from .similarity import ivf_topk, lsh_topk, topk_bruteforce
 
 __all__ = [
     "exact_dedup_groups",
@@ -31,6 +31,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "topk_bruteforce",
     "lsh_topk",
+    "ivf_topk",
     "connected_components",
     "dedup_keep_canonical",
 ]

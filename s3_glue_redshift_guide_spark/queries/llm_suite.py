@@ -27,7 +27,7 @@ from ..llm.dedup import (
 )
 from ..llm.components import connected_components
 from ..llm.multimodal import attach_fake_media, decode_image_features
-from ..llm.similarity import lsh_topk, topk_bruteforce
+from ..llm.similarity import ivf_topk, lsh_topk, topk_bruteforce
 from .registry import query
 
 # DuckDB fragments mirroring functions/text.py exactly.
@@ -325,3 +325,12 @@ def llm_dedup_components(spark, sf_dir):
     in tests/test_llm.py."""
     pairs = jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.2)
     return connected_components(pairs)
+
+
+@query("llm_ivf_topk", oracle=None)
+def llm_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN top-5 (L3 alternative scale path): coarse-quantizer
+    inverted lists, n_probe nearest lists per query, exact re-rank inside.
+    Recall vs brute force asserted in tests/test_llm.py."""
+    e = _emb(spark, sf_dir)
+    return ivf_topk(e.filter(F.col("vec_id") < 10), e, k=5, n_lists=16, n_probe=4)

@@ -166,3 +166,110 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q6-shaped forecast revenue: pure filter + single aggregate — the
+# predicate-pushdown showcase (every condition reaches the parquet scan).
+# --------------------------------------------------------------------------
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """Forecast revenue change (TPC-H Q6 shape): filter-heavy single agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (li.l_shipdate >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (li.l_shipdate < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & li.l_discount.between(0.03, 0.07)
+            & (li.l_quantity < 24)
+        )
+        .agg(
+            dsum(money(li.l_extendedprice) * money(li.l_discount)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q10-shaped returned-items report: 4-table join + agg + top-20.
+# --------------------------------------------------------------------------
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """Customers with highest returned-item revenue (TPC-H Q10 shape)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.filter(li.l_returnflag == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(c.c_custkey, c.c_name, n.n_name.alias("nation_name"))
+        .agg(dsum(money(li.l_extendedprice) * (1 - money(li.l_discount))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q12-shaped shipping-priority split: join + conditional aggregation.
+# --------------------------------------------------------------------------
+@query(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_priority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_priority_shipping(spark, sf_dir):
+    """Priority-class line counts (TPC-H Q12 shape): conditional sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (li.l_shipdate >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (li.l_shipdate < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_priority"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_priority"),
+        )
+    )

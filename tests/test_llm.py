@@ -135,3 +135,16 @@ def test_connected_components_match_union_find(spark):
                 for c, g in groups.items()}
 
     assert canon(got) == canon(want)
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    from s3_glue_redshift_guide_spark.llm import ivf_topk
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in topk_bruteforce(q, e, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_topk(q, e, k=5, n_lists=16, n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall  # near-random vectors; 4/16 lists probed
