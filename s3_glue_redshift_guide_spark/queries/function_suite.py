@@ -220,3 +220,58 @@ def fn_map_entries(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(F.element_at(F.col("pmap"), F.lit("k"))), 2).alias("k_total"),
     )
+
+
+@query(
+    "fn_unpivot",
+    oracle="""
+    SELECT l_returnflag, metric, round(val, 2) AS val FROM (
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price
+      FROM lineitem GROUP BY l_returnflag)
+    UNPIVOT (val FOR metric IN (qty, price))
+    """,
+)
+def fn_unpivot(spark, sf_dir):
+    """Unpivot (pivot's inverse, via stack): wide metric columns to long
+    (metric, value) rows — the melt step of a reporting pipeline."""
+    from .util import dsum, money
+
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum(money("l_quantity")).alias("qty"),
+        dsum(money("l_extendedprice")).alias("price"),
+    )
+    return wide.select(
+        "l_returnflag",
+        F.expr("stack(2, 'qty', qty, 'price', price) AS (metric, val)"),
+    ).select("l_returnflag", "metric", F.round("val", 2).alias("val"))
+
+
+@query(
+    "fn_posexplode_map",
+    oracle="""
+    SELECT vec_id,
+           CAST(pos AS INTEGER) AS pos,
+           round(CAST(v AS DOUBLE), 6) AS v,
+           concat('dim_', CAST(pos AS VARCHAR)) AS dim_key
+    FROM (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                 unnest(embedding) AS v
+          FROM embeddings WHERE vec_id < 5)
+    WHERE pos < 8
+    """,
+)
+def fn_posexplode_map(spark, sf_dir):
+    """posexplode + map construction (§2.7 array/map): first 8 dims of each
+    embedding as (position, value) rows with a map-style key."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    return (
+        e.select("vec_id", F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "v"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.round(F.col("v").cast("double"), 6).alias("v"),
+            F.concat(F.lit("dim_"), F.col("pos").cast("string")).alias("dim_key"),
+        )
+    )

@@ -85,3 +85,26 @@ def test_stateful_sessionizer_matches_session_window(spark, tmp_path):
         ["user_id", "s", "n_events"],
     )
     assert got_keys == want_keys
+
+
+def test_stream_sliding_and_session_equal_batch(spark, tmp_path):
+    from s3_glue_redshift_guide_spark.streaming import session_stats, sliding_counts
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    batch = load_table(spark, SF_SMOKE, "events")
+
+    got_slide = _run_stream(
+        sliding_counts(stream.withWatermark("ts", "10 minutes")),
+        "t_slide", tmp_path, mode="complete",
+    )
+    want_slide = sliding_counts(batch)
+    cols = ["window_start", "event_type", "n_events"]
+    assert _rows(got_slide, cols) == _rows(want_slide, cols)
+
+    got_sess = _run_stream(
+        session_stats(stream.withWatermark("ts", "10 minutes")),
+        "t_sess", tmp_path, mode="complete",
+    )
+    want_sess = session_stats(batch)
+    cols = ["session_start", "session_end", "user_id", "n_events", "value_total"]
+    assert _rows(got_sess, cols) == _rows(want_sess, cols)
