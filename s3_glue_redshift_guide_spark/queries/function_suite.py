@@ -275,3 +275,26 @@ def fn_posexplode_map(spark, sf_dir):
             F.concat(F.lit("dim_"), F.col("pos").cast("string")).alias("dim_key"),
         )
     )
+
+
+@query(
+    "fn_fuzzy_levenshtein",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_brand, p_type) AS INTEGER) AS brand_type_dist,
+           CAST(levenshtein(lower(p_name), lower(p_brand)) <= 12 AS INTEGER)
+             AS near_brand
+    FROM part WHERE p_partkey < 120
+    """,
+)
+def fn_fuzzy_levenshtein(spark, sf_dir):
+    """Fuzzy string matching (§2.7): edit distance, the building block of
+    name-matching dedup (both engines implement Wagner-Fischer)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 120)
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").cast("int").alias("brand_type_dist"),
+        (F.levenshtein(F.lower("p_name"), F.lower("p_brand")) <= 12)
+        .cast("int")
+        .alias("near_brand"),
+    )
