@@ -298,3 +298,33 @@ def fn_fuzzy_levenshtein(spark, sf_dir):
         .cast("int")
         .alias("near_brand"),
     )
+
+
+@query(
+    "fn_map_construct",
+    oracle="""
+    SELECT o_orderkey,
+           map_keys(map(['status', 'priority'], [o_orderstatus, o_orderpriority]))
+             AS mkeys,
+           map_values(map(['status', 'priority'], [o_orderstatus, o_orderpriority]))
+             AS mvals,
+           (map(['status', 'priority'], [o_orderstatus, o_orderpriority])['status'])[1]
+             AS status_via_map
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def fn_map_construct(spark, sf_dir):
+    """MapType construction family (§2.7): create_map, map_keys, map_values,
+    keyed access — projected as arrays/scalars so the cross-engine compare
+    stays order-stable."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.map_keys(m).alias("mkeys"),
+        F.map_values(m).alias("mvals"),
+        F.element_at(m, F.lit("status")).alias("status_via_map"),
+    )
