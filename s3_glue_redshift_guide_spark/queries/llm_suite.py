@@ -334,3 +334,59 @@ def llm_ivf_topk(spark, sf_dir):
     Recall vs brute force asserted in tests/test_llm.py."""
     e = _emb(spark, sf_dir)
     return ivf_topk(e.filter(F.col("vec_id") < 10), e, k=5, n_lists=16, n_probe=4)
+
+
+@query(
+    "llm_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n)
+    SELECT doc_id, token, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rn
+      FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def llm_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-3 terms per document (L4): term frequency via
+    explode+groupBy, document frequency via a distinct count, idf as a
+    broadcast-joined lookup — the manual (non-MLlib) formulation whose
+    shuffles are all on token/doc keys."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # one scalar action; at scale use a cached count
+    scored = tf.join(F.broadcast(dfreq), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )
+
+
+@query("llm_stratified_sample", oracle=None)
+def llm_stratified_sample(spark, sf_dir):
+    """Stratified sampling by language (training-data mixture control):
+    seeded sampleBy with per-stratum fractions — deterministic for a given
+    seed but engine-specific, so rows-only + proportion self-checks in
+    tests/test_llm.py."""
+    d = _docs(spark, sf_dir)
+    fractions = {"en": 0.5, "es": 0.8, "fr": 0.8, "de": 1.0, "zh": 1.0}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")

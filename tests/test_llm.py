@@ -148,3 +148,19 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
               for r in ivf_topk(q, e, k=5, n_lists=16, n_probe=4).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, recall  # near-random vectors; 4/16 lists probed
+
+
+def test_stratified_sample_proportions_and_determinism(spark):
+    df1 = REGISTRY["llm_stratified_sample"].fn(spark, SF_SMOKE)
+    df2 = REGISTRY["llm_stratified_sample"].fn(spark, SF_SMOKE)
+    ids1 = sorted(r["doc_id"] for r in df1.collect())
+    ids2 = sorted(r["doc_id"] for r in df2.collect())
+    assert ids1 == ids2  # seeded => reproducible
+    totals = {r["lang"]: r["n"] for r in
+              load_table(spark, SF_SMOKE, "documents")
+              .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in
+           df1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # de/zh kept wholesale; en sampled at ~50% (loose bounds, seed fixed)
+    assert got["de"] == totals["de"] and got["zh"] == totals["zh"]
+    assert 0.3 * totals["en"] < got["en"] < 0.7 * totals["en"]
