@@ -6,6 +6,14 @@ warehouse_copy  — the scale path: stage files + issue COPY (the pattern the
 """
 
 from .jdbc import write_jdbc
+from .upsert import DuckDBUpsertWarehouse, UpsertWriter, merge_dataframes
 from .warehouse_copy import DuckDBWarehouse, StagedCopyWriter
 
-__all__ = ["write_jdbc", "StagedCopyWriter", "DuckDBWarehouse"]
+__all__ = [
+    "write_jdbc",
+    "StagedCopyWriter",
+    "DuckDBWarehouse",
+    "UpsertWriter",
+    "DuckDBUpsertWarehouse",
+    "merge_dataframes",
+]

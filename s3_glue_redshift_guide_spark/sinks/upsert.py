@@ -1,0 +1,88 @@
+"""Idempotent warehouse upsert (MERGE emulation).
+
+The reference's job appends via JDBC with the bookmark preventing
+re-reads (README.md:145,150) — but real warehouse loads also need UPSERT
+semantics (late-arriving corrections, reprocessed partitions). Without
+Delta/Iceberg in v1, MERGE is emulated with the classic staged pattern,
+which is exactly how Redshift does it natively (COPY to staging table,
+then DELETE USING + INSERT):
+
+* engine side: the batch stages as parquet (distributed write);
+* warehouse side: one transaction — delete target rows whose keys appear
+  in staging, insert all staged rows.
+
+``merge_dataframes`` provides the same semantics engine-side (for
+Spark-managed parquet targets): anti-join the target against the updates,
+union the updates in — the SCD1 building block, one shuffle on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .warehouse_copy import StagedCopyWriter
+
+
+def merge_dataframes(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """SCD1 merge engine-side: updates win on key collision, everything else
+    passes through. One shuffle (the anti-join on keys)."""
+    kept = target.join(updates.select(*keys), keys, "left_anti")
+    return kept.unionByName(updates)
+
+
+class UpsertWriter(StagedCopyWriter):
+    """Staged upsert into a warehouse table keyed by ``keys``.
+
+    The warehouse client must implement ``execute_upsert(table,
+    staging_path, keys)`` — for Redshift that is BEGIN; CREATE TEMP TABLE
+    stage AS COPY...; DELETE FROM t USING stage WHERE keys match; INSERT
+    INTO t SELECT * FROM stage; COMMIT — one round-trip, no rows through
+    the driver."""
+
+    def upsert(self, df: DataFrame, table: str, keys: list[str]) -> int:
+        import uuid
+
+        staging = f"{self.staging_root}/{table}/{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(staging)
+        try:
+            return self.warehouse.execute_upsert(table, staging, keys)
+        finally:
+            if self.cleanup:
+                import shutil
+
+                shutil.rmtree(staging, ignore_errors=True)
+
+    def foreach_batch_upsert(self, table: str, keys: list[str]):
+        """Streaming variant: epoch retries re-upsert the same keys, making
+        the sink effectively idempotent (exactly-once visible state)."""
+
+        def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+            self.upsert(batch_df, table, keys)
+
+        return _sink
+
+
+class DuckDBUpsertWarehouse:
+    """DuckDB stand-in implementing the staged-upsert control plane."""
+
+    def __init__(self, con) -> None:
+        self.con = con
+
+    def execute_upsert(self, table: str, staging_path: str, keys: list[str]) -> int:
+        glob = f"{staging_path}/*.parquet"
+        exists = bool(
+            self.con.sql(
+                f"SELECT 1 FROM information_schema.tables WHERE table_name = '{table}'"
+            ).fetchall()
+        )
+        if not exists:
+            self.con.sql(f"CREATE TABLE {table} AS SELECT * FROM '{glob}'")
+        else:
+            on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+            self.con.sql("BEGIN")
+            self.con.sql(
+                f"DELETE FROM {table} t USING (SELECT * FROM '{glob}') s WHERE {on}"
+            )
+            self.con.sql(f"INSERT INTO {table} SELECT * FROM '{glob}'")
+            self.con.sql("COMMIT")
+        return self.con.sql(f"SELECT count(*) FROM '{glob}'").fetchall()[0][0]

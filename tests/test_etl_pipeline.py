@@ -218,3 +218,32 @@ class TestJsonSource:
         entry = crawl(spark, "crawled_json", str(tmp_path / "j2"), fmt="json")
         assert {f.name for f in entry.schema.fields} == {"id", "name"}
         assert spark.sql("SELECT name FROM crawled_json").collect()[0][0] == "n7"
+
+
+class TestUpsert:
+    def test_staged_upsert_idempotent(self, spark, tmp_path):
+        import duckdb as _duck
+        from s3_glue_redshift_guide_spark.sinks import (
+            DuckDBUpsertWarehouse,
+            UpsertWriter,
+            merge_dataframes,
+        )
+
+        con = _duck.connect()
+        w = UpsertWriter(str(tmp_path / "stage"), DuckDBUpsertWarehouse(con))
+        v1 = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "id long, name string, v double"
+        )
+        w.upsert(v1, "t", ["id"])
+        # correction for id=2 plus a new row; replayed twice (retry) -> same state
+        v2 = spark.createDataFrame(
+            [(2, "b2", 21.0), (3, "c", 30.0)], "id long, name string, v double"
+        )
+        w.upsert(v2, "t", ["id"])
+        w.upsert(v2, "t", ["id"])
+        got = con.sql("SELECT id, name, v FROM t ORDER BY id").fetchall()
+        assert got == [(1, "a", 10.0), (2, "b2", 21.0), (3, "c", 30.0)]
+
+        # engine-side merge has identical semantics
+        merged = merge_dataframes(v1, v2, ["id"]).orderBy("id").collect()
+        assert [(r["id"], r["name"], r["v"]) for r in merged] == got
