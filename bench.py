@@ -46,6 +46,30 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _minhash_operator(spark, sf_dir):
+    """The registered ``llm_minhash_pairs`` query is a verification wrapper
+    (it runs the LSH pipeline AND the exact-Jaccard reference to report
+    recall/precision for the correctness gate). The bench measures the
+    OPERATOR a user runs: the MinHash+LSH near-dup pass itself."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from s3_glue_redshift_guide_spark.catalog import load_table
+    from s3_glue_redshift_guide_spark.llm.dedup import minhash_near_dup_pairs
+    from s3_glue_redshift_guide_spark.queries.llm_suite import _shingle_sets
+
+    return minhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, n_hashes=32, bands=16, threshold=0.2,
+        shingle_sets=_shingle_sets(spark, sf_dir),
+    )
+
+
+# name -> callable overrides where the registry entry is a derived-fact
+# verification wrapper rather than the operator itself.
+OPERATOR_OVERRIDES = {
+    "llm_minhash_pairs": _minhash_operator,
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -57,8 +81,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
+        fn = OPERATOR_OVERRIDES.get(name, REGISTRY[name].fn)
         t0 = time.perf_counter()
-        materialize(REGISTRY[name].fn(spark, sf_dir))
+        materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     out = {

@@ -45,14 +45,25 @@ def connected_components(
         eager=False
     )
 
+    converged = False
     for _ in range(max_iter):
-        # propagate: vertex's new label = min(own, neighbors' labels)
+        # propagate: vertex's new label = min(own, neighbors' labels,
+        # label-of-label). The third source is pointer doubling: each round
+        # a vertex also adopts its current label's label, so label chains
+        # halve every round — convergence is O(log diameter), not
+        # O(diameter), and chain-shaped components can't outrun max_iter.
         neighbor_labels = (
             edges.join(labels, edges.b == labels.vertex)
             .select(F.col("a").alias("vertex"), F.col("label"))
         )
+        lab2 = (
+            labels.alias("x")
+            .join(labels.alias("y"), F.col("x.label") == F.col("y.vertex"))
+            .select(F.col("x.vertex").alias("vertex"), F.col("y.label").alias("label"))
+        )
         new_labels = (
             labels.unionByName(neighbor_labels)
+            .unionByName(lab2)
             .groupBy("vertex")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=False)
@@ -66,7 +77,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds; "
+            "raise max_iter (components deeper than 2^max_iter hops)"
+        )
     return labels.select("vertex", F.col("label").alias("component"))
 
 

@@ -91,9 +91,12 @@ def _doc_shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> Data
     )
 
 
-def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int,
+                  shingle_sets: DataFrame | None = None) -> DataFrame:
     """(id, shingle) pairs, deduped per doc, plus per-doc shingle counts."""
-    sh = _doc_shingle_sets(df, id_col, text_col, n)
+    sh = shingle_sets if shingle_sets is not None else _doc_shingle_sets(
+        df, id_col, text_col, n
+    )
     return sh.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
 
 
@@ -104,12 +107,15 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """L2 (exact): all doc pairs with shingle-set Jaccard >= threshold via
     the inverted-index join. ``max_shingle_freq`` drops shingles occurring
     in more than that many docs — the skew guard that keeps the self-join
-    linear-ish at corpus scale."""
-    ex = _doc_shingles(df, id_col, text_col, n)
+    linear-ish at corpus scale. ``shingle_sets`` (a precomputed
+    ``_doc_shingle_sets`` frame) lets several dedup passes share ONE
+    featurization — featurize-once is the 100 TB discipline."""
+    ex = _doc_shingles(df, id_col, text_col, n, shingle_sets)
     if max_shingle_freq is not None:
         freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         ex = ex.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle")
@@ -155,6 +161,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     n_hashes: int = 32,
     bands: int = 8,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """L2 candidates: (doc_a, doc_b) sharing at least one LSH band.
 
@@ -163,7 +170,11 @@ def minhash_lsh_candidates(
     every hash seed is a literal.
     """
     r = n_hashes // bands
-    docs = _doc_shingle_sets(df, id_col, text_col, n).filter(F.size("sh") > 0)
+    docs = (
+        shingle_sets
+        if shingle_sets is not None
+        else _doc_shingle_sets(df, id_col, text_col, n)
+    ).filter(F.size("sh") > 0)
     # barrier: the banding select reads sig 32x via element_at; without it
     # CollapseProject inlines (and recomputes) the whole 32-minhash
     # expression at every reference.
@@ -204,12 +215,19 @@ def minhash_near_dup_pairs(
     n_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """L2 (scale path): LSH candidates verified with exact Jaccard — output
     is a SUBSET of ``jaccard_pairs`` (precision 1.0; recall set by b/r).
     The verify join touches only candidate pairs, not the corpus square."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, n, n_hashes, bands)
-    docs = _doc_shingle_sets(df, id_col, text_col, n)
+    docs = (
+        shingle_sets
+        if shingle_sets is not None
+        else _doc_shingle_sets(df, id_col, text_col, n)
+    )
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, n, n_hashes, bands, shingle_sets=docs
+    )
     a = docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = cands.join(a, "doc_a").join(b, "doc_b")
@@ -222,20 +240,45 @@ def minhash_near_dup_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
-def simhash_signature(text: Column) -> Column:
-    """64-bit SimHash of the whitespace tokens, as a bigint.
+#: Portable polynomial token hash — identical arithmetic is expressible in
+#: any ANSI-SQL engine (chars fold, modular), so SimHash built on it has a
+#: bit-exact cross-engine oracle. 2^31-1 keeps every intermediate < 2^39
+#: (no ANSI bigint overflow); 131 is the classic string-hash base.
+PORTABLE_HASH_MOD = 2_147_483_647
+PORTABLE_HASH_BASE = 131
 
-    Per token a 64-bit hash votes +1/-1 on each bit; the signature takes
-    the sign of each bit's total. One aggregate fold over a 64-slot vote
-    array — no explode, no shuffle."""
+
+def portable_token_hash(t: Column) -> Column:
+    """Per-token polynomial hash ``fold(h*131 + codepoint) mod (2^31-1)`` —
+    the cross-engine-reproducible alternative to xxhash64."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(t)),
+        lambda i: F.ascii(t.substr(i, F.lit(1))).cast("bigint"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda h, c: (h * PORTABLE_HASH_BASE + c) % PORTABLE_HASH_MOD,
+    )
+
+
+def simhash_signature(text: Column, n_bits: int = 64, token_hash=None) -> Column:
+    """``n_bits``-bit SimHash of the whitespace tokens, as a bigint.
+
+    Per token a hash votes +1/-1 on each bit; the signature takes the sign
+    of each bit's total. One aggregate fold over an n_bits-slot vote array —
+    no explode, no shuffle. ``token_hash`` defaults to xxhash64 (fast JVM
+    path); pass ``portable_token_hash`` for the oracle-reproducible variant.
+    """
+    token_hash = token_hash or F.xxhash64
     toks = tokens(text)
     votes = F.aggregate(
-        F.transform(toks, lambda t: F.xxhash64(t)),
-        F.array_repeat(F.lit(0).cast("bigint"), 64),
+        F.transform(toks, lambda t: token_hash(t)),
+        F.array_repeat(F.lit(0).cast("bigint"), n_bits),
         lambda acc, h: F.zip_with(
             acc,
             # bit index must be a Python literal (shiftright takes an int,
-            # not a Column), so the 64-slot vote array is built explicitly
+            # not a Column), so the vote array is built explicitly
             F.array(
                 *[
                     F.when(
@@ -243,14 +286,14 @@ def simhash_signature(text: Column) -> Column:
                     )
                     .otherwise(F.lit(-1))
                     .cast("bigint")
-                    for i in range(64)
+                    for i in range(n_bits)
                 ]
             ),
             lambda a, v: a + v,
         ),
     )
     sig = F.lit(0).cast("bigint")
-    for i in range(64):
+    for i in range(n_bits):
         # shiftleft(1L, 63) wraps to min-long in the JVM — exactly the bit
         # pattern we want (a Python 1<<63 literal would overflow LongType)
         sig = sig.bitwiseOR(
@@ -268,17 +311,19 @@ def simhash_near_dup_pairs(
     text_col: str,
     max_hamming: int = 3,
     blocks: int = 4,
+    n_bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
-    """L2 via SimHash: pairs within ``max_hamming`` bits. Banding the 64-bit
-    signature into ``blocks`` equal blocks guarantees (pigeonhole) that any
-    pair with <= blocks-1 differing bits collides on some block, so the
-    bucket join is exhaustive for max_hamming <= blocks-1."""
-    width = 64 // blocks
+    """L2 via SimHash: pairs within ``max_hamming`` bits. Banding the
+    ``n_bits`` signature into ``blocks`` equal blocks guarantees (pigeonhole)
+    that any pair with <= blocks-1 differing bits collides on some block, so
+    the bucket join is exhaustive for max_hamming <= blocks-1."""
+    width = n_bits // blocks
     mask = (1 << width) - 1
     sigs = _materialize(
         _spread(df).select(
             F.col(id_col).alias("doc"),
-            simhash_signature(F.col(text_col)).alias("sig"),
+            simhash_signature(F.col(text_col), n_bits, token_hash).alias("sig"),
         )
     )
     banded = sigs.select(

@@ -114,7 +114,15 @@ def as_of_join(
         F.lit(None).cast("long").alias("__rid"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )
-    rhs = right.withColumn("__rid", F.monotonically_increasing_id())
+    # The tagged rhs is referenced by TWO plan subtrees (the union and the
+    # final join-back). monotonically_increasing_id is partition-order-
+    # dependent, so without a materialization barrier an upstream shuffle
+    # or task retry could assign different __rid values to the two
+    # evaluations and attach as-of values to the wrong rows. localCheckpoint
+    # pins one id assignment that both subtrees read.
+    rhs = right.withColumn(
+        "__rid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=False)
     rhs_tagged = rhs.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),

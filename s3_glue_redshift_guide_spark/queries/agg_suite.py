@@ -89,16 +89,17 @@ def agg_minmax_by(spark, sf_dir):
     "agg_collect_set",
     oracle="""
     SELECT n_regionkey,
-           list_sort(list(DISTINCT n_name)) AS nations
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
     FROM nation GROUP BY n_regionkey
     """,
 )
 def agg_collect_set(spark, sf_dir):
     """collect_set with a deterministic sort (A2) — set semantics, then
-    sort_array so the value hash is order-stable."""
+    sort_array so the value is order-stable; projected as a joined string
+    (the grading harness hashes scalar cells, not arrays)."""
     n = _t(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_set("n_name")).alias("nations")
+        F.concat_ws(",", F.sort_array(F.collect_set("n_name"))).alias("nations")
     )
 
 
@@ -174,27 +175,83 @@ def agg_dedup_distinct(spark, sf_dir):
     return o.select("o_orderstatus", "o_orderpriority").distinct()
 
 
-# ---- approximate aggregates: no bit-exact oracle (rows-only + self-check) --
+# ---- approximate aggregates: derived-fact oracles ---------------------------
+# A sketch value is engine-specific, so the oracle checks the DERIVED facts:
+# the exact value (reproducible in DuckDB) plus an in-tolerance boolean that
+# encodes the sketch's accuracy guarantee (oracle side: literal TRUE). The
+# boolean is deterministic — Spark's HLL++/GK sketches are seed-free — so the
+# gate genuinely exercises the approximation error bound.
 
 
-@query("agg_approx_distinct", oracle=None)
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           1 AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark, sf_dir):
-    """HLL++ approximate distinct (A3). Tolerance vs exact counts is
-    asserted in tests; the driver records a rows-only check."""
+    """HLL++ approximate distinct (A3): exact count + |approx-exact| within
+    3x the configured rsd, as the oracle-checkable derived fact."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    tol = F.lit(3 * 0.02) * F.col("exact_parts").cast("double")
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (F.abs(F.col("approx_parts") - F.col("exact_parts")).cast("double") <= tol)
+        .cast("int")
+        .alias("within_tol"),
+    )
 
 
-@query("agg_approx_quantiles", oracle=None)
+@query(
+    "agg_approx_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           1 AS p25_ok, 1 AS p50_ok, 1 AS p75_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_quantiles(spark, sf_dir):
-    """Approximate quantiles (A4) via percentile_approx sketches."""
+    """Approximate quantiles (A4) via percentile_approx (GK sketch,
+    accuracy=10000 => rank error <= n/10000). Each approx quartile is
+    checked against the exact percentile band p +/- 0.01 — 100x looser than
+    the sketch guarantee, so the boolean is robustly deterministic."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias(
-            "price_quartiles"
-        ),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("exact_median"),
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    ]
+    for p in (25, 50, 75):
+        q = p / 100.0
+        aggs += [
+            F.percentile_approx("l_extendedprice", q, 10000).alias(f"__ap{p}"),
+            F.expr(f"percentile(l_extendedprice, {q - 0.01})").alias(f"__lo{p}"),
+            F.expr(f"percentile(l_extendedprice, {q + 0.01})").alias(f"__hi{p}"),
+        ]
+    agg = li.groupBy("l_returnflag").agg(*aggs)
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "min_price",
+        "max_price",
+        *[
+            (
+                (F.col(f"__ap{p}") >= F.col(f"__lo{p}"))
+                & (F.col(f"__ap{p}") <= F.col(f"__hi{p}"))
+            )
+            .cast("int")
+            .alias(f"p{p}_ok")
+            for p in (25, 50, 75)
+        ],
     )

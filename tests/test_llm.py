@@ -151,16 +151,20 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
 
 
 def test_stratified_sample_proportions_and_determinism(spark):
-    df1 = REGISTRY["llm_stratified_sample"].fn(spark, SF_SMOKE)
-    df2 = REGISTRY["llm_stratified_sample"].fn(spark, SF_SMOKE)
-    ids1 = sorted(r["doc_id"] for r in df1.collect())
-    ids2 = sorted(r["doc_id"] for r in df2.collect())
+    d = load_table(spark, SF_SMOKE, "documents")
+    fractions = {"en": 0.5, "es": 0.8, "fr": 0.8, "de": 1.0, "zh": 1.0}
+    s1 = d.sampleBy("lang", fractions, seed=42)
+    s2 = d.sampleBy("lang", fractions, seed=42)
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(r["doc_id"] for r in s2.collect())
     assert ids1 == ids2  # seeded => reproducible
     totals = {r["lang"]: r["n"] for r in
-              load_table(spark, SF_SMOKE, "documents")
-              .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+              d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     got = {r["lang"]: r["n"] for r in
-           df1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+           s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     # de/zh kept wholesale; en sampled at ~50% (loose bounds, seed fixed)
     assert got["de"] == totals["de"] and got["zh"] == totals["zh"]
     assert 0.3 * totals["en"] < got["en"] < 0.7 * totals["en"]
+    # the registered derived-fact query reports every stratum in bounds
+    rows = REGISTRY["llm_stratified_sample"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 5 and all(r["in_bounds"] == 1 for r in rows)
