@@ -70,24 +70,68 @@ def exact_dedup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFram
     )
 
 
-def _doc_shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _doc_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int, use_arrow: bool = True
+) -> DataFrame:
     """(doc, sh: array<string>) — distinct shingle set per document.
 
-    Tokenization and shingling are SEPARATE selects on purpose: composing
-    ``shingles(tokens(text))`` as one expression duplicates the whole
-    tokens() subtree at every array access inside the shingle lambda
-    (3 accesses x ~50 shingles => tokens recomputed ~150x per document,
-    interpreted). Materializing tokens as a column first makes each lambda
-    access a cheap bound reference; CollapseProject keeps non-cheap
-    duplicated aliases un-inlined, so the split survives optimization.
+    Two implementations, proven element-identical (tests/test_llm.py):
+
+    * Arrow (default): ``mapInPandas`` — tokenize + shingle per batch in
+      Python. Higher-order array lambdas are interpreted (not codegen'd) in
+      Spark, so this CPU-bound featurization is ~30% faster Arrow-batched
+      than as expression folds, and the regex mirrors Java's ASCII ``\\s+``
+      exactly so oracle parity is preserved.
+    * expression (``use_arrow=False``): tokens and shingles as SEPARATE
+      selects — composing ``shingles(tokens(text))`` in one expression
+      duplicates the tokens() subtree at every array access inside the
+      shingle lambda (3 accesses x ~50 shingles => tokens recomputed ~150x
+      per document, interpreted). The split survives optimization because
+      CollapseProject keeps non-cheap duplicated aliases un-inlined.
     """
-    toked = _spread(df).select(
-        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
-    )
-    return _materialize(
-        toked.select(
-            "doc", F.array_distinct(shingles(F.col("__toks"), n)).alias("sh")
+    if not use_arrow:
+        toked = _spread(df).select(
+            F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
         )
+        return _materialize(
+            toked.select(
+                "doc", F.array_distinct(shingles(F.col("__toks"), n)).alias("sh")
+            )
+        )
+
+    import re
+
+    import pandas as pd
+
+    # Java regex \s is ASCII-only: [ \t\n\x0b\f\r]. Python \s would also
+    # match unicode whitespace (e.g. \xa0) and silently diverge from the
+    # expression path and the DuckDB oracle.
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def featurize(batches):
+        for pdf in batches:
+            sets = []
+            for text in pdf[text_col]:
+                toks = [t for t in ws.split(text.lower()) if t]
+                if len(toks) >= n:
+                    # dict.fromkeys == array_distinct: first-occurrence order
+                    sets.append(
+                        list(
+                            dict.fromkeys(
+                                " ".join(toks[i : i + n])
+                                for i in range(len(toks) - n + 1)
+                            )
+                        )
+                    )
+                else:
+                    sets.append([])
+            yield pd.DataFrame({"doc": pdf[id_col], "sh": sets})
+
+    id_type = dict(df.dtypes)[id_col]
+    return _materialize(
+        _spread(df)
+        .select(id_col, text_col)
+        .mapInPandas(featurize, schema=f"doc {id_type}, sh array<string>")
     )
 
 
@@ -154,6 +198,40 @@ def _minhash_sig(sh: Column, n_hashes: int) -> Column:
     )
 
 
+def _minhash_sigs_arrow(sets: DataFrame, n_hashes: int) -> DataFrame:
+    """(doc, sig: array<bigint>) via Arrow batches: ONE stable 64-bit base
+    hash per shingle (pandas hash_array — fixed-key siphash, deterministic
+    across runs/executors), then ``n_hashes`` universal multiply-shift
+    derivations ``a_i*h + b_i (mod 2^64)`` vectorized in numpy. Replaces
+    n_hashes interpreted array folds per document with one numpy
+    broadcast — the Arrow fast path for the signature stage."""
+    import numpy as np
+    import pandas as pd
+    from pandas.util import hash_array
+
+    rng = np.random.RandomState(7)
+    # odd multipliers -> bijections mod 2^64 (multiply-shift family)
+    a = (rng.randint(0, 1 << 62, size=n_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.randint(0, 1 << 62, size=n_hashes).astype(np.uint64)
+
+    def sig(batches):
+        for pdf in batches:
+            out = []
+            for sh in pdf["sh"]:
+                if len(sh) == 0:
+                    out.append([0] * n_hashes)
+                    continue
+                h = hash_array(np.asarray(sh, dtype=object))  # uint64
+                derived = a[None, :] * h[:, None] + b[None, :]  # wraps mod 2^64
+                out.append(derived.min(axis=0).astype(np.int64).tolist())
+            yield pd.DataFrame({"doc": pdf["doc"], "sig": out})
+
+    id_type = dict(sets.dtypes)["doc"]
+    return sets.select("doc", "sh").mapInPandas(
+        sig, schema=f"doc {id_type}, sig array<bigint>"
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -162,12 +240,15 @@ def minhash_lsh_candidates(
     n_hashes: int = 32,
     bands: int = 8,
     shingle_sets: DataFrame | None = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """L2 candidates: (doc_a, doc_b) sharing at least one LSH band.
 
     rows-per-band r = n_hashes/bands; collision probability for Jaccard j
     is 1-(1-j^r)^b (r=4,b=8: j=0.5 -> 0.42, j=0.8 -> 0.98). Deterministic —
-    every hash seed is a literal.
+    every hash seed is a literal (expression path) or a fixed-key/seeded
+    numpy derivation (Arrow path, the default — one vectorized pass instead
+    of n_hashes interpreted array folds).
     """
     r = n_hashes // bands
     docs = (
@@ -176,11 +257,14 @@ def minhash_lsh_candidates(
         else _doc_shingle_sets(df, id_col, text_col, n)
     ).filter(F.size("sh") > 0)
     # barrier: the banding select reads sig 32x via element_at; without it
-    # CollapseProject inlines (and recomputes) the whole 32-minhash
+    # CollapseProject inlines (and recomputes) the whole signature
     # expression at every reference.
-    sig = _materialize(
-        docs.select("doc", _minhash_sig(F.col("sh"), n_hashes).alias("sig"))
-    )
+    if use_arrow:
+        sig = _materialize(_minhash_sigs_arrow(docs, n_hashes))
+    else:
+        sig = _materialize(
+            docs.select("doc", _minhash_sig(F.col("sh"), n_hashes).alias("sig"))
+        )
     banded = sig.select(
         "doc",
         F.explode(
@@ -216,6 +300,7 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     shingle_sets: DataFrame | None = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """L2 (scale path): LSH candidates verified with exact Jaccard — output
     is a SUBSET of ``jaccard_pairs`` (precision 1.0; recall set by b/r).
@@ -226,7 +311,8 @@ def minhash_near_dup_pairs(
         else _doc_shingle_sets(df, id_col, text_col, n)
     )
     cands = minhash_lsh_candidates(
-        df, id_col, text_col, n, n_hashes, bands, shingle_sets=docs
+        df, id_col, text_col, n, n_hashes, bands,
+        shingle_sets=docs, use_arrow=use_arrow,
     )
     a = docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))

@@ -34,6 +34,7 @@ def range_join(
     bucket_seconds: int,
     extra_on: list[tuple[str, str]] | None = None,
     how: str = "inner",
+    dedup_unmatched: bool = True,
 ) -> DataFrame:
     """Join rows where ``right_ts`` falls in [left_ts + lower, left_ts + upper).
 
@@ -46,18 +47,34 @@ def range_join(
     second-granularity residual would silently mis-classify sub-second
     boundaries.
 
-    Note on ``how="left"``: unmatched left rows surface once per candidate
-    bucket; aggregate on a left-side key afterwards (as any windowed-count
-    caller does) or use inner semantics for row-level output.
+    Outer modes (``left``/``full``): the bucket explode would surface an
+    unmatched left row once per candidate bucket, so those modes dedup
+    internally on a per-row id — row-level output is exact, at the cost of
+    one extra shuffle (a window over the synthetic id). Callers that only
+    aggregate with null-ignoring functions (count(col), sum) can pass
+    ``dedup_unmatched=False`` to skip that shuffle — duplicate null rows
+    are invisible to such aggregates. Semi/anti are rejected: "matches in
+    no bucket" is not decidable per exploded copy; use an inner range join
+    + aggregation instead.
     """
+    if how in ("semi", "left_semi", "anti", "left_anti"):
+        raise ValueError(
+            "range_join does not support semi/anti; use how='inner' and "
+            "aggregate (semi) or anti-join on the inner result's keys (anti)"
+        )
     us = 1_000_000
     lo = (F.lit(lower) if not isinstance(lower, Column) else lower) * us
     hi = (F.lit(upper) if not isinstance(upper, Column) else upper) * us
     bucket_us = bucket_seconds * us
+    outer_left = dedup_unmatched and how in (
+        "left", "left_outer", "full", "outer", "full_outer"
+    )
 
     lb = left.withColumn(
         "__win_start", F.unix_micros(F.col(left_ts).cast("timestamp")) + lo
     ).withColumn("__win_end", F.unix_micros(F.col(left_ts).cast("timestamp")) + hi)
+    if outer_left:
+        lb = lb.withColumn("__lid", F.monotonically_increasing_id())
     rb = right.withColumn("__r_us", F.unix_micros(F.col(right_ts).cast("timestamp")))
 
     # Left row spans bucket(win_start) .. bucket(win_end): explode candidates.
@@ -81,6 +98,27 @@ def range_join(
     residual = (rb["__r_us"] >= lb["__win_start"]) & (rb["__r_us"] < lb["__win_end"])
 
     joined = lb.join(rb, cond & residual, how)
+    if outer_left:
+        # Unmatched left rows appear once per candidate bucket; keep every
+        # matched row and exactly one null-extended row per never-matched
+        # id (the copies are identical after the internals drop, so the
+        # lowest-bucket representative is an arbitrary-but-stable pick).
+        # Right-only rows of a full join carry a null __lid: always kept.
+        matched = rb["__r_us"].isNotNull()
+        w = Window.partitionBy("__lid")
+        joined = (
+            joined.withColumn("__has_match", F.max(matched.cast("int")).over(w))
+            .withColumn(
+                "__rn",
+                F.row_number().over(Window.partitionBy("__lid").orderBy(lb["__bucket"])),
+            )
+            .filter(
+                F.col("__lid").isNull()
+                | matched
+                | ((F.col("__has_match") == 0) & (F.col("__rn") == 1))
+            )
+            .drop("__has_match", "__rn", "__lid")
+        )
     for d in ["__win_start", "__win_end", "__r_us", "__bucket"]:
         joined = joined.drop(d)
     return joined

@@ -21,6 +21,7 @@ _MODULES = [
     "llm_suite",
     "udf_suite",
     "sql_suite",
+    "sink_suite",
 ]
 
 for _m in _MODULES:
@@ -40,6 +41,8 @@ _PRIORITY = [
     "udf_python_row", "udf_pandas_scalar", "udf_grouped_agg", "udf_grouped_map",
     "sql_volume_shipping", "sql_scalar_subquery", "sql_correlated_subquery",
     "skew_salted_join", "skew_two_phase_agg",
+    # new in round 2
+    "sink_scd1_merge", "join_range_left_rowlevel",
     # round-1 unreached: the LLM-pipeline suite
     "llm_exact_dedup", "llm_quality_filter", "llm_lang_id",
     "llm_quality_scores", "llm_text_stats", "llm_stratified_sample",

@@ -197,10 +197,45 @@ def join_range_events(spark, sf_dir):
         bucket_seconds=30 * 60,
         extra_on=[("p_user", "c_user")],
         how="left",
+        # count(click_id) ignores nulls, so duplicate unmatched rows are
+        # invisible here — skip the dedup shuffle
+        dedup_unmatched=False,
     )
     return joined.groupBy("purchase_id").agg(
         F.count("click_id").alias("n_clicks_before")
     )
+
+
+@query(
+    "join_range_left_rowlevel",
+    oracle="""
+    SELECT a.event_id AS purchase_id, b.event_id AS error_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
+      ON b.user_id = a.user_id
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 10 MINUTE
+    """,
+)
+def join_range_left_rowlevel(spark, sf_dir):
+    """Left range join at ROW level (J6): never-matched left rows surface
+    exactly once (the operator dedups the bucket-explode copies
+    internally), so row-level output matches a plain SQL LEFT JOIN ...
+    BETWEEN bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"), "ts",
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"),
+    )
+    joined = range_join(
+        purchases, errors, left_ts="ts", right_ts="e_ts",
+        lower=0, upper=600, bucket_seconds=600,
+        extra_on=[("p_user", "e_user")], how="left",
+    )
+    return joined.select("purchase_id", "error_id")
 
 
 @query(

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from .csv_dialect import OPENCSV_DIALECT
+from .evolution import SchemaEvolutionError, conform, merge_additive
 
 
 def infer_csv_schema(
@@ -45,13 +46,27 @@ def infer_csv_schema(
 @dataclass
 class CatalogEntry:
     """What the crawler writes per path: name, location, format, schema,
-    discovered partition columns (README.md:104,117)."""
+    discovered partition columns and their discovered value tuples
+    (README.md:104,117)."""
 
     name: str
     location: str
     fmt: str
     schema: T.StructType
     partition_columns: list[str] = field(default_factory=list)
+    partitions: list[tuple] = field(default_factory=list)
+
+
+#: Session-scoped catalog: (applicationId, table name) -> latest entry.
+#: A second ``crawl()`` of the same name UPDATES the entry under the
+#: crawler policy — add new columns only, never retype/drop, and refresh
+#: the partition list with newly appeared partitions (the reference's
+#: "update all new and existing partitions", README.md:117).
+_CATALOG: dict[tuple[str, str], CatalogEntry] = {}
+
+
+def catalog_entry(spark: SparkSession, name: str) -> CatalogEntry | None:
+    return _CATALOG.get((spark.sparkContext.applicationId, name))
 
 
 def crawl(
@@ -78,23 +93,45 @@ def crawl(
             .csv(path)
         )
     elif fmt == "parquet":
-        df = spark.read.parquet(path)
+        # a crawler must see the UNION schema across file generations, not
+        # whichever footer Spark samples first
+        df = spark.read.option("mergeSchema", "true").parquet(path)
     elif fmt == "json":
         df = spark.read.option("samplingRatio", str(sampling_ratio)).json(path)
     else:
         raise ValueError(f"unsupported format: {fmt}")
 
     partition_cols = _partition_columns_from_layout(df, path)
+    partitions = _partition_values_from_layout(df, partition_cols)
+
+    key = (spark.sparkContext.applicationId, name)
+    prev = _CATALOG.get(key)
+    if prev is not None and prev.location != path:
+        prev = None  # same name pointed at a new location: a fresh table
+    schema = df.schema
+    if prev is not None:
+        # RE-crawl of a known table: additive evolution + partition sync.
+        if prev.partition_columns != partition_cols:
+            raise SchemaEvolutionError(
+                f"table {name!r}: partition layout changed "
+                f"{prev.partition_columns} -> {partition_cols}"
+            )
+        schema = merge_additive(prev.schema, df.schema)
+        partitions = sorted(set(prev.partitions) | set(partitions))
 
     entry = CatalogEntry(
         name=name,
         location=path,
         fmt=fmt,
-        schema=df.schema,
+        schema=schema,
         partition_columns=partition_cols,
+        partitions=partitions,
     )
+    _CATALOG[key] = entry
     if register:
-        df.createOrReplaceTempView(name)
+        # expose the EVOLVED schema: files from before a column was added
+        # read as typed NULLs (metadata-only evolution, no data rewrite)
+        conform(df, schema).createOrReplaceTempView(name)
     return entry
 
 
@@ -112,6 +149,27 @@ def _partition_columns_from_layout(df: DataFrame, base_path: str) -> list[str]:
             cols.append(seg.split("=", 1)[0])
     # keep discovery order as present in df.columns
     return [c for c in df.columns if c in set(cols)]
+
+
+def _partition_values_from_layout(
+    df: DataFrame, partition_cols: list[str]
+) -> list[tuple]:
+    """Distinct partition value tuples recovered from the scan's own file
+    index (``inputFiles`` — no extra listing). This is the crawler's
+    partition inventory: a re-crawl unions it with what's already known,
+    the MSCK-REPAIR equivalent."""
+    if not partition_cols:
+        return []
+    seen: set[tuple] = set()
+    for f in df.inputFiles():
+        kv = {}
+        for seg in f.split("/"):
+            if "=" in seg and not seg.startswith("."):
+                k, v = seg.split("=", 1)
+                kv[k] = v
+        if all(c in kv for c in partition_cols):
+            seen.add(tuple(kv[c] for c in partition_cols))
+    return sorted(seen)
 
 
 def register_table(spark: SparkSession, entry: CatalogEntry, df: DataFrame) -> None:

@@ -77,6 +77,39 @@ class TestInferenceAndEvolution:
         assert entry.partition_columns == ["dt"]
         assert spark.sql("SELECT count(*) AS n FROM crawled_t").collect()[0]["n"] == 2
 
+    def test_recrawl_syncs_new_partitions_and_columns(self, spark, tmp_path):
+        """Reference README.md:117: a re-crawl must 'add new columns only'
+        and 'update all new and existing partitions'."""
+        from s3_glue_redshift_guide_spark.sources.inference import catalog_entry
+
+        base = str(tmp_path / "grow")
+        _write(f"{base}/dt=2024-01-01/a.json", '{"id": 1, "v": 2.5}\n')
+        e1 = crawl(spark, "grow_t", base, fmt="json")
+        assert e1.partitions == [("2024-01-01",)]
+
+        # the table grows: a new partition whose files carry a NEW column
+        _write(f"{base}/dt=2024-01-02/a.json",
+               '{"id": 2, "v": 3.5, "src": "web"}\n')
+        e2 = crawl(spark, "grow_t", base, fmt="json")
+        assert e2.partitions == [("2024-01-01",), ("2024-01-02",)]
+        assert "src" in [f.name for f in e2.schema.fields]
+        assert catalog_entry(spark, "grow_t").schema == e2.schema
+        rows = {r["id"]: r["src"] for r in
+                spark.sql("SELECT id, src FROM grow_t").collect()}
+        assert rows == {1: None, 2: "web"}  # old files read NULL for src
+
+    def test_recrawl_rejects_retype(self, spark, tmp_path):
+        from s3_glue_redshift_guide_spark.sources.evolution import (
+            SchemaEvolutionError,
+        )
+
+        base = str(tmp_path / "retype")
+        _write(f"{base}/dt=2024-01-01/a.json", '{"id": 1, "v": 2}\n')
+        crawl(spark, "retype_t", base, fmt="json")
+        _write(f"{base}/dt=2024-01-02/a.json", '{"id": "oops", "v": 3}\n')
+        with pytest.raises(SchemaEvolutionError):
+            crawl(spark, "retype_t", base, fmt="json")
+
     def test_additive_merge_allows_new_forbids_retype(self):
         cur = T.StructType([T.StructField("a", T.LongType())])
         add = T.StructType(

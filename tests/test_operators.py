@@ -49,6 +49,37 @@ def test_range_join_matches_bruteforce(spark):
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
 
 
+def test_range_join_left_rowlevel_matches_bruteforce(spark):
+    # VERDICT wart fix: how="left" must emit exactly one null-extended row
+    # per never-matched left row (not one per candidate bucket)
+    ev = load_table(spark, SF_SMOKE, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("aid"), F.col("user_id").alias("au"), "ts"
+    )
+    b = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("bid"), F.col("user_id").alias("bu"),
+        F.col("ts").alias("bts"),
+    )
+    fast = range_join(a, b, "ts", "bts", 0, 600, 600,
+                      extra_on=[("au", "bu")], how="left").select("aid", "bid")
+    slow = a.join(
+        b,
+        (a.au == b.bu)
+        & (b.bts >= a.ts)
+        & (b.bts < a.ts + F.expr("INTERVAL 600 SECONDS")),
+        "left",
+    ).select("aid", "bid")
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+
+
+def test_range_join_rejects_semi_anti(spark):
+    import pytest as _pytest
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    with _pytest.raises(ValueError):
+        range_join(ev, ev, "ts", "ts", 0, 60, 60, how="left_semi")
+
+
 def test_asof_join_matches_window_bruteforce(spark):
     ev = load_table(spark, SF_SMOKE, "events")
     left = ev.filter(F.col("event_type") == "view")
