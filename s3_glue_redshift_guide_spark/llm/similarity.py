@@ -141,6 +141,65 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer.
+
+    Deterministic init (first ``k`` corpus vectors by id); each round
+    assigns every vector to its nearest centroid by cosine (centroids are
+    broadcast as plan literals — k*dim floats) and recomputes per-cluster
+    per-dimension means via posexplode + groupBy. Only k*dim scalars reach
+    the driver per round — the corpus itself never does, which is the shape
+    that holds at 10^9 vectors. Centroid components round to 6 decimals so
+    partial-aggregation order can't leak last-ulp noise into assignments.
+    """
+    cents = [
+        [float(x) for x in r["cv"]]
+        for r in corpus.orderBy(corpus_id)
+        .limit(k)
+        .select(F.col(vec_col).alias("cv"))
+        .collect()
+    ]
+    for _ in range(iters):
+        arrs = [
+            (i, F.array(*[F.lit(x) for x in c])) for i, c in enumerate(cents)
+        ]
+        dists = F.array(
+            *[
+                F.struct(
+                    (-cosine(F.col(vec_col), arr)).alias("d"),
+                    F.lit(i).alias("list_id"),
+                )
+                for i, arr in arrs
+            ]
+        )
+        # two selects: a generator in the same projection as the struct
+        # field access makes Catalyst re-plan the struct with anonymous
+        # fields (col1/col2), losing the list_id name
+        assigned = corpus.select(
+            F.element_at(F.array_sort(dists), 1)["list_id"].alias("list_id"),
+            F.col(vec_col).alias("__v"),
+        ).select("list_id", F.posexplode("__v").alias("pos", "v"))
+        means = (
+            assigned.groupBy("list_id", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+            .collect()
+        )
+        by_list: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_list.setdefault(r["list_id"], {})[r["pos"]] = r["m"]
+        cents = [
+            [vals[p] for p in sorted(vals)] if (vals := by_list.get(i)) else c
+            for i, c in enumerate(cents)  # empty cluster keeps its centroid
+        ]
+    return cents
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -150,24 +209,21 @@ def ivf_topk(
     k: int = 5,
     n_lists: int = 16,
     n_probe: int = 4,
+    kmeans_iters: int = 2,
 ) -> DataFrame:
-    """IVF-flat ANN: a coarse quantizer partitions the corpus into
+    """IVF-flat ANN: a k-means coarse quantizer partitions the corpus into
     ``n_lists`` inverted lists; each query probes its ``n_probe`` nearest
     lists and re-ranks exactly within them.
 
-    The quantizer here is deterministic-simple (centroids = the first
-    ``n_lists`` corpus vectors by id) — production would run k-means, but
-    the DISTRIBUTED SHAPE is identical and is what matters at 10^9 vectors:
-    corpus assignment is one broadcast-map pass, the search join touches
-    only n_probe/n_lists of the corpus per query, and nothing is O(|Q|x|C|).
+    The DISTRIBUTED SHAPE is what matters at 10^9 vectors: quantizer
+    training moves k*dim scalars per round, corpus assignment is one
+    broadcast-map pass, the search join touches only n_probe/n_lists of
+    the corpus per query, and nothing is O(|Q|x|C|). ``kmeans_iters=0``
+    degrades to the first-k-by-id quantizer.
     """
-    cents = corpus.orderBy(corpus_id).limit(n_lists).select(
-        F.col(corpus_id).alias("cent_rank"), F.col(vec_col).alias("cent_vec")
-    )
-    cent_rows = cents.collect()  # n_lists rows — bounded, broadcast-safe
+    cents = kmeans_centroids(corpus, corpus_id, vec_col, n_lists, kmeans_iters)
     cent_arrays = [
-        (i, F.array(*[F.lit(float(x)) for x in r["cent_vec"]]))
-        for i, r in enumerate(cent_rows)
+        (i, F.array(*[F.lit(float(x)) for x in c])) for i, c in enumerate(cents)
     ]
 
     def nearest_lists(df, id_out, vec_out, n_keep):

@@ -42,7 +42,7 @@ _PRIORITY = [
     "sql_volume_shipping", "sql_scalar_subquery", "sql_correlated_subquery",
     "skew_salted_join", "skew_two_phase_agg",
     # new in round 2
-    "sink_scd1_merge", "join_range_left_rowlevel",
+    "sink_scd1_merge", "join_range_left_rowlevel", "llm_token_counts",
     # round-1 unreached: the LLM-pipeline suite
     "llm_exact_dedup", "llm_quality_filter", "llm_lang_id",
     "llm_quality_scores", "llm_text_stats", "llm_stratified_sample",

@@ -389,6 +389,39 @@ def llm_text_stats(spark, sf_dir):
 
 
 @query(
+    "llm_token_counts",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS ws,
+                      list_filter(string_split_regex(lower(text),
+                        '[[:punct:][:space:]]+'), x -> x != '') AS bp
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT)                AS n_ws_tokens,
+           CAST(len(bp) AS BIGINT)                AS n_bpe_tokens,
+           CAST(len(list_distinct(bp)) AS BIGINT) AS n_distinct_bpe
+    FROM t
+    """,
+)
+def llm_token_counts(spark, sf_dir):
+    """Token counting, both tokenizations (L4): whitespace tokens and the
+    BPE-pre-tokenizer stand-in (split on whitespace AND punctuation
+    boundaries) — the budget/length accounting every training-data
+    pipeline runs. Pure expression trees; both regex classes are ASCII in
+    Java and RE2, so counts are engine-portable."""
+    d = _docs(spark, sf_dir)
+    from ..functions.text import bpe_ish_tokens
+
+    ws = tokens(F.col("text"))
+    bp = bpe_ish_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_ws_tokens"),
+        F.size(bp).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bp)).cast("bigint").alias("n_distinct_bpe"),
+    )
+
+
+@query(
     "llm_quality_scores",
     oracle=f"""
     WITH t AS (SELECT doc_id, lang, text, {_SQL_TOKS} AS toks FROM documents)

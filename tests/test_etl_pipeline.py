@@ -147,6 +147,29 @@ class TestIncrementalBookmark:
         assert flat == [[1, 2], [3]]  # exactly-once per file, no reprocessing
 
 
+    def test_backlog_drains_in_bounded_micro_batches(self, spark, tmp_path):
+        """maxFilesPerTrigger: a backlog of files drains under
+        trigger(availableNow) as multiple bounded micro-batches, not one
+        giant batch — the 100 TB backfill posture."""
+        data, ckpt = str(tmp_path / "bk"), str(tmp_path / "bk_ckpt")
+        schema = T.StructType([T.StructField("id", T.LongType())])
+        batch_sizes: list[int] = []
+
+        def sink(batch_df, epoch_id):
+            n = batch_df.count()
+            if n:
+                batch_sizes.append(n)
+
+        for i in range(6):
+            _write(os.path.join(data, f"f{i}.csv"), f"id\n{i}\n")
+        src = IncrementalFileSource(
+            spark, data, schema, ckpt, max_files_per_trigger=2
+        )
+        src.run_once(sink=sink)
+        # 6 one-row files, 2 files per micro-batch => 3 batches of 2 rows
+        assert batch_sizes == [2, 2, 2]
+
+
 class TestChangeSchema:
     def test_rename_reorder_add_remove_cast(self, spark):
         df = spark.createDataFrame(
