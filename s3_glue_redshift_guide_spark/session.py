@@ -51,6 +51,19 @@ def configure(spark: SparkSession) -> SparkSession:
         except Exception:
             # Conf may be static on some builds; never fail a query over it.
             pass
+    try:
+        # Size the shuffle width to the actual parallelism instead of the
+        # 200-partition default: on an externally-owned local session the
+        # default means ~170 empty tasks of pure scheduling overhead per
+        # shuffle; on a cluster defaultParallelism tracks total cores and
+        # AQE coalesces from there. Respect an explicit user setting.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+    except Exception:
+        pass
     return spark
 
 
