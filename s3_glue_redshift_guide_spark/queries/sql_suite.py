@@ -103,6 +103,108 @@ def sql_correlated_subquery(spark, sf_dir):
     )
 
 
+_SQL_EXISTS = """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """
+
+
+@query("sql_exists_subquery", oracle=_SQL_EXISTS)
+def sql_exists_subquery(spark, sf_dir):
+    """EXISTS subquery (TPC-H-Q4 shape): Catalyst rewrites to a left-semi
+    join — no per-row probing at any scale."""
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(_SQL_EXISTS)
+
+
+_SQL_IN_HAVING = """
+    SELECT o_orderkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+    GROUP BY o_orderkey
+    """
+
+
+@query("sql_in_having", oracle=_SQL_IN_HAVING)
+def sql_in_having(spark, sf_dir):
+    """IN over an aggregated subquery with HAVING (TPC-H-Q18 shape): the
+    membership probe becomes a semi join against the aggregate."""
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(_SQL_IN_HAVING)
+
+
+_SQL_OR_OF_ANDS = """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 50)
+    """
+
+
+@query("sql_or_of_ands", oracle=_SQL_OR_OF_ANDS)
+def sql_or_of_ands(spark, sf_dir):
+    """Disjunction of conjunctions (TPC-H-Q19 shape): Catalyst pushes the
+    common-column residues (p_brand/p_size to the part scan, l_quantity to
+    the lineitem scan) below the join."""
+    register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(_SQL_OR_OF_ANDS)
+
+
+_SQL_ANTI_SCALAR = """
+    SELECT c_mktsegment, count(*) AS n_cust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal_total
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """
+
+
+@query("sql_anti_scalar", oracle=_SQL_ANTI_SCALAR)
+def sql_anti_scalar(spark, sf_dir):
+    """NOT EXISTS + scalar subquery threshold (TPC-H-Q22 shape): anti join
+    against orders, one global scalar broadcast for the balance cutoff."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_SQL_ANTI_SCALAR)
+
+
+_SQL_PROMO = """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(12,2))) END)
+                 AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE),
+             4) AS promo_pct
+    FROM lineitem
+    JOIN part   ON p_partkey = l_partkey
+    JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY year(o_orderdate)
+    """
+
+
+@query("sql_promo_revenue", oracle=_SQL_PROMO)
+def sql_promo_revenue(spark, sf_dir):
+    """Conditional-aggregate ratio (TPC-H-Q14 shape): promo share of
+    revenue per year — exact decimal sums on both sides, one double
+    division at the end."""
+    register_views(spark, sf_dir, ["lineitem", "part", "orders"])
+    return spark.sql(_SQL_PROMO)
+
+
 @query(
     "skew_salted_join",
     oracle="""
