@@ -176,3 +176,63 @@ def register_table(spark: SparkSession, entry: CatalogEntry, df: DataFrame) -> N
     """Register (or refresh) the crawled table as a temp view — the session
     catalog stands in for the Glue Data Catalog (itself a Hive metastore)."""
     df.createOrReplaceTempView(entry.name)
+
+
+def register_persistent_table(
+    spark: SparkSession,
+    name: str,
+    location: str,
+    schema: T.StructType,
+    partition_columns: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """PERSISTENT catalog registration (the metastore path, surviving the
+    session): ``CREATE TABLE ... USING <fmt> PARTITIONED BY ... LOCATION``
+    over the external data, then an initial partition repair. After new
+    partition directories land, call ``repair_partitions`` — the engine's
+    literal MSCK REPAIR, the reference crawler's partition-metadata sync."""
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    parts = ", ".join(f"`{c}`" for c in partition_columns)
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    ddl = f"CREATE TABLE `{name}` ({cols}) USING {fmt}"
+    if partition_columns:
+        ddl += f" PARTITIONED BY ({parts})"
+    ddl += f" LOCATION '{location}'"
+    spark.sql(ddl)
+    repair_partitions(spark, name)
+
+
+def repair_partitions(spark: SparkSession, name: str) -> int:
+    """MSCK REPAIR: sync the catalog's partition list with the directories
+    on storage (O(listing), no data read); returns the partition count."""
+    spark.sql(f"MSCK REPAIR TABLE `{name}`")
+    return spark.sql(f"SHOW PARTITIONS `{name}`").count()
+
+
+def read_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "json",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Crawler-grade messy-input read: malformed records land whole in
+    ``corrupt_col`` (PERMISSIVE mode) instead of failing the job — the
+    quarantine-and-continue posture a 100 TB ingest needs (one bad file
+    must not kill a 10^6-file read). Filter ``corrupt_col IS NOT NULL``
+    into a quarantine sink; the rest is the clean table."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    reader = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if fmt == "json":
+        return reader.json(path)
+    if fmt == "csv":
+        return reader.options(**OPENCSV_DIALECT).option("header", "true").csv(path)
+    raise ValueError(f"unsupported format: {fmt}")
