@@ -45,6 +45,8 @@ _PRIORITY = [
     "sink_scd1_merge", "join_range_left_rowlevel", "llm_token_counts",
     "sql_exists_subquery", "sql_in_having", "sql_or_of_ands",
     "sql_anti_scalar", "sql_promo_revenue",
+    "llm_sequence_packing", "llm_contamination", "llm_pii_scrub",
+    "llm_mixture_weights",
     # round-1 unreached: the LLM-pipeline suite
     "llm_exact_dedup", "llm_quality_filter", "llm_lang_id",
     "llm_quality_scores", "llm_text_stats", "llm_stratified_sample",

@@ -677,3 +677,132 @@ def llm_stratified_sample(spark, sf_dir):
         .cast("int")
         .alias("in_bounds"),
     )
+
+
+# ------------------------------------------------- pipeline ops, round 2 --
+@query(
+    "llm_sequence_packing",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, CAST(len({_SQL_TOKS}) AS BIGINT)
+                 AS n_tokens FROM documents),
+    c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def llm_sequence_packing(spark, sf_dir):
+    """Sequence packing (pretraining batch assembly): assign each document
+    to a ~2048-token pack by running token count, packed in id order WITHIN
+    each source partition — the partitioned window is the scale-safe
+    formulation (a global ORDER BY window would funnel the corpus through
+    one task)."""
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(tokens(F.col("text"))).cast("bigint")
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        d.select("doc_id", "source", n_tok.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr("(cum - n_tokens) div 2048").alias("pack_id"),
+        )
+    )
+
+
+@query(
+    "llm_contamination",
+    oracle=f"""
+    WITH {_SQL_SHINGLE_EX},
+    ev AS (SELECT shingle FROM ex WHERE doc_id < 20),
+    corp AS (SELECT doc_id, shingle FROM ex WHERE doc_id >= 20)
+    SELECT corp.doc_id,
+           count(DISTINCT corp.shingle) AS n_shared,
+           CAST(count(DISTINCT corp.shingle) >= 5 AS INTEGER) AS flagged
+    FROM corp JOIN ev ON corp.shingle = ev.shingle
+    GROUP BY corp.doc_id
+    """,
+)
+def llm_contamination(spark, sf_dir):
+    """Eval-set contamination check: corpus documents sharing 3-gram
+    shingles with the held-out set (doc_id < 20 stands in for the eval
+    set), flagged at >= 5 distinct shared shingles. Inverted-index join on
+    the shingle key — the eval side is tiny, so this is a broadcast-scale
+    probe of the whole corpus."""
+    sh = _shingle_sets(spark, sf_dir)
+    ex = sh.select("doc", F.explode("sh").alias("shingle"))
+    ev = ex.filter(F.col("doc") < 20).select("shingle")
+    corp = ex.filter(F.col("doc") >= 20)
+    return (
+        corp.join(ev, "shingle")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+        .select(
+            "doc_id",
+            "n_shared",
+            (F.col("n_shared") >= 5).cast("int").alias("flagged"),
+        )
+    )
+
+
+@query(
+    "llm_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER)
+             AS n_redactions,
+           substr(regexp_replace(text, '[0-9]+', '<NUM>', 'g'), 1, 80)
+             AS scrubbed_head
+    FROM documents
+    """,
+)
+def llm_pii_scrub(spark, sf_dir):
+    """Pattern scrubbing (the PII-redaction shape): replace every digit run
+    with a placeholder and count redactions — one codegen'd regex pass; the
+    same pipeline takes email/phone patterns in production."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0)))
+        .cast("int")
+        .alias("n_redactions"),
+        F.substring(
+            F.regexp_replace("text", "[0-9]+", "<NUM>"), 1, 80
+        ).alias("scrubbed_head"),
+    )
+
+
+@query(
+    "llm_mixture_weights",
+    oracle="""
+    WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(count(DISTINCT source) AS DOUBLE) AS k FROM documents)
+    SELECT source, n_docs,
+           round((tot.n / tot.k) / n_docs, 6) AS weight
+    FROM s CROSS JOIN tot
+    """,
+)
+def llm_mixture_weights(spark, sf_dir):
+    """Mixture reweighting (training-data composition control): per-source
+    sampling weight that equalizes the source mixture — corpus count via a
+    one-row aggregate join, nothing driver-side."""
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = d.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.countDistinct("source").cast("double").alias("__k"),
+    )
+    return per.crossJoin(tot).select(
+        "source",
+        "n_docs",
+        F.round(
+            (F.col("__n") / F.col("__k")) / F.col("n_docs").cast("double"), 6
+        ).alias("weight"),
+    )
