@@ -22,6 +22,8 @@ _MODULES = [
     "udf_suite",
     "sql_suite",
     "sink_suite",
+    "timeseries_suite",
+    "dq_suite",
 ]
 
 for _m in _MODULES:
@@ -54,6 +56,11 @@ _PRIORITY = [
     "llm_topk_similarity", "llm_lsh_topk", "llm_ivf_topk",
     "llm_tfidf_top_terms", "llm_jaccard_pairs",
     "llm_minhash_pairs", "llm_simhash_pairs", "llm_dedup_components",
+    # new in round 2: derived-analytics suites (timeseries, data quality,
+    # deterministic sampling, embedding prototypes)
+    "dq_constraints", "dq_profile", "ts_gap_fill", "ts_funnel",
+    "ts_retention_cohort", "ts_resample_ohlc", "ts_zscore_anomaly",
+    "llm_doc_sample_per_source", "llm_embed_centroids",
 ]
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
 _ordered.update({n: q for n, q in REGISTRY.items() if n not in _ordered})

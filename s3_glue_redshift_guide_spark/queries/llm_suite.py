@@ -806,3 +806,58 @@ def llm_mixture_weights(spark, sf_dir):
             (F.col("__n") / F.col("__k")) / F.col("n_docs").cast("double"), 6
         ).alias("weight"),
     )
+
+
+@query(
+    "llm_doc_sample_per_source",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS sample_rank
+      FROM documents)
+    SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 3
+    """,
+)
+def llm_doc_sample_per_source(spark, sf_dir):
+    """Deterministic per-stratum sample: exactly min(3, |stratum|) docs per
+    source, ranked by md5 of the doc id — a seeded, engine-portable
+    pseudorandom order (both engines produce identical lowercase-hex md5),
+    unlike sample()/TABLESAMPLE whose RNG streams differ. One window per
+    stratum; at scale this is the 'give me K spot-check docs per source'
+    primitive with reproducible output across reruns and engines."""
+    d = _docs(spark, sf_dir)
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 3)
+    )
+
+
+@query(
+    "llm_embed_centroids",
+    oracle="""
+    WITH u AS (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings)
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           round(avg(CAST(v AS DOUBLE)), 6) AS centroid
+    FROM u GROUP BY 1, 2
+    """,
+)
+def llm_embed_centroids(spark, sf_dir):
+    """Per-label embedding centroids (the class-prototype primitive behind
+    semantic dedup / clustering QA): posexplode each vector and average
+    per (label, dimension). The explode shuffles (label, pos, float) rows
+    — 4x the raw vector bytes, partial-aggregated before the exchange, so
+    shuffle volume ~ labels x dims, not corpus size."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+    )

@@ -11,6 +11,7 @@ batch-twin design SURVEY.md §2.8 calls for.
 windows   — tumbling / sliding / session window aggregations (T2-T4)
 dedup     — watermarked streaming dedup (T6)
 stateful  — applyInPandasWithState sessionization (T7)
+joins     — stream-stream interval join with bounded state (T10)
 source    — readStream wrapper for the events table (T1 lives in
             sources/incremental.py)
 Sinks (T9): StagedCopyWriter.foreach_batch (sinks/warehouse_copy.py) is the
@@ -19,6 +20,7 @@ streaming warehouse loader; memory/append sinks are test-side.
 
 from .windows import session_stats, sliding_counts, tumbling_counts
 from .dedup import first_event_per_key, streaming_dedup
+from .joins import interval_join_stream
 
 __all__ = [
     "tumbling_counts",
@@ -26,4 +28,5 @@ __all__ = [
     "session_stats",
     "first_event_per_key",
     "streaming_dedup",
+    "interval_join_stream",
 ]

@@ -103,3 +103,54 @@ def test_scan_reads_only_projected_columns(spark):
     tail = plan.split("ReadSchema")[1]
     assert "l_orderkey" in tail and "l_quantity" in tail
     assert "l_comment" not in tail and "l_extendedprice" not in tail
+
+
+# ------------------------------------------------- round-2 suites --------
+
+
+def test_ohlc_is_single_hash_aggregate_no_window(spark):
+    # open/close via min/max(struct) keep the bar ONE partial-aggregatable
+    # aggregate (struct min/max falls back to SortAggregate, still with a
+    # map-side partial before the exchange); a Window formulation would
+    # sort and shuffle every raw event row
+    plan = _plan(_q(spark, "ts_resample_ohlc"))
+    assert "partial_min" in plan and "Exchange hashpartitioning" in plan
+    assert "Window" not in plan
+
+
+def test_gap_fill_spine_join_is_equi(spark):
+    # the spine left-join must plan as an equi-join on (user_id, hour_ts),
+    # never a nested loop over the calendar
+    plan = _plan(_q(spark, "ts_gap_fill"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zscore_stats_side_broadcasts(spark):
+    # the per-type stats frame is one row per event type — Catalyst must
+    # broadcast it rather than shuffle the events side
+    plan = _plan(_q(spark, "ts_zscore_anomaly"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dq_profile_reads_table_once(spark):
+    # every metric partial-aggregates in ONE pass — profiling N columns
+    # must not scan the table N times
+    plan = _plan(_q(spark, "dq_profile"))
+    assert plan.count("Scan parquet") == 1
+
+
+def test_dq_constraints_fk_check_is_anti_join(spark):
+    # referential integrity = left-anti join (unmatched rows only); no
+    # cartesian anywhere in the five-leg union
+    plan = _plan(_q(spark, "dq_constraints"))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sample_per_source_has_no_global_sort(spark):
+    # the md5 rank is a per-stratum window sort (hash-partitioned by
+    # source), never a range-partitioned global sort
+    plan = _plan(_q(spark, "llm_doc_sample_per_source"))
+    assert "Window" in plan
+    assert "Exchange rangepartitioning" not in plan

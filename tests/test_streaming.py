@@ -108,3 +108,43 @@ def test_stream_sliding_and_session_equal_batch(spark, tmp_path):
     want_sess = session_stats(batch)
     cols = ["session_start", "session_end", "user_id", "n_events", "value_total"]
     assert _rows(got_sess, cols) == _rows(want_sess, cols)
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    # click -> purchase attribution within 10 minutes per user: the
+    # watermark + event-time bound keep join state bounded; the same
+    # function on batch frames (watermark no-ops) must give identical rows
+    from s3_glue_redshift_guide_spark.streaming.joins import (
+        interval_join_stream,
+    )
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        return clicks, buys
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    sc, sb = sides(stream)
+    joined = interval_join_stream(
+        sc, sb, "user_id", "click_ts", "buy_ts", 0, 600
+    )
+    got = _run_stream(joined, "t_interval_join", tmp_path)
+
+    batch = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    bc, bb = sides(batch)
+    want = interval_join_stream(
+        bc, bb, "user_id", "click_ts", "buy_ts", 0, 600
+    )
+    cols = ["user_id", "click_id", "buy_id"]
+    assert len(_rows(got, cols)) > 0
+    assert _rows(got, cols) == _rows(want, cols)
