@@ -64,9 +64,15 @@ def ts_gap_fill(spark, sf_dir):
     (sequence+explode), so a key active for a day never pays for the
     table's full calendar range."""
     ev = _ev(spark, sf_dir)
-    hourly = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("hour_ts"), "user_id"
-    ).agg(F.sum(F.col("value").cast(MONEY)).cast("double").alias("hour_value"))
+    # hourly feeds TWO consumers (the per-key bounds and the spine join);
+    # without a barrier Catalyst evaluates it twice = two full scans of the
+    # fact table at 100 TB. localCheckpoint materializes the (small,
+    # keys x active-hours) aggregate once.
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"), "user_id")
+        .agg(F.sum(F.col("value").cast(MONEY)).cast("double").alias("hour_value"))
+        .localCheckpoint(eager=False)
+    )
     bounds = hourly.groupBy("user_id").agg(
         F.min("hour_ts").alias("mn"), F.max("hour_ts").alias("mx")
     )

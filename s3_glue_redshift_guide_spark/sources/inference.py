@@ -98,6 +98,14 @@ def crawl(
         df = spark.read.option("mergeSchema", "true").parquet(path)
     elif fmt == "json":
         df = spark.read.option("samplingRatio", str(sampling_ratio)).json(path)
+    elif fmt == "orc":
+        # same union-schema requirement as parquet crawls
+        df = spark.read.option("mergeSchema", "true").orc(path)
+    elif fmt == "text":
+        # raw text ingestion (one row per line, single `value` column) —
+        # the entry point for unstructured corpora before the LLM-pipeline
+        # operators take over; partition discovery still applies
+        df = spark.read.text(path)
     else:
         raise ValueError(f"unsupported format: {fmt}")
 

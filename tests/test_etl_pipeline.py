@@ -303,3 +303,35 @@ class TestUpsert:
         # engine-side merge has identical semantics
         merged = merge_dataframes(v1, v2, ["id"]).orderBy("id").collect()
         assert [(r["id"], r["name"], r["v"]) for r in merged] == got
+
+
+class TestOrcAndTextSources:
+    def test_orc_round_trip_and_crawl(self, spark, tmp_path):
+        """ORC as a first-class columnar source: write partitioned ORC,
+        crawl it (union schema + partition discovery), read back."""
+        from s3_glue_redshift_guide_spark.sources.inference import crawl
+
+        src = str(tmp_path / "orc_tbl")
+        spark.range(100).selectExpr(
+            "id", "id % 2 AS side", "CAST(id AS STRING) AS s"
+        ).write.partitionBy("side").mode("overwrite").orc(src)
+        entry = crawl(spark, "orc_tbl", src, fmt="orc")
+        assert entry.fmt == "orc"
+        assert entry.partition_columns == ["side"]
+        got = spark.table("orc_tbl")
+        assert got.count() == 100
+        assert {f.name for f in got.schema.fields} == {"id", "s", "side"}
+
+    def test_text_crawl_reads_raw_lines(self, spark, tmp_path):
+        """Raw-text ingestion: one row per line, single `value` column —
+        the entry point for unstructured corpora."""
+        from s3_glue_redshift_guide_spark.sources.inference import crawl
+
+        d = tmp_path / "txt" / "lang=en"
+        d.mkdir(parents=True)
+        (d / "a.txt").write_text("hello world\nsecond line\n")
+        entry = crawl(spark, "raw_docs", str(tmp_path / "txt"), fmt="text")
+        got = spark.table("raw_docs")
+        assert got.count() == 2
+        assert set(got.columns) == {"value", "lang"}
+        assert entry.partition_columns == ["lang"]
