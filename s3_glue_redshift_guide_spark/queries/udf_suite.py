@@ -125,3 +125,39 @@ def udf_grouped_map(spark, sf_dir):
     return c.groupBy("c_mktsegment").applyInPandas(
         zscore, schema="c_custkey bigint, c_mktsegment string, balance_zscore double"
     )
+
+
+@query(
+    "udf_udtf_sentences",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, string_split(text, '. ') AS parts
+      FROM documents WHERE doc_id < 50)
+    SELECT doc_id,
+           CAST(generate_subscripts(parts, 1) - 1 AS INTEGER) AS sent_idx,
+           unnest(parts) AS sentence
+    FROM s
+    """,
+)
+def udf_udtf_sentences(spark, sf_dir):
+    """U5: Python UDTF (table function) — one input row expands to N output
+    rows, the 'custom explode' surface. Splitting docs into indexed
+    sentences is the LLM-pipeline motivation (chunking before embedding).
+    The UDTF itself is deliberately minimal; the demo slice keeps the
+    row-at-a-time Python path off any hot loop (mapInPandas is the
+    production shape for bulk chunking)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sent_idx int, sentence string")
+    class SentenceSplit:
+        def eval(self, doc_id: int, text: str):
+            for i, sent in enumerate(text.split(". ")):
+                yield doc_id, i, sent
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    spark.udtf.register("sentence_split", SentenceSplit)
+    d.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT s.* FROM __udtf_docs, "
+        "LATERAL sentence_split(doc_id, text) s"
+    )

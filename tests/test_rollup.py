@@ -1,0 +1,62 @@
+"""Incremental rollup: folding three deltas must equal one full recompute,
+state survives a no-op, and non-mergeable measures are rejected."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_glue_redshift_guide_spark.catalog import load_table
+from s3_glue_redshift_guide_spark.operators.rollup import IncrementalRollup
+
+from .conftest import SF_SMOKE
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_three_deltas_equal_full_recompute(spark, tmp_path):
+    ev = load_table(spark, SF_SMOKE, "events")
+    ru = IncrementalRollup(
+        spark,
+        str(tmp_path / "rollup"),
+        ["event_type"],
+        {"value": ("sum", "min", "max", "count")},
+    )
+    # money policy: fold exact decimals, not doubles, so the incremental
+    # path and the one-shot path agree bit-for-bit whatever the fold order
+    dec = ev.withColumn("value", F.col("value").cast("decimal(12,2)"))
+    for third in range(3):
+        ru.update(dec.filter(F.col("event_id") % 3 == third))
+
+    want = dec.groupBy("event_type").agg(
+        F.sum("value").alias("sum__value"),
+        F.min("value").alias("min__value"),
+        F.max("value").alias("max__value"),
+        F.count(F.lit(1)).alias("count__value"),
+        (F.sum("value").cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("avg__value"),
+    )
+    cols = ["event_type", "sum__value", "min__value", "max__value",
+            "count__value", "avg__value"]
+    assert _rows(ru.read(), cols) == _rows(want, cols)
+
+
+def test_empty_delta_is_identity(spark, tmp_path):
+    ev = load_table(spark, SF_SMOKE, "events")
+    ru = IncrementalRollup(
+        spark, str(tmp_path / "r2"), ["event_type"], {"value": ("sum", "count")}
+    )
+    ru.update(ev)
+    before = _rows(ru.read(), ["event_type", "sum__value", "count__value"])
+    ru.update(ev.filter(F.lit(False)))
+    after = _rows(ru.read(), ["event_type", "sum__value", "count__value"])
+    assert before == after
+
+
+def test_non_mergeable_measure_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="not mergeable"):
+        IncrementalRollup(
+            spark, str(tmp_path / "r3"), ["event_type"], {"value": ("avg",)}
+        )
