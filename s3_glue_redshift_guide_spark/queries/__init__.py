@@ -61,7 +61,7 @@ _PRIORITY = [
     "dq_constraints", "dq_profile", "ts_gap_fill", "ts_funnel",
     "ts_retention_cohort", "ts_resample_ohlc", "ts_zscore_anomaly",
     "llm_doc_sample_per_source", "llm_embed_centroids",
-    "udf_udtf_sentences",
+    "udf_udtf_sentences", "ts_rolling_1h", "agg_histogram",
 ]
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
 _ordered.update({n: q for n, q in REGISTRY.items() if n not in _ordered})

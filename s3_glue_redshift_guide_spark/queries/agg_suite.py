@@ -255,3 +255,36 @@ def agg_approx_quantiles(spark, sf_dir):
             for p in (25, 50, 75)
         ],
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin
+      FROM lineitem)
+    SELECT bin,
+           CAST(bin * 5000.0 AS DOUBLE) AS bin_lo,
+           CAST((bin + 1) * 5000.0 AS DOUBLE) AS bin_hi,
+           count(*) AS n
+    FROM b GROUP BY bin
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """Equi-width histogram (A8): integer binning via floor division — a
+    plain partial-aggregatable groupBy whose shuffle is one row per bin,
+    the profiling primitive for distribution sketches at any scale. Bin
+    edges are exact multiples of the width (no float accumulation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    bin_ = F.floor(F.col("l_extendedprice") / 5000.0).cast("bigint")
+    return (
+        li.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.col("bin") * 5000.0).cast("double").alias("bin_lo"),
+            ((F.col("bin") + 1) * 5000.0).cast("double").alias("bin_hi"),
+            "n",
+        )
+    )

@@ -291,3 +291,43 @@ def ts_zscore_anomaly(spark, sf_dir):
         .filter(F.abs(F.col("z")) > 2.5)
         .select("event_id", "event_type", "value", "z")
     )
+
+
+@query(
+    "ts_rolling_1h",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(12,2)))
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL '1 hour' PRECEDING
+                          AND CURRENT ROW) AS DOUBLE) AS rolling_1h,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL '1 hour' PRECEDING
+                            AND CURRENT ROW) AS n_1h
+    FROM events
+    """,
+)
+def ts_rolling_1h(spark, sf_dir):
+    """Per-key rolling 1-hour aggregate — the time-based (RANGE) window
+    frame, not a row-count frame: each event sums every event of the same
+    user in the trailing hour. Spark's rangeBetween needs a numeric order
+    key, so the frame runs over microseconds-since-epoch with a
+    3.6e9-microsecond lookback — semantically identical to the oracle's
+    INTERVAL frame. One shuffle per key; frame evaluation is a sliding
+    two-pointer per partition, O(n) not O(n*frame)."""
+    ev = _ev(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast(MONEY)).over(w).cast("double").alias(
+            "rolling_1h"
+        ),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
