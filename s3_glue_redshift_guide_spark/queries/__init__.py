@@ -24,6 +24,7 @@ _MODULES = [
     "sink_suite",
     "timeseries_suite",
     "dq_suite",
+    "analytics_suite",
 ]
 
 for _m in _MODULES:
@@ -35,6 +36,10 @@ for _m in _MODULES:
 # at entry 50, and the 5 array/map-output queries errored); the 45 queries
 # that already banked a pass in round 1 follow.
 _PRIORITY = [
+    # new in round 2: decision-support tail (never checked by any driver run)
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+    "q11_important_value", "q13_customer_orders_dist", "q15_top_supplier",
+    "q16_supplier_part_cnt", "q20_excess_shippers", "q22_dormant_customers",
     # round-1 canonicalizer failures, now scalar-projected
     "agg_collect_set", "agg_approx_distinct", "agg_approx_quantiles",
     "fn_array", "fn_map_construct",
