@@ -25,6 +25,7 @@ _MODULES = [
     "timeseries_suite",
     "dq_suite",
     "analytics_suite",
+    "curation_suite",
 ]
 
 for _m in _MODULES:
@@ -36,6 +37,8 @@ for _m in _MODULES:
 # at entry 50, and the 5 array/map-output queries errored); the 45 queries
 # that already banked a pass in round 1 follow.
 _PRIORITY = [
+    # new in round 2: corpus-curation passes (never checked by any driver run)
+    "cur_repetition_metrics", "cur_duplicated_spans", "cur_chunk_windows",
     # new in round 2: decision-support tail (never checked by any driver run)
     "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
     "q11_important_value", "q13_customer_orders_dist", "q15_top_supplier",
