@@ -26,6 +26,7 @@ _MODULES = [
     "dq_suite",
     "analytics_suite",
     "curation_suite",
+    "sketch_suite",
 ]
 
 for _m in _MODULES:
@@ -37,6 +38,8 @@ for _m in _MODULES:
 # at entry 50, and the 5 array/map-output queries errored); the 45 queries
 # that already banked a pass in round 1 follow.
 _PRIORITY = [
+    # new in round 2: sketch/statistics suite (never checked by any driver run)
+    "sk_hll_union_distinct", "sk_bitmap_distinct", "agg_median_mode",
     # new in round 2: corpus-curation passes (never checked by any driver run)
     "cur_repetition_metrics", "cur_duplicated_spans", "cur_chunk_windows",
     # new in round 2: decision-support tail (never checked by any driver run)
