@@ -27,6 +27,7 @@ _MODULES = [
     "analytics_suite",
     "curation_suite",
     "sketch_suite",
+    "graph_suite",
 ]
 
 for _m in _MODULES:
@@ -38,6 +39,8 @@ for _m in _MODULES:
 # at entry 50, and the 5 array/map-output queries errored); the 45 queries
 # that already banked a pass in round 1 follow.
 _PRIORITY = [
+    # new in round 2: graph suite (never checked by any driver run)
+    "graph_pagerank", "graph_triangles",
     # new in round 2: sketch/statistics suite (never checked by any driver run)
     "sk_hll_union_distinct", "sk_bitmap_distinct", "agg_median_mode",
     # new in round 2: corpus-curation passes (never checked by any driver run)
