@@ -28,6 +28,7 @@ _MODULES = [
     "curation_suite",
     "sketch_suite",
     "graph_suite",
+    "stats_suite",
 ]
 
 for _m in _MODULES:
@@ -39,6 +40,8 @@ for _m in _MODULES:
 # at entry 50, and the 5 array/map-output queries errored); the 45 queries
 # that already banked a pass in round 1 follow.
 _PRIORITY = [
+    # new in round 2: CBO statistics (never checked by any driver run)
+    "stats_table_sizing",
     # new in round 2: graph suite (never checked by any driver run)
     "graph_pagerank", "graph_triangles",
     # new in round 2: sketch/statistics suite (never checked by any driver run)
