@@ -42,6 +42,8 @@ for _m in _MODULES:
 _PRIORITY = [
     # new in round 2: CBO statistics (never checked by any driver run)
     "stats_table_sizing",
+    # new in round 2: Spark 4 SQL surface (recursive CTE, VARIANT)
+    "sql_recursive_cte", "fn_variant",
     # new in round 2: graph suite (never checked by any driver run)
     "graph_pagerank", "graph_triangles",
     # new in round 2: sketch/statistics suite (never checked by any driver run)

@@ -334,3 +334,30 @@ def fn_map_construct(spark, sf_dir):
         F.concat_ws(",", F.map_values(m)).alias("mvals"),
         F.element_at(m, F.lit("status")).alias("status_via_map"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS k_sum,
+           min(CAST(json(props) AS VARCHAR)) AS min_canonical_json
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_variant(spark, sf_dir):
+    """VARIANT type (Spark 4): parse_json into the binary variant encoding,
+    typed path extraction with variant_get, and to_json canonicalization
+    (minified — matches DuckDB's json() normalization byte-for-byte).
+    Variant decode is JVM-side and columnar; at scale this replaces
+    per-query string re-parsing (get_json_object) with parse-once shredded
+    storage."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.withColumn("v", F.parse_json(F.col("props")))
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.try_variant_get(F.col("v"), "$.k", "int")).alias("k_sum"),
+        F.min(F.to_json(F.col("v"))).alias("min_canonical_json"),
+    )

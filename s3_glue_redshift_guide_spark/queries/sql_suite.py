@@ -260,3 +260,45 @@ def skew_two_phase_agg(spark, sf_dir):
     return out.select(
         "l_suppkey", F.col("total_qty").cast("double").alias("total_qty"), "n_items"
     )
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE months(month_start) AS (
+      SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+      UNION ALL
+      SELECT month_start + INTERVAL 1 MONTH FROM months
+      WHERE month_start + INTERVAL 1 MONTH
+            <= (SELECT max(o_orderdate) FROM orders)
+    )
+    SELECT CAST(month_start AS TIMESTAMP) AS month_start,
+           count(o_orderkey) AS n_orders
+    FROM months LEFT JOIN orders
+      ON date_trunc('month', o_orderdate) = month_start
+    GROUP BY month_start
+    """,
+)
+def sql_recursive_cte(spark, sf_dir):
+    """Recursive CTE (Spark 4 WITH RECURSIVE): build a contiguous month
+    spine from min to max order date, then left-join order counts so empty
+    months appear with 0. The recursion materializes ~80 driver-light rows
+    (one per month — bounded by calendar span, not data volume); the
+    spine-to-fact join is a broadcastable equi-join on the truncated date,
+    so the only full-scan work is one pass over orders."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        WITH RECURSIVE months(month_start) AS (
+          SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+          UNION ALL
+          SELECT month_start + INTERVAL '1' MONTH FROM months
+          WHERE month_start + INTERVAL '1' MONTH
+                <= (SELECT max(o_orderdate) FROM orders)
+        )
+        SELECT month_start, count(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders
+          ON date_trunc('month', o_orderdate) = month_start
+        GROUP BY month_start
+        """
+    )

@@ -106,6 +106,16 @@ def crawl(
         # the entry point for unstructured corpora before the LLM-pipeline
         # operators take over; partition discovery still applies
         df = spark.read.text(path)
+    elif fmt == "xml":
+        # Spark 4 ships the XML source natively; rowTag defaults to "row"
+        # (the crawler's XML classifier). samplingRatio bounds inference
+        # cost the same way it does for CSV/JSON.
+        df = (
+            spark.read.format("xml")
+            .option("rowTag", "row")
+            .option("samplingRatio", str(sampling_ratio))
+            .load(path)
+        )
     else:
         raise ValueError(f"unsupported format: {fmt}")
 

@@ -335,3 +335,29 @@ class TestOrcAndTextSources:
         assert got.count() == 2
         assert set(got.columns) == {"value", "lang"}
         assert entry.partition_columns == ["lang"]
+
+
+class TestXmlSource:
+    def test_xml_crawl_with_partitions(self, spark, tmp_path):
+        """Spark 4 native XML source behind the crawler: schema inference
+        from row elements plus the same hive-layout partition discovery
+        every other format gets."""
+        from s3_glue_redshift_guide_spark.sources.inference import crawl
+
+        for region in ("eu", "us"):
+            d = tmp_path / "xml_tbl" / f"region={region}"
+            d.mkdir(parents=True)
+            (d / "part.xml").write_text(
+                "<rows>"
+                "<row><id>1</id><name>alpha</name><score>1.5</score></row>"
+                "<row><id>2</id><name>beta</name><score>2.5</score></row>"
+                "</rows>"
+            )
+        entry = crawl(spark, "xml_tbl", str(tmp_path / "xml_tbl"), fmt="xml")
+        assert entry.fmt == "xml"
+        assert entry.partition_columns == ["region"]
+        assert entry.partitions == [("eu",), ("us",)]
+        got = spark.table("xml_tbl")
+        assert got.count() == 4
+        assert set(got.columns) == {"id", "name", "score", "region"}
+        assert got.filter("region = 'eu' AND id = 2").collect()[0]["name"] == "beta"
