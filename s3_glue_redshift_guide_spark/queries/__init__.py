@@ -44,6 +44,8 @@ _PRIORITY = [
     "stats_table_sizing",
     # new in round 2: Spark 4 SQL surface (recursive CTE, VARIANT)
     "sql_recursive_cte", "fn_variant",
+    # new in round 2: reproducible split/shuffle for training pipelines
+    "llm_train_val_split", "llm_global_shuffle",
     # new in round 2: graph suite (never checked by any driver run)
     "graph_pagerank", "graph_triangles",
     # new in round 2: sketch/statistics suite (never checked by any driver run)

@@ -861,3 +861,87 @@ def llm_embed_centroids(spark, sf_dir):
         .groupBy("label", "pos")
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
     )
+
+
+@query(
+    "llm_train_val_split",
+    oracle="""
+    WITH b AS (
+      SELECT source, n_chars,
+             CAST(('0x' || substr(md5('split-seed-7:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS INTEGER) % 100 AS bucket
+      FROM documents)
+    SELECT source,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY 1, 2
+    """,
+)
+def llm_train_val_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5) by seeded md5
+    bucket of the document id — the split every training pipeline needs to
+    be reproducible across reruns, engines, and corpus growth (a doc's
+    split never changes when other docs are added, unlike fraction-based
+    sample()). Pure expression per row, no shuffle for the assignment
+    itself; the report aggregates per (source, split)."""
+    d = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split-seed-7:"), F.col("doc_id").cast("string"))),
+                1, 4,
+            ),
+            16, 10,
+        ).cast("int") % 100
+    )
+    return (
+        d.withColumn("bucket", bucket)
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 90, "train")
+            .when(F.col("bucket") < 95, "val")
+            .otherwise("test"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "llm_global_shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             md5('shuffle-seed-11:' || CAST(doc_id AS VARCHAR)) AS hkey
+      FROM documents)
+    SELECT CAST(row_number() OVER (ORDER BY hkey, doc_id) AS BIGINT)
+             AS shuffle_pos,
+           doc_id
+    FROM h ORDER BY hkey, doc_id LIMIT 100
+    """,
+)
+def llm_global_shuffle(spark, sf_dir):
+    """Deterministic global shuffle order (seeded md5 over the doc id) —
+    the write-once permutation a training run consumes. The full-corpus
+    form is a single range-partitioned sort by hash key, the one place a
+    global sort is the *point* (sort once at write, read sequentially
+    forever). This query banks the head: top-100 by hash via
+    TakeOrderedAndProject (no full sort materialized), positions assigned
+    on the 100-row result."""
+    d = _docs(spark, sf_dir)
+    h = d.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit("shuffle-seed-11:"), F.col("doc_id").cast("string"))
+        ).alias("hkey"),
+    )
+    head = h.orderBy("hkey", "doc_id").limit(100)
+    w = W.orderBy("hkey", "doc_id")
+    return head.select(
+        F.row_number().over(w).cast("bigint").alias("shuffle_pos"), "doc_id"
+    )

@@ -180,3 +180,26 @@ def test_stratified_sample_proportions_and_determinism(spark):
     # the registered derived-fact query reports every stratum in bounds
     rows = REGISTRY["llm_stratified_sample"].fn(spark, SF_SMOKE).collect()
     assert len(rows) == 5 and all(r["in_bounds"] == 1 for r in rows)
+
+
+def test_train_val_split_stable_and_proportional(spark):
+    """Split assignment is a pure function of doc_id: re-running gives the
+    same buckets, proportions land near 90/5/5, and adding documents never
+    reassigns existing ones (hash-bucket splits are growth-stable)."""
+    q = REGISTRY["llm_train_val_split"].fn
+    a = {(r["source"], r["split"]): r["n_docs"] for r in q(spark, SF_SMOKE).collect()}
+    b = {(r["source"], r["split"]): r["n_docs"] for r in q(spark, SF_SMOKE).collect()}
+    assert a == b
+    total = sum(a.values())
+    train = sum(v for (s, sp), v in a.items() if sp == "train")
+    assert 0.85 <= train / total <= 0.95
+
+
+def test_global_shuffle_is_permutation_prefix(spark):
+    """The shuffle head is 100 distinct docs with positions 1..100, and the
+    order differs from doc_id order (it actually shuffles)."""
+    rows = REGISTRY["llm_global_shuffle"].fn(spark, SF_SMOKE).collect()
+    assert [r["shuffle_pos"] for r in rows] == list(range(1, 101))
+    ids = [r["doc_id"] for r in rows]
+    assert len(set(ids)) == 100
+    assert ids != sorted(ids)
