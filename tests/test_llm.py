@@ -203,3 +203,32 @@ def test_global_shuffle_is_permutation_prefix(spark):
     ids = [r["doc_id"] for r in rows]
     assert len(set(ids)) == 100
     assert ids != sorted(ids)
+
+
+def test_text_stats_arrow_equals_expression_path(spark):
+    """The Arrow featurizer behind llm_text_stats is element-identical to
+    the expression-tree formulation (tokens + fingerprint HOFs) — same
+    tokens, same rounding, same hash, every row."""
+    from s3_glue_redshift_guide_spark.functions.text import (
+        fingerprint,
+        text_stats_arrow,
+        tokens,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    toks = tokens(F.col("text"))
+    expr = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+        fingerprint(F.col("text"), 64).alias("fingerprint"),
+    )
+    arrow = text_stats_arrow(d)
+    assert arrow.exceptAll(expr).count() == 0
+    assert expr.exceptAll(arrow).count() == 0
+    assert arrow.count() == d.count()
