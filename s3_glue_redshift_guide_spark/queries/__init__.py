@@ -46,6 +46,8 @@ _PRIORITY = [
     "sql_recursive_cte", "fn_variant",
     # new in round 2: reproducible split/shuffle for training pipelines
     "llm_train_val_split", "llm_global_shuffle",
+    # new in round 2: statistics aggregates + regex/window-distinct surface
+    "agg_linear_fit", "agg_freq_items", "win_distinct_count", "fn_regexp",
     # new in round 2: graph suite (never checked by any driver run)
     "graph_pagerank", "graph_triangles",
     # new in round 2: sketch/statistics suite (never checked by any driver run)

@@ -288,3 +288,74 @@ def agg_histogram(spark, sf_dir):
             "n",
         )
     )
+
+
+@query(
+    "agg_linear_fit",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           round(corr(l_extendedprice, l_quantity), 6)           AS corr_xy,
+           round(covar_samp(l_extendedprice, l_quantity), 2)     AS covar_xy,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_linear_fit(spark, sf_dir):
+    """Regression aggregate family (§2.4): per-group OLS slope/intercept,
+    R², correlation, covariance — the in-engine `ANALYZE`-grade statistics
+    every feature-QA pass runs. All regr_*/corr/covar aggregates partial-
+    aggregate (sums of x, y, xy, x², y²), so one shuffle row per group per
+    partition at any scale; rounded on both sides because the final
+    division is float."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.corr(y, x), 6).alias("corr_xy"),
+        F.round(F.covar_samp(y, x), 2).alias("covar_xy"),
+        F.regr_count(y, x).cast("bigint").alias("n_pairs"),
+    )
+
+
+@query(
+    "agg_freq_items",
+    oracle="""
+    WITH ex AS (
+      SELECT o_orderpriority AS item, count(*) AS exact_count FROM orders
+      GROUP BY 1),
+    tot AS (SELECT count(*) AS t FROM orders)
+    SELECT item, exact_count, TRUE AS reported
+    FROM ex, tot WHERE exact_count > 0.15 * t
+    """,
+)
+def agg_freq_items(spark, sf_dir):
+    """Heavy hitters (§2.4, approximate family): ``freqItems`` (the
+    Karp-Papadimitriou-Shenker single-pass sketch) must report every item
+    with support > s; false positives are allowed and engine-specific, so
+    the derived-fact output is the EXACT above-threshold items with their
+    exact counts plus the sketch's superset guarantee as a boolean — the
+    oracle reproduces the exact side and TRUE. The sketch result is
+    bounded (≤ 1/s items) so collecting it is O(1)."""
+    orders = load_table(spark, sf_dir, "orders")
+    reported = set(
+        orders.stat.freqItems(["o_orderpriority"], support=0.15)
+        .collect()[0][0]
+    )
+    ex = orders.groupBy(F.col("o_orderpriority").alias("item")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    tot = orders.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        ex.crossJoin(tot)
+        .filter(F.col("exact_count") > 0.15 * F.col("t"))
+        .select(
+            "item",
+            "exact_count",
+            F.col("item").isin(list(reported)).alias("reported"),
+        )
+    )

@@ -361,3 +361,34 @@ def fn_variant(spark, sf_dir):
         F.sum(F.try_variant_get(F.col("v"), "$.k", "int")).alias("k_sum"),
         F.min(F.to_json(F.col("v"))).alias("min_canonical_json"),
     )
+
+
+@query(
+    "fn_regexp",
+    oracle="""
+    SELECT doc_id,
+           COALESCE(array_to_string(regexp_extract_all(text, '[0-9]+'), ','),
+                    '')                                          AS all_numbers,
+           CAST(COALESCE(len(regexp_extract_all(text, '[0-9]+')), 0)
+                AS BIGINT)                                       AS n_numbers,
+           regexp_matches(text, '^[A-Z]')                        AS starts_upper,
+           regexp_replace(substr(text, 1, 40), '[aeiou]', '_', 'g')
+                                                                 AS devoweled_head
+    FROM documents WHERE doc_id < 500
+    """,
+)
+def fn_regexp(spark, sf_dir):
+    """Regex family (§2.7): extract-all + join, match count, anchored
+    match test, global replace — all JVM regex (java.util.regex and RE2
+    agree on these ASCII classes, making the oracle portable). Pure
+    per-row expressions, fully codegen'd, filter pushed to the scan."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    nums = F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.array_join(nums, ",").alias("all_numbers"),
+        F.size(nums).cast("bigint").alias("n_numbers"),
+        (F.regexp_count(F.col("text"), F.lit("^[A-Z]")) > 0).alias("starts_upper"),
+        F.regexp_replace(F.substring(F.col("text"), 1, 40), "[aeiou]", "_")
+        .alias("devoweled_head"),
+    )

@@ -241,3 +241,34 @@ def setop_except(spark, sf_dir):
     return c.select("c_custkey").subtract(
         o.select(F.col("o_custkey").alias("c_custkey"))
     )
+
+
+@query(
+    "win_distinct_count",
+    oracle="""
+    SELECT user_id, event_type,
+           count(DISTINCT event_type) OVER (PARTITION BY user_id)
+             AS n_types_for_user,
+           count(*) AS n_events
+    FROM (SELECT user_id, event_type FROM events WHERE user_id < 40)
+    GROUP BY user_id, event_type
+    """,
+)
+def win_distinct_count(spark, sf_dir):
+    """Distinct count over a window (§2.5): Spark rejects COUNT(DISTINCT)
+    OVER, so the idiomatic rewrite is size(collect_set() OVER) — same
+    semantics, one window pass. The aggregation beneath keeps cardinality
+    at (user, type) so the windowed set stays tiny per partition."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    grouped = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = W.partitionBy("user_id")
+    return grouped.select(
+        "user_id",
+        "event_type",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("bigint")
+        .alias("n_types_for_user"),
+        "n_events",
+    )
