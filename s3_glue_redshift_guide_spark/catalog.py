@@ -54,17 +54,23 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` canonicalized to microsecond TIMESTAMP_NTZ.
 
-    ``ts div 1000`` stays in integer arithmetic (a double division would lose
-    precision at ~1.7e18 ns magnitudes), then ``timestamp_micros`` builds the
-    timestamp; the final cast to NTZ is wall-clock-identical under the UTC
-    session timezone.
+    The driver's generator has shipped ``ts`` two ways across rounds:
+    parquet TIMESTAMP(NANOS) (Spark reads a long under ``nanosAsLong``) and
+    plain TIMESTAMP(MICROS) (Spark reads TIMESTAMP_NTZ directly). Handle
+    both: longs are ns since epoch, converted with integer division (a
+    double division would lose precision at ~1.7e18 ns magnitudes);
+    timestamps pass through with a cast to NTZ, which is wall-clock-identical
+    under the UTC session timezone. Either way DuckDB reads the same file to
+    microsecond naive TIMESTAMP, keeping the oracle byte-comparable.
     """
     configure(spark)
     raw = spark.read.parquet(table_path(sf_dir, "events"))
-    return raw.withColumn(
-        "ts",
-        F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-    )
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        ts_col = F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    else:
+        ts_col = F.col("ts").cast("timestamp_ntz")
+    return raw.withColumn("ts", ts_col)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

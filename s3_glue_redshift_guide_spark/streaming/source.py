@@ -2,39 +2,36 @@
 
 In production the source is Kafka/Kinesis or a growing file prefix (the
 reference's S3 landing zone); here the driver's events parquet stands in.
-The parquet file stores ns timestamps, so the declared schema reads ``ts``
-as long (under nanosAsLong) and the stream converts to the same canonical
-microsecond TIMESTAMP_NTZ the batch catalog loader produces — batch twin
-and stream see byte-identical rows.
+readStream needs a declared schema, so we sniff the parquet footer with a
+zero-action batch read (schema-only, no job) and convert ``ts`` to the same
+canonical microsecond value the batch catalog loader produces — batch twin
+and stream see byte-identical rows, whether the file stores ns-longs or
+native TIMESTAMP(MICROS) (the generator has shipped both across rounds).
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql import types as T
 
 from ..session import configure
-
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns since epoch (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
     # Watermarks require TIMESTAMP (not NTZ); under the UTC session timezone
     # the wall-clock value matches the batch loader's NTZ exactly, and the
     # window transforms cast their outputs to NTZ for oracle parity.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":  # ns since epoch (nanosAsLong)
+        ts_col = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts_col = F.col("ts").cast("timestamp")
+    return raw.withColumn("ts", ts_col)
