@@ -122,16 +122,21 @@ def lsh_topk(
 
     qb = banded(queries, (query_id, "query_id", "qv"))
     cb = banded(_spread(corpus), (corpus_id, "neighbor_id", "cv"))
-    cands = (
+    # Score in the band join's projection, THEN dedup on the three scalar
+    # columns: a (query, neighbor) pair colliding in b bands is re-scored b
+    # times (64 multiplies each — cheap, and deterministic so the copies are
+    # identical), but the distinct exchange moves 24-byte rows instead of
+    # two 64-float vectors (~512 B/row) — the term that dominates shuffle
+    # volume at 10^9 vectors.
+    scored = (
         qb.join(cb, ["band", "key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
         .distinct()
-    )
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

@@ -9,7 +9,9 @@ DataFrame logic, so they register here with a plain SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
 from ..sinks.upsert import merge_dataframes
@@ -56,3 +58,74 @@ def sink_scd1_merge(spark, sf_dir):
     )
     merged = merge_dataframes(target, updates, ["o_orderkey"], version_col="v")
     return merged.select("o_orderkey", "o_orderstatus")
+
+
+@query(
+    "sink_bucketed_readback",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)        AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           8 AS n_buckets, 1 AS all_sorted, 0 AS split_keys
+    FROM orders
+    """,
+)
+def sink_bucketed_readback(spark, sf_dir):
+    """Bucketed+sorted parquet sink round-trip (SURVEY §2 S11/O2): write
+    ``orders`` bucketed by ``o_orderkey`` into 8 sorted buckets, read the
+    table back, and emit derived facts the oracle can mirror from the source
+    table: total rows and key-sum (content survived the round trip), bucket
+    count parsed from the physical file names (layout is exactly 8 buckets),
+    a per-file sortedness flag (``sortBy`` held on disk) and the number of
+    keys spanning >1 bucket (bucketing is disjoint — the precondition for
+    shuffle-free co-located joins, asserted separately in
+    ``tests/test_bucketing.py``).
+
+    Scale note: the frame is repartitioned on the bucket column before the
+    write — Spark's ``repartition(n, col)`` and its native bucketing use the
+    same murmur3-pmod mapping, so every task owns exactly one bucket and
+    writes exactly ONE file: no task-count × bucket-count small-file blowup
+    at 1000 executors."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tbl = "sink_bucket_rt"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    path = tempfile.mkdtemp(prefix="spark_bucket_rt_")
+    (
+        o.repartition(8, "o_orderkey")
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(tbl)
+    )
+    t = spark.table(tbl).select(
+        "o_orderkey",
+        # bucket id is encoded in the file name: part-00000-<uuid>_00003.c000
+        F.regexp_extract(F.input_file_name(), r"_(\d{5})\.c000", 1).alias("bucket"),
+        F.input_file_name().alias("f"),
+        F.monotonically_increasing_id().alias("mid"),
+    )
+    # one file per bucket (see repartition note) => file rows stay in one
+    # read partition in on-disk order, so lag() over mid detects any
+    # out-of-order neighbour within a file
+    w = Window.partitionBy("f").orderBy("mid")
+    rows = t.withColumn("prev", F.lag("o_orderkey").over(w))
+    facts = rows.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.countDistinct("bucket").cast("int").alias("n_buckets"),
+        (
+            F.sum(F.when(F.col("prev") > F.col("o_orderkey"), 1).otherwise(0)) == 0
+        )
+        .cast("int")
+        .alias("all_sorted"),
+    )
+    split = (
+        t.groupBy("o_orderkey")
+        .agg(F.countDistinct("bucket").alias("nb"))
+        .agg(F.sum((F.col("nb") > 1).cast("int")).cast("int").alias("split_keys"))
+    )
+    return facts.crossJoin(split).select(
+        "n_rows", "key_sum", "n_buckets", "all_sorted", "split_keys"
+    )

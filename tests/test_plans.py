@@ -154,3 +154,19 @@ def test_sample_per_source_has_no_global_sort(spark):
     plan = _plan(_q(spark, "llm_doc_sample_per_source"))
     assert "Window" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+# ------------------------------------------------- round-3 suites --------
+
+
+def test_ann_candidate_dedup_carries_no_vectors(spark):
+    # the candidate-dedup distinct must key on (query_id, neighbor_id,
+    # cos_sim) scalars — a distinct that keys on the qv/cv vector columns
+    # would move ~512 B/row of float payload through its exchange, the
+    # dominant shuffle term at 10^9 vectors. Pairs are scored inside the
+    # band/list join projection, then deduped on 24-byte rows.
+    for name in ("llm_lsh_topk", "llm_ivf_topk"):
+        plan = _plan(_q(spark, name))
+        for line in plan.splitlines():
+            if "hashpartitioning" in line:
+                assert "qv#" not in line and "cv#" not in line, (name, line)
