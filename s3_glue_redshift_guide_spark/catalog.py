@@ -51,26 +51,43 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` canonicalized to microsecond TIMESTAMP_NTZ.
+def canonical_ts_col(ts_type: str, target: str = "timestamp_ntz"):
+    """Column expression canonicalizing ``ts`` to microsecond precision.
 
     The driver's generator has shipped ``ts`` two ways across rounds:
     parquet TIMESTAMP(NANOS) (Spark reads a long under ``nanosAsLong``) and
-    plain TIMESTAMP(MICROS) (Spark reads TIMESTAMP_NTZ directly). Handle
-    both: longs are ns since epoch, converted with integer division (a
-    double division would lose precision at ~1.7e18 ns magnitudes);
-    timestamps pass through with a cast to NTZ, which is wall-clock-identical
-    under the UTC session timezone. Either way DuckDB reads the same file to
-    microsecond naive TIMESTAMP, keeping the oracle byte-comparable.
+    plain TIMESTAMP(MICROS) (Spark reads a timestamp directly). Handle both:
+    longs are ns since epoch, converted with integer division (a double
+    division would lose precision at ~1.7e18 ns magnitudes); timestamps pass
+    through with a cast. Under the UTC session timezone the ``timestamp``
+    and ``timestamp_ntz`` targets are wall-clock identical — batch loads
+    target NTZ (byte-comparable with DuckDB's naive TIMESTAMP), the stream
+    source targets TIMESTAMP because watermarks reject NTZ. Any other
+    physical type (a generator flip to string/double) fails loudly here
+    instead of silently casting to NULLs downstream.
+
+    Shared by ``load_events`` and ``streaming.source.read_events_stream`` so
+    the batch twin and the stream can never drift.
     """
+    if ts_type == "bigint":  # ns since epoch (nanosAsLong)
+        return F.timestamp_micros(F.expr("ts div 1000")).cast(target)
+    if ts_type in ("timestamp", "timestamp_ntz"):
+        return F.col("ts").cast(target)
+    raise TypeError(
+        f"events.ts has unexpected physical type {ts_type!r}; expected "
+        "bigint (ns-as-long), timestamp or timestamp_ntz"
+    )
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` canonicalized to microsecond TIMESTAMP_NTZ — the
+    exact value DuckDB 1.x reads from the same file (it truncates ns->us),
+    keeping the correctness oracle byte-comparable on time columns."""
     configure(spark)
     raw = spark.read.parquet(table_path(sf_dir, "events"))
-    ts_type = dict(raw.dtypes)["ts"]
-    if ts_type == "bigint":
-        ts_col = F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-    else:
-        ts_col = F.col("ts").cast("timestamp_ntz")
-    return raw.withColumn("ts", ts_col)
+    return raw.withColumn(
+        "ts", canonical_ts_col(dict(raw.dtypes)["ts"], "timestamp_ntz")
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

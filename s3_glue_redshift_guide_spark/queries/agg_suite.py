@@ -342,14 +342,20 @@ def agg_freq_items(spark, sf_dir):
     oracle reproduces the exact side and TRUE. The sketch result is
     bounded (≤ 1/s items) so collecting it is O(1)."""
     orders = load_table(spark, sf_dir, "orders")
+    # one scan for the exact side: the per-item counts are cached (bounded
+    # by the key cardinality) and the grand total is re-aggregated from
+    # them instead of re-scanning orders — the returned plan reads the fact
+    # table at most once; the sketch pass below is its own single scan
+    ex = (
+        orders.groupBy(F.col("o_orderpriority").alias("item"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .cache()
+    )
     reported = set(
         orders.stat.freqItems(["o_orderpriority"], support=0.15)
         .collect()[0][0]
     )
-    ex = orders.groupBy(F.col("o_orderpriority").alias("item")).agg(
-        F.count(F.lit(1)).alias("exact_count")
-    )
-    tot = orders.agg(F.count(F.lit(1)).alias("t"))
+    tot = ex.agg(F.sum("exact_count").alias("t"))
     return (
         ex.crossJoin(tot)
         .filter(F.col("exact_count") > 0.15 * F.col("t"))

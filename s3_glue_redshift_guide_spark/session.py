@@ -43,8 +43,40 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+_TWS_CHECKED = False
+
+
+def _warn_if_transform_with_state_unavailable() -> None:
+    """One-time capability probe: transformWithState (streaming/stateful_v2)
+    needs google.protobuf for its state-server wire protocol. Log the
+    degradation at session configure so the fallback to the v1
+    applyInPandasWithState operators is visible, not silent."""
+    global _TWS_CHECKED
+    if _TWS_CHECKED:
+        return
+    _TWS_CHECKED = True
+    from importlib.util import find_spec
+
+    try:
+        # find_spec raises (rather than returning None) when the parent
+        # ``google`` namespace package is absent entirely
+        have_protobuf = find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        have_protobuf = False
+    if not have_protobuf:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "google.protobuf is not installed: transformWithState operators "
+            "(streaming/stateful_v2.py) cannot run; stateful processing "
+            "degrades to the applyInPandasWithState v1 path with identical "
+            "semantics."
+        )
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an externally-owned session (idempotent)."""
+    _warn_if_transform_with_state_unavailable()
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)

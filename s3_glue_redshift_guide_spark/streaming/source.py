@@ -11,16 +11,15 @@ native TIMESTAMP(MICROS) (the generator has shipped both across rounds).
 
 from __future__ import annotations
 
-import os
+from pyspark.sql import DataFrame, SparkSession
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
-
+from ..catalog import canonical_ts_col, table_path
 from ..session import configure
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -29,9 +28,6 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Watermarks require TIMESTAMP (not NTZ); under the UTC session timezone
     # the wall-clock value matches the batch loader's NTZ exactly, and the
     # window transforms cast their outputs to NTZ for oracle parity.
-    ts_type = dict(raw.dtypes)["ts"]
-    if ts_type == "bigint":  # ns since epoch (nanosAsLong)
-        ts_col = F.timestamp_micros(F.expr("ts div 1000"))
-    else:
-        ts_col = F.col("ts").cast("timestamp")
-    return raw.withColumn("ts", ts_col)
+    return raw.withColumn(
+        "ts", canonical_ts_col(dict(raw.dtypes)["ts"], "timestamp")
+    )

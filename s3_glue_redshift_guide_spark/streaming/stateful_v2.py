@@ -27,13 +27,29 @@ from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from .stateful import OUTPUT_SCHEMA, STATE_SCHEMA, _emit
 
 
+def transform_with_state_available() -> bool:
+    """transformWithState's Python worker speaks protobuf to the JVM state
+    server; without the package the worker crashes at init. Callers use this
+    to fall back to the v1 ``applyInPandasWithState`` sessionizer (identical
+    semantics) and log the degradation once."""
+    from importlib.util import find_spec
+
+    try:
+        return find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # parent ``google`` namespace absent
+        return False
+
+
 class SessionProcessor(StatefulProcessor):
     """Gap-based sessionizer on the named-state API."""
 
-    def __init__(self, gap_seconds: int = 300):
+    def __init__(self, gap_seconds: int = 300, use_timeout: bool = False):
         self.gap_us = gap_seconds * 1_000_000
+        self.gap_ms = gap_seconds * 1_000
+        self.use_timeout = use_timeout
 
     def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
         self.session = handle.getValueState("session", STATE_SCHEMA)
 
     def handleInputRows(
@@ -65,23 +81,53 @@ class SessionProcessor(StatefulProcessor):
                     total = total + float(value)
         if n > 0:
             self.session.update((start, last, n, total))
+            if self.use_timeout:
+                # one live timer per key: drop the stale one, re-arm one gap
+                # past now, so an idle key flushes its open session exactly
+                # once (the v1 setTimeoutDuration contract)
+                for t in self.handle.listTimers():
+                    self.handle.deleteTimer(t)
+                self.handle.registerTimer(
+                    timerValues.getCurrentProcessingTimeInMs() + self.gap_ms
+                )
         yield from closed
+
+    def handleExpiredTimer(
+        self, key, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        # idle-timeout flush, mirroring v1's ``state.hasTimedOut`` branch:
+        # emit the open session and clear state so the next event starts
+        # a fresh session
+        (user_id,) = key
+        if self.session.exists():
+            start, last, n, total = self.session.get()
+            self.session.clear()
+            if n > 0:
+                yield _emit(user_id, start, last, n, total)
 
     def close(self) -> None:
         pass
 
 
-def sessionize_stream_v2(events: DataFrame, gap_seconds: int = 300) -> DataFrame:
+def sessionize_stream_v2(
+    events: DataFrame, gap_seconds: int = 300, use_timeout: bool = False
+) -> DataFrame:
     """Wire the Spark 4 stateful sessionizer onto a (streaming) events
-    DataFrame. timeMode='none': flushing idle sessions on a wall clock
-    would diverge stream output from the batch twin (see stateful.py)."""
+    DataFrame.
+
+    ``use_timeout=False`` runs timeMode='none': flushing idle sessions on a
+    wall clock would diverge stream output from the batch twin (see
+    stateful.py). ``use_timeout=True`` arms per-key processing-time timers —
+    the unbounded-production-stream mode, same caveat as v1: a finite
+    ``availableNow`` run keeps scheduling timer batches.
+    """
     return (
         events.select("user_id", "ts", "value")
         .groupBy("user_id")
         .transformWithStateInPandas(
-            statefulProcessor=SessionProcessor(gap_seconds),
+            statefulProcessor=SessionProcessor(gap_seconds, use_timeout),
             outputStructType=OUTPUT_SCHEMA,
             outputMode="append",
-            timeMode="none",
+            timeMode="processingTime" if use_timeout else "none",
         )
     )

@@ -159,6 +159,16 @@ def test_sample_per_source_has_no_global_sort(spark):
 # ------------------------------------------------- round-3 suites --------
 
 
+def test_freq_items_exact_side_scans_orders_once(spark):
+    # the grand total re-aggregates the cached per-item counts instead of
+    # re-scanning the fact table: both join inputs must read the SAME
+    # InMemoryRelation (the printed FileScan under each InMemoryTableScan is
+    # the cached relation's definition, materialized once)
+    plan = _plan(_q(spark, "agg_freq_items"))
+    assert plan.count("InMemoryTableScan") == 2
+    assert plan.count("InMemoryRelation") == 2
+
+
 def test_ann_candidate_dedup_carries_no_vectors(spark):
     # the candidate-dedup distinct must key on (query_id, neighbor_id,
     # cos_sim) scalars — a distinct that keys on the qv/cv vector columns

@@ -162,10 +162,18 @@ def test_transform_with_state_matches_v1_sessionizer(spark, tmp_path):
     init, so this test skips where that dependency is absent (the operator
     itself is plain PySpark — nothing else in the engine needs protobuf).
     """
-    pytest.importorskip("google.protobuf")
     from s3_glue_redshift_guide_spark.streaming.stateful_v2 import (
         sessionize_stream_v2,
+        transform_with_state_available,
     )
+
+    if not transform_with_state_available():
+        pytest.skip(
+            "google.protobuf absent: the transformWithState Python worker "
+            "cannot reach the JVM state server in this environment; the v1 "
+            "applyInPandasWithState sessionizer covers the semantics "
+            "(test_stateful_sessionizer_matches_session_window)"
+        )
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming."
