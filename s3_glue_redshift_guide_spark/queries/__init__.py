@@ -22,6 +22,7 @@ _MODULES = [
     "udf_suite",
     "sql_suite",
     "sink_suite",
+    "source_suite",
     "timeseries_suite",
     "dq_suite",
     "analytics_suite",
@@ -65,15 +66,17 @@ _PRIORITY = [
     "dq_profile", "dq_constraints",
     "ts_gap_fill", "ts_resample_ohlc", "ts_funnel", "ts_retention_cohort",
     "ts_zscore_anomaly", "ts_rolling_1h",
-    # -- new in round 3 (need first-window slots too) ----------------------
+    # -- new in round 3 (need first-window slots too): bucketed-sink
+    # round trip + the source/sink-layout suite (driver evidence for the
+    # S2-S15 rows that were pytest-only through round 2)
     "sink_bucketed_readback",
+    "src_csv_roundtrip", "src_schema_inference", "src_partition_discovery",
+    "src_schema_evolution", "src_incremental_bookmark", "sink_staged_copy",
+    "src_orc_roundtrip", "src_text_source", "sink_compaction_facts",
     # -- regression guard: highest-value round-1 passes, never re-run ------
     "q1_pricing_summary", "q5_regional_revenue", "q3_shipping_priority",
-    "q6_forecast_revenue", "q10_returned_items", "q12_priority_shipping",
     "join_range_events", "join_asof_events",
-    "win_rank_topk", "win_running_frames", "agg_rollup", "agg_pivot",
-    "ev_tumbling_window", "ev_sliding_window",
-    "fn_json", "join_left_outer",
+    "win_rank_topk", "agg_rollup",
 ]
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
 _ordered.update({n: q for n, q in REGISTRY.items() if n not in _ordered})

@@ -1,0 +1,332 @@
+"""Source/sink round-trip queries — driver-checkable evidence for the
+SURVEY §2.1 rows whose operators consume their OWN file layouts (CSV
+dialect, schema inference, partition discovery, schema evolution, bookmark
+incremental, staged COPY, ORC/text sources, compaction).
+
+Pattern: each query materializes a layout DERIVED from a driver table into
+a fresh temp directory, runs the source/sink operator over it, and returns
+either the round-tripped rows (oracle: plain SELECT over the originating
+table) or derived layout facts (oracle: literals + aggregates). Inputs are
+always the driver's own parquet tables — nothing synthesized — so the
+oracle stays exact at any scale factor.
+
+The write side of each round trip is small (dimension tables or key-bounded
+fact slices), but the OPERATORS under test are the scale paths themselves:
+recursive listing + glob filtering is O(metadata), schema inference reads
+one sampled pass, partition discovery is directory-name parsing, the staged
+COPY ships parquet files not rows, and compaction plans file counts from FS
+metadata.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from ..sinks.compaction import compact_parquet
+from ..sinks.warehouse_copy import DuckDBWarehouse, StagedCopyWriter
+from ..sources.csv_dialect import OPENCSV_DIALECT, read_csv_typed
+from ..sources.incremental import IncrementalFileSource
+from ..sources.inference import crawl, infer_csv_schema
+from ..sources.evolution import evolve_and_union
+from .registry import query
+
+
+def _tmp(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=f"spark_{prefix}_")
+
+
+# ----------------------------------------------------------- S1/S2/S7 ----
+@query(
+    "src_csv_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           n_name || ', region ' || CAST(n_regionkey AS VARCHAR) AS label
+    FROM nation
+    """,
+)
+def src_csv_roundtrip(spark, sf_dir):
+    """CSV dialect + folder-as-table + glob filter (S1/S2/S7): nation is
+    split by key parity into CSVs under two NESTED directories (recursive
+    listing), next to a decoy .txt the ``*.csv`` glob must skip; the
+    ``label`` column embeds a comma so the OpenCSVSerde quote/escape
+    dialect is load-bearing, not incidental. Read back string-first then
+    cast (the reference's serde-then-change-schema pipeline) and compare
+    every row against the source table."""
+    n = load_table(spark, sf_dir, "nation").withColumn(
+        "label",
+        F.concat(F.col("n_name"), F.lit(", region "), F.col("n_regionkey")),
+    )
+    base = _tmp("csv_rt")
+    for sub, pred in (("even", F.col("n_nationkey") % 2 == 0),
+                      ("odd", F.col("n_nationkey") % 2 == 1)):
+        (
+            n.filter(pred)
+            .coalesce(1)
+            .write.options(**OPENCSV_DIALECT)
+            .option("header", "true")
+            .mode("overwrite")
+            .csv(os.path.join(base, "nested", sub))
+        )
+    with open(os.path.join(base, "decoy.txt"), "w") as fh:
+        fh.write("not,a,csv,table\n")
+    back = read_csv_typed(
+        spark, base, schema=n.schema, path_glob="*.csv", recursive=True
+    )
+    return back.select("n_nationkey", "n_name", "n_regionkey", "label")
+
+
+# ----------------------------------------------------------------- S3 ----
+@query(
+    "src_schema_inference",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('s_suppkey', 'int'), ('s_name', 'string'),
+      ('s_nationkey', 'int'), ('s_acctbal', 'double')
+    ) t(col_name, inferred_type)
+    """,
+)
+def src_schema_inference(spark, sf_dir):
+    """Schema inference / crawler classification (S3): supplier exported to
+    CSV (all strings on disk), then ``infer_csv_schema`` must recover the
+    numeric columns — int keys, double balances — exactly as the crawler's
+    classifier would. Output is (column, inferred type), which the oracle
+    pins as literals."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    base = _tmp("infer")
+    (
+        s.coalesce(1)
+        .write.options(**OPENCSV_DIALECT)
+        .option("header", "true")
+        .mode("overwrite")
+        .csv(base)
+    )
+    schema = infer_csv_schema(spark, base, path_glob="*.csv")
+    return spark.createDataFrame(
+        [(f.name, f.dataType.simpleString()) for f in schema.fields],
+        "col_name string, inferred_type string",
+    )
+
+
+# ----------------------------------------------------------------- S4 ----
+@query(
+    "src_partition_discovery",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders WHERE o_orderkey < 4000
+    GROUP BY o_orderpriority
+    """,
+)
+def src_partition_discovery(spark, sf_dir):
+    """Partition discovery (S4): a key-bounded orders slice is written
+    Hive-partitioned by priority (directory names carry the values,
+    including one with an escaped space); ``crawl`` discovers the partition
+    column from the layout and registers the table. Per-partition counts
+    read THROUGH the discovered partition column must match grouping the
+    source directly."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    base = _tmp("partdisc")
+    (
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.partitionBy("o_orderpriority")
+        .mode("overwrite")
+        .parquet(base)
+    )
+    name = f"src_q_partdisc_{uuid.uuid4().hex[:8]}"
+    entry = crawl(spark, name, base, fmt="parquet")
+    assert entry.partition_columns == ["o_orderpriority"]
+    return (
+        spark.table(name)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+# ----------------------------------------------------------------- S5 ----
+@query(
+    "src_schema_evolution",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+    FROM customer WHERE c_custkey < 1500
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer WHERE c_custkey >= 1500 AND c_custkey < 3000
+    """,
+)
+def src_schema_evolution(spark, sf_dir):
+    """Additive schema evolution (S5): an old file generation without
+    ``c_acctbal`` unions with a new generation that added it;
+    ``evolve_and_union`` conforms the old rows with typed NULLs
+    (metadata-only evolution — no rewrite of the old files)."""
+    c = load_table(spark, sf_dir, "customer")
+    old = c.filter(F.col("c_custkey") < 1500).select("c_custkey", "c_name")
+    new = c.filter(
+        (F.col("c_custkey") >= 1500) & (F.col("c_custkey") < 3000)
+    ).select("c_custkey", "c_name", "c_acctbal")
+    return evolve_and_union(old, new)
+
+
+# ----------------------------------------------------------------- S6 ----
+@query(
+    "src_incremental_bookmark",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey < 1000 THEN 1 ELSE 2 END AS batch
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def src_incremental_bookmark(spark, sf_dir):
+    """Bookmark-incremental source (S6): file 1 lands, run 1 processes it;
+    file 2 lands, run 2 processes ONLY the new file (the checkpoint is the
+    bookmark). Each batch is tagged with its run number on the way to the
+    sink, so the output proves no file was reprocessed or skipped."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = _tmp("bookmark")
+    inbox, out, ckpt = (os.path.join(base, d) for d in ("inbox", "out", "ckpt"))
+
+    run = {"i": 0}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("batch", F.lit(run["i"]))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    src = IncrementalFileSource(
+        spark, inbox, schema=o.schema, checkpoint_dir=ckpt, fmt="parquet"
+    )
+    first = o.filter(F.col("o_orderkey") < 1000)
+    second = o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000))
+
+    first.coalesce(1).write.mode("append").parquet(inbox)
+    run["i"] = 1
+    src.run_once(sink=sink)
+    second.coalesce(1).write.mode("append").parquet(inbox)
+    run["i"] = 2
+    src.run_once(sink=sink)
+    return spark.read.parquet(out).select("o_orderkey", "o_totalprice", "batch")
+
+
+# ----------------------------------------------------------------- S9 ----
+@query(
+    "sink_staged_copy",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def sink_staged_copy(spark, sf_dir):
+    """Staged COPY warehouse load (S9): stage nation as parquet, issue one
+    COPY into an embedded DuckDB warehouse (the Redshift stand-in — same
+    one-COPY-per-staging-prefix control plane), then read the warehouse
+    table back. The data path ships parquet FILES to the warehouse; rows
+    only cross the driver here to re-enter Spark for comparison (25-row
+    dimension)."""
+    import duckdb
+
+    con = duckdb.connect()
+    writer = StagedCopyWriter(_tmp("staged_copy"), DuckDBWarehouse(con))
+    n = load_table(spark, sf_dir, "nation")
+    loaded = writer.write(n, "nation_copy", mode="overwrite")
+    assert loaded == n.count()
+    pdf = con.sql(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation_copy"
+    ).df()
+    return spark.createDataFrame(pdf).select(
+        F.col("n_nationkey").cast("int"),
+        "n_name",
+        F.col("n_regionkey").cast("int"),
+    )
+
+
+# ---------------------------------------------------------------- S13 ----
+@query(
+    "src_orc_roundtrip",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_retailprice
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+def src_orc_roundtrip(spark, sf_dir):
+    """ORC source (S13): a part slice written as ORC, re-crawled
+    (``crawl(fmt='orc')`` with union-schema merge) and read back through
+    the registered view — types and values must survive the format hop
+    bit-exactly (ORC stores the same IEEE doubles)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    base = _tmp("orc_rt")
+    (
+        p.select("p_partkey", "p_name", "p_brand", "p_retailprice")
+        .write.mode("overwrite")
+        .orc(base)
+    )
+    name = f"src_q_orc_{uuid.uuid4().hex[:8]}"
+    crawl(spark, name, base, fmt="orc")
+    return spark.table(name).select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+
+
+# ---------------------------------------------------------------- S14 ----
+@query(
+    "src_text_source",
+    oracle="SELECT r_name AS value FROM region",
+)
+def src_text_source(spark, sf_dir):
+    """Raw-text source (S14): one line per region name on disk, crawled as
+    ``fmt='text'`` — the unstructured-corpus entry point (single ``value``
+    column) the LLM-pipeline operators start from."""
+    r = load_table(spark, sf_dir, "region")
+    base = _tmp("text_src")
+    r.select(F.col("r_name").alias("value")).coalesce(1).write.mode(
+        "overwrite"
+    ).text(base)
+    name = f"src_q_text_{uuid.uuid4().hex[:8]}"
+    crawl(spark, name, base, fmt="text")
+    return spark.table(name).select("value")
+
+
+# ---------------------------------------------------------------- S15 ----
+@query(
+    "sink_compaction_facts",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)       AS n_rows,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+           16 AS files_in, 1 AS files_out
+    FROM customer
+    """,
+)
+def sink_compaction_facts(spark, sf_dir):
+    """Small-file compaction (S15): customer deliberately shattered into 16
+    files, compacted to one sorted file (target size >> input bytes). The
+    facts prove content survived (count + key sum) and the file counts on
+    both sides of the rewrite; per-file key-range disjointness under
+    ``sort_by`` is asserted separately in tests/test_compaction.py."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    base = _tmp("compact")
+    src, out = os.path.join(base, "in"), os.path.join(base, "out")
+    c.repartition(16).write.mode("overwrite").parquet(src)
+    n_out = compact_parquet(
+        spark, src, out, target_file_bytes=1 << 30, sort_by=["c_custkey"]
+    )
+    files_in = (
+        spark.read.parquet(src)
+        .select(F.input_file_name().alias("f"))
+        .agg(F.countDistinct("f").cast("int").alias("n"))
+    )
+    back = spark.read.parquet(out).withColumn("__f", F.input_file_name())
+    facts = back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+        F.countDistinct("__f").cast("int").alias("files_out"),
+    )
+    assert n_out == 1
+    return (
+        facts.crossJoin(files_in.select(F.col("n").alias("files_in")))
+        .select("n_rows", "key_sum", "files_in", "files_out")
+    )
