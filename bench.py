@@ -87,13 +87,23 @@ def main() -> None:
     spark = get_spark("bench")
 
     names = [n for n in HEADLINE if n in REGISTRY]
-    # warm-up: JVM + codegen + parquet footer caches + Python worker pool
+    # warm-up: JVM + codegen + parquet footer caches + Python worker pool,
+    # plus the lazily-checkpointed shingle frame the dedup queries share —
+    # its one-time featurization pass must not land inside a timed run
     materialize(REGISTRY[names[0]].fn(spark, sf_dir))
     spark.range(1000).toPandas()  # fork the Arrow workers once
+    if any(n.startswith("llm_") for n in names):
+        from s3_glue_redshift_guide_spark.queries.llm_suite import _shingle_sets
+
+        materialize(_shingle_sets(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in names:
         fn = OPERATOR_OVERRIDES.get(name, REGISTRY[name].fn)
+        # one discarded warm run per query: C2 compiles the query's own
+        # generated classes there, so the timed runs are steady-state
+        # (first-execution JIT was the dominant run-to-run variance)
+        materialize(fn(spark, sf_dir))
         best = float("inf")
         for _ in range(RUNS):
             t0 = time.perf_counter()
