@@ -202,9 +202,14 @@ def _minhash_sigs_arrow(sets: DataFrame, n_hashes: int) -> DataFrame:
     """(doc, sig: array<bigint>) via Arrow batches: ONE stable 64-bit base
     hash per shingle (pandas hash_array — fixed-key siphash, deterministic
     across runs/executors), then ``n_hashes`` universal multiply-shift
-    derivations ``a_i*h + b_i (mod 2^64)`` vectorized in numpy. Replaces
-    n_hashes interpreted array folds per document with one numpy
-    broadcast — the Arrow fast path for the signature stage."""
+    derivations ``a_i*h + b_i (mod 2^64)`` vectorized in numpy.
+
+    The whole Arrow batch is processed FLAT: every document's shingles
+    concatenate into one array, hashed in a single ``hash_array`` call, and
+    per-document minima come from ``np.minimum.reduceat`` over the segment
+    offsets — no per-row Python loop, so the per-batch cost is n_hashes
+    vectorized passes over the flattened shingle count regardless of how
+    many documents the batch holds."""
     import numpy as np
     import pandas as pd
     from pandas.util import hash_array
@@ -216,15 +221,29 @@ def _minhash_sigs_arrow(sets: DataFrame, n_hashes: int) -> DataFrame:
 
     def sig(batches):
         for pdf in batches:
-            out = []
-            for sh in pdf["sh"]:
-                if len(sh) == 0:
-                    out.append([0] * n_hashes)
-                    continue
-                h = hash_array(np.asarray(sh, dtype=object))  # uint64
-                derived = a[None, :] * h[:, None] + b[None, :]  # wraps mod 2^64
-                out.append(derived.min(axis=0).astype(np.int64).tolist())
-            yield pd.DataFrame({"doc": pdf["doc"], "sig": out})
+            n_rows = len(pdf)
+            lens = np.fromiter((len(s) for s in pdf["sh"]), dtype=np.int64,
+                               count=n_rows)
+            out = np.zeros((n_rows, n_hashes), dtype=np.uint64)
+            nonempty = lens > 0
+            if nonempty.any():
+                flat = np.concatenate(
+                    [np.asarray(s, dtype=object) for s in pdf["sh"] if len(s)]
+                )
+                h = hash_array(flat)  # uint64, one call for the whole batch
+                offsets = np.zeros(n_rows, dtype=np.int64)
+                np.cumsum(lens[:-1], out=offsets[1:])
+                # reduceat mishandles zero-length segments (it returns the
+                # element AT the offset) — reduce only non-empty ones;
+                # empty docs keep the all-zero signature
+                ne_off = offsets[nonempty]
+                ne_min = np.empty((int(nonempty.sum()), n_hashes), dtype=np.uint64)
+                for i in range(n_hashes):
+                    ne_min[:, i] = np.minimum.reduceat(a[i] * h + b[i], ne_off)
+                out[nonempty] = ne_min
+            yield pd.DataFrame(
+                {"doc": pdf["doc"], "sig": out.astype(np.int64).tolist()}
+            )
 
     id_type = dict(sets.dtypes)["doc"]
     return sets.select("doc", "sh").mapInPandas(
