@@ -23,6 +23,7 @@ _MODULES = [
     "sql_suite",
     "sink_suite",
     "source_suite",
+    "stream_suite",
     "timeseries_suite",
     "dq_suite",
     "analytics_suite",
@@ -73,10 +74,11 @@ _PRIORITY = [
     "src_csv_roundtrip", "src_schema_inference", "src_partition_discovery",
     "src_schema_evolution", "src_incremental_bookmark", "sink_staged_copy",
     "src_orc_roundtrip", "src_text_source", "sink_compaction_facts",
+    # real streaming runs (availableNow -> memory sink) for T5/T7/T10
+    "ev_stream_interval_join", "ev_stream_stateful_sessions",
     # -- regression guard: highest-value round-1 passes, never re-run ------
     "q1_pricing_summary", "q5_regional_revenue", "q3_shipping_priority",
     "join_range_events", "join_asof_events",
-    "win_rank_topk", "agg_rollup",
 ]
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
 _ordered.update({n: q for n, q in REGISTRY.items() if n not in _ordered})

@@ -1,0 +1,133 @@
+"""Driver-checkable REAL streaming runs (T5/T7/T10 evidence).
+
+The `ev_*` event queries verify the streaming transforms through their
+batch twins (identical plans minus state). The two queries here run the
+actual Structured Streaming machinery inside the query callable — a
+``readStream`` over the events parquet driven to completion with
+``availableNow`` into a memory sink — and return the sink's contents as a
+batch DataFrame, so the driver's oracle compare covers the stateful
+execution path itself: watermark bookkeeping + stream-stream interval join
+state (T10, which requires two-sided watermarks — T5), and the
+applyInPandasWithState sessionizer (T7).
+
+Determinism: availableNow over a static directory processes everything in
+one micro-batch per source, so watermarks never drop rows (nothing is late
+relative to a single batch) and the stateful sessionizer sees each key's
+full, event-time-sorted history — output is a pure function of the input
+files, which is what lets a SQL oracle exist at all. The late-arrival /
+multi-batch behaviors stay covered by tests/test_streaming.py, where the
+batch boundaries are controlled.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..streaming.joins import interval_join_stream
+from ..streaming.source import read_events_stream
+from ..streaming.stateful import sessionize_stream
+from .registry import query
+
+
+def _drain(df: DataFrame, tag: str) -> DataFrame:
+    """Run a streaming frame to completion (availableNow) into a uniquely
+    named memory sink; return the sink's contents."""
+    name = f"strm_{tag}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"spark_ckpt_{tag}_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@query(
+    "ev_stream_interval_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id
+    FROM events c JOIN events b
+      ON b.user_id = c.user_id
+     AND c.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= c.ts AND b.ts < c.ts + INTERVAL '10 minutes'
+    """,
+)
+def ev_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join, executed AS A STREAM (T10, with the
+    two-sided watermarks T5 requires): click->purchase attribution within
+    10 minutes per user. The watermark + event-time bound let the state
+    store evict buffered rows at the watermark horizon — state is bounded
+    by (horizon x arrival rate) at any stream length, the property that
+    makes this runnable on an unbounded production stream."""
+    stream = read_events_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    joined = interval_join_stream(
+        clicks, buys, "user_id", "click_ts", "buy_ts", 0, 600
+    )
+    return _drain(joined, "ij").select("user_id", "click_id", "buy_id")
+
+
+@query(
+    "ev_stream_stateful_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL '5 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id < 200
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), stats AS (
+      SELECT user_id, sid,
+             min(ts)             AS session_start,
+             max(ts)             AS session_end,
+             count(*)            AS n_events,
+             round(sum(value),2) AS value_total
+      FROM sessions GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events, value_total
+    FROM stats
+    WHERE sid < (SELECT max(sid) FROM stats s2 WHERE s2.user_id = stats.user_id)
+    """,
+)
+def ev_stream_stateful_sessions(spark, sf_dir):
+    """Custom stateful per-key processing, executed AS A STREAM (T7): the
+    applyInPandasWithState gap sessionizer emits one row per CLOSED session
+    (a session closes when the next event arrives more than the 5-minute
+    gap later); each key's final session stays open in state at
+    end-of-input. The oracle re-derives sessions with lag + running sum and
+    keeps every session except each user's last — exactly the closed set.
+    The user_id bound keeps the per-key Python path inside the gate budget
+    at any scale factor (state per key is four scalars either way)."""
+    stream = read_events_stream(spark, sf_dir).filter(F.col("user_id") < 200)
+    sessions = sessionize_stream(stream, gap_seconds=300)
+    return _drain(sessions, "sess").select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "value_total",
+    )
