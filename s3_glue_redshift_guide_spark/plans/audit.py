@@ -69,19 +69,62 @@ def plan_string(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _bounded_side_join_count(df: DataFrame, bound: int = 100) -> int:
+    """Number of logical Join nodes where one input provably produces at
+    most ``bound`` rows (logical ``maxRows`` — defined for global
+    aggregates, limits, one-row relations).
+
+    A nested-loop join against such a side is a SCALAR BROADCAST — the
+    idiom for attaching a corpus count / grand total / threshold to every
+    row — and costs O(|big side|), not O(|L|x|R|). The audit uses this to
+    separate those from genuine cartesians."""
+    walk = [df._jdf.queryExecution().optimizedPlan()]
+    n = 0
+    while walk:
+        node = walk.pop()
+        kids = node.children()
+        for i in range(kids.length()):
+            walk.append(kids.apply(i))
+        if node.nodeName() != "Join":
+            continue
+        for i in range(2):
+            mr = node.children().apply(i).maxRows()
+            if mr.isDefined() and int(mr.get()) <= bound:
+                n += 1
+                break
+    return n
+
+
 def audit_plan(df: DataFrame, max_exchanges: int = 5) -> list[PlanWarning]:
     plan = plan_string(df)
     warnings: list[PlanWarning] = []
 
-    for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
-        if node in plan:
+    n_cartesian = sum(
+        plan.count(node)
+        for node in ("CartesianProduct", "BroadcastNestedLoopJoin")
+    )
+    if n_cartesian:
+        # every nested-loop join accounted for by a provably-bounded build
+        # side is a scalar broadcast (info); any excess is a real cartesian
+        if n_cartesian <= _bounded_side_join_count(df):
+            warnings.append(
+                PlanWarning(
+                    "scalar-broadcast",
+                    "info",
+                    "nested-loop join(s) whose build side is provably "
+                    "<=100 rows (global aggregate / limit): a scalar "
+                    "attach, O(|big side|) at any scale",
+                )
+            )
+        else:
             warnings.append(
                 PlanWarning(
                     "cartesian",
                     "high",
-                    f"{node} in plan: O(|L|x|R|) row compares; add an "
-                    "equi-key (bucketed decomposition for range/as-of "
-                    "predicates) or broadcast-join a provably small side",
+                    "CartesianProduct/BroadcastNestedLoopJoin in plan: "
+                    "O(|L|x|R|) row compares; add an equi-key (bucketed "
+                    "decomposition for range/as-of predicates) or "
+                    "broadcast-join a provably small side",
                 )
             )
 

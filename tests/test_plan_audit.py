@@ -48,6 +48,47 @@ def test_flags_mid_pipeline_global_sort(spark):
     assert "global-sort" in _codes(audit_plan(df))
 
 
+# Queries allowed to trip a high-severity rule, each deliberately bounded
+# and documented (PLANS.md "Known deliberate non-scale paths"):
+#   join_theta / join_cross       — theta/cross demos over constant-size dims
+#   llm_topk_similarity           — broadcast(query set) x corpus baseline;
+#                                   the full-corpus paths are LSH/IVF
+#   llm_embedding_near_dup        — exact pairwise on a bounded slice
+#   llm_lsh_topk / llm_ivf_topk   — the flag is the recall HARNESS's exact
+#                                   side (same bounded broadcast x corpus as
+#                                   llm_topk_similarity; query side is a
+#                                   10-id filter Catalyst can't bound); the
+#                                   LSH/IVF operator plans themselves are
+#                                   bucket joins, asserted payload-clean in
+#                                   test_plans.py
+ALLOWED_HIGH = {
+    "join_theta",
+    "join_cross",
+    "llm_topk_similarity",
+    "llm_embedding_near_dup",
+    "llm_lsh_topk",
+    "llm_ivf_topk",
+}
+
+
+def test_every_registry_query_plans_clean_of_high_severity(spark):
+    """The full registry sweep: no query may compile to a genuinely
+    cartesian plan (scalar broadcasts are downgraded by the audit itself)
+    unless it is on the documented bounded-demo allowlist. This is the
+    mechanized version of '.explain and iterate' applied to ALL operators,
+    so a new query can't silently regress to an O(|L|x|R|) plan."""
+    offenders = {}
+    for name, q in REGISTRY.items():
+        if name in ALLOWED_HIGH:
+            continue
+        highs = [
+            w for w in audit_plan(q.fn(spark, SF_SMOKE)) if w.severity == "high"
+        ]
+        if highs:
+            offenders[name] = [w.code for w in highs]
+    assert not offenders, offenders
+
+
 def test_headline_queries_audit_clean_of_high_severity(spark):
     # the engine's own flagship plans must never trip a high-severity rule
     for name in (
