@@ -205,6 +205,35 @@ def kmeans_centroids(
     return cents
 
 
+def _nearest_lists(df, cents, vec_col, id_out, vec_out, n_keep):
+    """Attach each row's ``n_keep`` nearest centroid ids as an exploded
+    column — the IVF assignment pass. Centroids travel as plan literals
+    (k*dim scalars); the frame is materialized so the explode can't
+    re-inline the distance expressions per reference."""
+    cent_arrays = [
+        (i, F.array(*[F.lit(float(x)) for x in c])) for i, c in enumerate(cents)
+    ]
+    dists = F.array(
+        *[
+            F.struct(
+                (-cosine(F.col(vec_col), arr)).alias("d"),
+                F.lit(i).alias("list_id"),
+            )
+            for i, arr in cent_arrays
+        ]
+    )
+    withd = _materialize(
+        df.select(
+            F.col("*"), F.slice(F.array_sort(dists), 1, n_keep).alias("__near")
+        )
+    )
+    return withd.select(
+        F.col(id_out[0]).alias(id_out[1]),
+        F.col(vec_col).alias(vec_out),
+        F.explode("__near").alias("__n"),
+    ).select(id_out[1], vec_out, F.col("__n.list_id").alias("list_id"))
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -227,34 +256,12 @@ def ivf_topk(
     degrades to the first-k-by-id quantizer.
     """
     cents = kmeans_centroids(corpus, corpus_id, vec_col, n_lists, kmeans_iters)
-    cent_arrays = [
-        (i, F.array(*[F.lit(float(x)) for x in c])) for i, c in enumerate(cents)
-    ]
-
-    def nearest_lists(df, id_out, vec_out, n_keep):
-        """Attach the n_keep nearest centroid ids as an exploded column."""
-        dists = F.array(
-            *[
-                F.struct(
-                    (-cosine(F.col(vec_col), arr)).alias("d"),
-                    F.lit(i).alias("list_id"),
-                )
-                for i, arr in cent_arrays
-            ]
-        )
-        withd = _materialize(
-            df.select(
-                F.col("*"), F.slice(F.array_sort(dists), 1, n_keep).alias("__near")
-            )
-        )
-        return withd.select(
-            F.col(id_out[0]).alias(id_out[1]),
-            F.col(vec_col).alias(vec_out),
-            F.explode("__near").alias("__n"),
-        ).select(id_out[1], vec_out, F.col("__n.list_id").alias("list_id"))
-
-    cb = nearest_lists(_spread(corpus), (corpus_id, "neighbor_id"), "cv", 1)
-    qb = nearest_lists(queries, (query_id, "query_id"), "qv", n_probe)
+    cb = _nearest_lists(
+        _spread(corpus), cents, vec_col, (corpus_id, "neighbor_id"), "cv", 1
+    )
+    qb = _nearest_lists(
+        queries, cents, vec_col, (query_id, "query_id"), "qv", n_probe
+    )
     scored = (
         qb.join(cb, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -270,4 +277,49 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    kmeans_iters: int = 2,
+) -> DataFrame:
+    """Embedding near-duplicate pairs over the FULL corpus via cluster
+    scoping (the SemDeDup shape): a k-means coarse quantizer assigns every
+    vector to its ``n_probe`` nearest lists, candidate pairs are vectors
+    sharing a list, and candidates re-score exactly — emitted pairs all
+    truly clear ``threshold`` (precision 1 by construction); recall is set
+    by how often a near-dup pair co-occurs in a probed list (>1 probe
+    catches pairs straddling a cluster boundary).
+
+    Scale shape: compares ~ sum over lists of per-list co-residents, never
+    corpus² — the all-pairs ``embedding_near_dup`` is the bounded-slice
+    demo; THIS is the 10^9-vector path. The pair-dedup distinct keys on
+    (id, id, cos) scalars, so no vector payload rides the exchange (same
+    discipline as ``lsh_topk``)."""
+    cents = kmeans_centroids(corpus, corpus_id, vec_col, n_lists, kmeans_iters)
+    assigned = _nearest_lists(
+        _spread(corpus), cents, vec_col, (corpus_id, "id"), "v", n_probe
+    )
+    a = assigned.select(
+        "list_id", F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "list_id", F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
     )

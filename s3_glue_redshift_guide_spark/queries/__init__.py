@@ -57,7 +57,7 @@ _PRIORITY = [
     "llm_lang_id", "llm_quality_filter", "llm_stratified_sample",
     # similarity search (exact + LSH + IVF share the embeddings frame)
     "llm_topk_similarity", "llm_lsh_topk", "llm_ivf_topk",
-    "llm_embedding_near_dup",
+    "llm_embedding_near_dup", "llm_semantic_dedup",
     # multimodal + training-pipeline ops
     "llm_multimodal_features", "llm_sequence_packing", "llm_pii_scrub",
     "llm_mixture_weights", "llm_doc_sample_per_source", "llm_embed_centroids",
@@ -78,7 +78,7 @@ _PRIORITY = [
     "ev_stream_interval_join", "ev_stream_stateful_sessions",
     # -- regression guard: highest-value round-1 passes, never re-run ------
     "q1_pricing_summary", "q5_regional_revenue", "q3_shipping_priority",
-    "join_range_events", "join_asof_events",
+    "join_range_events",
 ]
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
 _ordered.update({n: q for n, q in REGISTRY.items() if n not in _ordered})

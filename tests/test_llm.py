@@ -232,3 +232,32 @@ def test_text_stats_arrow_equals_expression_path(spark):
     assert arrow.exceptAll(expr).count() == 0
     assert expr.exceptAll(arrow).count() == 0
     assert arrow.count() == d.count()
+
+
+def test_semantic_dedup_precision_one_and_high_recall(spark):
+    """Cluster-scoped embedding dedup: every emitted pair must truly clear
+    the threshold (precision 1 — exact re-scoring), and probing 3 lists
+    recovers nearly all exact pairs (0.97 at smoke, 1.0 at the gate SF)."""
+    from s3_glue_redshift_guide_spark.functions.vectors import cosine
+    from s3_glue_redshift_guide_spark.llm.similarity import semantic_dedup_pairs
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    found = semantic_dedup_pairs(e, threshold=0.4, n_lists=8, n_probe=3)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = (
+        F.broadcast(a).crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cs"))
+        .filter(F.col("cs") >= 0.4)
+        .select("id_a", "id_b")
+    )
+    n_exact = exact.count()
+    n_found = found.count()
+    n_hits = found.select("id_a", "id_b").join(
+        exact, ["id_a", "id_b"], "left_semi"
+    ).count()
+    assert n_exact > 0
+    assert n_hits == n_found  # precision 1: no emitted pair below threshold
+    assert n_hits >= 0.9 * n_exact

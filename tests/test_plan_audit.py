@@ -61,6 +61,9 @@ def test_flags_mid_pipeline_global_sort(spark):
 #                                   LSH/IVF operator plans themselves are
 #                                   bucket joins, asserted payload-clean in
 #                                   test_plans.py
+#   llm_semantic_dedup            — same: the exact-pair count in the facts
+#                                   harness is a deliberate brute force the
+#                                   operator itself avoids
 ALLOWED_HIGH = {
     "join_theta",
     "join_cross",
@@ -68,6 +71,7 @@ ALLOWED_HIGH = {
     "llm_embedding_near_dup",
     "llm_lsh_topk",
     "llm_ivf_topk",
+    "llm_semantic_dedup",
 }
 
 
