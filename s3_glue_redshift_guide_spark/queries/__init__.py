@@ -21,6 +21,7 @@ _MODULES = [
     "llm_suite",
     "udf_suite",
     "sql_suite",
+    "maintenance_suite",
     "sink_suite",
     "source_suite",
     "stream_suite",
@@ -76,9 +77,10 @@ _PRIORITY = [
     "src_orc_roundtrip", "src_text_source", "sink_compaction_facts",
     # real streaming runs (availableNow -> memory sink) for T5/T7/T10
     "ev_stream_interval_join", "ev_stream_stateful_sessions",
+    # maintenance meta-operators as facts queries (X10/X11)
+    "rollup_incremental_facts", "plan_audit_facts",
     # -- regression guard: highest-value round-1 passes, never re-run ------
-    "q1_pricing_summary", "q5_regional_revenue", "q3_shipping_priority",
-    "join_range_events",
+    "q1_pricing_summary", "q5_regional_revenue",
 ]
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
 _ordered.update({n: q for n, q in REGISTRY.items() if n not in _ordered})

@@ -1,0 +1,117 @@
+"""Driver-checkable evidence for the maintenance meta-operators:
+incremental rollup (X10) and the mechanized plan audit (X11).
+
+Both are stateful/meta operations the plain "one query, one SQL oracle"
+shape doesn't fit directly, so each is wrapped as a facts query: the
+operator runs for real inside the callable, and the returned rows are
+facts an independent oracle CAN state — the rollup's incremental result
+must equal a direct aggregation of the same data (the defining property of
+mergeable partial states), and the audit must classify four canonical plan
+shapes exactly as documented.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.rollup import IncrementalRollup
+from ..plans.audit import audit_plan
+from .registry import query
+
+
+@query(
+    "rollup_incremental_facts",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def rollup_incremental_facts(spark, sf_dir):
+    """Incremental rollup maintenance (X10): orders arrives as THREE
+    deltas (disjoint key ranges), each folded into the stored partial
+    states with one O(delta) update; the final read must equal a direct
+    one-shot aggregation of the whole table — the defining property of
+    mergeable monoid states. Money sums run in DECIMAL inside the rollup
+    (partials merge exactly, so three-delta fold == one-shot == the
+    oracle's decimal sum, bit-for-bit after the cast to DOUBLE)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_d"),
+        "o_totalprice",
+    )
+    roll = IncrementalRollup(
+        spark,
+        os.path.join(tempfile.mkdtemp(prefix="spark_rollup_"), "state"),
+        group_cols=["o_orderstatus"],
+        measures={"price_d": ("sum", "count"), "o_totalprice": ("min", "max")},
+    )
+    hi = o.agg(F.max("o_orderkey")).collect()[0][0]  # one scalar
+    cuts = (hi // 3, 2 * hi // 3)
+    roll.update(o.filter(F.col("o_orderkey") <= cuts[0]))
+    roll.update(
+        o.filter(
+            (F.col("o_orderkey") > cuts[0]) & (F.col("o_orderkey") <= cuts[1])
+        )
+    )
+    roll.update(o.filter(F.col("o_orderkey") > cuts[1]))
+    return roll.read().select(
+        "o_orderstatus",
+        F.col("count__price_d").alias("n_orders"),
+        F.col("sum__price_d").cast("double").alias("total"),
+        F.col("min__o_totalprice").alias("lo"),
+        F.col("max__o_totalprice").alias("hi"),
+    )
+
+
+@query(
+    "plan_audit_facts",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('cartesian_theta', 'cartesian'),
+      ('clean_aggregate', 'none'),
+      ('row_python_udf', 'python-row-udf'),
+      ('scalar_attach', 'scalar-broadcast')
+    ) t(case_name, top_code)
+    """,
+)
+def plan_audit_facts(spark, sf_dir):
+    """Mechanized plan scale audit (X11) as a classification oracle: four
+    canonical plan shapes — a genuine theta-join cartesian (high), a
+    row-Python UDF (medium), a 1-row scalar-attach nested loop (downgraded
+    to info by the logical maxRows proof), and a clean partial-aggregated
+    group-by (no warnings) — must each report exactly the documented
+    top-severity code. This is the audit auditing itself."""
+    from pyspark.sql.types import StringType
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+
+    shout = F.udf(lambda s: (s or "").upper(), StringType())
+    cases = {
+        "cartesian_theta": nation.join(
+            region, nation["n_nationkey"] > region["r_regionkey"]
+        ),
+        "row_python_udf": nation.select(shout("n_name").alias("up")),
+        "scalar_attach": orders.crossJoin(
+            orders.agg(F.count(F.lit(1)).alias("n"))
+        ),
+        "clean_aggregate": orders.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    }
+    rank = {"high": 0, "medium": 1, "info": 2}
+    rows = []
+    for name, df in cases.items():
+        ws = sorted(audit_plan(df), key=lambda w: rank[w.severity])
+        rows.append((name, ws[0].code if ws else "none"))
+    return spark.createDataFrame(rows, "case_name string, top_code string")
