@@ -417,6 +417,48 @@ def llm_lsh_topk(spark, sf_dir):
     )
 
 
+@query(
+    "llm_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(log10(f.c / tot.n)), 4) AS mean_log10_prob
+    FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def llm_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram language-model score per document (L4): the KenLM-ish
+    quality proxy — mean log10 probability of the document's tokens under
+    the corpus's own unigram distribution. Low scores = rare-token-heavy
+    documents (boilerplate/garbage candidates).
+
+    Scale shape is TF-IDF's: token explode -> frequency aggregate ->
+    shuffle join back on token (NO broadcast hint — the vocabulary has
+    billions of rows at corpus scale; whether it broadcasts is a size
+    statistics decision), corpus total attached as a 1-row scalar
+    crossJoin. Mean rounds to 4 decimals so partial-avg summation order
+    can't leak last-ulp noise across engines."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tok.join(freq, "tok")
+        .crossJoin(tot)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.avg(F.log10(F.col("c") / F.col("n"))), 4
+            ).alias("mean_log10_prob"),
+        )
+    )
+
+
 # --------------------------------------------------------------------- L4 --
 @query(
     "llm_text_stats",

@@ -330,3 +330,54 @@ def sink_compaction_facts(spark, sf_dir):
         facts.crossJoin(files_in.select(F.col("n").alias("files_in")))
         .select("n_rows", "key_sum", "files_in", "files_out")
     )
+
+
+# ---------------------------------------------------------------- S12 ----
+@query(
+    "src_json_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def src_json_roundtrip(spark, sf_dir):
+    """JSON-lines source via the crawl path (S12): an orders slice written
+    as JSON lines, re-crawled with sampled schema inference (long/double/
+    string recovered from the text encoding) and read back through the
+    registered view."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 2000
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    base = _tmp("json_rt")
+    o.coalesce(1).write.mode("overwrite").json(base)
+    name = f"src_q_json_{uuid.uuid4().hex[:8]}"
+    crawl(spark, name, base, fmt="json")
+    return spark.table(name).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------- S16 ----
+@query(
+    "src_xml_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def src_xml_roundtrip(spark, sf_dir):
+    """XML source (S16, Spark 4 native): region written as XML rows,
+    re-crawled (`crawl(fmt='xml')`, rowTag inference) and read back —
+    integer keys survive the text hop (inferred long, cast to the
+    canonical int)."""
+    r = load_table(spark, sf_dir, "region")
+    base = _tmp("xml_rt")
+    (
+        r.coalesce(1)
+        .write.format("xml")
+        .option("rowTag", "row")
+        .mode("overwrite")
+        .save(base)
+    )
+    name = f"src_q_xml_{uuid.uuid4().hex[:8]}"
+    crawl(spark, name, base, fmt="xml")
+    return spark.table(name).select(
+        F.col("r_regionkey").cast("int").alias("r_regionkey"), "r_name"
+    )
