@@ -381,3 +381,46 @@ def src_xml_roundtrip(spark, sf_dir):
     return spark.table(name).select(
         F.col("r_regionkey").cast("int").alias("r_regionkey"), "r_name"
     )
+
+
+# ------------------------------------------------- partition pruning ----
+@query(
+    "src_partition_pruning",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           1 AS partitions_read
+    FROM orders WHERE o_orderkey < 4000 AND o_orderpriority = '1-URGENT'
+    """,
+)
+def src_partition_pruning(spark, sf_dir):
+    """Partition pruning as a RUNTIME fact (not just a plan assertion): a
+    key-bounded orders slice written Hive-partitioned by priority, then
+    read back with an equality filter on the partition column. The files
+    actually touched (``input_file_name`` per row) must all come from ONE
+    partition directory — directory-level pruning is what turns a 100 TB
+    scan into a single-partition read when the filter is declarative."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    base = _tmp("prune")
+    (
+        o.select("o_orderkey", "o_orderpriority")
+        .repartition("o_orderpriority")
+        .write.partitionBy("o_orderpriority")
+        .mode("overwrite")
+        .parquet(base)
+    )
+    back = (
+        spark.read.parquet(base)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            F.regexp_extract(
+                F.input_file_name(), r"o_orderpriority=([^/]+)", 1
+            ).alias("part_dir"),
+        )
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.countDistinct("part_dir").cast("int").alias("partitions_read"),
+    )

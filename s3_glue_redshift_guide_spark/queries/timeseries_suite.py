@@ -331,3 +331,35 @@ def ts_rolling_1h(spark, sf_dir):
         ),
         F.count(F.lit(1)).over(w).alias("n_1h"),
     )
+
+
+@query(
+    "ts_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def ts_event_transitions(spark, sf_dir):
+    """Per-user event transition counts (round 3): the Markov-chain /
+    next-event-prediction aggregate — for each consecutive event pair in a
+    user's timeline (total order: ts, then event_id), count (from, to)
+    type transitions corpus-wide. One window pass per user partition plus
+    one hash aggregate over at most |types|² groups; the raw events only
+    shuffle once, on user_id."""
+    e = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
