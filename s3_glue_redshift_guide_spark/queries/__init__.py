@@ -79,8 +79,10 @@ _PRIORITY = [
     "ev_stream_interval_join", "ev_stream_stateful_sessions",
     # maintenance meta-operators as facts queries (X10/X11)
     "rollup_incremental_facts", "plan_audit_facts",
-    # -- regression guard: highest-value round-1 passes, never re-run ------
-    "q1_pricing_summary", "q5_regional_revenue",
+    # the reference's flagship trigger->crawler->job->load chain e2e
+    "etl_workflow_e2e",
+    # -- regression guard: highest-value round-1 pass, never re-run --------
+    "q1_pricing_summary",
 ]
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
 _ordered.update({n: q for n, q in REGISTRY.items() if n not in _ordered})

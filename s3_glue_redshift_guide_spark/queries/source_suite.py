@@ -424,3 +424,83 @@ def src_partition_pruning(spark, sf_dir):
         F.sum("o_orderkey").cast("long").alias("key_sum"),
         F.countDistinct("part_dir").cast("int").alias("partitions_read"),
     )
+
+
+# ------------------------------------- reference flagship workflow ----
+@query(
+    "etl_workflow_e2e",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS balance_tier
+    FROM customer
+    """,
+)
+def etl_workflow_e2e(spark, sf_dir):
+    """The reference's FLAGSHIP path (trigger -> crawler -> job -> load,
+    README workflow) end to end, inside one driver query: customer arrives
+    as three CSV upload waves (Hive-partitioned by wave); each poll fires
+    the workflow exactly once — re-crawl, bookmark-incremental job with a
+    change-schema transform (typed cast + derived tier), staged-parquet
+    COPY into the DuckDB warehouse stand-in. The warehouse contents must
+    equal a direct transform of the source table: every file loaded
+    exactly once, no wave skipped, types survive the CSV hop.
+
+    The warehouse read-back crosses the driver (customer is
+    dimension-scale at gate SF); the LOAD path itself ships staged parquet
+    files, never driver rows."""
+    import duckdb
+
+    from pyspark.sql import types as T
+
+    from ..orchestration import FileTriggeredWorkflow
+    from ..sinks.warehouse_copy import DuckDBWarehouse, StagedCopyWriter
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    base = _tmp("wf_e2e")
+    inbox = os.path.join(base, "uploads")
+    con = duckdb.connect()
+    writer = StagedCopyWriter(os.path.join(base, "staging"), DuckDBWarehouse(con))
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    tier = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("balance_tier")
+    )
+    wf = FileTriggeredWorkflow(
+        spark,
+        name=f"src_q_wf_{uuid.uuid4().hex[:8]}",
+        source_path=inbox,
+        schema=schema,
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        transform=lambda df: df.select("*", tier),
+        loader=writer.foreach_batch("wh_customer"),
+    )
+    for wave in range(3):
+        (
+            c.filter(F.col("c_custkey") % 3 == wave)
+            .coalesce(1)
+            .write.options(**OPENCSV_DIALECT)
+            .option("header", "true")
+            .mode("overwrite")
+            .csv(os.path.join(inbox, f"wave={wave}"))
+        )
+        run = wf.poll_once()
+        assert run is not None and run.batches >= 1
+    assert wf.poll_once() is None  # quiesced: no new files, no fire
+    pdf = con.sql(
+        "SELECT c_custkey, c_name, c_acctbal, c_mktsegment, balance_tier "
+        "FROM wh_customer"
+    ).df()
+    return spark.createDataFrame(pdf)
