@@ -302,3 +302,34 @@ def sql_recursive_cte(spark, sf_dir):
         GROUP BY month_start
         """
     )
+
+
+_SQL_Q21 = """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """
+
+
+@query("sql_q21_waiting_suppliers", oracle=_SQL_Q21)
+def sql_q21_waiting_suppliers(spark, sf_dir):
+    """Suppliers who alone held up multi-supplier orders (TPC-H-Q21 shape,
+    lateness adapted to this schema's l_shipdate — the generator carries no
+    receipt/commit dates): an EXISTS plus a doubly-correlated NOT EXISTS
+    over the same fact table. Catalyst decorrelates both into semi/anti
+    joins on l_orderkey — the plan is three joins over one lineitem scan
+    family, never a per-row subquery loop; the hardest decorrelation case
+    in the classic suite."""
+    register_views(spark, sf_dir, ["supplier", "lineitem", "orders"])
+    return spark.sql(_SQL_Q21)
