@@ -460,3 +460,56 @@ def simhash_near_dup_pairs(
     return pairs.select(
         "doc_a", "doc_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def fuzzy_pairs_dist1(
+    df: DataFrame, id_col: str, str_col: str
+) -> DataFrame:
+    """All id pairs whose strings are within edit distance 1 (SymSpell
+    deletion-neighborhood join) — entity-resolution dedup for names, URLs,
+    near-identical titles.
+
+    Candidate generation is EXACT for distance <= 1: two strings within one
+    substitution/insertion/deletion always share a member of each other's
+    deletion neighborhood (the string itself plus every single-character
+    deletion), so bucketing on the L+1 variants per string has full recall
+    by construction — no all-pairs compare, and bucket fan-out is bounded
+    by true near-match group sizes, not corpus size. Candidates verify with
+    one ``levenshtein`` call scored inside the join projection; the dedup
+    distinct keys on (id, id, dist) scalars only.
+    """
+    variants = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(str_col).alias("__s"),
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col(str_col)),
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(str_col)),
+                        lambda i: F.concat(
+                            F.col(str_col).substr(F.lit(1), i - 1),
+                            F.col(str_col).substr(
+                                i + 1, F.length(str_col)
+                            ),
+                        ),
+                    ),
+                )
+            )
+        ).alias("__v"),
+    )
+    a = variants.select(
+        F.col("__v"), F.col("__id").alias("id_a"), F.col("__s").alias("sa")
+    )
+    b = variants.select(
+        F.col("__v"), F.col("__id").alias("id_b"), F.col("__s").alias("sb")
+    )
+    return (
+        a.join(b, "__v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.levenshtein("sa", "sb").alias("dist")
+        )
+        .distinct()
+        .filter(F.col("dist") <= 1)
+    )

@@ -1050,3 +1050,26 @@ def llm_global_shuffle(spark, sf_dir):
     return head.select(
         F.row_number().over(w).cast("bigint").alias("shuffle_pos"), "doc_id"
     )
+
+
+@query(
+    "llm_fuzzy_name_pairs",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def llm_fuzzy_name_pairs(spark, sf_dir):
+    """Edit-distance-1 entity dedup over customer names via the SymSpell
+    deletion-neighborhood join (exact recall for dist <= 1 by the
+    pigeonhole argument — see ``llm/dedup.py::fuzzy_pairs_dist1``). The
+    oracle brute-forces levenshtein over all pairs — the O(n²) the
+    operator exists to avoid."""
+    from ..llm.dedup import fuzzy_pairs_dist1
+
+    c = load_table(spark, sf_dir, "customer")
+    return fuzzy_pairs_dist1(c, "c_custkey", "c_name").select(
+        "id_a", "id_b", F.col("dist").cast("int").alias("dist")
+    )
