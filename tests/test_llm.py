@@ -261,3 +261,47 @@ def test_semantic_dedup_precision_one_and_high_recall(spark):
     assert n_exact > 0
     assert n_hits == n_found  # precision 1: no emitted pair below threshold
     assert n_hits >= 0.9 * n_exact
+
+
+def test_fuzzy_pairs_dist1_matches_bruteforce_on_random_strings(spark):
+    """Exact-recall claim hardened beyond the name-shaped gate data: on a
+    seeded random corpus (short strings over a 3-letter alphabet, empty
+    strings included, heavy collision structure) the deletion-neighborhood
+    join must return EXACTLY the brute-force levenshtein<=1 pair set."""
+    import random
+
+    from s3_glue_redshift_guide_spark.llm.dedup import fuzzy_pairs_dist1
+
+    rng = random.Random(11)
+    strings = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(0, 5)))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "id bigint, s string"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_pairs_dist1(df, "id", "s").collect()
+    )
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = sorted(
+        (i, j, lev(strings[i], strings[j]))
+        for i in range(len(strings))
+        for j in range(i + 1, len(strings))
+        if lev(strings[i], strings[j]) <= 1
+    )
+    assert want  # the corpus genuinely contains near-pairs
+    assert got == want
