@@ -45,6 +45,14 @@ _MERGEABLE = {
         lambda c: F.max(c),
         lambda c: F.max(c),
     ),
+    # approximate distinct as a mergeable state: the Datasketches HLL
+    # binary survives parquet round-trips and unions losslessly, so
+    # "distinct users per key, maintained incrementally" costs O(delta)
+    # per run like every other measure; ``read()`` derives the estimate.
+    "hll": (
+        lambda c: F.hll_sketch_agg(c),
+        lambda c: F.hll_union_agg(c),
+    ),
 }
 
 
@@ -113,8 +121,10 @@ class IncrementalRollup:
         merged.write.mode("overwrite").parquet(self.state_path)
 
     def read(self) -> DataFrame:
-        """The rollup with derived ratio measures (avg = sum/count) for
-        every column that stored both."""
+        """The rollup with derived measures: avg = sum/count for every
+        column that stored both, and the HLL cardinality estimate for
+        every ``hll`` state (the sketch itself stays in the stored state,
+        mergeable forever; the estimate is read-time-only)."""
         df = self.spark.read.parquet(self.state_path)
         for col, ops in self.measures.items():
             if "sum" in ops and "count" in ops:
@@ -126,5 +136,10 @@ class IncrementalRollup:
                     # stable however many merge rounds produced it
                     F.col(self._state_col("sum", col)).cast("double")
                     / F.col(self._state_col("count", col)).cast("double"),
+                )
+            if "hll" in ops:
+                df = df.withColumn(
+                    f"approx_distinct__{col}",
+                    F.hll_sketch_estimate(F.col(self._state_col("hll", col))),
                 )
         return df

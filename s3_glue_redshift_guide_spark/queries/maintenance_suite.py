@@ -115,3 +115,48 @@ def plan_audit_facts(spark, sf_dir):
         ws = sorted(audit_plan(df), key=lambda w: rank[w.severity])
         rows.append((name, ws[0].code if ws else "none"))
     return spark.createDataFrame(rows, "case_name string, top_code string")
+
+
+@query(
+    "rollup_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           1 AS estimate_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def rollup_distinct_users(spark, sf_dir):
+    """Incrementally-maintained approximate distinct (X10 + sketch family):
+    distinct users per event type kept as a mergeable HLL state, folded
+    over three event deltas — the nightly "unique users" rollup at O(delta)
+    per run. Facts: the exact distinct count (oracle-reproducible) and a
+    5%-tolerance boolean on the sketch's estimate (exact at gate
+    cardinalities — HLL is sparse-mode there)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    roll = IncrementalRollup(
+        spark,
+        os.path.join(tempfile.mkdtemp(prefix="spark_rollup_hll_"), "state"),
+        group_cols=["event_type"],
+        measures={"user_id": ("hll",)},
+    )
+    for third in range(3):
+        roll.update(e.filter(F.col("event_id") % 3 == third))
+    est = roll.read().select(
+        "event_type", F.col("approx_distinct__user_id").alias("__est")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("__est") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        )
+        .cast("int")
+        .alias("estimate_ok"),
+    )

@@ -60,3 +60,27 @@ def test_non_mergeable_measure_rejected(spark, tmp_path):
         IncrementalRollup(
             spark, str(tmp_path / "r3"), ["event_type"], {"value": ("avg",)}
         )
+
+
+def test_hll_state_merges_across_deltas(spark, tmp_path):
+    """The HLL measure: distinct users per event type maintained as a
+    mergeable sketch across three deltas must estimate the same cardinality
+    as a one-shot sketch over everything — and at smoke cardinalities the
+    estimate equals the exact distinct count."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    ru = IncrementalRollup(
+        spark,
+        str(tmp_path / "rollup_hll"),
+        ["event_type"],
+        {"user_id": ("hll",)},
+    )
+    for third in range(3):
+        ru.update(ev.filter(F.col("event_id") % 3 == third))
+    got = _rows(ru.read(), ["event_type", "approx_distinct__user_id"])
+    want = _rows(
+        ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("approx_distinct__user_id")
+        ),
+        ["event_type", "approx_distinct__user_id"],
+    )
+    assert got == want
