@@ -1073,3 +1073,83 @@ def llm_fuzzy_name_pairs(spark, sf_dir):
     return fuzzy_pairs_dist1(c, "c_custkey", "c_name").select(
         "id_a", "id_b", F.col("dist").cast("int").alias("dist")
     )
+
+
+@query(
+    "llm_corpus_clean_pipeline",
+    oracle=f"""
+    WITH RECURSIVE meta AS (
+      SELECT doc_id, text FROM documents
+      WHERE lang IN ('en', 'es') AND n_chars BETWEEN 200 AND 2000
+        AND source NOT IN ('src0', 'src13')),
+    ex_keep AS (
+      SELECT min(doc_id) AS doc_id FROM meta GROUP BY sha256(text)),
+    surv AS (SELECT m.doc_id, m.text FROM meta m
+             JOIN ex_keep k ON m.doc_id = k.doc_id),
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM surv),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks),
+    ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+    {_SQL_CAPPED_PAIRS},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(a, b) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS v, min(b) AS c FROM reach GROUP BY a)
+    SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_raw,
+           CAST((SELECT count(*) FROM meta) AS BIGINT)      AS n_after_meta,
+           CAST((SELECT count(*) FROM surv) AS BIGINT)      AS n_after_exact,
+           CAST((SELECT count(*) FROM surv)
+                - (SELECT count(*) FROM comp WHERE v <> c)
+                AS BIGINT)                                  AS n_final
+    """,
+)
+def llm_corpus_clean_pipeline(spark, sf_dir):
+    """The corpus-cleaning pipeline END TO END (L1+L2+L6 composed, the
+    pass a training-data team runs nightly): metadata quality filter ->
+    exact dedup (keep min id per content hash) -> near-dup removal (exact
+    Jaccard pairs over the survivors, connected components, keep each
+    cluster's min id). Returns the funnel counts; the oracle re-derives
+    every stage in SQL including the recursive-CTE closure.
+
+    Composition is where the featurize-once discipline pays: the survivors'
+    shingle sets are the CACHED corpus featurization semi-join-filtered by
+    the surviving ids — no re-tokenization, and the near-dup stage still
+    uses the capped inverted-index join."""
+    d = _docs(spark, sf_dir)
+    meta = d.filter(
+        F.col("lang").isin("en", "es")
+        & F.col("n_chars").between(200, 2000)
+        & ~F.col("source").isin("src0", "src13")
+    ).select("doc_id", "text")
+    groups = exact_dedup_groups(meta, "text", "doc_id")
+    surv = meta.join(
+        groups.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    sh = _shingle_sets(spark, sf_dir).join(
+        surv.select(F.col("doc_id").alias("doc")), "doc", "left_semi"
+    )
+    pairs = jaccard_pairs(
+        surv, "doc_id", "text", n=3, threshold=0.2,
+        max_shingle_freq=JACCARD_MAX_SHINGLE_FREQ, shingle_sets=sh,
+    )
+    comp = connected_components(pairs)
+    n_raw = d.agg(F.count(F.lit(1)).alias("n_raw"))
+    n_meta = meta.agg(F.count(F.lit(1)).alias("n_after_meta"))
+    n_exact = surv.agg(F.count(F.lit(1)).alias("n_after_exact"))
+    n_drop = comp.filter(F.col("vertex") != F.col("component")).agg(
+        F.count(F.lit(1)).alias("__n_drop")
+    )
+    return (
+        n_raw.crossJoin(n_meta)
+        .crossJoin(n_exact)
+        .crossJoin(n_drop)
+        .select(
+            "n_raw",
+            "n_after_meta",
+            "n_after_exact",
+            (F.col("n_after_exact") - F.col("__n_drop")).alias("n_final"),
+        )
+    )
