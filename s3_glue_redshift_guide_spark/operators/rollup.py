@@ -27,6 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 #: measure -> (delta aggregator, state merger). State columns are named
+#: HLL sketch precision: 2^12 registers, relative standard error
+#: 1.039/sqrt(2^12) ~ 1.62%. Pinned here (rather than relying on the
+#: engine default) so error tolerances derived elsewhere cannot drift if
+#: a future Spark changes the default.
+HLL_LGK = 12
+HLL_RSE = 1.039 / (2 ** HLL_LGK) ** 0.5
+
 #: ``<measure>__<col>``; avg intentionally absent (derive at read time).
 _MERGEABLE = {
     "count": (
@@ -50,7 +57,9 @@ _MERGEABLE = {
     # "distinct users per key, maintained incrementally" costs O(delta)
     # per run like every other measure; ``read()`` derives the estimate.
     "hll": (
-        lambda c: F.hll_sketch_agg(c),
+        # lgConfigK pinned (= the Datasketches default) so downstream error
+        # tolerances can be derived from a known RSE: 1.039/sqrt(2^12) ~ 1.62%
+        lambda c: F.hll_sketch_agg(c, HLL_LGK),
         lambda c: F.hll_union_agg(c),
     ),
 }

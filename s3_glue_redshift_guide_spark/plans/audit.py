@@ -69,15 +69,57 @@ def plan_string(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _has_equi_key(join_node) -> bool:
+    """True when the logical Join carries a top-level-conjunct equality
+    between attributes of BOTH sides — i.e. ``ExtractEquiJoinKeys`` will
+    match and the join compiles to a hash/sort-merge/broadcast-hash join,
+    never a nested loop. Equalities buried under OR (``a.x = b.x OR a.y >
+    b.y``) do NOT count: Catalyst only extracts conjunctive keys, so such
+    a join still plans as BNLJ/Cartesian."""
+    cond = join_node.condition()
+    if not cond.isDefined():
+        return False
+    left_out = join_node.left().outputSet()
+    right_out = join_node.right().outputSet()
+    # split the condition on And only (conjuncts), then test each conjunct
+    walk = [cond.get()]
+    while walk:
+        e = walk.pop()
+        name = e.getClass().getSimpleName()
+        if name == "And":
+            kids = e.children()
+            for i in range(kids.length()):
+                walk.append(kids.apply(i))
+            continue
+        if name in ("EqualTo", "EqualNullSafe"):
+            lrefs, rrefs = e.left().references(), e.right().references()
+            straight = (
+                left_out.intersect(lrefs).nonEmpty()
+                and right_out.intersect(rrefs).nonEmpty()
+            )
+            flipped = (
+                left_out.intersect(rrefs).nonEmpty()
+                and right_out.intersect(lrefs).nonEmpty()
+            )
+            if straight or flipped:
+                return True
+    return False
+
+
 def _bounded_side_join_count(df: DataFrame, bound: int = 100) -> int:
-    """Number of logical Join nodes where one input provably produces at
-    most ``bound`` rows (logical ``maxRows`` — defined for global
-    aggregates, limits, one-row relations).
+    """Number of logical Join nodes that (a) could only plan as a nested
+    loop — no conjunct-level left<->right equality predicate, see
+    ``_has_equi_key`` — and (b) have one input provably producing at most
+    ``bound`` rows (logical ``maxRows`` — defined for global aggregates,
+    limits, one-row relations).
 
     A nested-loop join against such a side is a SCALAR BROADCAST — the
     idiom for attaching a corpus count / grand total / threshold to every
     row — and costs O(|big side|), not O(|L|x|R|). The audit uses this to
-    separate those from genuine cartesians."""
+    separate those from genuine cartesians. Equi-joins are EXCLUDED even
+    when a side is bounded: they compile to hash joins and never appear as
+    CartesianProduct/BNLJ in the physical plan, so counting them would let
+    a real cartesian hide behind a harmless bounded-side equi-join."""
     walk = [df._jdf.queryExecution().optimizedPlan()]
     n = 0
     while walk:
@@ -85,7 +127,7 @@ def _bounded_side_join_count(df: DataFrame, bound: int = 100) -> int:
         kids = node.children()
         for i in range(kids.length()):
             walk.append(kids.apply(i))
-        if node.nodeName() != "Join":
+        if node.nodeName() != "Join" or _has_equi_key(node):
             continue
         for i in range(2):
             mr = node.children().apply(i).maxRows()

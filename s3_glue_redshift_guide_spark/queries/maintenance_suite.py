@@ -18,7 +18,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.rollup import IncrementalRollup
+from ..operators.rollup import HLL_RSE, IncrementalRollup
 from ..plans.audit import audit_plan
 from .registry import query
 
@@ -130,8 +130,11 @@ def rollup_distinct_users(spark, sf_dir):
     """Incrementally-maintained approximate distinct (X10 + sketch family):
     distinct users per event type kept as a mergeable HLL state, folded
     over three event deltas — the nightly "unique users" rollup at O(delta)
-    per run. Facts: the exact distinct count (oracle-reproducible) and a
-    5%-tolerance boolean on the sketch's estimate (exact at gate
+    per run. Facts: the exact distinct count (oracle-reproducible) and an
+    in-tolerance boolean on the sketch's estimate. The tolerance is derived
+    from the PINNED sketch precision (4x the lgK=12 relative standard
+    error, ~6.5%) rather than hardcoded, so it holds at any scale factor
+    and cannot silently diverge from the sketch config (exact at gate
     cardinalities — HLL is sparse-mode there)."""
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id"
@@ -155,7 +158,7 @@ def rollup_distinct_users(spark, sf_dir):
         "n_exact",
         (
             F.abs(F.col("__est") - F.col("n_exact"))
-            <= 0.05 * F.col("n_exact")
+            <= (4 * HLL_RSE) * F.col("n_exact")
         )
         .cast("int")
         .alias("estimate_ok"),

@@ -10,6 +10,7 @@ DataFrame logic, so they register here with a plain SQL oracle.
 from __future__ import annotations
 
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -78,7 +79,12 @@ def sink_bucketed_readback(spark, sf_dir):
     a per-file sortedness flag (``sortBy`` held on disk) and the number of
     keys spanning >1 bucket (bucketing is disjoint — the precondition for
     shuffle-free co-located joins, asserted separately in
-    ``tests/test_bucketing.py``).
+    ``tests/test_bucketing.py``). Sortedness is judged on the parquet
+    ``_metadata.row_index`` hidden column — the row's position WITHIN its
+    file — which is stable however FileSourceScan bin-packs or splits the
+    files into read partitions (``monotonically_increasing_id`` is not:
+    a file bigger than ``maxPartitionBytes`` splits into several read
+    partitions whose ordering follows bin-packing, not file offset).
 
     Scale note: the frame is repartitioned on the bucket column before the
     write — Spark's ``repartition(n, col)`` and its native bucketing use the
@@ -88,8 +94,7 @@ def sink_bucketed_readback(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    tbl = "sink_bucket_rt"
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    tbl = f"sink_bucket_rt_{uuid.uuid4().hex[:8]}"
     path = tempfile.mkdtemp(prefix="spark_bucket_rt_")
     (
         o.repartition(8, "o_orderkey")
@@ -104,12 +109,12 @@ def sink_bucketed_readback(spark, sf_dir):
         # bucket id is encoded in the file name: part-00000-<uuid>_00003.c000
         F.regexp_extract(F.input_file_name(), r"_(\d{5})\.c000", 1).alias("bucket"),
         F.input_file_name().alias("f"),
-        F.monotonically_increasing_id().alias("mid"),
+        F.col("_metadata.row_index").alias("ridx"),
     )
-    # one file per bucket (see repartition note) => file rows stay in one
-    # read partition in on-disk order, so lag() over mid detects any
-    # out-of-order neighbour within a file
-    w = Window.partitionBy("f").orderBy("mid")
+    # row_index is the row's offset within its parquet file — split-stable,
+    # so lag() over it detects any out-of-order neighbour within a file
+    # even when a file spans several read partitions
+    w = Window.partitionBy("f").orderBy("ridx")
     rows = t.withColumn("prev", F.lag("o_orderkey").over(w))
     facts = rows.agg(
         F.count(F.lit(1)).alias("n_rows"),
