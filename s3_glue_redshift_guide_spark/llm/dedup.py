@@ -462,40 +462,64 @@ def simhash_near_dup_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
-def fuzzy_pairs_dist1(
-    df: DataFrame, id_col: str, str_col: str
-) -> DataFrame:
-    """All id pairs whose strings are within edit distance 1 (SymSpell
-    deletion-neighborhood join) — entity-resolution dedup for names, URLs,
-    near-identical titles.
+def _delete_neighborhood(s, max_dist: int):
+    """Array column: ``s`` plus every string reachable by deleting up to
+    ``max_dist`` characters (SymSpell candidate keys). |neighborhood| is
+    1 + L + L(L-1)/2 at max_dist=2 — quadratic in STRING length, constant
+    in corpus size, the trade that keeps the join linear."""
+    L = F.length(s)
+    del1 = F.transform(
+        F.sequence(F.lit(1), L),
+        lambda i: F.concat(s.substr(F.lit(1), i - 1), s.substr(i + 1, L)),
+    )
+    arrs = [F.array(s), del1]
+    if max_dist >= 2:
+        # delete positions i < j of the ORIGINAL string; outer i stops at
+        # L-1 (guarded: sequence(1, 0) would run descending on L=1)
+        del2 = F.when(
+            L >= 2,
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), L - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, L),
+                        lambda j: F.concat(
+                            s.substr(F.lit(1), i - 1),
+                            s.substr(i + 1, j - i - 1),
+                            s.substr(j + 1, L),
+                        ),
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        arrs.append(del2)
+    return F.array_distinct(F.concat(*arrs))
 
-    Candidate generation is EXACT for distance <= 1: two strings within one
-    substitution/insertion/deletion always share a member of each other's
-    deletion neighborhood (the string itself plus every single-character
-    deletion), so bucketing on the L+1 variants per string has full recall
-    by construction — no all-pairs compare, and bucket fan-out is bounded
-    by true near-match group sizes, not corpus size. Candidates verify with
-    one ``levenshtein`` call scored inside the join projection; the dedup
-    distinct keys on (id, id, dist) scalars only.
+
+def fuzzy_pairs(
+    df: DataFrame, id_col: str, str_col: str, max_dist: int = 1
+) -> DataFrame:
+    """All id pairs whose strings are within edit distance ``max_dist``
+    (1 or 2; SymSpell deletion-neighborhood join) — entity-resolution
+    dedup for names, URLs, near-identical titles.
+
+    Candidate generation is EXACT for distance <= d: whenever
+    ``levenshtein(a, b) <= d``, deleting at most d characters from each
+    maps both onto a common string (delete the insert-side extras and the
+    substitute positions), so bucketing each string on its delete-<=d
+    neighborhood has full recall by construction — no all-pairs compare,
+    and bucket fan-out is bounded by true near-match group sizes, not
+    corpus size. Candidates verify with one ``levenshtein`` call scored
+    inside the join projection; the dedup distinct keys on (id, id, dist)
+    scalars only.
     """
+    if max_dist not in (1, 2):
+        raise ValueError("fuzzy_pairs supports max_dist 1 or 2")
     variants = df.select(
         F.col(id_col).alias("__id"),
         F.col(str_col).alias("__s"),
         F.explode(
-            F.array_distinct(
-                F.concat(
-                    F.array(F.col(str_col)),
-                    F.transform(
-                        F.sequence(F.lit(1), F.length(str_col)),
-                        lambda i: F.concat(
-                            F.col(str_col).substr(F.lit(1), i - 1),
-                            F.col(str_col).substr(
-                                i + 1, F.length(str_col)
-                            ),
-                        ),
-                    ),
-                )
-            )
+            _delete_neighborhood(F.col(str_col), max_dist)
         ).alias("__v"),
     )
     a = variants.select(
@@ -511,5 +535,12 @@ def fuzzy_pairs_dist1(
             "id_a", "id_b", F.levenshtein("sa", "sb").alias("dist")
         )
         .distinct()
-        .filter(F.col("dist") <= 1)
+        .filter(F.col("dist") <= max_dist)
     )
+
+
+def fuzzy_pairs_dist1(
+    df: DataFrame, id_col: str, str_col: str
+) -> DataFrame:
+    """Edit-distance-1 specialization of ``fuzzy_pairs``."""
+    return fuzzy_pairs(df, id_col, str_col, max_dist=1)

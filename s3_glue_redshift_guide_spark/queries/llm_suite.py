@@ -649,6 +649,82 @@ def llm_multimodal_features(spark, sf_dir):
 
 
 @query(
+    "llm_binaryfile_features",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, source,
+                      sha256(sha256(CAST(doc_id AS VARCHAR))) AS d
+               FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+           concat('doc_', CAST(doc_id AS VARCHAR), '.bin') AS file_name,
+           source,
+           CAST(64 AS BIGINT) AS byte_len,
+           d AS content_sha,
+           CAST(64 + {_sql_hex_byte(1)} % 192 AS INTEGER) AS width,
+           CAST(64 + {_sql_hex_byte(3)} % 192 AS INTEGER) AS height,
+           round({_sql_hex_byte(5)} / 255.0, 6) AS channel_mean
+    FROM h
+    """,
+)
+def llm_binaryfile_features(spark, sf_dir):
+    """Real media-file ingest (L5, the un-stubbed half of the plumbing):
+    deterministic per-document byte files land on disk, are scanned with
+    ``spark.read.format("binaryFile")`` (path/length/content — the actual
+    production entry point for image corpora on object storage; the scan
+    parallelizes per file), joined back to ``documents`` on the doc id
+    parsed from the file name, wrapped into the STRUCT media column, and
+    pushed through the SAME ``mapInPandas`` decode stage as
+    ``llm_multimodal_features``. Facts DuckDB reproduces: file name,
+    length, content sha, and the digest-derived stub features.
+
+    The fixture writer (driver loop over <=200 tiny files) is test
+    scaffolding, not the data path — at corpus scale the files already
+    exist on storage and only the binaryFile scan + decode run."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    media_dir = _tf.mkdtemp(prefix="spark_binfile_")
+    for (did,) in d.select("doc_id").collect():
+        content = _hl.sha256(str(did).encode()).hexdigest().encode()
+        with open(_os.path.join(media_dir, f"doc_{did}.bin"), "wb") as fh:
+            fh.write(content)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(media_dir)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file_name"),
+            F.col("content"),
+        )
+    )
+    enriched = files.join(d.select("doc_id", "source"), "doc_id").select(
+        "doc_id",
+        "file_name",
+        "source",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+        F.struct(
+            F.col("file_name").alias("uri"),
+            F.col("content").alias("bytes"),
+            F.lit("image/png").alias("mime"),
+        ).alias("media"),
+    )
+    feats = decode_image_features(enriched).select(
+        "doc_id", "byte_len", "width", "height", "channel_mean"
+    )
+    return enriched.select(
+        "doc_id", "file_name", "source", "content_sha"
+    ).join(feats, "doc_id").select(
+        "doc_id", "file_name", "source", "byte_len", "content_sha",
+        "width", "height", "channel_mean",
+    )
+
+
+@query(
     "llm_dedup_components",
     oracle=f"""
     WITH RECURSIVE {_SQL_SHINGLE_EX},
@@ -1071,6 +1147,31 @@ def llm_fuzzy_name_pairs(spark, sf_dir):
 
     c = load_table(spark, sf_dir, "customer")
     return fuzzy_pairs_dist1(c, "c_custkey", "c_name").select(
+        "id_a", "id_b", F.col("dist").cast("int").alias("dist")
+    )
+
+
+@query(
+    "llm_fuzzy_name_pairs_dist2",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def llm_fuzzy_name_pairs_dist2(spark, sf_dir):
+    """Edit-distance-2 entity dedup (the standard SymSpell generalization):
+    each name buckets on its delete-<=2 neighborhood — 1 + L + L(L-1)/2
+    keys, quadratic in STRING length, constant in corpus size — with full
+    recall by the deletion-cover argument (``llm/dedup.py::fuzzy_pairs``).
+    The brute-force levenshtein oracle compares ALL pairs, so a bit-exact
+    match proves recall == 1 AND precision == 1 at the gate scale, while
+    the operator itself never materializes the O(n²) compare."""
+    from ..llm.dedup import fuzzy_pairs
+
+    c = load_table(spark, sf_dir, "customer")
+    return fuzzy_pairs(c, "c_custkey", "c_name", max_dist=2).select(
         "id_a", "id_b", F.col("dist").cast("int").alias("dist")
     )
 

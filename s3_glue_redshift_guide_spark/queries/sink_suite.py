@@ -134,3 +134,114 @@ def sink_bucketed_readback(spark, sf_dir):
     return facts.crossJoin(split).select(
         "n_rows", "key_sum", "n_buckets", "all_sorted", "split_keys"
     )
+
+
+# ----------------------------------------------------------------- S8 ----
+@query(
+    "sink_jdbc_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def sink_jdbc_roundtrip(spark, sf_dir):
+    """JDBC sink with auto table creation (S8), driven end-to-end in-gate:
+    ``nation`` written through ``sinks/jdbc.py::write_jdbc`` into an
+    embedded Derby database (in the Spark JVM classpath — the sandbox's
+    warehouse stand-in, same JDBC writer path as a Redshift URL), then
+    read back over JDBC. ``overwrite`` must create the table from the
+    DataFrame schema; values must survive the hop. ``num_partitions=2``
+    exercises the connection cap (a 1000-executor cluster must not open
+    1000 warehouse connections)."""
+    from ..sinks.jdbc import write_jdbc
+
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    url = f"jdbc:derby:memory:sinkq_{uuid.uuid4().hex[:8]};create=true"
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_jdbc(n, url, "nation_rt", mode="overwrite", properties=props,
+               num_partitions=2)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_rt")
+        .options(**props)
+        .load()
+    )
+    return back.select(
+        F.col("n_nationkey").cast("int"),
+        "n_name",
+        F.col("n_regionkey").cast("int"),
+    )
+
+
+# ----------------------------------------------------------- T9 + MERGE --
+@query(
+    "sink_scd1_stream",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, 'B1' AS src
+    FROM orders WHERE o_orderkey < 1000
+    UNION ALL
+    SELECT o_orderkey, 'U2' AS o_orderstatus, 'B2' AS src
+    FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+    """,
+)
+def sink_scd1_stream(spark, sf_dir):
+    """Streaming SCD1 upsert, executed AS A STREAM (T9 foreachBatch + the
+    MERGE path): two REAL micro-batches with conflicting keys flow through
+    ``UpsertWriter.foreach_batch_upsert`` into a DuckDB warehouse (the
+    Redshift stand-in — staged parquet + one DELETE USING + INSERT
+    transaction per epoch, no rows through the driver). Batch order is
+    pinned by the file-source bookmark: file 1 lands, the stream drains
+    (availableNow); file 2 lands, the stream resumes from the SAME
+    checkpoint and processes only the new file. Keys [1000, 2000) collide
+    across batches — the updates batch must win, proving epoch-ordered
+    upsert (and, because a retried epoch re-upserts the same keys,
+    exactly-once visible state)."""
+    import os
+
+    import duckdb
+
+    from ..sinks.upsert import DuckDBUpsertWarehouse, UpsertWriter
+
+    o = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="spark_scd1_stream_")
+    inbox, ckpt = os.path.join(base, "inbox"), os.path.join(base, "ckpt")
+    os.makedirs(inbox)
+
+    batch1 = o.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey", "o_orderstatus", F.lit("B1").alias("src")
+    )
+    batch2 = o.filter(
+        (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 3000)
+    ).select(
+        "o_orderkey", F.lit("U2").alias("o_orderstatus"),
+        F.lit("B2").alias("src")
+    )
+
+    con = duckdb.connect()
+    writer = UpsertWriter(
+        os.path.join(base, "staging"), DuckDBUpsertWarehouse(con)
+    )
+    sink = writer.foreach_batch_upsert("orders_scd1", ["o_orderkey"])
+
+    def _drain_once() -> None:
+        q = (
+            spark.readStream.schema(batch1.schema)
+            .parquet(inbox)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batch1.coalesce(1).write.mode("append").parquet(inbox)
+    _drain_once()
+    batch2.coalesce(1).write.mode("append").parquet(inbox)
+    _drain_once()
+
+    pdf = con.sql(
+        "SELECT o_orderkey, o_orderstatus, src FROM orders_scd1"
+    ).df()
+    return spark.createDataFrame(pdf).select(
+        F.col("o_orderkey").cast("long"), "o_orderstatus", "src"
+    )

@@ -32,7 +32,9 @@ def write_jdbc(
     round-trips.
     """
     writer = df
-    if num_partitions is not None and df.rdd.getNumPartitions() > num_partitions:
+    if num_partitions is not None:
+        # coalesce never increases partition count, so this is the cap
+        # directly — no RDD-lineage detour to read the current count
         writer = df.coalesce(num_partitions)
     opts = dict(properties or {})
     opts["batchsize"] = str(batch_size)
