@@ -146,6 +146,40 @@ def lsh_topk(
     )
 
 
+def _centroid_frame(spark, cents: list[list[float]]):
+    """Centroids as DATA, not plan literals: one row holding one
+    ``array<struct<list_id:int, cent:array<double>>>`` column, meant to be
+    broadcast-attached (1-row nested-loop, the scalar-attach idiom) to the
+    frame being assigned. Keeps the compiled plan O(1) in k*dim — the
+    literal-tree alternative builds ~k*dim expression nodes, which at
+    realistic IVF scale (k=4096, dim=768) is ~3M plan nodes and blows up
+    compile time and driver memory long before the data does. The struct
+    array is sorted by list_id so its layout is deterministic."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    cdf = spark.createDataFrame(rows, "list_id int, cent array<double>")
+    return cdf.agg(
+        F.array_sort(F.collect_list(F.struct("list_id", "cent"))).alias(
+            "__cents"
+        )
+    )
+
+
+def _nearest_slice(vec_col: str, n_keep: int):
+    """Expression: the ``n_keep`` nearest centroids of ``__cents`` to
+    ``vec_col``, as an array of (d, list_id) structs sorted by (distance,
+    list_id) — identical ordering semantics (and bit-identical distances)
+    to the former literal-tree form, just folded over the broadcast data
+    column instead of k inline expressions."""
+    dists = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            (-cosine(F.col(vec_col), c["cent"])).alias("d"),
+            c["list_id"].alias("list_id"),
+        ),
+    )
+    return F.slice(F.array_sort(dists), 1, n_keep)
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     corpus_id: str = "vec_id",
@@ -156,11 +190,12 @@ def kmeans_centroids(
     """Distributed Lloyd's k-means for the IVF coarse quantizer.
 
     Deterministic init (first ``k`` corpus vectors by id); each round
-    assigns every vector to its nearest centroid by cosine (centroids are
-    broadcast as plan literals — k*dim floats) and recomputes per-cluster
-    per-dimension means via posexplode + groupBy. Only k*dim scalars reach
-    the driver per round — the corpus itself never does, which is the shape
-    that holds at 10^9 vectors. Centroid components round to 6 decimals so
+    assigns every vector to its nearest centroid by cosine (centroids ride
+    a 1-row broadcast as a data column — see ``_centroid_frame`` — so the
+    plan stays O(1) in k*dim) and recomputes per-cluster per-dimension
+    means via posexplode + groupBy. Only k*dim scalars reach the driver
+    per round — the corpus itself never does, which is the shape that
+    holds at 10^9 vectors. Centroid components round to 6 decimals so
     partial-aggregation order can't leak last-ulp noise into assignments.
     """
     cents = [
@@ -171,23 +206,15 @@ def kmeans_centroids(
         .collect()
     ]
     for _ in range(iters):
-        arrs = [
-            (i, F.array(*[F.lit(x) for x in c])) for i, c in enumerate(cents)
-        ]
-        dists = F.array(
-            *[
-                F.struct(
-                    (-cosine(F.col(vec_col), arr)).alias("d"),
-                    F.lit(i).alias("list_id"),
-                )
-                for i, arr in arrs
-            ]
-        )
         # two selects: a generator in the same projection as the struct
         # field access makes Catalyst re-plan the struct with anonymous
         # fields (col1/col2), losing the list_id name
-        assigned = corpus.select(
-            F.element_at(F.array_sort(dists), 1)["list_id"].alias("list_id"),
+        assigned = corpus.crossJoin(
+            F.broadcast(_centroid_frame(corpus.sparkSession, cents))
+        ).select(
+            F.element_at(_nearest_slice(vec_col, 1), 1)["list_id"].alias(
+                "list_id"
+            ),
             F.col(vec_col).alias("__v"),
         ).select("list_id", F.posexplode("__v").alias("pos", "v"))
         means = (
@@ -207,25 +234,17 @@ def kmeans_centroids(
 
 def _nearest_lists(df, cents, vec_col, id_out, vec_out, n_keep):
     """Attach each row's ``n_keep`` nearest centroid ids as an exploded
-    column — the IVF assignment pass. Centroids travel as plan literals
-    (k*dim scalars); the frame is materialized so the explode can't
-    re-inline the distance expressions per reference."""
-    cent_arrays = [
-        (i, F.array(*[F.lit(float(x)) for x in c])) for i, c in enumerate(cents)
-    ]
-    dists = F.array(
-        *[
-            F.struct(
-                (-cosine(F.col(vec_col), arr)).alias("d"),
-                F.lit(i).alias("list_id"),
-            )
-            for i, arr in cent_arrays
-        ]
+    column — the IVF assignment pass. Centroids ride a 1-row broadcast as
+    a data column (``_centroid_frame`` — plan size O(1) in k*dim); the
+    frame is materialized so the explode can't re-inline the distance
+    expressions per reference."""
+    withc = df.crossJoin(
+        F.broadcast(_centroid_frame(df.sparkSession, cents))
     )
     withd = _materialize(
-        df.select(
-            F.col("*"), F.slice(F.array_sort(dists), 1, n_keep).alias("__near")
-        )
+        withc.select(
+            F.col("*"), _nearest_slice(vec_col, n_keep).alias("__near")
+        ).drop("__cents")
     )
     return withd.select(
         F.col(id_out[0]).alias(id_out[1]),

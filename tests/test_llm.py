@@ -305,3 +305,84 @@ def test_fuzzy_pairs_dist1_matches_bruteforce_on_random_strings(spark):
     )
     assert want  # the corpus genuinely contains near-pairs
     assert got == want
+
+
+def test_fuzzy_pairs_dist2_matches_bruteforce_on_random_strings(spark):
+    """SymSpell delete-distance-2 generalization: on a seeded random corpus
+    (short strings, empty strings included — exercising the L=0/1 guards in
+    the nested 2-deletion generator) the neighborhood join must return
+    EXACTLY the brute-force levenshtein<=2 pair set: recall 1 by the
+    deletion-cover argument, precision 1 from the verify filter."""
+    import random
+
+    from s3_glue_redshift_guide_spark.llm.dedup import fuzzy_pairs
+
+    rng = random.Random(7)
+    strings = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(0, 6)))
+        for _ in range(90)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "id bigint, s string"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_pairs(df, "id", "s", max_dist=2).collect()
+    )
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = sorted(
+        (i, j, lev(strings[i], strings[j]))
+        for i in range(len(strings))
+        for j in range(i + 1, len(strings))
+        if lev(strings[i], strings[j]) <= 2
+    )
+    assert want
+    assert got == want
+
+
+def test_ivf_assignment_plan_size_constant_in_k(spark):
+    """The IVF quantizer must not embed centroids as plan literals: the
+    compiled-plan TEXT for a k=256 assignment must be no bigger than for
+    k=8 (centroids ride a broadcast data column), and the k=256 assignment
+    must compile and run in bounded time — the regression this guards is
+    ~k*dim literal nodes making plan compile time explode at realistic k."""
+    import time
+
+    from s3_glue_redshift_guide_spark.llm.similarity import _nearest_lists
+
+    dim = 8
+    corpus = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            # +i keeps every vector nonzero (cosine needs a nonzero norm)
+            lambda i: (((F.col("id") * i + i) % 97).cast("double") + 1.0),
+        ).alias("embedding"),
+    )
+
+    def plan_len(k):
+        cents = [[float((i * j + 1) % 13) for j in range(dim)] for i in range(k)]
+        df = _nearest_lists(
+            corpus, cents, "embedding", ("vec_id", "id"), "v", 2
+        )
+        return df, len(df._jdf.queryExecution().executedPlan().toString())
+
+    t0 = time.time()
+    small_df, small_len = plan_len(8)
+    big_df, big_len = plan_len(256)
+    assert time.time() - t0 < 60, "k=256 assignment failed to compile in time"
+    assert big_len <= small_len * 1.5, (small_len, big_len)
+    # and the big-k assignment actually executes: 2 lists per vector
+    assert big_df.count() == 600
