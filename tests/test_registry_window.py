@@ -1,7 +1,8 @@
 """The registry's driver-facing contract: the priority list must resolve
 completely (a typo would silently drop a query from the driver's first-50
-verification window), every query must carry an oracle, and the window
-must lead with the queries that still need driver evidence."""
+verification window), every query must carry an oracle, the window must
+lead with the queries that still need driver evidence, and the registry
+size must match what COVERAGE.md documents (so the doc can't drift)."""
 
 from __future__ import annotations
 
@@ -12,10 +13,17 @@ from s3_glue_redshift_guide_spark.queries import _PRIORITY, REGISTRY
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+#: Update when queries land; test_registry_size keeps COVERAGE.md honest.
+EXPECTED_REGISTRY_SIZE = 157
+
 
 def _verified_names() -> set[str]:
     out: set[str] = set()
-    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    for f in (
+        "CORRECTNESS_r01.json",
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+    ):
         path = os.path.join(REPO, f)
         if os.path.exists(path):
             out |= set(json.load(open(path)))
@@ -27,19 +35,33 @@ def test_priority_list_resolves_completely():
     assert not missing, f"priority names not in registry: {missing}"
 
 
+def test_priority_list_has_no_duplicates():
+    assert len(_PRIORITY) == len(set(_PRIORITY))
+
+
 def test_every_query_has_an_oracle():
     no_oracle = [q.name for q in REGISTRY.values() if q.oracle is None]
     assert not no_oracle, no_oracle
 
 
-def test_first_window_leads_with_unverified_queries():
+def test_registry_size():
+    assert len(REGISTRY) == EXPECTED_REGISTRY_SIZE, (
+        f"registry has {len(REGISTRY)} queries; update "
+        "EXPECTED_REGISTRY_SIZE and the COVERAGE.md counts together"
+    )
+
+
+def test_first_window_covers_every_unverified_query():
+    """Every query without a banked driver CORRECTNESS row (any round) must
+    sit inside the driver's first-50 verification window — the invariant
+    that drives at-least-once coverage of the whole registry."""
     verified = _verified_names()
     if not verified:  # fresh clone without driver artifacts
         return
-    first50 = list(REGISTRY)[:50]
-    # every query past the window must already hold a driver-green entry
-    # OR be a round-3 addition queued for the next window
-    never = [n for n in first50 if n not in verified]
-    # the window must be spent on unverified entries (allow a small
-    # regression-guard tail)
-    assert len(never) >= 45, (len(never), never)
+    first50 = set(list(REGISTRY)[:50])
+    unverified = [n for n in REGISTRY if n not in verified]
+    outside = [n for n in unverified if n not in first50]
+    assert not outside, (
+        f"{len(outside)} unverified queries outside the first-50 window: "
+        f"{outside}"
+    )
