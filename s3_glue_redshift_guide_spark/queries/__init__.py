@@ -56,6 +56,7 @@ _PRIORITY = [
     # -- new in round 4 ----------------------------------------------------
     "sink_jdbc_roundtrip", "sink_scd1_stream",
     "llm_binaryfile_features", "llm_fuzzy_name_pairs_dist2",
+    "sk_countmin_heavy_hitters",
     # -- regression re-checks (37): verified in round 1, never re-sampled --
     # TPC-H-shaped relational core
     "q3_shipping_priority", "q5_regional_revenue", "q6_forecast_revenue",
@@ -76,8 +77,8 @@ _PRIORITY = [
     "fn_map_entries",
     # projection / ETL typing
     "p_filter_predicates", "etl_string_first_typing",
-    # streaming windows (batch twins, r1-only evidence)
-    "ev_tumbling_window", "ev_sliding_window",
+    # streaming windows (batch twin, r1-only evidence)
+    "ev_tumbling_window",
 ]
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
 _ordered.update({n: q for n, q in REGISTRY.items() if n not in _ordered})

@@ -129,3 +129,56 @@ def agg_median_mode(spark, sf_dir):
         .agg(F.min("o_orderstatus").alias("mode_status"))
     )
     return med.join(md, "o_orderpriority")
+
+
+@query(
+    "sk_countmin_heavy_hitters",
+    oracle="""
+    WITH cnt AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY exact_cnt DESC, l_partkey LIMIT 10)
+    SELECT l_partkey, exact_cnt, 1 AS lower_ok, 1 AS upper_ok FROM cnt
+    """,
+)
+def sk_countmin_heavy_hitters(spark, sf_dir):
+    """Count-min sketch point-frequency estimates for the exact top-10 keys
+    (derived-fact oracle). The CMS aggregates distributed with map-side
+    partial merge (fixed w x d counter grid shuffles, never raw keys — the
+    mergeability that lets per-day/per-source sketches union into a global
+    frequency table); the driver pulls ONE serialized sketch plus the 10
+    (key, exact_cnt) rows — scalars, not data. Facts: the exact counts
+    (oracle-reproducible) and the CMS guarantees — estimate >= true always
+    (lower_ok), estimate <= true + eps*N at the configured confidence
+    (upper_ok; eps=1e-4 and a pinned seed make both deterministic here).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    eps, conf, seed = 1e-4, 0.99, 42
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("l_partkey"))
+        .limit(10)
+        .collect()
+    )
+    sk_row = li.agg(
+        F.count_min_sketch(
+            "l_partkey", F.lit(eps), F.lit(conf), F.lit(seed)
+        ).alias("sk")
+    ).collect()[0]
+    cms = spark.sparkContext._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk_row["sk"])
+    )
+    slack = eps * cms.totalCount()
+    rows = [
+        (
+            int(r["l_partkey"]),
+            int(r["exact_cnt"]),
+            int(cms.estimateCount(int(r["l_partkey"])) >= r["exact_cnt"]),
+            int(cms.estimateCount(int(r["l_partkey"])) <= r["exact_cnt"] + slack),
+        )
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "l_partkey bigint, exact_cnt bigint, lower_ok int, upper_ok int"
+    )
