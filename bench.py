@@ -118,6 +118,9 @@ def main() -> None:
         "queries": timings,
         "runs_per_query": RUNS,
         "sf": float(sf),
+        # sub-second queries vary ±10-15% with co-tenant machine load even
+        # under min-of-N; see BENCH_NOTES.md (7-run idle-machine study)
+        "notes": "variance study in BENCH_NOTES.md",
     }
     print(json.dumps(out))
     spark.stop()
