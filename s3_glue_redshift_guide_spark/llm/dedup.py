@@ -187,6 +187,65 @@ def jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def jaccard_delta_pairs(
+    corpus_sets: DataFrame,
+    delta_sets: DataFrame,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup: for each DELTA doc, its Jaccard-over-threshold
+    matches in corpus + delta — the daily-ingest dedup shape. Inputs are
+    ``_doc_shingle_sets`` frames (featurize-once: the corpus frame is the
+    standing index, re-used across ingest batches); ids must be disjoint
+    across the two frames.
+
+    Scale shape: ONLY delta-side postings drive the probe join — cost is
+    |delta postings| x (capped posting-list length), never corpus² and
+    never a corpus self-join. The hot-shingle cap applies to the COMBINED
+    document frequency, same guard as the full-corpus pass (at production
+    scale the corpus-side df is a maintained stat, not recomputed per
+    batch). Delta-delta pairs emit once (new < match); delta-corpus pairs
+    emit as (new, match). Denominators use full set sizes — only the join
+    is capped — matching ``jaccard_pairs`` semantics."""
+
+    def _ex(sets: DataFrame, tag: int) -> DataFrame:
+        return sets.select(
+            "doc",
+            F.size("sh").alias("n_sh"),
+            F.explode("sh").alias("shingle"),
+            F.lit(tag).alias("is_delta"),
+        )
+
+    ex = _ex(corpus_sets, 0).unionByName(_ex(delta_sets, 1))
+    if max_shingle_freq is not None:
+        freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        ex = ex.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle")
+    d = ex.filter(F.col("is_delta") == 1).select(
+        "shingle", F.col("doc").alias("doc_new"), F.col("n_sh").alias("n_new")
+    )
+    m = ex.select(
+        "shingle",
+        F.col("doc").alias("doc_match"),
+        F.col("n_sh").alias("n_match"),
+        F.col("is_delta").alias("match_is_delta"),
+    )
+    inter = (
+        d.join(m, "shingle")
+        .filter(
+            (F.col("match_is_delta") == 0)
+            | (F.col("doc_new") < F.col("doc_match"))
+        )
+        .groupBy("doc_new", "doc_match", "n_new", "n_match")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_new") + F.col("n_match") - F.col("n_common")
+    ).cast("double")
+    return inter.select(
+        "doc_new", "doc_match", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def _minhash_sig(sh: Column, n_hashes: int) -> Column:
     """Array of ``n_hashes`` min-hash values; seed varies per hash via a
     literal second argument to the (seeded murmur-ish) xxhash64."""

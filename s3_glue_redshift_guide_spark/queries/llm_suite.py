@@ -137,6 +137,62 @@ def llm_jaccard_pairs(spark, sf_dir):
 
 
 @query(
+    "llm_dedup_delta",
+    oracle=f"""
+    WITH delta AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             concat(text, ' qq7 qq7 qq7') AS text
+      FROM documents WHERE doc_id < 50),
+    alld AS (
+      SELECT doc_id, text, 0 AS is_delta FROM documents
+      UNION ALL SELECT doc_id, text, 1 FROM delta),
+    toks AS (SELECT doc_id, is_delta, {_SQL_TOKS} AS t FROM alld),
+    sh AS (SELECT doc_id, is_delta, {_SQL_SHINGLES} AS s FROM toks),
+    ex AS (SELECT doc_id, is_delta, len(s) AS n_sh, unnest(s) AS shingle
+           FROM sh),
+    kept AS (SELECT * FROM ex
+             QUALIFY count(*) OVER (PARTITION BY shingle)
+                     <= {JACCARD_MAX_SHINGLE_FREQ}),
+    pairs AS (
+      SELECT d.doc_id AS doc_new, m.doc_id AS doc_match,
+             round(count(*)::DOUBLE /
+                   (any_value(d.n_sh) + any_value(m.n_sh) - count(*)), 6)
+               AS jaccard
+      FROM kept d JOIN kept m ON d.shingle = m.shingle
+      WHERE d.is_delta = 1 AND (m.is_delta = 0 OR d.doc_id < m.doc_id)
+      GROUP BY 1, 2)
+    SELECT doc_new, doc_match, jaccard FROM pairs WHERE jaccard >= 0.2
+    """,
+)
+def llm_dedup_delta(spark, sf_dir):
+    """Incremental near-dup dedup (the daily-ingest shape): a delta batch
+    of 50 modified copies (suffix-appended, ids offset by 1e6) probes the
+    STANDING corpus shingle index — only delta postings drive the join, so
+    batch cost is |delta| x capped-posting-length, never corpus². The
+    shared suffix shingle lands in all 50 delta docs and is dropped by the
+    hot-shingle cap (df 50 > {JACCARD_MAX_SHINGLE_FREQ}) — the guard binds
+    — while every copy still finds its source through the original
+    shingles (superset => jaccard = n/(n+3)). The corpus index is the
+    cached featurize-once frame shared with the other dedup queries."""
+    from ..llm.dedup import _doc_shingle_sets, jaccard_delta_pairs
+
+    delta = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 50)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" qq7 qq7 qq7")).alias("text"),
+        )
+    )
+    return jaccard_delta_pairs(
+        _shingle_sets(spark, sf_dir),
+        _doc_shingle_sets(delta, "doc_id", "text", 3),
+        threshold=0.2,
+        max_shingle_freq=JACCARD_MAX_SHINGLE_FREQ,
+    )
+
+
+@query(
     "llm_minhash_pairs",
     oracle=f"""
     WITH {_SQL_SHINGLE_EX},
