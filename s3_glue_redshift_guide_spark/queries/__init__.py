@@ -42,8 +42,8 @@ for _m in _MODULES:
 # round 3 the union of banked driver rows covers 144 of the 153 pre-round-4
 # queries; the 9 never-sampled (round-3 latecomers that missed the round-3
 # window) go FIRST so round 4 closes at-least-once verification for the
-# ENTIRE registry. The 6 new round-4 queries follow (they need first-window
-# slots too), and the remaining 35 slots re-verify the round-1-only passes
+# ENTIRE registry. The 7 new round-4 queries follow (they need first-window
+# slots too), and the remaining 34 slots re-verify the round-1-only passes
 # that have never been re-sampled since (regression guard — prioritizing
 # the relational/join/window/function core, including the two bench-watched
 # queries win_rank_topk and agg_rollup).
@@ -56,14 +56,14 @@ _PRIORITY = [
     # -- new in round 4 ----------------------------------------------------
     "sink_jdbc_roundtrip", "sink_scd1_stream",
     "llm_binaryfile_features", "llm_fuzzy_name_pairs_dist2",
-    "sk_countmin_heavy_hitters", "llm_dedup_delta",
-    # -- regression re-checks (35): verified in round 1, never re-sampled --
+    "sk_countmin_heavy_hitters", "llm_dedup_delta", "sink_zorder_layout",
+    # -- regression re-checks (34): verified in round 1, never re-sampled --
     # TPC-H-shaped relational core
     "q3_shipping_priority", "q5_regional_revenue", "q6_forecast_revenue",
     "q10_returned_items", "q12_priority_shipping",
     # join family
     "join_left_outer", "join_right_outer", "join_full_outer",
-    "join_semi_exists", "join_anti_not_exists", "join_theta",
+    "join_semi_exists", "join_anti_not_exists",
     "join_range_events", "join_asof_events",
     # aggregate family (incl. the bench-watched agg_rollup)
     "agg_stats", "agg_count_distinct", "agg_minmax_by", "agg_rollup",

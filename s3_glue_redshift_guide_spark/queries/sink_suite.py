@@ -245,3 +245,31 @@ def sink_scd1_stream(spark, sf_dir):
     return spark.createDataFrame(pdf).select(
         F.col("o_orderkey").cast("long"), "o_orderstatus", "src"
     )
+
+
+# ------------------------------------------------------------- Z-ORDER ---
+from ..operators.zorder import sql_z_query, write_zordered, z_order_key  # noqa: E402
+
+
+@query(
+    "sink_zorder_layout",
+    oracle=sql_z_query("orders", "o_custkey", "o_orderkey"),
+)
+def sink_zorder_layout(spark, sf_dir):
+    """Z-order layout round trip (the multi-column-pruning sink): orders
+    written along the Morton curve of (o_custkey, o_orderkey) via
+    ``operators/zorder.py::write_zordered`` (range-normalize both columns,
+    range-partition + sort on the interleaved key), read back, and every
+    row's z-value recomputed — the oracle mirrors the normalization and
+    bit-spreading arithmetic in SQL, so round-trip fidelity AND the
+    Morton transform are hash-checked bit-exact. The pruning payoff
+    (files admitting a filter value in EITHER dimension shrink from
+    all-files to a curve-local subset) is asserted on footer-stat ranges
+    in tests/test_zorder.py."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    path = tempfile.mkdtemp(prefix="spark_zorder_")
+    write_zordered(o, path, "o_custkey", "o_orderkey", n_files=8)
+    back = spark.read.parquet(path)
+    return z_order_key(back, "o_custkey", "o_orderkey").select(
+        "o_orderkey", "o_custkey", F.col("__z").alias("zval")
+    )
