@@ -42,8 +42,8 @@ for _m in _MODULES:
 # round 3 the union of banked driver rows covers 144 of the 153 pre-round-4
 # queries; the 9 never-sampled (round-3 latecomers that missed the round-3
 # window) go FIRST so round 4 closes at-least-once verification for the
-# ENTIRE registry. The 7 new round-4 queries follow (they need first-window
-# slots too), and the remaining 34 slots re-verify the round-1-only passes
+# ENTIRE registry. The 9 new round-4 queries follow (they need first-window
+# slots too), and the remaining 32 slots re-verify the round-1-only passes
 # that have never been re-sampled since (regression guard — prioritizing
 # the relational/join/window/function core, including the two bench-watched
 # queries win_rank_topk and agg_rollup).
@@ -57,7 +57,8 @@ _PRIORITY = [
     "sink_jdbc_roundtrip", "sink_scd1_stream",
     "llm_binaryfile_features", "llm_fuzzy_name_pairs_dist2",
     "sk_countmin_heavy_hitters", "llm_dedup_delta", "sink_zorder_layout",
-    # -- regression re-checks (34): verified in round 1, never re-sampled --
+    "sink_cdc_apply", "sink_scd2_history",
+    # -- regression re-checks (32): verified in round 1, never re-sampled --
     # TPC-H-shaped relational core
     "q3_shipping_priority", "q5_regional_revenue", "q6_forecast_revenue",
     "q10_returned_items", "q12_priority_shipping",
@@ -67,10 +68,10 @@ _PRIORITY = [
     "join_range_events", "join_asof_events",
     # aggregate family (incl. the bench-watched agg_rollup)
     "agg_stats", "agg_count_distinct", "agg_minmax_by", "agg_rollup",
-    "agg_cube", "agg_pivot",
+    "agg_cube",
     # window / sort / set-op family (incl. the bench-watched win_rank_topk)
     "win_rank_topk", "win_lag_lead", "win_running_frames",
-    "win_ntile_percent", "sort_limit_topk",
+    "sort_limit_topk",
     "setop_union", "setop_intersect", "setop_except",
     # function suites
     "fn_string", "fn_datetime", "fn_math", "fn_conditional", "fn_json",

@@ -273,3 +273,113 @@ def sink_zorder_layout(spark, sf_dir):
     return z_order_key(back, "o_custkey", "o_orderkey").select(
         "o_orderkey", "o_custkey", F.col("__z").alias("zval")
     )
+
+
+# ------------------------------------------------------------ CDC / SCD2 --
+@query(
+    "sink_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey AS k, 1 AS v, 'I' AS op, o_orderstatus AS status
+      FROM orders WHERE o_orderkey < 2000
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', 'UU' FROM orders
+      WHERE o_orderkey >= 1000 AND o_orderkey < 1500
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', NULL FROM orders
+      WHERE o_orderkey >= 500 AND o_orderkey < 1000
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', NULL FROM orders
+      WHERE o_orderkey >= 1200 AND o_orderkey < 1300),
+    latest AS (
+      SELECT k, op, status,
+             row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+      FROM log)
+    SELECT k AS o_orderkey, status AS o_orderstatus
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def sink_cdc_apply(spark, sf_dir):
+    """CDC log compaction (the step before every warehouse merge): an
+    insert/update/delete log synthesized from orders — inserts for keys
+    <2000, v2 updates for [1000,1500), v3 deletes for [500,1000) and
+    [1200,1300) — collapses to final state via one per-key window over
+    the LOG (never the target table). Deletes must erase keys even when
+    an update preceded them; updates must win over their inserts."""
+    from ..sinks.upsert import apply_cdc
+
+    o = load_table(spark, sf_dir, "orders")
+
+    def slice_(lo, hi, v, op, status):
+        s = o.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+        ).select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(v).alias("v"),
+            F.lit(op).alias("op"),
+            status.alias("status"),
+        )
+        return s
+
+    log = (
+        slice_(0, 2000, 1, "I", F.col("o_orderstatus"))
+        .unionByName(slice_(1000, 1500, 2, "U", F.lit("UU")))
+        .unionByName(slice_(500, 1000, 3, "D", F.lit(None).cast("string")))
+        .unionByName(slice_(1200, 1300, 3, "D", F.lit(None).cast("string")))
+    )
+    return apply_cdc(log, ["k"], "v").select(
+        F.col("k").alias("o_orderkey"), F.col("status").alias("o_orderstatus")
+    )
+
+
+@query(
+    "sink_scd2_history",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey AS k, 1 AS v, o_orderstatus AS status
+      FROM orders WHERE o_orderkey < 1500
+      UNION ALL
+      SELECT o_orderkey, 2, 'S2' FROM orders
+      WHERE o_orderkey >= 500 AND o_orderkey < 1500
+      UNION ALL
+      SELECT o_orderkey, 3, 'S3' FROM orders
+      WHERE o_orderkey >= 1000 AND o_orderkey < 1500)
+    SELECT k AS o_orderkey, status AS o_orderstatus,
+           v AS valid_from,
+           lead(v) OVER (PARTITION BY k ORDER BY v) AS valid_to,
+           CAST(lead(v) OVER (PARTITION BY k ORDER BY v) IS NULL AS INTEGER)
+             AS is_current
+    FROM log
+    """,
+)
+def sink_scd2_history(spark, sf_dir):
+    """SCD type-2 history build: a three-wave versioned change log turns
+    into validity intervals — valid_from/valid_to chain per key with
+    exactly one current row (one window pass per key; the
+    dimension-history table every warehouse load maintains). Keys <500
+    have one version, [500,1000) two, [1000,1500) three."""
+    from ..sinks.upsert import scd2_history
+
+    o = load_table(spark, sf_dir, "orders")
+
+    def wave(lo, hi, v, status):
+        return o.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+        ).select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(v).alias("v"),
+            status.alias("status"),
+        )
+
+    log = (
+        wave(0, 1500, 1, F.col("o_orderstatus"))
+        .unionByName(wave(500, 1500, 2, F.lit("S2")))
+        .unionByName(wave(1000, 1500, 3, F.lit("S3")))
+    )
+    return scd2_history(log, ["k"], "v").select(
+        F.col("k").alias("o_orderkey"),
+        F.col("status").alias("o_orderstatus"),
+        F.col("valid_from"),
+        F.col("valid_to"),
+        F.col("is_current"),
+    )

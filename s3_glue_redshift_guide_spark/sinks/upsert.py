@@ -59,6 +59,49 @@ def merge_dataframes(
     return kept.unionByName(updates)
 
 
+def apply_cdc(
+    log: DataFrame,
+    keys: list[str],
+    version_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Collapse a change-data-capture log (insert/update/delete rows, each
+    versioned) into the final table state: per key, the highest-version
+    row wins; a winning delete removes the key entirely.
+
+    One shuffle (the per-key window) over the LOG, not the table — the
+    standard CDC-compaction shape: at warehouse scale the log is a day's
+    deltas and this runs before a `merge_dataframes`/`UpsertWriter` pass
+    against the target. Ties on version break by op descending ('U' > 'I'
+    > 'D' alphabetically is NOT meaningful — versions are expected unique
+    per key, same contract as ``dedup_updates``)."""
+    w = Window.partitionBy(*keys).orderBy(F.desc(version_col))
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("__rn")
+    )
+
+
+def scd2_history(
+    log: DataFrame,
+    keys: list[str],
+    version_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a versioned change log into
+    validity intervals — each row gains ``valid_from`` (its version),
+    ``valid_to`` (the next version for the key, NULL while current) and an
+    ``is_current`` flag. One window pass per key ordered by version; the
+    warehouse-history table every dimension load maintains."""
+    w = Window.partitionBy(*keys).orderBy(F.asc(version_col))
+    return (
+        log.withColumn("valid_from", F.col(version_col))
+        .withColumn("valid_to", F.lead(version_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+    )
+
+
 class UpsertWriter(StagedCopyWriter):
     """Staged upsert into a warehouse table keyed by ``keys``.
 
