@@ -153,3 +153,59 @@ def chunk_documents(
         F.size(piece).cast("bigint").alias("n_chunk_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+def scrub_shared_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Remove cross-document duplicated spans and reassemble the text —
+    the C4 boilerplate-REMOVAL pass (``duplicated_ngram_flags`` only
+    flags; this rewrites).
+
+    A token window of width ``n`` occurring in >= 2 documents marks all
+    ``n`` of its token positions for removal; the cleaned document is the
+    remaining tokens in original order. Returns
+    ``(id, n_tokens, n_removed, clean_text)``.
+
+    Same inverted-index scale shape as the flag pass: one shuffle on the
+    span string (document frequency), one linear join-back of span *hits*
+    (a span shared by f docs costs f rows), then per-document position
+    set-algebra in expression space — no pairwise term, no UDF.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("__doc"), toks.alias("__t"))
+    gpos = base.select(
+        "__doc",
+        F.posexplode(_ngram_strings(F.col("__t"), n)).alias("__i", "__g"),
+    )
+    shared = (
+        gpos.select("__doc", "__g")
+        .distinct()
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("__g")
+    )
+    covered = (
+        gpos.join(shared, "__g")
+        .select(
+            "__doc",
+            F.explode(
+                F.sequence(F.col("__i"), F.col("__i") + (n - 1))
+            ).alias("__p"),
+        )
+        .groupBy("__doc")
+        .agg(F.collect_set("__p").alias("__ps"))
+    )
+    out = base.join(covered, "__doc", "left").withColumn(
+        "__ps", F.coalesce("__ps", F.array().cast("array<int>"))
+    )
+    clean = F.filter(
+        F.col("__t"), lambda t, i: ~F.array_contains(F.col("__ps"), i)
+    )
+    return out.select(
+        F.col("__doc").alias(id_col),
+        F.size("__t").cast("bigint").alias("n_tokens"),
+        F.size("__ps").cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", clean).alias("clean_text"),
+    )

@@ -12,6 +12,7 @@ from ..llm.curation import (
     chunk_documents,
     duplicated_ngram_flags,
     repetition_metrics,
+    scrub_shared_spans,
 )
 from .registry import query
 
@@ -104,4 +105,40 @@ def cur_chunk_windows(spark, sf_dir):
     return chunk_documents(
         load_table(spark, sf_dir, "documents"), "doc_id", "text",
         size=32, stride=24,
+    )
+
+
+@query(
+    "cur_span_scrub",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    g AS (SELECT doc_id, t,
+                 unnest({_sql_ngrams(5)}) AS gram,
+                 unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i
+          FROM tk),
+    shared AS (
+      SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+      GROUP BY gram HAVING count(*) >= 2),
+    hits AS (SELECT DISTINCT g.doc_id, g.i FROM g JOIN shared USING (gram)),
+    cov AS (SELECT DISTINCT doc_id, unnest(generate_series(i, i + 4)) AS p
+            FROM hits),
+    covl AS (SELECT doc_id, list(p) AS ps FROM cov GROUP BY doc_id)
+    SELECT tk.doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(len(ps), 0) AS BIGINT) AS n_removed,
+           coalesce(array_to_string(
+             list_where(t, list_transform(generate_series(1, len(t)),
+                                          p -> NOT coalesce(list_contains(ps, p), FALSE))),
+             ' '), '') AS clean_text
+    FROM tk LEFT JOIN covl ON tk.doc_id = covl.doc_id
+    """,
+)
+def cur_span_scrub(spark, sf_dir):
+    """C4-style duplicated-span REMOVAL (the rewrite pass downstream of
+    the flag pass): every 5-token window shared across >= 2 documents has
+    its token positions scrubbed and the document reassembled. The oracle
+    reproduces the cleaned text string-exact, so window positioning,
+    overlap union, and reassembly order are all value-hash-checked."""
+    return scrub_shared_spans(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=5
     )

@@ -262,3 +262,46 @@ def join_asof_events(spark, sf_dir):
         F.col("event_id").alias("purchase_id"),
         F.round(F.col("asof_value"), 2).alias("last_click_value"),
     )
+
+
+# ------------------------- Bloom-filter join prefilter (J9) ------------
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+      AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Runtime row-level filtering, the explicit form (J9): a Bloom filter
+    is built DISTRIBUTED over the selective build side's join keys
+    (urgent 1998+ orders), shipped as a broadcast bitset (16 KiB for
+    m=2^17), and the fact table is pruned BEFORE its shuffle — the
+    mechanism of Spark's AQE runtime bloom join, composable here in front
+    of any operator. False positives are harmless (the exact join below
+    still runs), false negatives impossible, so the oracle is the plain
+    join — the filter must be semantically invisible while cutting the
+    shuffled fact volume (reduction asserted in tests/test_bloom.py)."""
+    from ..operators.bloom import bloom_build, bloom_prefilter
+
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    bitset = bloom_build(o, "o_orderkey")
+    l_pruned = bloom_prefilter(l, "l_orderkey", bitset)
+    return (
+        l_pruned.join(o, l_pruned.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )

@@ -504,3 +504,63 @@ def etl_workflow_e2e(spark, sf_dir):
         "FROM wh_customer"
     ).df()
     return spark.createDataFrame(pdf)
+
+
+# ----------------------------- file-level min/max data skipping -------
+@query(
+    "src_dataskip_index",
+    oracle="""
+    WITH laid AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+             year(o_orderdate) - 1995 AS fid
+      FROM orders),
+    files AS (SELECT fid, count(*) AS n FROM laid GROUP BY 1),
+    hit AS (
+      SELECT fid FROM laid GROUP BY fid
+      HAVING max(od) >= DATE '1997-03-15' AND min(od) <= DATE '1998-06-30')
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM files) AS n_files,
+           (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_files_read,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM laid
+    WHERE od BETWEEN DATE '1997-03-15' AND DATE '1998-06-30'
+    """,
+)
+def src_dataskip_index(spark, sf_dir):
+    """File-level min/max data skipping (the Delta/Iceberg zone-map
+    mechanism, distinct from Hive directory pruning): orders laid out one
+    file per order-year, a per-FILE min/max index built on the DATA column
+    o_orderdate (one metadata-scale groupBy on input_file_name), then a
+    March-1997..June-1998 range read that touches ONLY the files whose
+    [min,max] intersects the predicate — 2 of 7 here. The result row
+    carries the skip proof (n_files vs n_files_read) AND full content
+    fidelity (count + key sum over the pruned read equal the oracle's
+    full-table filter, so skipping lost no rows and admitted the residual
+    filter no extras)."""
+    from ..operators.dataskip import file_stats_index, pruned_files, read_pruned
+
+    lo, hi = "1997-03-15", "1998-06-30"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    base = _tmp("dataskip")
+    (
+        o.withColumn("fid", F.year("od") - F.lit(1995))
+        .repartition("fid")
+        .write.partitionBy("fid")
+        .mode("overwrite")
+        .parquet(base)
+    )
+    back = spark.read.parquet(base)
+    index = file_stats_index(back, ["od"])
+    files = pruned_files(index, "od", lo, hi)
+    n_files = index.count()
+    picked = read_pruned(spark, base, files).filter(
+        F.col("od").between(F.lit(lo), F.lit(hi))
+    )
+    return picked.agg(
+        F.lit(n_files).cast("long").alias("n_files"),
+        F.lit(len(files)).cast("long").alias("n_files_read"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )
