@@ -342,3 +342,260 @@ def semantic_dedup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+# ------------------------- product quantization (PQ) -------------------
+def _l2sq(a, b):
+    """Squared L2 between two double arrays — sequential fold, bit-stable."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_slices(vec_col, m: int, d: int):
+    """The m contiguous d-dim subvectors of ``vec_col`` (1-based slice)."""
+    return [
+        F.slice(F.col(vec_col).cast("array<double>"), j * d + 1, d)
+        for j in range(m)
+    ]
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks (Jégou et al., PQ): split ``dim``
+    into ``m`` subspaces and learn ``k_codes`` centroids in each — ALL
+    subspaces trained in the SAME Lloyd rounds by tagging every slice
+    point with its subspace id, so the round count (and driver traffic:
+    m*k_codes*d scalars per round) does not grow with m.
+
+    Deterministic init (slices of the first ``k_codes`` vectors by id);
+    squared-L2 assignment; means rounded to 6 dp so partial-agg order
+    can't leak into assignments. Returns ``cents[sub][code] -> [d floats]``.
+    """
+    d = dim // m
+    init = [
+        [float(x) for x in r["v"]]
+        for r in corpus.orderBy(corpus_id)
+        .limit(k_codes)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    ]
+    cents = [
+        [init[c][j * d : (j + 1) * d] for c in range(k_codes)]
+        for j in range(m)
+    ]
+    pts = corpus.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("sub"), s.alias("sl"))
+                    for j, s in enumerate(_pq_slices(vec_col, m, d))
+                ]
+            )
+        ).alias("p")
+    ).select(F.col("p.sub").alias("sub"), F.col("p.sl").alias("sl"))
+    for _ in range(iters):
+        cdf = _pq_cent_frame(corpus.sparkSession, cents)
+        assigned = (
+            pts.crossJoin(F.broadcast(cdf))
+            .select(
+                "sub",
+                "sl",
+                F.element_at(
+                    F.array_sort(
+                        F.transform(
+                            F.filter(
+                                F.col("__pqc"),
+                                lambda c: c["sub"] == F.col("sub"),
+                            ),
+                            lambda c: F.struct(
+                                F.round(_l2sq(F.col("sl"), c["cent"]), 6).alias("d"),
+                                c["code"].alias("code"),
+                            ),
+                        )
+                    ),
+                    1,
+                )["code"].alias("code"),
+            )
+            .select("sub", "code", F.posexplode("sl").alias("pos", "v"))
+        )
+        means = (
+            assigned.groupBy("sub", "code", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("mv"))
+            .collect()
+        )
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            got.setdefault((r["sub"], r["code"]), {})[r["pos"]] = r["mv"]
+        cents = [
+            [
+                [vals[p] for p in sorted(vals)]
+                if (vals := got.get((j, c)))
+                else cents[j][c]  # empty cluster keeps its centroid
+                for c in range(k_codes)
+            ]
+            for j in range(m)
+        ]
+    return cents
+
+
+def _pq_cent_frame(spark, cents):
+    """Codebooks as DATA (1-row broadcastable
+    ``array<struct<sub:int, code:int, cent:array<double>>>`` sorted by
+    (sub, code) so flat index = sub*k + code) — same O(1)-plan discipline
+    as ``_centroid_frame``; m*k_codes*d literals would bloat the compiled
+    plan at realistic scale (m=96, k=256, d=8)."""
+    rows = [
+        (j, c, cents[j][c])
+        for j in range(len(cents))
+        for c in range(len(cents[j]))
+    ]
+    cdf = spark.createDataFrame(rows, "sub int, code int, cent array<double>")
+    return cdf.agg(
+        F.array_sort(F.collect_list(F.struct("sub", "code", "cent"))).alias(
+            "__pqc"
+        )
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    cents,
+    id_col: str,
+    vec_col: str = "embedding",
+    out_id: str = "neighbor_id",
+) -> DataFrame:
+    """Compress each vector to its m nearest-codeword indices — the
+    8-byte-per-vector representation the candidate scan reads INSTEAD of
+    the raw embeddings (64x smaller at m=8 codes vs 64 floats)."""
+    m, k_codes = len(cents), len(cents[0])
+    d = len(cents[0][0])
+    withc = df.crossJoin(
+        F.broadcast(_pq_cent_frame(df.sparkSession, cents))
+    )
+    codes = F.array(
+        *[
+            F.element_at(
+                F.array_sort(
+                    F.transform(
+                        F.slice(F.col("__pqc"), j * k_codes + 1, k_codes),
+                        lambda c: F.struct(
+                            F.round(_l2sq(s, c["cent"]), 6).alias("d"),
+                            c["code"].alias("code"),
+                        ),
+                    )
+                ),
+                1,
+            )["code"]
+            for j, s in enumerate(_pq_slices(vec_col, m, d))
+        ]
+    )
+    return withc.select(F.col(id_col).alias(out_id), codes.alias("codes"))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    k_codes: int = 16,
+    n_candidates: int = 30,
+    kmeans_iters: int = 2,
+) -> DataFrame:
+    """PQ-compressed ANN top-k (the memory-bound scale path): corpus
+    vectors compress to m codeword indices; each query scans CODES with
+    an asymmetric-distance lookup table (m adds per candidate instead of
+    dim multiplies), takes its ``n_candidates`` best, and re-ranks only
+    those exactly by cosine.
+
+    Scale shape: the candidate scan reads the 8-byte code column — at
+    10^9x768-dim corpus that is ~8 GB instead of ~3 TB of floats — and
+    the distance table (m*k_codes doubles per query) is MATERIALIZED on
+    the tiny query side before the scan join so Catalyst cannot re-inline
+    the table build per candidate row (which would silently restore
+    exact-scan cost). Raw vectors are touched only for the n_candidates
+    re-rank join."""
+    d = dim // m
+    cents = pq_codebooks(
+        corpus, dim, corpus_id, vec_col, m, k_codes, kmeans_iters
+    )
+    codes = pq_encode(_spread(corpus), cents, corpus_id, vec_col)
+    qtab = _materialize(
+        queries.crossJoin(
+            F.broadcast(_pq_cent_frame(queries.sparkSession, cents))
+        ).select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.transform(
+                F.col("__pqc"),
+                lambda c: F.round(
+                    _l2sq(
+                        F.slice(
+                            F.col(vec_col).cast("array<double>"),
+                            c["sub"] * d + 1,
+                            d,
+                        ),
+                        c["cent"],
+                    ),
+                    6,
+                ),
+            ).alias("dtab"),
+        )
+    )
+    adc = (
+        F.broadcast(qtab)
+        .crossJoin(codes)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "qv",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    F.lit(0.0),
+                    lambda acc, j: acc
+                    + F.element_at(
+                        F.col("dtab"),
+                        j * k_codes + F.element_at(F.col("codes"), j + 1) + 1,
+                    ),
+                ),
+                6,
+            ).alias("adc"),
+        )
+    )
+    wc = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    cand = (
+        adc.withColumn("__r", F.row_number().over(wc))
+        .filter(F.col("__r") <= n_candidates)
+        .select("query_id", "qv", "neighbor_id")
+    )
+    exact = cand.join(
+        _spread(corpus).select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

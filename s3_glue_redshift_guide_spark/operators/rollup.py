@@ -65,11 +65,55 @@ _MERGEABLE = {
 }
 
 
+def _hist_bin(col: str, lo: float, hi: float, nbins: int):
+    """Clamped equi-width bin index — plain double arithmetic in a fixed
+    operation order so DuckDB reproduces it bit-exactly."""
+    raw = F.floor(
+        ((F.col(col) - F.lit(lo)) * F.lit(nbins)) / F.lit(hi - lo)
+    ).cast("int")
+    return F.least(F.lit(nbins - 1), F.greatest(F.lit(0), raw))
+
+
+def hist_quantile_expr(hist, lo: float, hi: float, nbins: int, q: float):
+    """Quantile estimate from a merged histogram state: midpoint of the
+    first bin whose cumulative count reaches ceil(q * total). Pure
+    expression fold — usable at read time on millions of rollup rows
+    without a UDF."""
+    total = F.aggregate(hist, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    target = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.lit(q) * total))
+    indexed = F.transform(
+        hist, lambda x, i: F.struct(x.alias("c"), i.alias("b"))
+    )
+    fold = F.aggregate(
+        indexed,
+        F.struct(
+            F.lit(0).cast("bigint").alias("cum"), F.lit(-1).alias("bin")
+        ),
+        lambda acc, s: F.when(acc["bin"] >= 0, acc).otherwise(
+            F.struct(
+                (acc["cum"] + s["c"]).alias("cum"),
+                F.when(acc["cum"] + s["c"] >= target, s["b"])
+                .otherwise(F.lit(-1))
+                .alias("bin"),
+            )
+        ),
+    )
+    bin_ = F.when(fold["bin"] >= 0, fold["bin"]).otherwise(F.lit(nbins - 1))
+    width = (hi - lo) / nbins
+    return F.round(
+        F.lit(lo) + (bin_ + F.lit(0.5)) * F.lit(width), 6
+    )
+
+
 class IncrementalRollup:
     """Maintain ``measures`` grouped by ``group_cols`` at ``state_path``.
 
     measures: mapping like ``{"value": ("sum", "min", "max", "count")}``;
-    state lives as parquet partials, one row per group.
+    state lives as parquet partials, one row per group. The ``hist``
+    measure (a mergeable equi-width histogram — bin-count vectors add
+    element-wise, so quantile estimates maintain incrementally like any
+    monoid state; the KLL/t-digest idea with a fixed-bin state) requires
+    its range pinned in ``hist_config[col] = (lo, hi, nbins)``.
     """
 
     def __init__(
@@ -78,9 +122,17 @@ class IncrementalRollup:
         state_path: str,
         group_cols: list[str],
         measures: dict[str, tuple[str, ...]],
+        hist_config: dict[str, tuple[float, float, int]] | None = None,
     ) -> None:
         for col, ops in measures.items():
             for op in ops:
+                if op == "hist":
+                    if col not in (hist_config or {}):
+                        raise ValueError(
+                            f"hist({col}) needs hist_config[{col!r}] = "
+                            "(lo, hi, nbins)"
+                        )
+                    continue
                 if op not in _MERGEABLE:
                     raise ValueError(
                         f"{op}({col}) is not mergeable; store sum+count "
@@ -90,6 +142,7 @@ class IncrementalRollup:
         self.state_path = state_path
         self.group_cols = list(group_cols)
         self.measures = measures
+        self.hist_config = hist_config or {}
 
     # ----------------------------------------------------------- internals
     def _state_col(self, op: str, col: str) -> str:
@@ -100,6 +153,31 @@ class IncrementalRollup:
         for col, ops in self.measures.items():
             for op in ops:
                 name = self._state_col(op, col)
+                if op == "hist":
+                    lo, hi, nbins = self.hist_config[col]
+                    if which == 0:
+                        # delta: nbins conditional counts into one array —
+                        # O(nbins) codegen'd expressions, map-side partial
+                        b = _hist_bin(col, lo, hi, nbins)
+                        expr = F.array(
+                            *[
+                                F.sum(
+                                    F.when(b == i, 1).otherwise(0)
+                                ).cast("bigint")
+                                for i in range(nbins)
+                            ]
+                        )
+                    else:
+                        # merge: element-wise vector add across states
+                        expr = F.array(
+                            *[
+                                F.sum(F.element_at(F.col(name), i + 1))
+                                .cast("bigint")
+                                for i in range(nbins)
+                            ]
+                        )
+                    out.append(expr.alias(name))
+                    continue
                 fn = _MERGEABLE[op][which]
                 src = col if which == 0 else name
                 out.append(fn(src).alias(name))

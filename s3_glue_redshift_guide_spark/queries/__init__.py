@@ -42,8 +42,8 @@ for _m in _MODULES:
 # round 3 the union of banked driver rows covers 144 of the 153 pre-round-4
 # queries; the 9 never-sampled (round-3 latecomers that missed the round-3
 # window) go FIRST so round 4 closes at-least-once verification for the
-# ENTIRE registry. The 9 new round-4 queries follow (they need first-window
-# slots too), and the remaining 32 slots re-verify the round-1-only passes
+# ENTIRE registry. The 14 new round-4 queries follow (they need first-window
+# slots too), and the remaining 27 slots re-verify the round-1-only passes
 # that have never been re-sampled since (regression guard — prioritizing
 # the relational/join/window/function core, including the two bench-watched
 # queries win_rank_topk and agg_rollup).
@@ -58,12 +58,14 @@ _PRIORITY = [
     "llm_binaryfile_features", "llm_fuzzy_name_pairs_dist2",
     "sk_countmin_heavy_hitters", "llm_dedup_delta", "sink_zorder_layout",
     "sink_cdc_apply", "sink_scd2_history",
-    # -- regression re-checks (32): verified in round 1, never re-sampled --
+    "src_dataskip_index", "join_bloom_prefilter", "cur_span_scrub",
+    "llm_pq_topk", "rollup_quantile_state",
+    # -- regression re-checks (27): verified in round 1, never re-sampled --
     # TPC-H-shaped relational core
     "q3_shipping_priority", "q5_regional_revenue", "q6_forecast_revenue",
     "q10_returned_items", "q12_priority_shipping",
     # join family
-    "join_left_outer", "join_right_outer", "join_full_outer",
+    "join_left_outer", "join_full_outer",
     "join_semi_exists", "join_anti_not_exists",
     "join_range_events", "join_asof_events",
     # aggregate family (incl. the bench-watched agg_rollup)
@@ -74,11 +76,9 @@ _PRIORITY = [
     "sort_limit_topk",
     "setop_union", "setop_intersect", "setop_except",
     # function suites
-    "fn_string", "fn_datetime", "fn_math", "fn_conditional", "fn_json",
+    "fn_string", "fn_datetime", "fn_json",
     # projection / ETL typing
-    "p_filter_predicates", "etl_string_first_typing",
-    # streaming windows (batch twin, r1-only evidence)
-    "ev_tumbling_window",
+    "etl_string_first_typing",
 ]
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
 _ordered.update({n: q for n, q in REGISTRY.items() if n not in _ordered})

@@ -31,6 +31,7 @@ from ..functions.vectors import cosine as vcosine
 from ..llm.similarity import (
     ivf_topk,
     lsh_topk,
+    pq_topk,
     semantic_dedup_pairs,
     topk_bruteforce,
 )
@@ -817,6 +818,24 @@ def llm_ivf_topk(spark, sf_dir):
     return _ann_recall_query(
         spark, sf_dir,
         lambda q, e: ivf_topk(q, e, k=5, n_lists=16, n_probe=4),
+        min_hits=2,
+    )
+
+
+@query("llm_pq_topk", oracle=_SQL_ANN_RECALL)
+def llm_pq_topk(spark, sf_dir):
+    """PQ-compressed ANN top-5 (L3 memory-bound scale path): per-subspace
+    codebooks (8 subspaces x 16 codes, trained in shared Lloyd rounds),
+    corpus compressed to 8 codeword indices per vector, candidate scan by
+    asymmetric-distance lookup over the CODE column only (8 adds per
+    candidate, ~64x less memory traffic than raw floats), exact cosine
+    re-rank of the top-60 candidates. The gate checks recall >= 2/5 per
+    query vs the exact top-5 (empirically 3-5/5 at sf0.01; fully
+    deterministic: init-by-id codebooks, 6-dp rounding)."""
+    return _ann_recall_query(
+        spark, sf_dir,
+        lambda q, e: pq_topk(q, e, dim=64, k=5, m=8, k_codes=16,
+                             n_candidates=60),
         min_hits=2,
     )
 

@@ -163,3 +163,72 @@ def rollup_distinct_users(spark, sf_dir):
         .cast("int")
         .alias("estimate_ok"),
     )
+
+
+@query(
+    "rollup_quantile_state",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             least(31, greatest(0, CAST(floor(
+               ((l_extendedprice - 900.0) * 32) / 104100.0) AS INT))) AS bin
+      FROM lineitem),
+    h AS (SELECT l_returnflag, bin, count(*) AS c FROM b GROUP BY 1, 2),
+    t AS (SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS total
+          FROM h GROUP BY 1),
+    cum AS (
+      SELECT h.l_returnflag, bin, c,
+             sum(c) OVER (PARTITION BY h.l_returnflag ORDER BY bin) AS cum,
+             t.total
+      FROM h JOIN t USING (l_returnflag)),
+    p50 AS (SELECT l_returnflag, min(bin) AS bin FROM cum
+            WHERE cum >= greatest(1, ceil(0.5 * total)) GROUP BY 1),
+    p95 AS (SELECT l_returnflag, min(bin) AS bin FROM cum
+            WHERE cum >= greatest(1, ceil(0.95 * total)) GROUP BY 1)
+    SELECT t.l_returnflag, t.total AS n_rows,
+           round(900.0 + (p50.bin + 0.5) * (104100.0 / 32), 6) AS p50_est,
+           round(900.0 + (p95.bin + 0.5) * (104100.0 / 32), 6) AS p95_est
+    FROM t JOIN p50 USING (l_returnflag) JOIN p95 USING (l_returnflag)
+    """,
+)
+def rollup_quantile_state(spark, sf_dir):
+    """Incrementally-maintained quantiles (X10 + sketch family): per-flag
+    price distribution kept as a MERGEABLE equi-width histogram state
+    (bin-count vectors add element-wise — the fixed-bin stand-in for a
+    KLL/t-digest state), folded over three lineitem deltas at O(delta)
+    each; p50/p95 derive at read time from the merged state by a pure
+    expression fold. The oracle recomputes the same bins, cumulative
+    crossing, and midpoint arithmetic from the raw table in SQL — so
+    three-delta fold == one-shot, value-exact, including the quantile
+    estimates."""
+    from ..operators.rollup import hist_quantile_expr
+
+    LO, HI, NB = 900.0, 105000.0, 32
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    roll = IncrementalRollup(
+        spark,
+        os.path.join(tempfile.mkdtemp(prefix="spark_rollq_"), "state"),
+        group_cols=["l_returnflag"],
+        measures={"l_extendedprice": ("hist",)},
+        hist_config={"l_extendedprice": (LO, HI, NB)},
+    )
+    hi = l.agg(F.max("l_orderkey")).collect()[0][0]  # one scalar
+    cuts = (hi // 3, 2 * hi // 3)
+    roll.update(l.filter(F.col("l_orderkey") <= cuts[0]))
+    roll.update(
+        l.filter(
+            (F.col("l_orderkey") > cuts[0]) & (F.col("l_orderkey") <= cuts[1])
+        )
+    )
+    roll.update(l.filter(F.col("l_orderkey") > cuts[1]))
+    h = F.col("hist__l_extendedprice")
+    return roll.read().select(
+        "l_returnflag",
+        F.aggregate(h, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "n_rows"
+        ),
+        hist_quantile_expr(h, LO, HI, NB, 0.5).alias("p50_est"),
+        hist_quantile_expr(h, LO, HI, NB, 0.95).alias("p95_est"),
+    )

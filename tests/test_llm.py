@@ -386,3 +386,29 @@ def test_ivf_assignment_plan_size_constant_in_k(spark):
     assert big_len <= small_len * 1.5, (small_len, big_len)
     # and the big-k assignment actually executes: 2 lists per vector
     assert big_df.count() == 600
+
+
+def test_pq_topk_recall_and_code_compression(spark):
+    from s3_glue_redshift_guide_spark.llm.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in topk_bruteforce(q, e, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in pq_topk(q, e, dim=64, n_candidates=60).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, recall  # exact re-rank of a 60-candidate pool
+
+    # the compressed representation really is m small codes per vector
+    cents = pq_codebooks(e, dim=64, m=8, k_codes=16, iters=1)
+    assert len(cents) == 8 and len(cents[0]) == 16 and len(cents[0][0]) == 8
+    codes = pq_encode(e, cents, "vec_id").collect()
+    assert len(codes) == e.count()
+    for r in codes[:20]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])

@@ -84,3 +84,56 @@ def test_hll_state_merges_across_deltas(spark, tmp_path):
         ["event_type", "approx_distinct__user_id"],
     )
     assert got == want
+
+
+def test_hist_state_incremental_equals_one_shot(spark, tmp_path):
+    """The histogram state is a true monoid: three-delta fold must produce
+    bin-for-bin the same vector as a single update over everything, and
+    the derived p50 must bracket the exact median within one bin width."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    cfg = {"value": (0.0, 100.0, 20)}
+    inc = IncrementalRollup(
+        spark, str(tmp_path / "hist_inc"), ["event_type"],
+        {"value": ("hist",)}, hist_config=cfg,
+    )
+    for third in range(3):
+        inc.update(ev.filter(F.col("event_id") % 3 == third))
+    one = IncrementalRollup(
+        spark, str(tmp_path / "hist_one"), ["event_type"],
+        {"value": ("hist",)}, hist_config=cfg,
+    )
+    one.update(ev)
+    got = _rows(inc.read(), ["event_type", "hist__value"])
+    want = _rows(one.read(), ["event_type", "hist__value"])
+    assert got == want
+
+    from s3_glue_redshift_guide_spark.operators.rollup import (
+        hist_quantile_expr,
+    )
+
+    p50 = {
+        r["event_type"]: r["p"]
+        for r in inc.read()
+        .select(
+            "event_type",
+            hist_quantile_expr(
+                F.col("hist__value"), 0.0, 100.0, 20, 0.5
+            ).alias("p"),
+        )
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("m"))
+        .collect()
+    }
+    for et, est in p50.items():
+        assert abs(est - exact[et]) <= 5.0 + 1e-9, (et, est, exact[et])
+
+
+def test_hist_requires_pinned_range(spark, tmp_path):
+    with pytest.raises(ValueError):
+        IncrementalRollup(
+            spark, str(tmp_path / "x"), ["event_type"], {"value": ("hist",)}
+        )
