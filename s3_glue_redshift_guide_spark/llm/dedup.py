@@ -603,3 +603,36 @@ def fuzzy_pairs_dist1(
 ) -> DataFrame:
     """Edit-distance-1 specialization of ``fuzzy_pairs``."""
     return fuzzy_pairs(df, id_col, str_col, max_dist=1)
+
+
+def normalize_text(text):
+    """Canonical text form for normalization-aware dedup: lowercase, strip
+    punctuation, collapse runs of whitespace, trim. Catches the
+    near-trivial duplicates exact hashing misses (case/punct/spacing
+    variants) before the expensive fuzzy passes run — every production
+    dedup pipeline normalizes before hashing. Pure codegen'd string
+    expressions; the regexes are ASCII-safe so any engine reproduces them
+    byte-for-byte."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[\.,;:!\?'\"()\[\]{}]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def normalized_dedup_groups(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """L1 variant: exact dedup over the NORMALIZED content — same
+    hash-shuffle shape as ``exact_dedup_groups`` (the 32-byte digest
+    moves, never the document), keyed on the canonical form."""
+    return (
+        df.groupBy(
+            F.sha2(normalize_text(F.col(content_col)), 256).alias(
+                "norm_hash"
+            )
+        )
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

@@ -556,12 +556,11 @@ def pq_topk(
         )
     )
     adc = (
-        F.broadcast(qtab)
+        F.broadcast(qtab.drop("qv"))
         .crossJoin(codes)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
-            "qv",
             "neighbor_id",
             F.round(
                 F.aggregate(
@@ -577,13 +576,131 @@ def pq_topk(
             ).alias("adc"),
         )
     )
+    # the candidate window shuffles 20-byte scalar rows; qv re-attaches
+    # from the broadcast query side only for the bounded re-rank
     wc = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
     cand = (
         adc.withColumn("__r", F.row_number().over(wc))
         .filter(F.col("__r") <= n_candidates)
-        .select("query_id", "qv", "neighbor_id")
+        .select("query_id", "neighbor_id")
     )
     exact = cand.join(
+        F.broadcast(qtab.select("query_id", "qv")), "query_id"
+    ).join(
+        _spread(corpus).select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    n_candidates: int = 60,
+    kmeans_iters: int = 2,
+) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IVFPQ composition — the actual 10^9-vector
+    path): the coarse quantizer bounds WHICH corpus rows each query
+    touches (an equi-join on ``list_id`` — no cross join anywhere in the
+    operator plan), and PQ codes bound WHAT each touched row costs (m
+    lookup-adds over an 8-byte code instead of dim float multiplies).
+    Exact cosine re-rank of the per-query ADC top-``n_candidates``.
+
+    The candidate scan frame carries (list_id, neighbor_id, codes) — no
+    raw vector rides the probe join; vectors are touched only by the
+    final bounded re-rank join. Classic (non-residual) PQ codebooks: at
+    n_probe/n_lists coverage the residual refinement changes recall by
+    little and keeps both quantizers independently testable."""
+    cents = kmeans_centroids(corpus, corpus_id, vec_col, n_lists, kmeans_iters)
+    pq = pq_codebooks(corpus, dim, corpus_id, vec_col, m, k_codes, kmeans_iters)
+    d = dim // m
+
+    c_lists = _nearest_lists(
+        _spread(corpus), cents, vec_col, (corpus_id, "neighbor_id"), "cv", 1
+    ).select("neighbor_id", "list_id")
+    codes = pq_encode(_spread(corpus), pq, corpus_id, vec_col)
+    corpus_scan = c_lists.join(codes, "neighbor_id")
+
+    q_lists = _nearest_lists(
+        queries, cents, vec_col, (query_id, "query_id"), "qv", n_probe
+    ).select("query_id", "list_id")
+    qtab = _materialize(
+        queries.crossJoin(
+            F.broadcast(_pq_cent_frame(queries.sparkSession, pq))
+        ).select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.transform(
+                F.col("__pqc"),
+                lambda c: F.round(
+                    _l2sq(
+                        F.slice(
+                            F.col(vec_col).cast("array<double>"),
+                            c["sub"] * d + 1,
+                            d,
+                        ),
+                        c["cent"],
+                    ),
+                    6,
+                ),
+            ).alias("dtab"),
+        )
+    )
+    adc = (
+        q_lists.join(corpus_scan, "list_id")
+        .join(F.broadcast(qtab.drop("qv")), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    F.lit(0.0),
+                    lambda acc, j: acc
+                    + F.element_at(
+                        F.col("dtab"),
+                        j * k_codes + F.element_at(F.col("codes"), j + 1) + 1,
+                    ),
+                ),
+                6,
+            ).alias("adc"),
+        )
+        # a (query, neighbor) pair may meet in several probed lists; the
+        # dedup + candidate window key on 20-byte scalar rows — no vector
+        # payload rides either exchange (qv re-attaches from the broadcast
+        # query side only for the bounded re-rank)
+        .distinct()
+    )
+    wc = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    cand = (
+        adc.withColumn("__r", F.row_number().over(wc))
+        .filter(F.col("__r") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    exact = cand.join(
+        F.broadcast(qtab.select("query_id", "qv")), "query_id"
+    ).join(
         _spread(corpus).select(
             F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
         ),

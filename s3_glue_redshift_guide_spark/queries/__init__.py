@@ -42,8 +42,8 @@ for _m in _MODULES:
 # round 3 the union of banked driver rows covers 144 of the 153 pre-round-4
 # queries; the 9 never-sampled (round-3 latecomers that missed the round-3
 # window) go FIRST so round 4 closes at-least-once verification for the
-# ENTIRE registry. The 14 new round-4 queries follow (they need first-window
-# slots too), and the remaining 27 slots re-verify the round-1-only passes
+# ENTIRE registry. The 20 new round-4 queries follow (they need first-window
+# slots too), and the remaining 21 slots re-verify the round-1-only passes
 # that have never been re-sampled since (regression guard — prioritizing
 # the relational/join/window/function core, including the two bench-watched
 # queries win_rank_topk and agg_rollup).
@@ -59,24 +59,25 @@ _PRIORITY = [
     "sk_countmin_heavy_hitters", "llm_dedup_delta", "sink_zorder_layout",
     "sink_cdc_apply", "sink_scd2_history",
     "src_dataskip_index", "join_bloom_prefilter", "cur_span_scrub",
-    "llm_pq_topk", "rollup_quantile_state",
-    # -- regression re-checks (27): verified in round 1, never re-sampled --
+    "llm_pq_topk", "rollup_quantile_state", "llm_ivfpq_topk",
+    "llm_contamination_bloom", "llm_quality_classifier",
+    "join_scd2_pointintime", "llm_normalized_dedup", "llm_vocab_oov",
+    # -- regression re-checks (21): verified in round 1, never re-sampled --
     # TPC-H-shaped relational core
     "q3_shipping_priority", "q5_regional_revenue", "q6_forecast_revenue",
-    "q10_returned_items", "q12_priority_shipping",
+    "q10_returned_items",
     # join family
     "join_left_outer", "join_full_outer",
     "join_semi_exists", "join_anti_not_exists",
     "join_range_events", "join_asof_events",
     # aggregate family (incl. the bench-watched agg_rollup)
-    "agg_stats", "agg_count_distinct", "agg_minmax_by", "agg_rollup",
+    "agg_stats", "agg_rollup",
     "agg_cube",
     # window / sort / set-op family (incl. the bench-watched win_rank_topk)
     "win_rank_topk", "win_lag_lead", "win_running_frames",
-    "sort_limit_topk",
-    "setop_union", "setop_intersect", "setop_except",
+    "setop_union", "setop_except",
     # function suites
-    "fn_string", "fn_datetime", "fn_json",
+    "fn_string", "fn_json",
     # projection / ETL typing
     "etl_string_first_typing",
 ]

@@ -30,6 +30,7 @@ from ..llm.multimodal import attach_fake_media, decode_image_features
 from ..functions.vectors import cosine as vcosine
 from ..llm.similarity import (
     ivf_topk,
+    ivfpq_topk,
     lsh_topk,
     pq_topk,
     semantic_dedup_pairs,
@@ -840,6 +841,22 @@ def llm_pq_topk(spark, sf_dir):
     )
 
 
+@query("llm_ivfpq_topk", oracle=_SQL_ANN_RECALL)
+def llm_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN top-5 (L3, the FAISS IVFPQ composition): the coarse
+    quantizer bounds WHICH rows a query touches (list_id equi-join — the
+    operator plan has no cross join), PQ codes bound WHAT each touched
+    row costs (8 lookup-adds vs 64 float multiplies), exact re-rank of
+    the ADC top-60. The gate checks recall >= 2/5 per query vs the exact
+    top-5 (empirically 3-5/5 at sf0.01; deterministic end to end)."""
+    return _ann_recall_query(
+        spark, sf_dir,
+        lambda q, e: ivfpq_topk(q, e, dim=64, k=5, n_lists=16, n_probe=4,
+                                m=8, k_codes=16, n_candidates=60),
+        min_hits=2,
+    )
+
+
 @query(
     "llm_tfidf_top_terms",
     oracle=f"""
@@ -1327,5 +1344,204 @@ def llm_corpus_clean_pipeline(spark, sf_dir):
             "n_after_meta",
             "n_after_exact",
             (F.col("n_after_exact") - F.col("__n_drop")).alias("n_final"),
+        )
+    )
+
+
+@query(
+    "llm_contamination_bloom",
+    oracle=f"""
+    WITH {_SQL_SHINGLE_EX},
+    ev AS (SELECT shingle FROM ex WHERE doc_id < 20),
+    corp AS (SELECT doc_id, shingle FROM ex WHERE doc_id >= 20)
+    SELECT corp.doc_id,
+           count(DISTINCT corp.shingle) AS n_shared,
+           CAST(count(DISTINCT corp.shingle) >= 5 AS INTEGER) AS flagged
+    FROM corp JOIN ev ON corp.shingle = ev.shingle
+    GROUP BY corp.doc_id
+    """,
+)
+def llm_contamination_bloom(spark, sf_dir):
+    """Decontamination at corpus scale: the same eval-overlap semantics as
+    ``llm_contamination``, but the corpus shingle stream is screened by a
+    BLOOM FILTER of the eval set's shingles BEFORE the exact join — the
+    composition every production decontamination pass uses, because the
+    benchmark side is tiny and ~all corpus shingles drop map-side instead
+    of shuffling into the join (at 100 TB that's the difference between
+    shuffling the tokenized corpus and shuffling a candidate trickle).
+    The filter is semantically invisible — false positives are removed by
+    the exact join, false negatives are impossible — so the oracle is the
+    plain overlap query, and the screening benefit is asserted in
+    tests/test_bloom.py."""
+    from ..operators.bloom import bloom_build, bloom_prefilter
+
+    sh = _shingle_sets(spark, sf_dir)
+    ex = sh.select("doc", F.explode("sh").alias("shingle"))
+    ev = ex.filter(F.col("doc") < 20).select("shingle").distinct()
+    corp = ex.filter(F.col("doc") >= 20)
+    bitset = bloom_build(ev, "shingle")
+    cand = bloom_prefilter(corp, "shingle", bitset)
+    return (
+        cand.join(ev, "shingle")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+        .select(
+            "doc_id",
+            "n_shared",
+            (F.col("n_shared") >= 5).cast("int").alias("flagged"),
+        )
+    )
+
+
+#: Fixed classifier weights — the stand-in for an offline-trained quality
+#: model (fasttext-style): in production these arrive from a training job;
+#: the ENGINE's job is the vectorized scoring pass, which is identical.
+#: All weights are DYADIC rationals (sums of powers of two), so every
+#: weight*count product and the running sum are EXACT in IEEE doubles —
+#: the margin is bit-identical in any engine, with no rounding step to
+#: diverge at a .5-ulp boundary (ratio features + round(6) on both sides
+#: still differed in the last ulp between Spark and DuckDB).
+_QC_W = {"bias": -2.0, "stop": 0.25, "digit": -0.5,
+         "distinct": 0.0625, "len": 0.03125}
+
+
+@query(
+    "llm_quality_classifier",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+    f AS (
+      SELECT doc_id,
+             len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+               AS n_digits,
+             len(list_filter(toks, x -> list_contains(
+                 {LANG_STOPWORDS['en']}, x))) AS n_stop,
+             len(list_distinct(toks)) AS n_distinct,
+             least(len(toks), 100) AS len_capped
+      FROM t)
+    SELECT doc_id,
+           {_QC_W['bias']} + {_QC_W['stop']} * n_stop
+             + {_QC_W['digit']} * n_digits
+             + {_QC_W['distinct']} * n_distinct
+             + {_QC_W['len']} * len_capped AS margin,
+           CAST(({_QC_W['bias']} + {_QC_W['stop']} * n_stop
+             + {_QC_W['digit']} * n_digits
+             + {_QC_W['distinct']} * n_distinct
+             + {_QC_W['len']} * len_capped) >= 1.5 AS INTEGER) AS keep
+    FROM f
+    """,
+)
+def llm_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering (L6, the fasttext-classifier shape):
+    a linear scorer over count features (stopword hits, digit chars,
+    distinct tokens, capped length) with FIXED offline-trained weights,
+    emitting the decision margin and keep flag. The margin stays in the
+    linear domain (apply sigmoid downstream if a probability is needed),
+    and the weights are dyadic rationals over integer counts, so the
+    double arithmetic is EXACT — the oracle reproduces the margin
+    bit-for-bit with no rounding anywhere (see _QC_W note). One
+    expression tree per document: embarrassingly parallel, codegen'd,
+    no shuffle."""
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_digits = F.length("text") - F.length(
+        F.regexp_replace("text", r"[0-9]", "")
+    )
+    n_distinct = F.size(F.array_distinct(toks))
+    len_capped = F.least(F.size(toks), F.lit(100))
+    z = (
+        F.lit(_QC_W["bias"])
+        + F.lit(_QC_W["stop"]) * n_stop
+        + F.lit(_QC_W["digit"]) * n_digits
+        + F.lit(_QC_W["distinct"]) * n_distinct
+        + F.lit(_QC_W["len"]) * len_capped
+    )
+    return d.select(
+        "doc_id",
+        z.alias("margin"),
+        (z >= 1.5).cast("int").alias("keep"),
+    )
+
+
+@query(
+    "llm_normalized_dedup",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[\.,;:!\?''"()\[\]{}]', '', 'g'),
+               '\s+', ' ', 'g')) AS n
+      FROM documents)
+    SELECT sha256(n) AS norm_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM norm GROUP BY 1
+    """,
+)
+def llm_normalized_dedup(spark, sf_dir):
+    """Normalization-aware exact dedup (L1): documents hashed on their
+    canonical form (lowercase, punctuation stripped, whitespace
+    collapsed, trimmed) — the standard pre-hash pass that collapses
+    case/punct/spacing variants before any fuzzy machinery runs. Same
+    scale shape as ``llm_exact_dedup``: only the 32-byte digest shuffles.
+    The oracle re-derives the normalization regexes byte-for-byte, so
+    canonicalization AND grouping are value-hash-checked."""
+    from ..llm.dedup import normalized_dedup_groups
+
+    return normalized_dedup_groups(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@query(
+    "llm_vocab_oov",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+    vocab AS (
+      SELECT tok FROM freq
+      QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= 1000)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+           round(count(*) FILTER (WHERE v.tok IS NULL)::DOUBLE
+                 / count(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def llm_vocab_oov(spark, sf_dir):
+    """Vocabulary induction + OOV coverage (the tokenizer-prep step): the
+    corpus's top-1000 tokens by frequency (ties by token) form the vocab;
+    each document reports its token count, out-of-vocabulary count and
+    OOV rate. Scale shape: the frequency table shuffles on the token key
+    (billions of distinct tokens stay distributed), the top-K truncation
+    is a TakeOrderedAndProject (never a global sort), and the K-row vocab
+    joins back BROADCAST — the corpus re-scan never shuffles for the
+    membership test."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(1000)
+        .select("tok", F.lit(1).alias("__in_v"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in_v").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
         )
     )

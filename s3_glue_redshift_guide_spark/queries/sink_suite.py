@@ -383,3 +383,74 @@ def sink_scd2_history(spark, sf_dir):
         F.col("valid_to"),
         F.col("is_current"),
     )
+
+
+@query(
+    "join_scd2_pointintime",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey AS k, 1 AS v, o_orderstatus AS status
+      FROM orders WHERE o_orderkey < 1500
+      UNION ALL
+      SELECT o_orderkey, 2, 'S2' FROM orders
+      WHERE o_orderkey >= 500 AND o_orderkey < 1500
+      UNION ALL
+      SELECT o_orderkey, 3, 'S3' FROM orders
+      WHERE o_orderkey >= 1000 AND o_orderkey < 1500),
+    hist AS (
+      SELECT k, v AS valid_from,
+             lead(v) OVER (PARTITION BY k ORDER BY v) AS valid_to,
+             status
+      FROM log),
+    probes AS (
+      SELECT o_orderkey AS k, 1 + o_orderkey % 3 AS as_of
+      FROM orders WHERE o_orderkey < 1500)
+    SELECT p.k AS o_orderkey, p.as_of,
+           h.status AS o_orderstatus, h.valid_from
+    FROM probes p JOIN hist h
+      ON p.k = h.k AND p.as_of >= h.valid_from
+     AND (h.valid_to IS NULL OR p.as_of < h.valid_to)
+    """,
+)
+def join_scd2_pointintime(spark, sf_dir):
+    """SCD2 point-in-time lookup (the READ path of the SCD2 story): the
+    same three-wave change log as ``sink_scd2_history`` becomes validity
+    intervals, and a probe set asking "what was the status at version
+    1/2/3?" (as_of = 1 + key % 3) joins against them — an equi-join on
+    the dimension key with the interval test as a residual filter, so
+    per-key fan-out is the SCD depth (<= 3 here) and the plan never
+    nested-loops. Probes at as_of 2-3 for keys that only ever had v1 must
+    resolve to the v1 row (open-ended current interval); every probe key
+    resolves to EXACTLY one version — uniqueness is implied by the
+    value-hash gate (row count == probe count)."""
+    from ..sinks.upsert import scd2_history, scd2_pointintime
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1500)
+
+    def wave(lo, hi, v, status):
+        return o.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+        ).select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(v).alias("v"),
+            status.alias("status"),
+        )
+
+    log = (
+        wave(0, 1500, 1, F.col("o_orderstatus"))
+        .unionByName(wave(500, 1500, 2, F.lit("S2")))
+        .unionByName(wave(1000, 1500, 3, F.lit("S3")))
+    )
+    hist = scd2_history(log, ["k"], "v").select(
+        "k", "valid_from", "valid_to", "status"
+    )
+    probes = o.select(
+        F.col("o_orderkey").alias("k"),
+        (F.lit(1) + F.col("o_orderkey") % 3).cast("int").alias("as_of"),
+    )
+    return scd2_pointintime(hist, probes, ["k"], "as_of").select(
+        F.col("k").alias("o_orderkey"),
+        "as_of",
+        F.col("status").alias("o_orderstatus"),
+        "valid_from",
+    )

@@ -165,3 +165,37 @@ class DuckDBUpsertWarehouse:
             self.con.sql(f"INSERT INTO {table} SELECT * FROM '{glob}'")
             self.con.sql("COMMIT")
         return self.con.sql(f"SELECT count(*) FROM '{glob}'").fetchall()[0][0]
+
+
+def scd2_pointintime(
+    history: DataFrame,
+    probes: DataFrame,
+    keys: list[str],
+    as_of_col: str,
+) -> DataFrame:
+    """Point-in-time lookup against an SCD2 history: for each probe row,
+    the attribute version valid at ``as_of_col`` — i.e. the history row
+    with ``valid_from <= as_of < valid_to`` (open-ended for the current
+    row). The read path that makes the SCD2 write path useful: training
+    labels, audits, and late-event enrichment all need "what was true at
+    time t", not "what is true now".
+
+    Plan shape: an EQUI-join on the dimension key with the interval test
+    as a residual filter — per-key fan-out is the key's version count
+    (SCD depth, single digits in practice), so the shuffle stays linear
+    in |probes| + |history| and never needs a nested loop. Probes with no
+    valid version (as_of before first insert) drop out, as in SQL."""
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (history[k] == probes[k])
+    cond = (
+        cond
+        & (probes[as_of_col] >= history["valid_from"])
+        & (
+            history["valid_to"].isNull()
+            | (probes[as_of_col] < history["valid_to"])
+        )
+    )
+    return probes.join(history, cond, "inner").drop(
+        *[history[k] for k in keys]
+    )

@@ -39,3 +39,24 @@ def test_bitset_is_metadata_sized(spark):
     bitset = bloom_build(o, "o_orderkey", m_bits=1 << 12)
     assert bitset.nbytes == (1 << 12) // 8  # 512 B for m=4096
     assert bitset.any()
+
+
+def test_shingle_screen_drops_most_of_the_corpus_side(spark):
+    """The decontamination composition: a Bloom filter of the (tiny) eval
+    side must drop the overwhelming share of corpus shingles before the
+    exact join, while keeping every true overlap."""
+    from pyspark.sql import functions as F
+
+    from s3_glue_redshift_guide_spark.llm.dedup import _doc_shingle_sets
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sh = _doc_shingle_sets(docs, "doc_id", "text", 3)
+    ex = sh.select("doc", F.explode("sh").alias("shingle"))
+    ev = ex.filter(F.col("doc") < 20).select("shingle").distinct()
+    corp = ex.filter(F.col("doc") >= 20)
+    bitset = bloom_build(ev, "shingle")
+    cand = bloom_prefilter(corp, "shingle", bitset)
+    n_corp, n_cand = corp.count(), cand.count()
+    n_true = corp.join(ev, "shingle", "left_semi").count()
+    assert n_true <= n_cand  # no false negatives
+    assert n_cand < n_corp * 0.2, (n_cand, n_corp)  # real screening

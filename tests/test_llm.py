@@ -412,3 +412,18 @@ def test_pq_topk_recall_and_code_compression(spark):
     for r in codes[:20]:
         assert len(r["codes"]) == 8
         assert all(0 <= c < 16 for c in r["codes"])
+
+
+def test_ivfpq_topk_recall_vs_bruteforce(spark):
+    from s3_glue_redshift_guide_spark.llm.similarity import ivfpq_topk
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in topk_bruteforce(q, e, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ivfpq_topk(q, e, dim=64).collect()}
+    recall = len(exact & approx) / len(exact)
+    # IVF bounds which rows are touched; the exact re-rank of the ADC
+    # pool keeps recall near the IVF ceiling
+    assert recall >= 0.3, recall

@@ -85,6 +85,9 @@ ALLOWED_HIGH = {
     "llm_ivf_topk",
     "llm_semantic_dedup",
     "llm_pq_topk",
+    # llm_ivfpq_topk — ONLY the recall harness's exact side; the IVFPQ
+    # operator plan itself is cartesian-free (asserted in test_plans.py)
+    "llm_ivfpq_topk",
 }
 
 

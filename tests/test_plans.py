@@ -180,3 +180,19 @@ def test_ann_candidate_dedup_carries_no_vectors(spark):
         for line in plan.splitlines():
             if "hashpartitioning" in line:
                 assert "qv#" not in line and "cv#" not in line, (name, line)
+
+
+def test_ivfpq_operator_plan_is_cartesian_free_and_payload_clean(spark):
+    # the IVFPQ operator itself (not the recall harness) must pair
+    # candidates via the list_id equi-join — no cross join — and its
+    # exchanges must carry code/scalar rows, never query/corpus vectors
+    from s3_glue_redshift_guide_spark.catalog import load_table
+    from s3_glue_redshift_guide_spark.llm.similarity import ivfpq_topk
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    plan = ivfpq_topk(q, e, dim=64)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "qv#" not in line and "cv#" not in line, line
