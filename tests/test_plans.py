@@ -196,3 +196,28 @@ def test_ivfpq_operator_plan_is_cartesian_free_and_payload_clean(spark):
     for line in plan.splitlines():
         if "hashpartitioning" in line:
             assert "qv#" not in line and "cv#" not in line, line
+
+
+def test_vocab_topk_and_broadcast_joinback(spark):
+    # vocab truncation must be TakeOrderedAndProject (never a global sort)
+    # and the K-row vocab must join back broadcast — the corpus token scan
+    # never shuffles for the membership test
+    plan = _plan(_q(spark, "llm_vocab_oov"))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scd2_pointintime_is_equi_join(spark):
+    # the interval test must ride as a residual on a key equi-join, never
+    # degrade the whole join to a nested loop
+    plan = _plan(_q(spark, "join_scd2_pointintime"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_is_arrow_vectorized(spark):
+    # the bitset lookup must run as an Arrow-batched pandas UDF
+    # (ArrowEvalPython), never a row-at-a-time BatchEvalPython
+    plan = _plan(_q(spark, "join_bloom_prefilter"))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
