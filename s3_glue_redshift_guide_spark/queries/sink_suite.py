@@ -454,3 +454,75 @@ def join_scd2_pointintime(spark, sf_dir):
         F.col("status").alias("o_orderstatus"),
         "valid_from",
     )
+
+
+# -------------------------------------- streaming → snapshot table -----
+@query(
+    "sink_snapshot_stream",
+    oracle="""
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_orderkey < 800) AS v1_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_orderkey < 1600) AS v2_rows,
+           (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
+            WHERE o_orderkey < 1600) AS v2_sum,
+           CAST(2 AS BIGINT) AS n_versions
+    """,
+)
+def sink_snapshot_stream(spark, sf_dir):
+    """Streaming lakehouse ingest (T9 composed with the snapshot layer):
+    each micro-batch commits as ONE atomic snapshot version — foreachBatch
+    calls ``SnapshotTable.commit_append``, so readers see whole batches or
+    nothing, and every historical batch boundary stays addressable by
+    version. Two real micro-batches flow through a file-source stream
+    (epoch order pinned by the checkpoint bookmark, as in
+    ``sink_scd1_stream``); the facts pin per-version row counts, the
+    final content sum, and the version count — time travel to v1 returns
+    exactly batch 1 even after batch 2 landed."""
+    import os
+
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="spark_snapstream_")
+    inbox, ckpt = os.path.join(base, "inbox"), os.path.join(base, "ckpt")
+    os.makedirs(inbox)
+    table = SnapshotTable(spark, os.path.join(base, "table"))
+
+    batch1 = o.filter(F.col("o_orderkey") < 800).select("o_orderkey")
+    batch2 = o.filter(
+        (F.col("o_orderkey") >= 800) & (F.col("o_orderkey") < 1600)
+    ).select("o_orderkey")
+
+    def commit_batch(df, _epoch):
+        table.commit_append(df)
+
+    def _drain_once() -> None:
+        q = (
+            spark.readStream.schema(batch1.schema)
+            .parquet(inbox)
+            .writeStream.foreachBatch(commit_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batch1.coalesce(1).write.mode("append").parquet(inbox)
+    _drain_once()
+    batch2.coalesce(1).write.mode("append").parquet(inbox)
+    _drain_once()
+
+    return (
+        table.read(1)
+        .agg(F.count(F.lit(1)).alias("v1_rows"))
+        .crossJoin(
+            table.read(2).agg(
+                F.count(F.lit(1)).alias("v2_rows"),
+                F.sum("o_orderkey").cast("long").alias("v2_sum"),
+            )
+        )
+        .withColumn(
+            "n_versions", F.lit(table.current_version()).cast("long")
+        )
+    )

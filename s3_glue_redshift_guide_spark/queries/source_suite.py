@@ -564,3 +564,68 @@ def src_dataskip_index(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
+
+
+# --------------------------------- snapshot / time-travel table -------
+@query(
+    "src_time_travel",
+    oracle="""
+    WITH v1 AS (SELECT * FROM orders WHERE o_orderkey < 500),
+    v2 AS (SELECT * FROM orders WHERE o_orderkey < 1000)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v1) AS v1_rows,
+           (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM v1) AS v1_sum,
+           (SELECT CAST(count(*) AS BIGINT) FROM v2) AS v2_rows,
+           (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM v2) AS v2_sum,
+           CAST(4 AS BIGINT) AS v2_files,
+           (SELECT CAST(count(*) AS BIGINT) FROM v2) AS v3_rows,
+           (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM v2) AS v3_sum,
+           CAST(1 AS BIGINT) AS v3_files,
+           1 AS isolation_ok
+    """,
+)
+def src_time_travel(spark, sf_dir):
+    """Snapshot/time-travel table (the transaction-log capability every
+    lakehouse source needs): v1 = keys <500 written as 2 files, v2 =
+    append of [500,1000) (4 files visible), v3 = a COMPACTION REWRITE of
+    the same rows into 1 file. Readers resolve a manifest first, so
+    version reads are reproducible after later commits — v1 and v2 read
+    back exactly their historical content even though v3 rewrote the
+    layout, and v3's content equals v2's (isolation_ok re-checks it
+    row-for-row via anti-joins). Commit cost is O(new files); the atomic
+    step is one manifest rename (`sources/snapshots.py`)."""
+    import tempfile as _tf
+
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = SnapshotTable(spark, _tf.mkdtemp(prefix="spark_snap_"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 500).repartition(2))
+    t.commit_append(
+        o.filter(
+            (F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1000)
+        ).repartition(2)
+    )
+    t.commit_rewrite(t.read(2).coalesce(1))
+
+    v1, v2, v3 = t.read(1), t.read(2), t.read(3)
+    iso = (
+        v2.select("o_orderkey").exceptAll(v3.select("o_orderkey")).count()
+        == 0
+        and v3.select("o_orderkey").exceptAll(v2.select("o_orderkey")).count()
+        == 0
+    )
+
+    def facts(df, n_files, pfx):
+        return df.agg(
+            F.count(F.lit(1)).alias(f"{pfx}_rows"),
+            F.sum("o_orderkey").cast("long").alias(f"{pfx}_sum"),
+            *([F.lit(n_files).cast("long").alias(f"{pfx}_files")]
+              if n_files is not None else []),
+        )
+
+    return (
+        facts(v1, None, "v1")
+        .crossJoin(facts(v2, t.file_count(2), "v2"))
+        .crossJoin(facts(v3, t.file_count(3), "v3"))
+        .withColumn("isolation_ok", F.lit(1 if iso else 0))
+    )
