@@ -42,8 +42,8 @@ for _m in _MODULES:
 # round 3 the union of banked driver rows covers 144 of the 153 pre-round-4
 # queries; the 9 never-sampled (round-3 latecomers that missed the round-3
 # window) go FIRST so round 4 closes at-least-once verification for the
-# ENTIRE registry. The 22 new round-4 queries follow (they need first-window
-# slots too), and the remaining 19 slots re-verify the round-1-only passes
+# ENTIRE registry. The 23 new round-4 queries follow (they need first-window
+# slots too), and the remaining 18 slots re-verify the round-1-only passes
 # that have never been re-sampled since (regression guard — prioritizing
 # the relational/join/window/function core, including the two bench-watched
 # queries win_rank_topk and agg_rollup).
@@ -62,8 +62,8 @@ _PRIORITY = [
     "llm_pq_topk", "rollup_quantile_state", "llm_ivfpq_topk",
     "llm_contamination_bloom", "llm_quality_classifier",
     "join_scd2_pointintime", "llm_normalized_dedup", "llm_vocab_oov",
-    "src_time_travel", "sink_snapshot_stream",
-    # -- regression re-checks (19): verified in round 1, never re-sampled --
+    "src_time_travel", "sink_snapshot_stream", "src_surgical_delete",
+    # -- regression re-checks (18): verified in round 1, never re-sampled --
     # TPC-H-shaped relational core
     "q3_shipping_priority", "q5_regional_revenue", "q6_forecast_revenue",
     "q10_returned_items",
@@ -78,7 +78,7 @@ _PRIORITY = [
     "win_rank_topk", "win_lag_lead",
     "setop_union",
     # function suites
-    "fn_string", "fn_json",
+    "fn_string",
     # projection / ETL typing
     "etl_string_first_typing",
 ]

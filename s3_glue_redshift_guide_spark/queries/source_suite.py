@@ -629,3 +629,72 @@ def src_time_travel(spark, sf_dir):
         .crossJoin(facts(v3, t.file_count(3), "v3"))
         .withColumn("isolation_ok", F.lit(1 if iso else 0))
     )
+
+
+@query(
+    "src_surgical_delete",
+    oracle="""
+    WITH laid AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+             year(o_orderdate) AS yr
+      FROM orders),
+    hit AS (
+      SELECT yr FROM laid GROUP BY yr
+      HAVING max(od) >= DATE '1997-03-15' AND min(od) <= DATE '1998-06-30'),
+    survivors AS (
+      SELECT * FROM laid
+      WHERE od NOT BETWEEN DATE '1997-03-15' AND DATE '1998-06-30')
+    SELECT (SELECT CAST(count(DISTINCT yr) AS BIGINT) FROM laid)
+             AS n_files_before,
+           (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_rewritten,
+           (SELECT CAST(count(DISTINCT yr) AS BIGINT) FROM laid)
+             - (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_kept_identical,
+           CAST(count(*) AS BIGINT) AS rows_after,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum_after
+    FROM survivors
+    """,
+)
+def src_surgical_delete(spark, sf_dir):
+    """GDPR-style surgical DELETE (the dataskip x snapshot composition —
+    how Delta/Iceberg execute row deletes): orders lands as one snapshot
+    file per order-year (7 commits), the per-file min/max index finds the
+    files whose range intersects the delete predicate (1997-03-15 ..
+    1998-06-30 → exactly the 1997/1998 files), and ONLY those two are
+    rewritten without the deleted rows — the other five keep their byte
+    identity in the new manifest (asserted: path intersection == 5). Work
+    is O(affected files), never O(table); the pre-delete version remains
+    fully readable (time travel = the audit trail)."""
+    from ..operators.dataskip import file_stats_index, pruned_files
+    from ..sources.snapshots import SnapshotTable
+
+    lo, hi = "1997-03-15", "1998-06-30"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    t = SnapshotTable(spark, _tmp("surgdel"))
+    for yr in range(1995, 2002):
+        t.commit_append(o.filter(F.year("od") == yr).coalesce(1))
+    v_before = t.current_version()
+    files_before = set(t._load_manifest(v_before))
+
+    index = file_stats_index(t.read(), ["od"])
+    # input_file_name() yields file:// URIs; the manifest stores plain
+    # paths — normalize before the manifest set-difference
+    to_rewrite = [
+        p.removeprefix("file://") for p in pruned_files(index, "od", lo, hi)
+    ]
+    survivors_of_hit = spark.read.parquet(*to_rewrite).filter(
+        ~F.col("od").between(F.lit(lo), F.lit(hi))
+    )
+    t.commit_replace(to_rewrite, survivors_of_hit)
+
+    files_after = set(t._load_manifest(t.current_version()))
+    n_kept = len(files_before & files_after)
+    after = t.read()
+    return after.agg(
+        F.lit(len(files_before)).cast("long").alias("n_files_before"),
+        F.lit(len(to_rewrite)).cast("long").alias("n_rewritten"),
+        F.lit(n_kept).cast("long").alias("n_kept_identical"),
+        F.count(F.lit(1)).alias("rows_after"),
+        F.sum("o_orderkey").cast("long").alias("key_sum_after"),
+    )

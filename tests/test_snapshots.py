@@ -47,3 +47,61 @@ def test_failed_writer_leaves_no_visible_commit(spark):
     t._write_files(o)
     assert t.current_version() == 1
     assert t.read().count() == 10
+
+
+def test_surgical_replace_keeps_untouched_file_identity(spark):
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("yr")
+    )
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_r_"))
+    for yr in (1995, 1996, 1997):
+        t.commit_append(o.filter(F.col("yr") == yr).coalesce(1))
+    before = set(t._load_manifest(3))
+    assert len(before) == 3
+    victim = sorted(before)[0]
+    kept_rows_before = t.read().count()
+    removed = spark.read.parquet(victim).count()
+    t.commit_replace([victim], spark.read.parquet(victim).limit(0))
+    after = set(t._load_manifest(t.current_version()))
+    # two untouched files keep their byte identity; victim gone
+    assert len(before & after) == 2 and victim not in after
+    assert t.read().count() == kept_rows_before - removed
+    # pre-delete version remains fully readable (audit trail)
+    assert t.read(3).count() == kept_rows_before
+
+
+def test_concurrent_commit_conflict_detected(spark):
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        CommitConflict,
+    )
+
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey").limit(5)
+    root = tempfile.mkdtemp(prefix="snap_c_")
+    a, b = SnapshotTable(spark, root), SnapshotTable(spark, root)
+    a.commit_append(o)
+    # writer B computes its commit against v1, writer A lands v2 first
+    files_b = b._write_files(o)
+    a.commit_append(o)
+    import pytest as _pt
+
+    with _pt.raises(CommitConflict):
+        # B still believes current==1 → tries v2, which now exists
+        b._publish(b._load_manifest(1) + files_b, base_version=1)
+    # the standard retry: re-read state, publish against the new head
+    assert b.commit_append(o) == 3
+
+
+def test_vacuum_reclaims_unreferenced_files_only(spark):
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_v_"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 100).repartition(2))
+    t.commit_rewrite(t.read(1).coalesce(1))  # v2: compacted layout
+    n = t.read(2).count()
+    deleted = t.vacuum(retain_versions=1)
+    assert len(deleted) == 2  # the two pre-compaction files
+    # latest still fully readable; old version is out of retention
+    assert t.read(2).count() == n
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        t._load_manifest(1)
