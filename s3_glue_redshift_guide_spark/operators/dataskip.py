@@ -67,5 +67,10 @@ def read_pruned(
     """Read only the surviving files, keeping partition-dir columns via
     ``basePath``. The residual predicate must still be applied by the
     caller — stats admit false positives (a file may straddle the range),
-    never false negatives."""
+    never false negatives. A fully-pruned read (no file intersects the
+    predicate) returns an EMPTY frame with the table's schema — the
+    zero-task fast path, not an error."""
+    if not files:
+        schema = spark.read.option("basePath", base).parquet(base).schema
+        return spark.createDataFrame([], schema)
     return spark.read.option("basePath", base).parquet(*files)

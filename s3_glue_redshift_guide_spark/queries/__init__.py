@@ -42,8 +42,8 @@ for _m in _MODULES:
 # round 3 the union of banked driver rows covers 144 of the 153 pre-round-4
 # queries; the 9 never-sampled (round-3 latecomers that missed the round-3
 # window) go FIRST so round 4 closes at-least-once verification for the
-# ENTIRE registry. The 23 new round-4 queries follow (they need first-window
-# slots too), and the remaining 18 slots re-verify the round-1-only passes
+# ENTIRE registry. The 24 new round-4 queries follow (they need first-window
+# slots too), and the remaining 17 slots re-verify the round-1-only passes
 # that have never been re-sampled since (regression guard — prioritizing
 # the relational/join/window/function core, including the two bench-watched
 # queries win_rank_topk and agg_rollup).
@@ -63,12 +63,13 @@ _PRIORITY = [
     "llm_contamination_bloom", "llm_quality_classifier",
     "join_scd2_pointintime", "llm_normalized_dedup", "llm_vocab_oov",
     "src_time_travel", "sink_snapshot_stream", "src_surgical_delete",
-    # -- regression re-checks (18): verified in round 1, never re-sampled --
+    "sink_snapshot_merge",
+    # -- regression re-checks (17): verified in round 1, never re-sampled --
     # TPC-H-shaped relational core
     "q3_shipping_priority", "q5_regional_revenue", "q6_forecast_revenue",
     "q10_returned_items",
     # join family
-    "join_left_outer", "join_full_outer",
+    "join_left_outer",
     "join_semi_exists", "join_anti_not_exists",
     "join_range_events", "join_asof_events",
     # aggregate family (incl. the bench-watched agg_rollup)

@@ -526,3 +526,81 @@ def sink_snapshot_stream(spark, sf_dir):
             "n_versions", F.lit(table.current_version()).cast("long")
         )
     )
+
+
+@query(
+    "sink_snapshot_merge",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey >= 600 AND o_orderkey < 700 THEN 'UU'
+                ELSE o_orderstatus END AS status
+    FROM orders
+    WHERE o_orderkey < 2000
+      AND NOT (o_orderkey >= 1200 AND o_orderkey < 1300)
+    UNION ALL
+    SELECT o_orderkey, 'NEW' FROM orders
+    WHERE o_orderkey >= 2000 AND o_orderkey < 2100
+    """,
+)
+def sink_snapshot_merge(spark, sf_dir):
+    """Full MERGE into the snapshot table (the Delta MERGE shape, composed
+    from this repo's parts): the seed lands as four key-range files; a
+    CDC log (updates [600,700), deletes [1200,1300), inserts [2000,2100))
+    locates its affected files through the per-file min/max index — an
+    interval join of LOG KEYS against FILE RANGES, pure metadata — and
+    only those two files rewrite through ``apply_cdc`` (base rows ride as
+    version-0 inserts, the log wins per key, winning deletes erase);
+    inserts land in the new commit's files. The two untouched files keep
+    byte identity (asserted in tests/test_snapshots.py). Work is
+    O(affected files + log), never O(table); the oracle re-derives the
+    final table state row-for-row."""
+    from ..operators.dataskip import file_stats_index
+    from ..sinks.upsert import apply_cdc
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("status")
+    )
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="spark_snapmerge_"))
+    for lo in range(0, 2000, 500):
+        t.commit_append(
+            o.filter((F.col("k") >= lo) & (F.col("k") < lo + 500)).coalesce(1)
+        )
+
+    def slice_(lo, hi, v, op, status):
+        return o.filter((F.col("k") >= lo) & (F.col("k") < hi)).select(
+            "k", F.lit(v).alias("v"), F.lit(op).alias("op"),
+            status.alias("status"),
+        )
+
+    log = (
+        slice_(600, 700, 1, "U", F.lit("UU"))
+        .unionByName(slice_(1200, 1300, 1, "D", F.lit(None).cast("string")))
+        .unionByName(slice_(2000, 2100, 1, "I", F.lit("NEW")))
+    )
+
+    # affected files: interval join of log keys x per-file key ranges —
+    # metadata scale (|files| rows), exactly Delta's touched-file pass
+    index = file_stats_index(t.read(), ["k"])
+    hit = (
+        log.select("k")
+        .join(
+            F.broadcast(index.select("file", "min_k", "max_k")),
+            (F.col("k") >= F.col("min_k")) & (F.col("k") <= F.col("max_k")),
+        )
+        .select("file")
+        .distinct()
+    )
+    affected = [r["file"].removeprefix("file://") for r in hit.collect()]
+
+    base_rows = (
+        spark.read.parquet(*affected)
+        .select("k", F.lit(0).alias("v"), F.lit("I").alias("op"), "status")
+        if affected
+        else log.limit(0)
+    )
+    merged = apply_cdc(base_rows.unionByName(log), ["k"], "v").select(
+        "k", "status"
+    )
+    t.commit_replace(affected, merged)
+    return t.read().select(F.col("k").alias("o_orderkey"), "status")

@@ -64,3 +64,17 @@ def test_null_stats_files_are_kept(spark):
     index = file_stats_index(back, ["v"])
     # all-null stats column: conservatively NOT skippable
     assert len(pruned_files(index, "v", 100, 200)) == 1
+
+
+def test_fully_pruned_read_returns_empty_frame(spark):
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    base = tempfile.mkdtemp(prefix="spark_dataskip_e_")
+    o.coalesce(1).write.mode("overwrite").parquet(base)
+    index = file_stats_index(spark.read.parquet(base), ["od"])
+    files = pruned_files(index, "od", "2030-01-01", "2031-01-01")
+    assert files == []
+    empty = read_pruned(spark, base, files)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"o_orderkey", "od"}

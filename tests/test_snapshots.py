@@ -105,3 +105,60 @@ def test_vacuum_reclaims_unreferenced_files_only(spark):
 
     with _pt.raises(FileNotFoundError):
         t._load_manifest(1)
+
+
+def test_merge_rewrites_only_affected_files(spark):
+    """The MERGE composition (mirrors sink_snapshot_merge at smoke SF):
+    only files whose key range intersects the log rewrite; the rest keep
+    byte identity."""
+    from s3_glue_redshift_guide_spark.operators.dataskip import (
+        file_stats_index,
+    )
+    from s3_glue_redshift_guide_spark.sinks.upsert import apply_cdc
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_m_"))
+    for lo in range(0, 2000, 500):
+        t.commit_append(
+            o.filter((F.col("k") >= lo) & (F.col("k") < lo + 500)).coalesce(1)
+        )
+    before = set(t._load_manifest(t.current_version()))
+
+    log = o.filter((F.col("k") >= 600) & (F.col("k") < 700)).select(
+        "k", F.lit(1).alias("v"), F.lit("U").alias("op"),
+        F.lit("UU").alias("status"),
+    )
+    index = file_stats_index(t.read(), ["k"])
+    hit = (
+        log.select("k")
+        .join(
+            F.broadcast(index.select("file", "min_k", "max_k")),
+            (F.col("k") >= F.col("min_k")) & (F.col("k") <= F.col("max_k")),
+        )
+        .select("file")
+        .distinct()
+    )
+    affected = [r["file"].removeprefix("file://") for r in hit.collect()]
+    assert len(affected) == 1  # only the [500,1000) file
+
+    base_rows = spark.read.parquet(*affected).select(
+        "k", F.lit(0).alias("v"), F.lit("I").alias("op"), "status"
+    )
+    merged = apply_cdc(base_rows.unionByName(log), ["k"], "v").select(
+        "k", "status"
+    )
+    t.commit_replace(affected, merged)
+    after = set(t._load_manifest(t.current_version()))
+    assert len(before & after) == 3  # three untouched files kept identity
+    got = {
+        r["k"]: r["status"]
+        for r in t.read().filter(
+            (F.col("k") >= 590) & (F.col("k") < 710)
+        ).collect()
+    }
+    for k, st in got.items():
+        assert st == ("UU" if 600 <= k < 700 else st)
+    assert t.read().count() == o.filter(F.col("k") < 2000).count()
