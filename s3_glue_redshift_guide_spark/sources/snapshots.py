@@ -112,9 +112,13 @@ class SnapshotTable:
         return self._publish(self._write_files(df), self.current_version())
 
     def read(self, version: int | None = None) -> DataFrame:
+        """Read a snapshot. ``mergeSchema`` is on: commits may add
+        columns (additive evolution, the S5 contract — older files
+        surface the new columns as NULL), and same-schema reads pay only
+        a footer union for it."""
         v = self.current_version() if version is None else version
         files = self._load_manifest(v)
-        return self.spark.read.parquet(*files)
+        return self.spark.read.option("mergeSchema", "true").parquet(*files)
 
     def file_count(self, version: int | None = None) -> int:
         v = self.current_version() if version is None else version

@@ -60,3 +60,23 @@ def test_shingle_screen_drops_most_of_the_corpus_side(spark):
     n_true = corp.join(ev, "shingle", "left_semi").count()
     assert n_true <= n_cand  # no false negatives
     assert n_cand < n_corp * 0.2, (n_cand, n_corp)  # real screening
+
+
+def test_randomized_no_false_negatives_and_fp_bound(spark):
+    """Seeded random key sets: every member key must pass (the Bloom
+    contract), and the false-positive rate must sit near the analytic
+    bound (1-e^(-kn/m))^k — ~9e-5 for n=2000, m=2^17, k=3; asserted
+    under 1%."""
+    import numpy as np
+
+    for seed in (7, 23, 99):
+        rng = np.random.RandomState(seed)
+        members = rng.choice(10_000_000, size=2000, replace=False)
+        non = rng.choice(10_000_000, size=4000, replace=False)
+        non = np.setdiff1d(non, members)[:2000]
+        mdf = spark.createDataFrame([(int(x),) for x in members], "k long")
+        ndf = spark.createDataFrame([(int(x),) for x in non], "k long")
+        bits = bloom_build(mdf, "k")
+        assert bloom_prefilter(mdf, "k", bits).count() == len(members)
+        fp = bloom_prefilter(ndf, "k", bits).count() / len(non)
+        assert fp < 0.01, (seed, fp)

@@ -137,3 +137,21 @@ def test_hist_requires_pinned_range(spark, tmp_path):
         IncrementalRollup(
             spark, str(tmp_path / "x"), ["event_type"], {"value": ("hist",)}
         )
+
+
+def test_hist_state_is_order_invariant(spark, tmp_path):
+    """Monoid law for the histogram state: folding the same four random
+    deltas in different orders must produce identical states."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    cfg = {"value": (0.0, 100.0, 16)}
+    parts = [ev.filter(F.col("event_id") % 4 == i) for i in range(4)]
+    states = []
+    for tag, order in (("fwd", [0, 1, 2, 3]), ("rev", [3, 1, 0, 2])):
+        r = IncrementalRollup(
+            spark, str(tmp_path / f"ord_{tag}"), ["event_type"],
+            {"value": ("hist",)}, hist_config=cfg,
+        )
+        for i in order:
+            r.update(parts[i])
+        states.append(_rows(r.read(), ["event_type", "hist__value"]))
+    assert states[0] == states[1]

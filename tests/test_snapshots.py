@@ -162,3 +162,25 @@ def test_merge_rewrites_only_affected_files(spark):
     for k, st in got.items():
         assert st == ("UU" if 600 <= k < 700 else st)
     assert t.read().count() == o.filter(F.col("k") < 2000).count()
+
+
+def test_additive_schema_evolution_across_commits(spark):
+    o = load_table(spark, SF_SMOKE, "orders")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_ev_"))
+    t.commit_append(
+        o.filter(F.col("o_orderkey") < 50).select("o_orderkey").coalesce(1)
+    )
+    # a later commit ADDS a column; older files surface it as NULL
+    t.commit_append(
+        o.filter((F.col("o_orderkey") >= 50) & (F.col("o_orderkey") < 100))
+        .select("o_orderkey", "o_orderstatus")
+        .coalesce(1)
+    )
+    cur = t.read()
+    assert set(cur.columns) == {"o_orderkey", "o_orderstatus"}
+    nulls = cur.filter(
+        F.col("o_orderstatus").isNull() & (F.col("o_orderkey") < 50)
+    ).count()
+    assert nulls == cur.filter(F.col("o_orderkey") < 50).count() > 0
+    # time travel to v1 shows the ORIGINAL schema
+    assert t.read(1).columns == ["o_orderkey"]
