@@ -88,3 +88,57 @@ def decode_image_features(media_df: DataFrame, id_col: str = "doc_id") -> DataFr
         F.col("media.mime").alias("media_mime"),
     )
     return flat.mapInPandas(decode, schema=IMAGE_FEATURES_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, uri string, frame_idx int, frame_offset bigint, "
+    "frame_sha string"
+)
+
+
+def sample_frames(
+    media_df: DataFrame, n_frames: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Video-frame sampling plumbing: per media item, extract ``n_frames``
+    evenly-spaced frames and emit one typed row per frame — the 1->N
+    mapInPandas shape every video/audio pipeline needs (frame sampling,
+    audio chunking, shot detection all share it). The decode internals are
+    STUBBED (no ffmpeg here): a "frame" is the byte slice at the sampled
+    offset; a production build replaces the slicing with
+    ``ffmpeg -ss <offset>`` / PyAV and nothing else changes — schema,
+    batching, partitioning, and the 1->N row fan-out are the real
+    contract.
+
+    Scale shape: media rows are fat, frame rows are thin (offset + hash,
+    never the pixels unless asked) — the output shuffles metadata, and the
+    heavy bytes never leave the executor that read them."""
+
+    def extract(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "uri": [], "frame_idx": [],
+                "frame_offset": [], "frame_sha": [],
+            }
+            for did, uri, raw in zip(
+                pdf[id_col], pdf["media_uri"], pdf["media_bytes"]
+            ):
+                raw = bytes(raw)
+                stride = max(1, len(raw) // n_frames)
+                for i in range(n_frames):
+                    off = i * stride
+                    frame = raw[off:off + stride]
+                    rows["doc_id"].append(did)
+                    rows["uri"].append(uri)
+                    rows["frame_idx"].append(i)
+                    rows["frame_offset"].append(off)
+                    rows["frame_sha"].append(
+                        hashlib.sha256(frame).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    flat = media_df.select(
+        F.col(id_col),
+        F.col("media.uri").alias("media_uri"),
+        F.col("media.bytes").alias("media_bytes"),
+    )
+    return flat.mapInPandas(extract, schema=FRAME_SCHEMA)

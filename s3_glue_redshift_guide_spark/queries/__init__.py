@@ -42,11 +42,12 @@ for _m in _MODULES:
 # round 3 the union of banked driver rows covers 144 of the 153 pre-round-4
 # queries; the 9 never-sampled (round-3 latecomers that missed the round-3
 # window) go FIRST so round 4 closes at-least-once verification for the
-# ENTIRE registry. The 24 new round-4 queries follow (they need first-window
-# slots too), and the remaining 17 slots re-verify the round-1-only passes
+# ENTIRE registry. The 28 new round-4 queries follow (they need first-window
+# slots too), and the remaining 13 slots re-verify the round-1-only passes
 # that have never been re-sampled since (regression guard — prioritizing
 # the relational/join/window/function core, including the two bench-watched
-# queries win_rank_topk and agg_rollup).
+# queries win_rank_topk and agg_rollup; the regression entries past
+# position 50 keep their order for future windows).
 _PRIORITY = [
     # -- never driver-sampled (9): the round-3 latecomers ------------------
     "llm_corpus_clean_pipeline", "llm_fuzzy_name_pairs",
@@ -63,7 +64,8 @@ _PRIORITY = [
     "llm_contamination_bloom", "llm_quality_classifier",
     "join_scd2_pointintime", "llm_normalized_dedup", "llm_vocab_oov",
     "src_time_travel", "sink_snapshot_stream", "src_surgical_delete",
-    "sink_snapshot_merge",
+    "sink_snapshot_merge", "src_change_feed", "src_manifest_pruning",
+    "llm_weighted_sample", "llm_frame_sample", "ev_stream_dedup_watermark",
     # -- regression re-checks (17): verified in round 1, never re-sampled --
     # TPC-H-shaped relational core
     "q3_shipping_priority", "q5_regional_revenue", "q6_forecast_revenue",

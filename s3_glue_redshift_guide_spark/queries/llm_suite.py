@@ -1545,3 +1545,83 @@ def llm_vocab_oov(spark, sf_dir):
             ).alias("oov_rate"),
         )
     )
+
+
+@query(
+    "llm_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, source, n_chars,
+             pow((CAST(('0x' || substr(md5('ws-seed-5:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) + 0.5) / 4294967296.0,
+                 1.0 / n_chars) AS k
+      FROM documents)
+    SELECT doc_id, lang, source, n_chars
+    FROM keyed ORDER BY k DESC, doc_id LIMIT 50
+    """,
+)
+def llm_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    each doc draws a seeded uniform u from md5(doc_id) and keeps key =
+    u^(1/weight); the global top-k by key is EXACTLY a weighted sample
+    without replacement with inclusion probability proportional to the
+    weight (here n_chars — sampling long documents preferentially, the
+    standard curriculum/quality-weighted corpus draw). One-pass and
+    mergeable: top-k by key is per-partition top-k + TakeOrderedAndProject
+    (never a global sort of the corpus), so at 100 TB each executor ships
+    only its k best keys. Deterministic across engines and reruns — the
+    uniform is a seeded hash, not a PRNG, so a doc's key never changes as
+    the corpus grows, and DuckDB reproduces the draw bit-for-bit."""
+    d = _docs(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ws-seed-5:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    return (
+        d.withColumn("k", key)
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(50)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@query(
+    "llm_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS vid
+      FROM documents)
+    SELECT doc_id,
+           'mem://img/' || CAST(doc_id AS VARCHAR) AS uri,
+           CAST(t.i AS INTEGER) AS frame_idx,
+           CAST(t.i * 16 AS BIGINT) AS frame_offset,
+           sha256(substr(vid, CAST(t.i * 16 + 1 AS INTEGER), 16))
+             AS frame_sha
+    FROM f CROSS JOIN range(4) t(i)
+    """,
+)
+def llm_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling (L5's video shape): each media item fans
+    out to 4 evenly-spaced frames via the 1->N ``mapInPandas`` stage in
+    `llm/multimodal.py::sample_frames` — the plumbing (media STRUCT in,
+    typed thin frame rows out, Arrow batching, per-executor byte
+    locality) is real; the ffmpeg decode is a deterministic byte-slice
+    stub, which is exactly what lets DuckDB reproduce every frame hash:
+    the fake video is sha256(doc_id) and a frame is its 16-byte slice, so
+    the oracle recomputes frame_sha = sha256(substr(video, off, 16))
+    bit-for-bit. Output rows carry offsets + hashes, never pixels — at
+    100 TB the heavy bytes never cross a shuffle."""
+    from ..llm.multimodal import sample_frames
+
+    return sample_frames(attach_fake_media(_docs(spark, sf_dir)), 4)

@@ -698,3 +698,154 @@ def src_surgical_delete(spark, sf_dir):
         F.count(F.lit(1)).alias("rows_after"),
         F.sum("o_orderkey").cast("long").alias("key_sum_after"),
     )
+
+
+@query(
+    "src_change_feed",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey >= 300 AND o_orderkey < 350)
+    SELECT o_orderkey, price * 2 AS o_totalprice,
+           'insert' AS change_type,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+             WHERE o_orderkey >= 300 AND o_orderkey < 600)
+             AS full_feed_inserts,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+             WHERE o_orderkey >= 100 AND o_orderkey < 200)
+             AS full_feed_deletes,
+           CAST(0 AS BIGINT) AS compaction_changes
+    FROM upd
+    UNION ALL
+    SELECT o_orderkey, price, 'delete',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+             WHERE o_orderkey >= 300 AND o_orderkey < 600),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+             WHERE o_orderkey >= 100 AND o_orderkey < 200),
+           CAST(0 AS BIGINT)
+    FROM upd
+    """,
+)
+def src_change_feed(spark, sf_dir):
+    """Row-level CHANGE DATA FEED between snapshot versions (the Delta
+    CDF capability), derived purely from the manifest diff — no change
+    log is ever written. Scenario: v1 = orders keys <300 (one file),
+    v2 = append [300,600) (one file), v3 = surgical DELETE of
+    [100,200), v4 = surgical UPDATE doubling o_totalprice for
+    [300,350), v5 = compaction rewrite. The returned rows are
+    ``read_changes(3, 4)``: the update surfaces as its delete/insert
+    pair (pre-image at the old price, post-image at 2x) and ONLY the
+    rewritten file is scanned — the untouched keys<300 survivor file is
+    in both manifests, so immutability proves it unchanged without
+    reading it (O(churn), never O(table): a day's CDC reads a day's
+    files at 100 TB). Fact columns pin the composed feed (v1->v4 =
+    inserts [300,600) + deletes [100,200) — rows a rewrite carried
+    forward cancel via EXCEPT ALL) and that the pure-layout compaction
+    commit v4->v5 reports ZERO changes (`sources/snapshots.py`
+    read_changes)."""
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = SnapshotTable(spark, _tmp("cdf"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 300).coalesce(1))
+    t.commit_append(
+        o.filter(
+            (F.col("o_orderkey") >= 300) & (F.col("o_orderkey") < 600)
+        ).coalesce(1)
+    )
+    f1 = t._load_manifest(1)
+    f2 = [f for f in t._load_manifest(2) if f not in set(f1)]
+    # v3: surgical delete of [100,200) — rewrite only the keys<300 file
+    survivors = spark.read.parquet(*f1).filter(
+        ~F.col("o_orderkey").between(100, 199)
+    )
+    t.commit_replace(f1, survivors.coalesce(1))
+    # v4: surgical update — double the price for [300,350) inside the
+    # [300,600) file; every other row of that file is carried forward
+    updated = spark.read.parquet(*f2).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey").between(300, 349),
+            F.col("o_totalprice") * 2,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    t.commit_replace(f2, updated.coalesce(1))
+    # v5: compaction — pure layout change, must report zero changes
+    t.commit_rewrite(t.read(4).coalesce(1))
+
+    full = t.read_changes(1, 4)
+    n_ins = full.filter(F.col("_change_type") == "insert").count()
+    n_del = full.filter(F.col("_change_type") == "delete").count()
+    n_compact = t.read_changes(4, 5).count()
+
+    return (
+        t.read_changes(3, 4)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("_change_type").alias("change_type"),
+        )
+        .withColumn("full_feed_inserts", F.lit(n_ins).cast("long"))
+        .withColumn("full_feed_deletes", F.lit(n_del).cast("long"))
+        .withColumn("compaction_changes", F.lit(n_compact).cast("long"))
+    )
+
+
+@query(
+    "src_manifest_pruning",
+    oracle="""
+    WITH laid AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+             year(o_orderdate) AS yr
+      FROM orders),
+    fs AS (
+      SELECT yr, min(od) AS mn, max(od) AS mx FROM laid GROUP BY yr),
+    hit AS (
+      SELECT yr FROM fs
+      WHERE mx >= DATE '1997-03-15' AND mn <= DATE '1998-06-30'),
+    rows_in AS (
+      SELECT * FROM laid
+      WHERE od BETWEEN DATE '1997-03-15' AND DATE '1998-06-30')
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM fs) AS n_files,
+           (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_files_read,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM rows_in
+    """,
+)
+def src_manifest_pruning(spark, sf_dir):
+    """Zone-map pruning from the TRANSACTION LOG alone (Iceberg/Delta
+    data skipping, distinct from `src_dataskip_index` which builds its
+    index with a Spark scan at query time): per-file min/max for the
+    order date is banked in the snapshot manifest AT COMMIT TIME from the
+    parquet footers of the new files, so the read-time planner prunes the
+    file list with ZERO file opens and zero jobs — at 100 TB that's
+    choosing among ~100k files from a few MB of log. Layout: one commit
+    per order-year (7 files); the 1997-03-15..1998-06-30 predicate keeps
+    exactly the 1997/1998 files. Facts pin total vs pruned file counts;
+    row values of the pruned+residual read are matched in full against
+    the oracle's plain table filter (absent-stats files are kept
+    conservatively — pruning can waste a read, never lose a row)."""
+    from ..sources.snapshots import SnapshotTable
+
+    lo, hi = "1997-03-15", "1998-06-30"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    t = SnapshotTable(spark, _tmp("manpr"))
+    for yr in range(1995, 2002):
+        t.commit_append(
+            o.filter(F.year("od") == yr).coalesce(1), stats_cols=["od"]
+        )
+    files, n_files = t.pruned_files("od", lo, hi)
+    picked = t.read_where("od", lo, hi).filter(
+        F.col("od").between(F.lit(lo), F.lit(hi))
+    )
+    return picked.agg(
+        F.lit(n_files).cast("long").alias("n_files"),
+        F.lit(len(files)).cast("long").alias("n_files_read"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )

@@ -131,3 +131,32 @@ def ev_stream_stateful_sessions(spark, sf_dir):
         "n_events",
         "value_total",
     )
+
+
+@query(
+    "ev_stream_dedup_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def ev_stream_dedup_watermark(spark, sf_dir):
+    """Streaming dedup executed AS A STREAM via
+    ``dropDuplicatesWithinWatermark`` (the Spark-3.5+ T6 operator): one
+    surviving row per (user_id, event_type) key, with state entries
+    expiring once the watermark passes ``event_ts + delay`` — unlike plain
+    dropDuplicates-with-watermark, the key set itself is evicted, so state
+    is bounded by (watermark horizon x key arrival rate) on an unbounded
+    stream regardless of total key cardinality. Output projects ONLY the
+    dedup keys, so the result is a pure function of the input (which
+    duplicate row survives is an arrival-order artifact and is never
+    exposed). availableNow processes everything in one micro-batch
+    (watermark 0 during it), so exactly one row per key emits — the
+    DISTINCT oracle."""
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "ts"
+    )
+    deduped = (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    return _drain(deduped, "ddw").select("user_id", "event_type")

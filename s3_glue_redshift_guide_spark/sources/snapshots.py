@@ -34,7 +34,7 @@ import json
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 class CommitConflict(Exception):
@@ -68,7 +68,64 @@ class SnapshotTable:
             if f.endswith(".parquet")
         )
 
-    def _publish(self, files: list[str], base_version: int) -> int:
+    @staticmethod
+    def _json_scalar(v):
+        """Parquet-footer stat -> JSON-storable, order-preserving scalar:
+        bytes decode (BYTE_ARRAY stats), datetimes/dates go ISO (ISO
+        strings compare lexicographically in timeline order)."""
+        if isinstance(v, bytes):
+            return v.decode("utf-8", "replace")
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        return v
+
+    def _footer_stats(
+        self, files: list[str], cols: list[str]
+    ) -> dict[str, dict[str, list]]:
+        """Per-file min/max for ``cols`` read from the parquet FOOTERS of
+        freshly written files — no data scan. Driver-side over the new
+        files only (O(new files) footer reads per commit; at fleet scale
+        this collection runs as a mapPartitions over the path list, or
+        comes free from the writer's task results as in Delta). A column
+        missing footer stats in any row group is omitted for that file —
+        absent stats mean "must read", never wrong pruning."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict[str, list]] = {}
+        for p in files:
+            md = pq.ParquetFile(p).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            st: dict[str, list] = {}
+            for c in cols:
+                if c not in idx:
+                    continue
+                mins: list = []
+                maxs: list = []
+                ok = True
+                for rg in range(md.num_row_groups):
+                    s = md.row_group(rg).column(idx[c]).statistics
+                    if s is None or not s.has_min_max:
+                        ok = False
+                        break
+                    mins.append(self._json_scalar(s.min))
+                    maxs.append(self._json_scalar(s.max))
+                if ok and mins:
+                    st[c] = [min(mins), max(maxs)]
+            out[p] = st
+        return out
+
+    def _load_stats(self, version: int) -> dict[str, dict[str, list]]:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f).get("stats", {})
+
+    def _publish(
+        self,
+        files: list[str],
+        base_version: int,
+        stats: dict[str, dict[str, list]] | None = None,
+    ) -> int:
         """Atomically publish version ``base_version + 1`` with optimistic
         concurrency: commits target the version ON TOP OF THE SNAPSHOT THE
         WRITER READ, and the manifest is created exclusively (hard-link of
@@ -80,7 +137,9 @@ class SnapshotTable:
         v = base_version + 1
         tmp = self._manifest_path(v) + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump({"version": v, "files": files}, f)
+            json.dump(
+                {"version": v, "files": files, "stats": stats or {}}, f
+            )
         try:
             os.link(tmp, self._manifest_path(v))
         except FileExistsError:
@@ -100,16 +159,52 @@ class SnapshotTable:
         ]
         return max(vs, default=0)
 
-    def commit_append(self, df: DataFrame) -> int:
+    def _merged_stats(
+        self,
+        base_version: int,
+        new_files: list[str],
+        stats_cols: list[str] | None,
+    ) -> dict[str, dict[str, list]]:
+        """Stats for a commit's manifest: carried-forward files KEEP their
+        banked stats (immutable files, immutable stats — Delta's add-file
+        actions behave the same); new files get footer stats for
+        ``stats_cols`` (plus any column the table already tracks, so the
+        stat schema stays uniform across commits)."""
+        prior = (
+            self._load_stats(base_version) if base_version > 0 else {}
+        )
+        cols = set(stats_cols or [])
+        for st in prior.values():
+            cols |= set(st)
+        merged = dict(prior)
+        if cols:
+            merged.update(self._footer_stats(new_files, sorted(cols)))
+        else:
+            merged.update({f: {} for f in new_files})
+        return merged
+
+    def commit_append(
+        self, df: DataFrame, stats_cols: list[str] | None = None
+    ) -> int:
         cur = self.current_version()
         base = [] if cur == 0 else self._load_manifest(cur)
-        return self._publish(base + self._write_files(df), cur)
+        new = self._write_files(df)
+        return self._publish(
+            base + new, cur, self._merged_stats(cur, new, stats_cols)
+        )
 
-    def commit_rewrite(self, df: DataFrame) -> int:
+    def commit_rewrite(
+        self, df: DataFrame, stats_cols: list[str] | None = None
+    ) -> int:
         """Replace the visible file set (compaction / OPTIMIZE): readers
         of older versions keep their files; the new version sees only the
         rewritten layout."""
-        return self._publish(self._write_files(df), self.current_version())
+        cur = self.current_version()
+        new = self._write_files(df)
+        stats = self._merged_stats(cur, new, stats_cols)
+        return self._publish(
+            new, cur, {f: stats.get(f, {}) for f in new}
+        )
 
     def read(self, version: int | None = None) -> DataFrame:
         """Read a snapshot. ``mergeSchema`` is on: commits may add
@@ -136,7 +231,104 @@ class SnapshotTable:
         cur = self.current_version()
         base = [] if cur == 0 else self._load_manifest(cur)
         keep = [f for f in base if f not in gone]
-        return self._publish(keep + self._write_files(df), cur)
+        new = self._write_files(df)
+        stats = self._merged_stats(cur, new, None)
+        visible = keep + new
+        return self._publish(
+            visible, cur, {f: stats.get(f, {}) for f in visible}
+        )
+
+    def pruned_files(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Manifest-only zone-map pruning (Iceberg/Delta data skipping):
+        split a snapshot's file list into (must-read, total) using the
+        min/max stats BANKED IN THE TRANSACTION LOG at commit time — zero
+        file opens, zero footer reads, zero Spark jobs at read time. At
+        100 TB the planner decides which of ~100k files to scan from a
+        few MB of log metadata. A file without stats for ``col`` is
+        conservatively kept (absent stats can waste a read, never lose a
+        row). Bounds compare in the stat's JSON domain — numerics
+        natively, dates/timestamps as ISO strings."""
+        v = self.current_version() if version is None else version
+        files = self._load_manifest(v)
+        stats = self._load_stats(v)
+        keep = []
+        for f in files:
+            mm = stats.get(f, {}).get(col)
+            if mm is None or not (mm[1] < lo or mm[0] > hi):
+                keep.append(f)
+        return keep, len(files)
+
+    def read_where(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read with manifest-stats file pruning; the residual
+        per-row filter still applies downstream (zone maps prune files,
+        not rows)."""
+        files, _ = self.pruned_files(col, lo, hi, version)
+        if not files:
+            return self.read(version).limit(0)
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            *files
+        )
+
+    def read_changes(
+        self, from_version: int, to_version: int
+    ) -> DataFrame:
+        """Row-level change feed between two snapshots (the Delta CDF
+        capability), derived purely from the manifest diff — no per-commit
+        change files are ever written. Because data files are immutable, a
+        file present in both manifests cannot have changed and is NEVER
+        read; only the churned files (added or dropped between the two
+        versions) scan, so the cost is O(churn), not O(table) — at 100 TB
+        a day's ingest reads a day's files.
+
+        Semantics (multiset, so duplicates are respected):
+
+        * ``insert`` rows = rows of added files  EXCEPT ALL  rows of
+          removed files — a compaction rewrite carries every row forward,
+          so the two sides cancel and a pure-layout commit reports zero
+          changes;
+        * ``delete`` rows = rows of removed files EXCEPT ALL rows of
+          added files;
+        * an UPDATE surfaces as its delete/insert pair (the pre-image and
+          post-image), exactly as Delta CDF reports rewrites without a
+          change log.
+
+        Columns are aligned to the ``to_version`` schema (additive
+        evolution: pre-evolution rows surface new columns as NULL).
+        """
+        a = set(self._load_manifest(from_version))
+        b = set(self._load_manifest(to_version))
+        added, removed = sorted(b - a), sorted(a - b)
+        schema = self.read(to_version).schema
+
+        def side(files: list[str]) -> DataFrame:
+            if not files:
+                return self.spark.createDataFrame([], schema)
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                *files
+            )
+            return df.select(
+                *[
+                    (
+                        df[f.name] if f.name in df.columns
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+
+        new_rows, old_rows = side(added), side(removed)
+        return (
+            new_rows.exceptAll(old_rows)
+            .withColumn("_change_type", F.lit("insert"))
+            .unionAll(
+                old_rows.exceptAll(new_rows)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        )
 
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Garbage-collect data files unreachable from the newest

@@ -427,3 +427,26 @@ def test_ivfpq_topk_recall_vs_bruteforce(spark):
     # IVF bounds which rows are touched; the exact re-rank of the ADC
     # pool keeps recall near the IVF ceiling
     assert recall >= 0.3, recall
+
+
+def test_sample_frames_fanout_and_hashes(spark):
+    import hashlib
+
+    from s3_glue_redshift_guide_spark.llm.multimodal import (
+        attach_fake_media,
+        sample_frames,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(10)
+    out = sample_frames(attach_fake_media(docs), n_frames=4).collect()
+    assert len(out) == 40  # exact 1->4 fan-out, one row per frame
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, rows in by_doc.items():
+        rows.sort(key=lambda r: r["frame_idx"])
+        video = hashlib.sha256(str(did).encode()).hexdigest().encode()
+        assert [r["frame_offset"] for r in rows] == [0, 16, 32, 48]
+        for r in rows:
+            frame = video[r["frame_offset"]:r["frame_offset"] + 16]
+            assert r["frame_sha"] == hashlib.sha256(frame).hexdigest()

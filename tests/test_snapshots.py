@@ -184,3 +184,97 @@ def test_additive_schema_evolution_across_commits(spark):
     assert nulls == cur.filter(F.col("o_orderkey") < 50).count() > 0
     # time travel to v1 shows the ORIGINAL schema
     assert t.read(1).columns == ["o_orderkey"]
+
+
+def test_change_feed_reads_only_churned_files(spark):
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_cdf_"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 100).coalesce(1))
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(100, 199)).coalesce(1)
+    )
+    # append-only changes: all inserts, no deletes
+    chg = t.read_changes(1, 2)
+    assert chg.filter(F.col("_change_type") == "delete").count() == 0
+    assert (
+        chg.filter(F.col("_change_type") == "insert").count()
+        == o.filter(F.col("o_orderkey").between(100, 199)).count()
+    )
+    # compaction rewrite: zero changes (rows cancel via EXCEPT ALL)
+    t.commit_rewrite(t.read(2).coalesce(1))
+    assert t.read_changes(2, 3).count() == 0
+    # update = delete/insert pair, and the untouched file is not scanned:
+    # the scan's input files must exclude the file shared by both versions
+    f3 = t._load_manifest(3)
+    upd = t.read(3).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1
+    )
+    t.commit_replace(f3, upd.coalesce(1))
+    pair = t.read_changes(3, 4)
+    n = t.read(3).count()
+    assert pair.filter(F.col("_change_type") == "insert").count() == n
+    assert pair.filter(F.col("_change_type") == "delete").count() == n
+
+
+def test_change_feed_skips_shared_files_and_aligns_evolved_schema(spark):
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_cdfe_"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 100).coalesce(1))
+    # additive evolution: the appended file carries an extra column
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(100, 149))
+        .withColumn("flag", F.lit(1))
+        .coalesce(1)
+    )
+    chg = t.read_changes(1, 2)
+    # schema aligned to the to-version (includes the evolved column)
+    assert "flag" in chg.columns
+    rows = chg.collect()
+    assert all(r["_change_type"] == "insert" for r in rows)
+    assert all(r["flag"] == 1 for r in rows)
+    # only the churned file is in the scan: the v1 file is shared by both
+    # manifests and must not appear in the change-feed plan's input
+    shared = set(t._load_manifest(1))
+    scanned = {
+        f.removeprefix("file:")
+        for f in chg.inputFiles()
+    }
+    assert not (shared & scanned)
+
+
+def test_manifest_stats_prune_and_carry_forward(spark):
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("yr")
+    )
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_ms_"))
+    for yr in (1995, 1996, 1997):
+        t.commit_append(
+            o.filter(F.col("yr") == yr).coalesce(1),
+            stats_cols=["o_orderkey", "yr"],
+        )
+    # manifest-only pruning: exactly the 1996 file survives a yr in
+    # [1996,1996] predicate, with zero Spark jobs
+    files, total = t.pruned_files("yr", 1996, 1996)
+    assert total == 3 and len(files) == 1
+    assert t.read_where("yr", 1996, 1996).count() == o.filter(
+        F.col("yr") == 1996
+    ).count()
+    # surgical replace: carried-forward files keep their banked stats,
+    # replacement files get fresh footer stats automatically
+    survivors = spark.read.parquet(*files).filter(
+        F.col("o_orderkey") % 2 == 0
+    )
+    t.commit_replace(files, survivors.coalesce(1))
+    files2, total2 = t.pruned_files("yr", 1996, 1996)
+    assert total2 == 3 and len(files2) == 1 and files2 != files
+    # a column never tracked prunes nothing (conservative keep-all)
+    allf, _ = t.pruned_files("no_such_col", 0, 1)
+    assert len(allf) == 3
+    # out-of-range predicate prunes everything; read stays empty+typed
+    none_files, _ = t.pruned_files("yr", 2050, 2060)
+    assert none_files == []
+    assert t.read_where("yr", 2050, 2060).count() == 0
