@@ -66,6 +66,8 @@ _PRIORITY = [
     "src_time_travel", "sink_snapshot_stream", "src_surgical_delete",
     "sink_snapshot_merge", "src_change_feed", "src_manifest_pruning",
     "llm_weighted_sample", "llm_frame_sample", "ev_stream_dedup_watermark",
+    "src_snapshot_incremental", "src_file_metadata", "dq_observe_metrics",
+    "agg_grouping_sets", "fn_try_safe", "udf_arrow_scalar",
     # -- regression re-checks (17): verified in round 1, never re-sampled --
     # TPC-H-shaped relational core
     "q3_shipping_priority", "q5_regional_revenue", "q6_forecast_revenue",

@@ -365,3 +365,38 @@ def agg_freq_items(spark, sf_dir):
             F.col("item").isin(list(reported)).alias("reported"),
         )
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """A5 completed: arbitrary GROUPING SETS (rollup/cube are just the
+    dense special cases) with grouping() flags disambiguating real NULL
+    group values from aggregated-away dimensions. Catalyst expands the
+    sets into one Expand + single hash aggregate — the input is read
+    ONCE for all three granularities (vs one scan per set if composed
+    manually), and the aggregate stays partial+final so the shuffle
+    carries group states, not rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               count(*) AS n_rows
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )

@@ -171,3 +171,54 @@ def dq_constraints(spark, sf_dir):
     ).select(F.lit("range_discount").alias("constraint_name"), "n_violations")
 
     return pk.unionByName(nn).unionByName(fk).unionByName(av).unionByName(rng)
+
+
+@query(
+    "dq_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+             AS n_nonpositive,
+           round(max(o_totalprice), 2) AS price_max,
+           round(sum(o_totalprice), 2) AS price_total
+    FROM orders
+    """,
+)
+def dq_observe_metrics(spark, sf_dir):
+    """Zero-cost pipeline observability via ``df.observe`` (the
+    Observation API): data-quality counters are computed as accumulator-
+    style metrics DURING the write/action pass — no second scan of the
+    input, which is the only affordable posture at 100 TB (a separate
+    validation query would double the read). The query drives one action
+    over orders with four observed metrics and returns them as the
+    result frame; the oracle recomputes each metric with plain SQL. In
+    production the same Observation attaches to the real sink action and
+    feeds alerting."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias(
+            "n_nonpositive"
+        ),
+        F.round(F.max("o_totalprice"), 2).alias("price_max"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_total"),
+    )
+    # the action the metrics piggyback on (a real pipeline's sink write)
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_nonpositive"]),
+                float(m["price_max"]),
+                float(m["price_total"]),
+            )
+        ],
+        "n_rows bigint, n_nonpositive bigint, price_max double, "
+        "price_total double",
+    )

@@ -392,3 +392,50 @@ def fn_regexp(spark, sf_dir):
         F.regexp_replace(F.substring(F.col("text"), 1, 40), "[aeiou]", "_")
         .alias("devoweled_head"),
     )
+
+
+@query(
+    "fn_try_safe",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'N/A'
+                  ELSE CAST(o_orderkey AS VARCHAR) END AS raw
+      FROM orders WHERE o_orderkey < 500)
+    SELECT o_orderkey, raw,
+           TRY_CAST(raw AS BIGINT) AS parsed,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE round(o_totalprice / (o_orderkey % 5), 6)
+           END AS ratio,
+           CASE WHEN o_orderkey > 7 THEN NULL
+                ELSE 9223372036854775800 + o_orderkey
+           END AS near_overflow
+    FROM src
+    """,
+)
+def fn_try_safe(spark, sf_dir):
+    """Error-safe ETL expressions (``try_cast`` / ``try_divide`` /
+    ``try_add``): malformed strings, zero divisors, and bigint overflow
+    become NULLs instead of failing the job — the ANSI-mode-compatible
+    ingestion posture for dirty data at scale, where one bad row in 100 TB
+    must not kill a 1000-executor stage. All pure JVM expressions inside
+    whole-stage codegen (no UDF); the oracle mirrors each failure case
+    with an explicit CASE so the NULL semantics are pinned value-by-
+    value."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 500
+    )
+    raw = F.when(
+        F.col("o_orderkey") % 7 == 0, F.lit("N/A")
+    ).otherwise(F.col("o_orderkey").cast("string"))
+    return o.select(
+        "o_orderkey",
+        raw.alias("raw"),
+        raw.try_cast("bigint").alias("parsed"),
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 5), 6
+        ).alias("ratio"),
+        F.try_add(
+            F.lit(9223372036854775800), F.col("o_orderkey")
+        ).alias("near_overflow"),
+    )

@@ -849,3 +849,95 @@ def src_manifest_pruning(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
+
+
+@query(
+    "src_file_metadata",
+    oracle="""
+    SELECT 'orders.parquet' AS file_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(1 AS BIGINT) AS n_files
+    FROM orders
+    """,
+)
+def src_file_metadata(spark, sf_dir):
+    """Row-level file provenance via Spark's hidden ``_metadata`` column
+    on file sources: every row carries which physical file produced it
+    (plus size/mtime in the full struct) WITHOUT any join or extra scan —
+    the constant-per-file values are attached by the reader, so lineage,
+    per-file quarantine ("delete every row that came from the corrupt
+    upload"), and audit at 100 TB cost nothing. The aggregate groups by
+    provenance file; the oracle pins the single-file layout and the row
+    content per file."""
+    from ..catalog import table_path
+    from ..session import configure
+
+    configure(spark)
+    df = spark.read.parquet(table_path(sf_dir, "orders")).select(
+        F.col("o_orderkey"),
+        F.col("_metadata.file_name").alias("file_name"),
+    )
+    from pyspark.sql import Window
+
+    per_file = df.groupBy("file_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )
+    n_files = F.count(F.lit(1)).over(Window.partitionBy())
+    return per_file.withColumn("n_files", n_files.cast("long"))
+
+
+@query(
+    "src_snapshot_incremental",
+    oracle="""
+    SELECT o_orderkey, 'insert' AS change_type, 1 AS batch
+    FROM orders WHERE o_orderkey < 400
+    UNION ALL
+    SELECT o_orderkey, 'insert', 2
+    FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 500
+    UNION ALL
+    SELECT o_orderkey, 'delete', 2
+    FROM orders WHERE o_orderkey < 100
+    """,
+)
+def src_snapshot_incremental(spark, sf_dir):
+    """Incremental consumption of the snapshot log — the Delta
+    streaming-source shape, and the version-granular big sibling of
+    `src_incremental_bookmark`'s file-level bookmark: a consumer holds
+    ONE integer cursor (the last processed version) and each call to
+    ``changes_since`` delivers the rows of every commit after it exactly
+    once. Run 1 (cursor 0 -> 2) sees the two appends as inserts; two
+    more commits land (an append and a surgical delete of keys<100);
+    run 2 (cursor 2 -> 4) sees exactly those — the batch tags partition
+    the feed with no overlap and no gap. Work per run is O(churn since
+    cursor): a consumer that polls daily reads a day's files, never the
+    table (`sources/snapshots.py::changes_since`)."""
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, _tmp("snapinc"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 200).coalesce(1))
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(200, 399)).coalesce(1)
+    )
+    run1, cursor = t.changes_since(0)
+    run1 = run1.localCheckpoint()  # freeze before later commits
+
+    f1 = t._load_manifest(1)
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(400, 499)).coalesce(1)
+    )
+    survivors = spark.read.parquet(*f1).filter(F.col("o_orderkey") >= 100)
+    t.commit_replace(f1, survivors.coalesce(1))
+    run2, cursor2 = t.changes_since(cursor)
+    assert cursor2 == 4 and t.changes_since(cursor2)[0] is None
+
+    def tag(df, b):
+        return df.select(
+            "o_orderkey",
+            F.col("_change_type").alias("change_type"),
+            F.lit(b).cast("int").alias("batch"),
+        )
+
+    return tag(run1, 1).unionAll(tag(run2, 2))

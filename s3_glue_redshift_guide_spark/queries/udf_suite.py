@@ -161,3 +161,40 @@ def udf_udtf_sentences(spark, sf_dir):
         "SELECT s.* FROM __udtf_docs, "
         "LATERAL sentence_split(doc_id, text) s"
     )
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_quantity) + ln(1 + l_discount), 6) AS score
+    FROM lineitem WHERE l_orderkey < 400
+    """,
+)
+def udf_arrow_scalar(spark, sf_dir):
+    """Arrow-optimized Python UDF (U1's modern form, Spark 3.5+
+    ``useArrow=True``): the function body is still written row-at-a-time
+    — the migration path for existing row UDFs — but the executor<->
+    worker transfer happens in Arrow batches instead of pickled rows,
+    removing the per-row serialization tax without rewriting the UDF to
+    the vectorized pandas signature. Still slower than built-ins or
+    pandas UDFs (the Python loop remains); the demo mirrors
+    `udf_pandas_scalar` so the three U-surface tiers are directly
+    comparable on the same rows."""
+    import math
+
+    @F.udf(returnType=T.DoubleType(), useArrow=True)
+    def score(qty: float, disc: float) -> float:
+        return round(math.sqrt(qty) + math.log(1 + disc), 6)
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 400
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        score(
+            F.col("l_quantity").cast("double"),
+            F.col("l_discount").cast("double"),
+        ).alias("score"),
+    )

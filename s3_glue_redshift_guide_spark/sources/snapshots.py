@@ -299,7 +299,10 @@ class SnapshotTable:
         Columns are aligned to the ``to_version`` schema (additive
         evolution: pre-evolution rows surface new columns as NULL).
         """
-        a = set(self._load_manifest(from_version))
+        a = (
+            set() if from_version == 0
+            else set(self._load_manifest(from_version))
+        )
         b = set(self._load_manifest(to_version))
         added, removed = sorted(b - a), sorted(a - b)
         schema = self.read(to_version).schema
@@ -329,6 +332,24 @@ class SnapshotTable:
                 .withColumn("_change_type", F.lit("delete"))
             )
         )
+
+    def changes_since(
+        self, cursor: int
+    ) -> tuple[DataFrame | None, int]:
+        """Incremental consumption of the snapshot log (the Delta
+        streaming-source shape): return the row-level changes committed
+        AFTER ``cursor`` plus the new cursor to persist. Each committed
+        version is delivered exactly once across successive calls —
+        the cursor is the version number, so the consumer's bookkeeping
+        is one integer, and a crash between read and cursor-persist
+        replays (at-least-once) without ever skipping. ``cursor=0``
+        means "from the beginning" (everything visible at head is an
+        insert). Returns (None, cursor) when there is nothing new —
+        callers skip scheduling work entirely."""
+        head = self.current_version()
+        if head == cursor:
+            return None, cursor
+        return self.read_changes(cursor, head), head
 
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Garbage-collect data files unreachable from the newest

@@ -278,3 +278,27 @@ def test_manifest_stats_prune_and_carry_forward(spark):
     none_files, _ = t.pruned_files("yr", 2050, 2060)
     assert none_files == []
     assert t.read_where("yr", 2050, 2060).count() == 0
+
+
+def test_changes_since_exactly_once_per_version(spark):
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_cs_"))
+    assert t.changes_since(0) == (None, 0)  # empty table: no work
+    t.commit_append(o.filter(F.col("o_orderkey") < 100).coalesce(1))
+    df1, c1 = t.changes_since(0)
+    n1 = df1.count()
+    assert c1 == 1 and n1 == o.filter(F.col("o_orderkey") < 100).count()
+    # caught up: nothing to do, cursor unchanged
+    assert t.changes_since(c1) == (None, 1)
+    # two commits between polls arrive as one combined batch
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(100, 149)).coalesce(1)
+    )
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(150, 199)).coalesce(1)
+    )
+    df2, c2 = t.changes_since(c1)
+    assert c2 == 3
+    assert df2.count() == o.filter(
+        F.col("o_orderkey").between(100, 199)
+    ).count()
