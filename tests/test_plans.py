@@ -221,3 +221,62 @@ def test_bloom_probe_is_arrow_vectorized(spark):
     plan = _plan(_q(spark, "join_bloom_prefilter"))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    # A-ES top-k by key must be per-partition top-k + merge, never a
+    # global sort of the corpus — each executor ships only k rows
+    plan = _plan(_q(spark, "llm_weighted_sample"))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Sort") == 0
+
+
+def test_grouping_sets_single_expand_single_aggregate(spark):
+    # all three granularities from ONE scan: one Expand node feeding one
+    # partial+final aggregate pair — never a scan or aggregate per set
+    plan = _plan(_q(spark, "agg_grouping_sets"))
+    assert plan.count("Expand") == 1
+    assert plan.count("HashAggregate") == 2
+
+
+def test_try_safe_is_codegen_no_udf(spark):
+    # error-safe expressions stay JVM-side inside whole-stage codegen;
+    # none of the try_* family may fall back to a Python eval
+    plan = _plan(_q(spark, "fn_try_safe"))
+    assert plan.lstrip().startswith("*(")  # codegen stage marker
+    assert "try_cast" in plan  # stayed an expression, not a rewrite
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_frame_sample_projects_before_python_stage(spark):
+    # only (id, uri, bytes) enter the Arrow stage — the mime column and
+    # everything else is pruned before serialization to the worker
+    plan = _plan(_q(spark, "llm_frame_sample"))
+    assert "MapInPandas" in plan
+    assert "media_mime" not in plan
+
+
+def test_change_feed_scans_only_churned_files(spark):
+    # the v3->v4 change feed must not read the file shared by both
+    # manifests: its scan inputs are exactly the churned files
+    import tempfile
+
+    from s3_glue_redshift_guide_spark.sources.snapshots import SnapshotTable
+
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="plan_cdf_"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 100).coalesce(1))
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(100, 199)).coalesce(1)
+    )
+    f2 = [
+        f for f in t._load_manifest(2)
+        if f not in set(t._load_manifest(1))
+    ]
+    t.commit_replace(
+        f2, spark.read.parquet(*f2).filter(F.col("o_orderkey") % 2 == 0)
+    )
+    chg = t.read_changes(2, 3)
+    scanned = {p.removeprefix("file:") for p in chg.inputFiles()}
+    shared = set(t._load_manifest(1))
+    assert not (shared & scanned)

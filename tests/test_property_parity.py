@@ -79,3 +79,67 @@ def test_random_filters_match_duckdb(spark, duck, pred, group):
         sql = f"SELECT o_orderkey, o_orderstatus FROM orders WHERE {pred}"
     problems = compare_frames(sdf.toPandas(), con.sql(sql).df(), pred)
     assert not problems, problems
+
+
+# --------------------------- snapshot change-feed algebra ----------------
+@st.composite
+def commit_scripts(draw):
+    """A random commit history: each step appends a key slice, deletes by
+    predicate (surgical replace of every file), or compacts."""
+    steps = [("append", 0, draw(st.integers(20, 80)))]
+    for _ in range(draw(st.integers(1, 3))):
+        kind = draw(st.sampled_from(["append", "delete", "rewrite"]))
+        if kind == "append":
+            lo = draw(st.integers(0, 200))
+            steps.append(("append", lo, lo + draw(st.integers(10, 60))))
+        elif kind == "delete":
+            steps.append(("delete", draw(st.integers(2, 7)), 0))
+        else:
+            steps.append(("rewrite", 0, 0))
+    return steps
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(commit_scripts(), st.data())
+def test_change_feed_reconstructs_any_version_pair(spark, script, data):
+    """CDF algebra: for ANY two versions a < b of ANY commit history,
+    read(a) + inserts(a,b) - deletes(a,b) == read(b) as multisets — the
+    invariant that makes a downstream incremental consumer exact."""
+    import collections
+    import tempfile
+
+    from s3_glue_redshift_guide_spark.sources.snapshots import SnapshotTable
+
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="prop_cdf_"))
+    for kind, x, y in script:
+        if kind == "append":
+            t.commit_append(
+                o.filter(F.col("o_orderkey").between(x, y)).coalesce(1)
+            )
+        elif kind == "delete":
+            files = t._load_manifest(t.current_version())
+            t.commit_replace(
+                files,
+                t.read().filter(F.col("o_orderkey") % x != 0).coalesce(1),
+            )
+        else:
+            t.commit_rewrite(t.read().coalesce(1))
+    head = t.current_version()
+    a = data.draw(st.integers(1, head))
+    b = data.draw(st.integers(a, head))
+
+    def bag(df):
+        return collections.Counter(r["o_orderkey"] for r in df.collect())
+
+    chg = t.read_changes(a, b)
+    ins = bag(chg.filter(F.col("_change_type") == "insert"))
+    dels = bag(chg.filter(F.col("_change_type") == "delete"))
+    want = bag(t.read(b))
+    got = bag(t.read(a)) + ins
+    got.subtract(dels)
+    assert +got == want
