@@ -68,6 +68,7 @@ _PRIORITY = [
     "llm_weighted_sample", "llm_frame_sample", "ev_stream_dedup_watermark",
     "src_snapshot_incremental", "src_file_metadata", "dq_observe_metrics",
     "agg_grouping_sets", "fn_try_safe", "udf_arrow_scalar",
+    "src_python_datasource", "sink_snapshot_optimize", "llm_word_bigrams",
     # -- regression re-checks (17): verified in round 1, never re-sampled --
     # TPC-H-shaped relational core
     "q3_shipping_priority", "q5_regional_revenue", "q6_forecast_revenue",

@@ -1625,3 +1625,50 @@ def llm_frame_sample(spark, sf_dir):
     from ..llm.multimodal import sample_frames
 
     return sample_frames(attach_fake_media(_docs(spark, sf_dir)), 4)
+
+
+@query(
+    "llm_word_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS l
+      FROM documents),
+    bg AS (
+      SELECT unnest(list_zip(l[1:length(l)-1], l[2:length(l)])) AS p
+      FROM toks WHERE length(l) >= 2)
+    SELECT p[1] || ' ' || p[2] AS bigram, count(*) AS n
+    FROM bg GROUP BY 1 ORDER BY n DESC, bigram LIMIT 100
+    """,
+)
+def llm_word_bigrams(spark, sf_dir):
+    """Corpus bigram counting — the transition-count table of an n-gram
+    language model and the inner loop of merge-based tokenizer training
+    (BPE counts adjacent-pair frequencies exactly like this, over symbols
+    instead of words). Adjacent pairs are built INSIDE the array domain
+    (zip_with over two slices — no posexplode self-join, so a d-token
+    document costs d rows once, not a d x d join); the single shuffle
+    groups by the bigram key, partial-aggregated map-side, and the top-100
+    report is TakeOrderedAndProject with a total tiebreak order. At 100 TB
+    the pair space shards by key exactly like any aggregation — no
+    vocabulary bottleneck on one node."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    l = F.col("l")
+    pairs = F.zip_with(
+        F.slice(l, F.lit(1), F.size(l) - 1),
+        F.slice(l, F.lit(2), F.size(l) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select(toks.alias("l"))
+        .filter(F.size("l") >= 2)
+        .select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(100)
+    )

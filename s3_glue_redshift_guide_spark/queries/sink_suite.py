@@ -604,3 +604,54 @@ def sink_snapshot_merge(spark, sf_dir):
     )
     t.commit_replace(affected, merged)
     return t.read().select(F.col("k").alias("o_orderkey"), "status")
+
+
+@query(
+    "sink_snapshot_optimize",
+    oracle="""
+    SELECT CAST(9 AS BIGINT) AS n_files_before,
+           CAST(8 AS BIGINT) AS n_small,
+           CAST(2 AS BIGINT) AS n_files_after,
+           CAST(1 AS BIGINT) AS n_untouched,
+           CAST(count(*) AS BIGINT) AS rows_after,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    """,
+)
+def sink_snapshot_optimize(spark, sf_dir):
+    """Transactional OPTIMIZE of a snapshot table (Delta's
+    compaction-as-a-commit): eight drip-fed small commits (~0.5% of
+    orders each, the streaming-ingest pathology) plus one large commit;
+    ``optimize_small_files`` plans from file-size METADATA alone,
+    bin-packs only the eight small files, and swaps them in ONE
+    commit_replace — the large file keeps byte identity (asserted via
+    manifest intersection) and the pre-OPTIMIZE version stays readable.
+    The size threshold derives from the observed sizes (midpoint), so the
+    small/large split is scale-factor independent. Row content after =
+    exactly the full orders table, value-checked."""
+    import os as _os
+
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="spark_snapopt_"))
+    small_pred = (F.col("o_orderkey") % 100) < 4
+    for i in range(8):
+        t.commit_append(
+            o.filter(small_pred & (F.col("o_orderkey") % 8 == i)).coalesce(1)
+        )
+    t.commit_append(o.filter(~small_pred).coalesce(1))
+    before = t._load_manifest(t.current_version())
+    sizes = [_os.path.getsize(f) for f in before]
+    threshold = (min(sizes) + max(sizes)) // 2
+    facts = t.optimize_small_files(threshold, target_bytes=1 << 30)
+    after = set(t._load_manifest(facts["version"]))
+    n_untouched = len(set(before) & after)
+    return t.read().agg(
+        F.lit(facts["n_files_before"]).cast("long").alias("n_files_before"),
+        F.lit(facts["n_small"]).cast("long").alias("n_small"),
+        F.lit(facts["n_files_after"]).cast("long").alias("n_files_after"),
+        F.lit(n_untouched).cast("long").alias("n_untouched"),
+        F.count(F.lit(1)).alias("rows_after"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )

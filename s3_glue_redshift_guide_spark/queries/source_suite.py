@@ -941,3 +941,55 @@ def src_snapshot_incremental(spark, sf_dir):
         )
 
     return tag(run1, 1).unionAll(tag(run2, 2))
+
+
+@query(
+    "src_python_datasource",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(3 AS BIGINT) AS n_files,
+           CAST(1 AS BIGINT) AS n_files_read
+    FROM orders WHERE o_orderkey BETWEEN 250 AND 320
+    """,
+)
+def src_python_datasource(spark, sf_dir):
+    """The snapshot table as a REGISTERED SPARK FORMAT via the Spark-4
+    Python DataSource API (`sources/pyds.py`):
+    ``spark.read.format("pysnapshot")`` resolves the manifest on the
+    driver, ``pushFilters`` harvests the key-range predicate and
+    zone-map-prunes the file list (pruning-only pushdown: every filter is
+    returned unsupported so Catalyst keeps the row-level residual), and
+    each surviving file becomes one InputPartition whose executor-side
+    read yields pyarrow RecordBatches — a pure-Python table-format
+    connector with the same plan shape as a native file source. Layout:
+    three key-range commits; the [250,320] predicate must scan exactly
+    one file. Fact columns pin total-vs-read file counts via the same
+    banked stats the connector prunes with; row values match the plain
+    table filter."""
+    from ..sources.pyds import register_snapshot_source
+    from ..sources.snapshots import SnapshotTable
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = SnapshotTable(spark, _tmp("pyds"))
+    for lo, hi in ((0, 199), (200, 399), (400, 599)):
+        t.commit_append(
+            o.filter(F.col("o_orderkey").between(lo, hi)).coalesce(1),
+            stats_cols=["o_orderkey"],
+        )
+    register_snapshot_source(spark)
+    files_read, n_files = t.pruned_files("o_orderkey", 250, 320)
+    rows = (
+        spark.read.format("pysnapshot")
+        .option("root", t.root)
+        .load()
+        .filter(F.col("o_orderkey").between(250, 320))
+    )
+    return rows.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(n_files).cast("long").alias("n_files"),
+        F.lit(len(files_read)).cast("long").alias("n_files_read"),
+    )

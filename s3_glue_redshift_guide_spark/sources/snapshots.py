@@ -333,6 +333,45 @@ class SnapshotTable:
             )
         )
 
+    def optimize_small_files(
+        self, small_threshold: int, target_bytes: int
+    ) -> dict[str, int]:
+        """Transactional OPTIMIZE (Delta's compaction-as-a-commit): plan
+        from METADATA only (file sizes via one listing — at fleet scale
+        the sizes ride in the manifest), pick the files under
+        ``small_threshold``, bin-pack them into ``target_bytes`` outputs,
+        and publish ONE ``commit_replace`` that swaps exactly those files
+        — large files keep their byte identity and historical versions
+        keep the old layout. Work is O(small files); concurrent readers
+        are never disturbed (snapshot isolation), and a racing writer
+        conflicts on the manifest, not on data."""
+        import math
+
+        cur = self.current_version()
+        files = self._load_manifest(cur)
+        sizes = {f: os.path.getsize(f) for f in files}
+        small = [f for f in files if sizes[f] < small_threshold]
+        if len(small) <= 1:
+            return {
+                "n_files_before": len(files),
+                "n_small": len(small),
+                "n_files_after": len(files),
+                "version": cur,
+            }
+        n_bins = max(1, math.ceil(sum(sizes[f] for f in small) / target_bytes))
+        packed = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*small)
+            .coalesce(n_bins)
+        )
+        v = self.commit_replace(small, packed)
+        return {
+            "n_files_before": len(files),
+            "n_small": len(small),
+            "n_files_after": self.file_count(v),
+            "version": v,
+        }
+
     def changes_since(
         self, cursor: int
     ) -> tuple[DataFrame | None, int]:
