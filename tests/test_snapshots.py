@@ -302,3 +302,25 @@ def test_changes_since_exactly_once_per_version(spark):
     assert df2.count() == o.filter(
         F.col("o_orderkey").between(100, 199)
     ).count()
+
+
+def test_optimize_small_files_noop_and_isolation(spark):
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_opt_"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 50).coalesce(1))
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(50, 299)).coalesce(1)
+    )
+    import os
+
+    sizes = [os.path.getsize(f) for f in t._load_manifest(2)]
+    # threshold below every file: nothing to do, no commit published
+    facts = t.optimize_small_files(min(sizes), 1 << 30)
+    assert facts["version"] == 2 and facts["n_files_after"] == 2
+    # threshold above both: both pack into one file in ONE new commit;
+    # the pre-OPTIMIZE version still reads its old layout
+    n_before = t.read().count()
+    facts = t.optimize_small_files(max(sizes) + 1, 1 << 30)
+    assert facts["version"] == 3 and facts["n_files_after"] == 1
+    assert t.read().count() == n_before
+    assert t.file_count(2) == 2 and t.read(2).count() == n_before
