@@ -41,10 +41,11 @@ class SnapshotFilePartition(InputPartition):
 
 
 class SnapshotManifestReader(DataSourceReader):
-    def __init__(self, options) -> None:
+    def __init__(self, options, columns: list[str] | None = None) -> None:
         import json
         import os
 
+        self.columns = columns
         self.root = options["root"]
         mdir = os.path.join(self.root, "_manifests")
         versions = [
@@ -104,9 +105,15 @@ class SnapshotManifestReader(DataSourceReader):
 
     # ------------------------------------------------------------ read
     def read(self, partition: SnapshotFilePartition):
+        """Arrow-batch read of one data file. Columns are selected AND
+        ordered by the declared read schema, so a caller-supplied schema
+        with reordered fields still maps by name, never by file
+        position."""
         import pyarrow.parquet as pq
 
-        yield from pq.ParquetFile(partition.path).iter_batches()
+        yield from pq.ParquetFile(partition.path).iter_batches(
+            columns=self.columns
+        )
 
 
 class SnapshotDataSource(DataSource):
@@ -136,7 +143,9 @@ class SnapshotDataSource(DataSource):
         return from_arrow_schema(pq.ParquetFile(first).schema_arrow)
 
     def reader(self, schema) -> SnapshotManifestReader:
-        return SnapshotManifestReader(self.options)
+        return SnapshotManifestReader(
+            self.options, [f.name for f in schema.fields]
+        )
 
 
 def register_snapshot_source(spark) -> None:

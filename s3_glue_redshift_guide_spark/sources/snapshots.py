@@ -88,7 +88,10 @@ class SnapshotTable:
         this collection runs as a mapPartitions over the path list, or
         comes free from the writer's task results as in Delta). A column
         missing footer stats in any row group is omitted for that file —
-        absent stats mean "must read", never wrong pruning."""
+        absent stats mean "must read", never wrong pruning. String stats
+        stay safe under parquet's stat truncation because writers round a
+        truncated max UP (and drop min/max entirely when they can't), so
+        a banked range is always a superset of the file's true range."""
         import pyarrow.parquet as pq
 
         out: dict[str, dict[str, list]] = {}

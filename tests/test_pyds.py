@@ -80,3 +80,16 @@ def test_pushdown_prunes_partitions_reader_level(spark):
     r4 = SnapshotManifestReader({"root": t.root})
     r4.pushFilters([EqualTo(("o_totalprice",), 1.0)])
     assert len(r4.partitions()) == 3
+
+
+def test_caller_schema_reorder_maps_by_name(spark):
+    _, t = _table(spark)
+    register_snapshot_source(spark)
+    df = (
+        spark.read.format("pysnapshot")
+        .schema("o_totalprice double, o_orderkey bigint")
+        .option("root", t.root)
+        .load()
+    )
+    r = df.orderBy("o_orderkey").first()
+    assert r["o_orderkey"] < 10 and r["o_totalprice"] > 100
