@@ -37,8 +37,11 @@ def interval_join_stream(
     batch, so the batch twin runs the identical plan minus state). For
     streaming, ``how`` may be ``inner`` or ``leftOuter`` (outer results
     emit only after the watermark closes the window — correct, but late by
-    the watermark delay). Column names must be disjoint apart from ``on``
-    — project/alias before calling, as with any self-join.
+    the watermark delay; note the GLOBAL watermark is the MIN across both
+    sides' watermarks, so a side that stops receiving events stalls outer
+    emission — the multipleWatermarkPolicy=min default, pinned in
+    tests/test_streaming.py). Column names must be disjoint apart from
+    ``on`` — project/alias before calling, as with any self-join.
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)

@@ -195,3 +195,92 @@ def test_transform_with_state_matches_v1_sessionizer(spark, tmp_path):
     cols = ["user_id", "session_start", "session_end", "n_events", "value_total"]
     assert _rows(got, cols) == _rows(want, cols)
     assert len(_rows(got, cols)) > 0
+
+
+def test_stream_interval_join_left_outer_emits_after_watermark(
+    spark, tmp_path
+):
+    # Outer results of a stream-stream join may only emit once the
+    # GLOBAL watermark closes a left row's window — and with watermarks
+    # on both sides the global watermark is their MIN, so both sides
+    # must see late events before anything is evicted. Sequence: one
+    # matched pair + one never-matched click; then far-future events on
+    # BOTH sides advance the watermark; a final batch gives the engine a
+    # trigger in which eviction runs. The unmatched click must emit with
+    # NULL, while the far-future clicks (windows still open) stay
+    # withheld in state — the semantics that make outer results
+    # correct-but-late on an unbounded stream.
+    import datetime as dt
+
+    from s3_glue_redshift_guide_spark.streaming.joins import (
+        interval_join_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    ddl = "user_id long, ts timestamp, event_type string, event_id long"
+    src = str(tmp_path / "ev")
+    import os
+
+    os.makedirs(src)
+    raw = spark.readStream.schema(ddl).parquet(src)
+    clicks = raw.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys = raw.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    joined = interval_join_stream(
+        clicks, buys, "user_id", "click_ts", "buy_ts", 0, 600,
+        watermark="30 minutes", how="leftOuter",
+    )
+
+    out: list[tuple] = []
+
+    def sink(df, _epoch):
+        out.extend((r["click_id"], r["buy_id"]) for r in df.collect())
+
+    batches = [
+        [
+            (1, ts(0), "click", 101),
+            (1, ts(5), "purchase", 102),
+            (2, ts(0), "click", 201),          # never purchases
+        ],
+        [
+            (99, ts(120), "click", 991),       # advance clicks watermark
+            (98, ts(120), "purchase", 992),    # advance buys watermark
+        ],
+        [
+            (99, ts(180), "click", 993),       # the eviction trigger
+            (98, ts(180), "purchase", 994),
+        ],
+    ]
+    # one availableNow run per landed file against ONE checkpoint: the
+    # watermark persists in the checkpoint, so emission timing is
+    # deterministic run to run (foreachBatch supports recovery; the
+    # memory sink does not)
+    for b in batches:
+        spark.createDataFrame(b, ddl).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            joined.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    got = dict(out)
+    assert got[101] == 102          # matched pair
+    assert got[201] is None         # window closed by watermark -> NULL
+    assert got[991] is None         # its window also closed by batch 3
+    assert 993 not in got           # window still open -> withheld
