@@ -143,3 +143,50 @@ def test_change_feed_reconstructs_any_version_pair(spark, script, data):
     got = bag(t.read(a)) + ins
     got.subtract(dels)
     assert +got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 500)),
+        min_size=2,
+        max_size=4,
+    ),
+    st.integers(0, 550),
+    st.integers(0, 550),
+)
+def test_manifest_pruning_never_loses_rows(spark, ranges, a, b):
+    """Zone-map safety: for ANY commit layout and ANY range predicate,
+    pruned-read + residual filter == full-table filter, and every pruned
+    file's banked range is genuinely disjoint from the predicate."""
+    import tempfile
+
+    from s3_glue_redshift_guide_spark.sources.snapshots import SnapshotTable
+
+    lo, hi = min(a, b), max(a, b)
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="prop_zm_"))
+    for x, y in ranges:
+        x, y = min(x, y), max(x, y)
+        t.commit_append(
+            o.filter(F.col("o_orderkey").between(x, y)).coalesce(1),
+            stats_cols=["o_orderkey"],
+        )
+    got = (
+        t.read_where("o_orderkey", lo, hi)
+        .filter(F.col("o_orderkey").between(lo, hi))
+        .count()
+    )
+    want = (
+        t.read().filter(F.col("o_orderkey").between(lo, hi)).count()
+    )
+    assert got == want
+    kept, total = t.pruned_files("o_orderkey", lo, hi)
+    stats = t._load_stats(t.current_version())
+    for f in set(t._load_manifest(t.current_version())) - set(kept):
+        mn, mx = stats[f]["o_orderkey"]
+        assert mx < lo or mn > hi  # only provably-disjoint files skip
