@@ -337,7 +337,10 @@ class SnapshotTable:
         )
 
     def optimize_small_files(
-        self, small_threshold: int, target_bytes: int
+        self,
+        small_threshold: int,
+        target_bytes: int,
+        z_cols: tuple[str, str] | None = None,
     ) -> dict[str, int]:
         """Transactional OPTIMIZE (Delta's compaction-as-a-commit): plan
         from METADATA only (file sizes via one listing — at fleet scale
@@ -347,7 +350,16 @@ class SnapshotTable:
         — large files keep their byte identity and historical versions
         keep the old layout. Work is O(small files); concurrent readers
         are never disturbed (snapshot isolation), and a racing writer
-        conflicts on the manifest, not on data."""
+        conflicts on the manifest, not on data.
+
+        With ``z_cols=(a, b)`` the rewrite also CLUSTERS the compacted
+        rows along the Morton curve of the two columns (Delta's
+        ``OPTIMIZE ... ZORDER BY``): each output file owns a contiguous
+        curve segment — a bounded region in BOTH dimensions — so footer
+        and manifest stats prune on either column afterwards. That path
+        shuffles the small-file rows once (a layout job, priced per
+        OPTIMIZE run, not per query); the default path is a shuffle-free
+        coalesce."""
         import math
 
         cur = self.current_version()
@@ -362,11 +374,20 @@ class SnapshotTable:
                 "version": cur,
             }
         n_bins = max(1, math.ceil(sum(sizes[f] for f in small) / target_bytes))
-        packed = (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*small)
-            .coalesce(n_bins)
+        packed = self.spark.read.option("mergeSchema", "true").parquet(
+            *small
         )
+        if z_cols is not None:
+            from ..operators.zorder import z_order_key
+
+            packed = (
+                z_order_key(packed, *z_cols)
+                .repartitionByRange(n_bins, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            packed = packed.coalesce(n_bins)
         v = self.commit_replace(small, packed)
         return {
             "n_files_before": len(files),

@@ -324,3 +324,40 @@ def test_optimize_small_files_noop_and_isolation(spark):
     assert facts["version"] == 3 and facts["n_files_after"] == 1
     assert t.read().count() == n_before
     assert t.file_count(2) == 2 and t.read(2).count() == n_before
+
+
+def test_optimize_zorder_clusters_both_dimensions(spark):
+    """OPTIMIZE ... ZORDER BY: the compacted files must each own a
+    bounded region in BOTH clustering dimensions, so a point filter on
+    either column admits fewer files than scattered input would."""
+    import os
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_optz_"))
+    # six scattered small commits: each spans the FULL range of both
+    # columns (hash-sliced), the worst case for any pruning
+    for i in range(6):
+        t.commit_append(
+            o.filter(F.col("o_orderkey") % 6 == i).coalesce(1),
+            stats_cols=["o_orderkey", "o_custkey"],
+        )
+    sizes = [os.path.getsize(f) for f in t._load_manifest(6)]
+    total = sum(sizes)
+    facts = t.optimize_small_files(
+        max(sizes) + 1, total // 4, z_cols=("o_custkey", "o_orderkey")
+    )
+    assert facts["n_small"] == 6 and facts["n_files_after"] >= 3
+    # post-OPTIMIZE manifest stats: a mid-range point in either
+    # dimension must be admitted by fewer files than exist
+    kept_k, n = t.pruned_files(
+        "o_orderkey", 300, 300, version=facts["version"]
+    )
+    kept_c, _ = t.pruned_files(
+        "o_custkey", 80, 80, version=facts["version"]
+    )
+    assert n == facts["n_files_after"]
+    assert len(kept_k) < n and len(kept_c) < n
+    # content unchanged by the layout commit
+    assert t.read().count() == o.count()
