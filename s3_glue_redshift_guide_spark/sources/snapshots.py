@@ -37,6 +37,43 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def _json_scalar_value(v):
+    """Parquet-footer stat -> JSON-storable, order-preserving scalar:
+    bytes decode (BYTE_ARRAY stats), datetimes/dates go ISO (ISO strings
+    compare lexicographically in timeline order)."""
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _footer_stats_one(path: str, cols: list[str]) -> dict[str, list]:
+    """Footer min/max for one file (module-level so the distributed
+    stats path can ship it to executors)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    st: dict[str, list] = {}
+    for c in cols:
+        if c not in idx:
+            continue
+        mins: list = []
+        maxs: list = []
+        ok = True
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(idx[c]).statistics
+            if s is None or not s.has_min_max:
+                ok = False
+                break
+            mins.append(_json_scalar_value(s.min))
+            maxs.append(_json_scalar_value(s.max))
+        if ok and mins:
+            st[c] = [min(mins), max(maxs)]
+    return st
+
+
 class CommitConflict(Exception):
     """Another writer published this version first — re-read the table
     state and retry (optimistic concurrency, the Delta log protocol)."""
@@ -68,56 +105,36 @@ class SnapshotTable:
             if f.endswith(".parquet")
         )
 
-    @staticmethod
-    def _json_scalar(v):
-        """Parquet-footer stat -> JSON-storable, order-preserving scalar:
-        bytes decode (BYTE_ARRAY stats), datetimes/dates go ISO (ISO
-        strings compare lexicographically in timeline order)."""
-        if isinstance(v, bytes):
-            return v.decode("utf-8", "replace")
-        if hasattr(v, "isoformat"):
-            return v.isoformat()
-        return v
+    #: Commits with at least this many new files collect their footer
+    #: stats executor-side (one task per chunk of paths) instead of in a
+    #: driver loop — the fleet-scale path for bulk backfills. Small
+    #: commits skip the job-scheduling overhead.
+    DISTRIBUTED_STATS_THRESHOLD = 64
 
     def _footer_stats(
         self, files: list[str], cols: list[str]
     ) -> dict[str, dict[str, list]]:
         """Per-file min/max for ``cols`` read from the parquet FOOTERS of
-        freshly written files — no data scan. Driver-side over the new
-        files only (O(new files) footer reads per commit; at fleet scale
-        this collection runs as a mapPartitions over the path list, or
-        comes free from the writer's task results as in Delta). A column
-        missing footer stats in any row group is omitted for that file —
-        absent stats mean "must read", never wrong pruning. String stats
-        stay safe under parquet's stat truncation because writers round a
-        truncated max UP (and drop min/max entirely when they can't), so
-        a banked range is always a superset of the file's true range."""
-        import pyarrow.parquet as pq
-
-        out: dict[str, dict[str, list]] = {}
-        for p in files:
-            md = pq.ParquetFile(p).metadata
-            idx = {
-                md.schema.column(i).name: i for i in range(md.num_columns)
-            }
-            st: dict[str, list] = {}
-            for c in cols:
-                if c not in idx:
-                    continue
-                mins: list = []
-                maxs: list = []
-                ok = True
-                for rg in range(md.num_row_groups):
-                    s = md.row_group(rg).column(idx[c]).statistics
-                    if s is None or not s.has_min_max:
-                        ok = False
-                        break
-                    mins.append(self._json_scalar(s.min))
-                    maxs.append(self._json_scalar(s.max))
-                if ok and mins:
-                    st[c] = [min(mins), max(maxs)]
-            out[p] = st
-        return out
+        freshly written files — no data scan, O(new files) footer reads
+        per commit (in production the writer's task results carry these
+        for free, as in Delta). Driver-side for typical commit sizes;
+        past ``DISTRIBUTED_STATS_THRESHOLD`` files the footer reads fan
+        out as a Spark job over the path list, so a 100k-file backfill
+        collects stats at cluster parallelism and only the (path, mins,
+        maxs) tuples return to the driver. A column missing footer stats
+        in any row group is omitted for that file — absent stats mean
+        "must read", never wrong pruning. String stats stay safe under
+        parquet's stat truncation because writers round a truncated max
+        UP (and drop min/max entirely when they can't), so a banked
+        range is always a superset of the file's true range."""
+        if len(files) >= self.DISTRIBUTED_STATS_THRESHOLD:
+            sc = self.spark.sparkContext
+            n_slices = max(1, min(len(files) // 16, 256))
+            parts = sc.parallelize(files, n_slices).map(
+                lambda p: (p, _footer_stats_one(p, cols))
+            )
+            return dict(parts.collect())
+        return {p: _footer_stats_one(p, cols) for p in files}
 
     def _load_stats(self, version: int) -> dict[str, dict[str, list]]:
         with open(self._manifest_path(version)) as f:

@@ -361,3 +361,24 @@ def test_optimize_zorder_clusters_both_dimensions(spark):
     assert len(kept_k) < n and len(kept_c) < n
     # content unchanged by the layout commit
     assert t.read().count() == o.count()
+
+
+def test_distributed_footer_stats_matches_driver_path(spark):
+    """Past the threshold, footer-stat collection fans out as a Spark
+    job; the stats it banks must be identical to the driver-side loop."""
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_dstats_"))
+    t.commit_append(
+        o.filter(F.col("o_orderkey") < 2000).repartition(4),
+        stats_cols=["o_orderkey"],
+    )
+    files = t._load_manifest(1)
+    driver_side = t._footer_stats(files, ["o_orderkey"])
+    old = SnapshotTable.DISTRIBUTED_STATS_THRESHOLD
+    SnapshotTable.DISTRIBUTED_STATS_THRESHOLD = 1
+    try:
+        exec_side = t._footer_stats(files, ["o_orderkey"])
+    finally:
+        SnapshotTable.DISTRIBUTED_STATS_THRESHOLD = old
+    assert exec_side == driver_side
+    assert all(st.get("o_orderkey") for st in exec_side.values())
