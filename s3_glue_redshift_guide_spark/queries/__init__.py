@@ -42,12 +42,12 @@ for _m in _MODULES:
 # round 3 the union of banked driver rows covers 144 of the 153 pre-round-4
 # queries; the 9 never-sampled (round-3 latecomers that missed the round-3
 # window) go FIRST so round 4 closes at-least-once verification for the
-# ENTIRE registry. The 28 new round-4 queries follow (they need first-window
-# slots too), and the remaining 13 slots re-verify the round-1-only passes
-# that have never been re-sampled since (regression guard — prioritizing
-# the relational/join/window/function core, including the two bench-watched
-# queries win_rank_topk and agg_rollup; the regression entries past
-# position 50 keep their order for future windows).
+# ENTIRE registry. The 38 new round-4 queries follow (they need first-window
+# slots too), leaving 3 slots inside the window for regression re-checks of
+# round-1-only passes (q3/q5/q6 — q3 and q5 are also bench headliners, so
+# they carry double evidence). The remaining regression entries listed
+# below sit PAST position 50 this round — they keep their priority order
+# so future, less-crowded windows pick them up first.
 _PRIORITY = [
     # -- never driver-sampled (9): the round-3 latecomers ------------------
     "llm_corpus_clean_pipeline", "llm_fuzzy_name_pairs",

@@ -969,7 +969,6 @@ def src_python_datasource(spark, sf_dir):
     from ..sources.pyds import register_snapshot_source
     from ..sources.snapshots import SnapshotTable
 
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )

@@ -8,7 +8,10 @@ SURVIVING DATA FILE — so the scan parallelizes exactly like a native file
 source, executors open only their own file (pyarrow, yielding Arrow
 RecordBatches — zero row-at-a-time Python), and skipped files never get a
 task. This is the pure-Python equivalent of a DSv2 table-format connector
-(what delta-rs / iceberg-python do natively).
+(what delta-rs / iceberg-python do natively). Manifest resolution and the
+zone-map overlap test are the SAME code ``SnapshotTable`` reads with
+(`snapshots.latest_version/load_manifest/zone_prune`) — the connector
+cannot silently diverge from the table's own pruning.
 
 Filter pushdown is PRUNING-ONLY by design: ``pushFilters`` records range
 predicates on stats-tracked columns to shrink the partition list, but
@@ -34,30 +37,31 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
 )
 
+from .snapshots import latest_version, load_manifest, zone_prune
+
 
 class SnapshotFilePartition(InputPartition):
     def __init__(self, path: str) -> None:
         self.path = path
 
 
-class SnapshotManifestReader(DataSourceReader):
-    def __init__(self, options, columns: list[str] | None = None) -> None:
-        import json
-        import os
+def _resolve(options) -> dict:
+    """Manifest for the requested (or head) version — shared log-access
+    code with SnapshotTable."""
+    root = options["root"]
+    v = int(options.get("version", latest_version(root)))
+    return load_manifest(root, v)
 
+
+class SnapshotManifestReader(DataSourceReader):
+    def __init__(
+        self, options, columns: list[str] | None = None, types=None
+    ) -> None:
         self.columns = columns
-        self.root = options["root"]
-        mdir = os.path.join(self.root, "_manifests")
-        versions = [
-            int(f[1:-5])
-            for f in os.listdir(mdir)
-            if f.startswith("v") and f.endswith(".json")
-        ]
-        v = int(options.get("version", max(versions)))
-        with open(os.path.join(mdir, f"v{v}.json")) as f:
-            m = json.load(f)
+        self.types = types or {}  # name -> pyarrow type, for typed NULLs
+        m = _resolve(options)
         self.files: list[str] = m["files"]
-        self.stats: dict = m.get("stats", {})
+        self.stats: dict = m["stats"]
         self.bounds: dict[str, list] = {}
 
     # ------------------------------------------------- filter pushdown
@@ -86,34 +90,43 @@ class SnapshotManifestReader(DataSourceReader):
 
     # ------------------------------------------------------ partitions
     def partitions(self) -> list[InputPartition]:
-        keep = []
-        for p in self.files:
-            st = self.stats.get(p, {})
-            skip = False
-            for col, (lo, hi) in self.bounds.items():
-                mm = st.get(col)
-                if mm is None:
-                    continue  # absent stats: conservative keep
-                if (hi is not None and mm[0] > hi) or (
-                    lo is not None and mm[1] < lo
-                ):
-                    skip = True
-                    break
-            if not skip:
-                keep.append(SnapshotFilePartition(p))
-        return keep
+        bounds = {c: (lo, hi) for c, (lo, hi) in self.bounds.items()}
+        return [
+            SnapshotFilePartition(p)
+            for p in zone_prune(self.files, self.stats, bounds)
+        ]
 
     # ------------------------------------------------------------ read
     def read(self, partition: SnapshotFilePartition):
-        """Arrow-batch read of one data file. Columns are selected AND
-        ordered by the declared read schema, so a caller-supplied schema
-        with reordered fields still maps by name, never by file
-        position."""
+        """Arrow-batch read of one data file, aligned to the declared
+        read schema: columns map BY NAME (a caller-supplied schema with
+        reordered fields reads correctly), unread columns are pruned at
+        the parquet layer, and a column this file predates (additive
+        evolution) surfaces as typed NULLs — the same contract as
+        ``SnapshotTable.read``'s mergeSchema."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        yield from pq.ParquetFile(partition.path).iter_batches(
-            columns=self.columns
-        )
+        pf = pq.ParquetFile(partition.path)
+        have = set(pf.schema_arrow.names)
+        want = self.columns or pf.schema_arrow.names
+        present = [c for c in want if c in have]
+        for batch in pf.iter_batches(columns=present):
+            if len(present) == len(want):
+                yield batch
+                continue
+            cols, names = [], []
+            by_name = {n: batch.column(i)
+                       for i, n in enumerate(batch.schema.names)}
+            for c in want:
+                if c in by_name:
+                    cols.append(by_name[c])
+                else:
+                    cols.append(
+                        pa.nulls(batch.num_rows, type=self.types.get(c))
+                    )
+                names.append(c)
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
 
 class SnapshotDataSource(DataSource):
@@ -125,29 +138,51 @@ class SnapshotDataSource(DataSource):
         return "pysnapshot"
 
     def schema(self):
+        """Union schema across the requested version's files (additive
+        evolution means later files carry new columns that older files
+        surface as NULL — exactly what ``SnapshotTable.read``'s
+        mergeSchema exposes). Footer-only: no data reads."""
         import pyarrow.parquet as pq
 
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        import json
-        import os
+        files = _resolve(self.options)["files"]
+        if not files:
+            raise ValueError(
+                "pysnapshot: the requested version has no data files; "
+                "supply an explicit .schema(...)"
+            )
+        import pyarrow as pa
 
-        mdir = os.path.join(self.options["root"], "_manifests")
-        v = max(
-            int(f[1:-5])
-            for f in os.listdir(mdir)
-            if f.startswith("v") and f.endswith(".json")
+        unified = pq.ParquetFile(files[0]).schema_arrow
+        for f in files[1:]:
+            unified = pa.unify_schemas(
+                [unified, pq.ParquetFile(f).schema_arrow]
+            )
+        # every field nullable: a column added by evolution is NULL in
+        # pre-evolution files even if its own writer marked it required
+        # (e.g. a literal column) — same posture as Spark's mergeSchema
+        unified = pa.schema(
+            [f.with_nullable(True) for f in unified]
         )
-        with open(os.path.join(mdir, f"v{v}.json")) as f:
-            first = json.load(f)["files"][0]
-        return from_arrow_schema(pq.ParquetFile(first).schema_arrow)
+        return from_arrow_schema(unified)
 
     def reader(self, schema) -> SnapshotManifestReader:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow = to_arrow_schema(schema)
         return SnapshotManifestReader(
-            self.options, [f.name for f in schema.fields]
+            self.options,
+            [f.name for f in schema.fields],
+            {f.name: f.type for f in arrow},
         )
 
 
 def register_snapshot_source(spark) -> None:
-    """Idempotent registration of the pysnapshot format."""
+    """Register the pysnapshot format (idempotent). Also enables
+    ``spark.sql.python.filterPushdown.enabled``: the reader implements
+    ``pushFilters``, and Spark REFUSES such readers outright when the
+    conf (default false) is off — without this, every read through the
+    connector fails on a vanilla session."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SnapshotDataSource)

@@ -79,6 +79,72 @@ class CommitConflict(Exception):
     state and retry (optimistic concurrency, the Delta log protocol)."""
 
 
+class LogTruncated(Exception):
+    """The requested version's manifest has been vacuumed past — the
+    reader's cursor predates the retention window. A change-feed consumer
+    seeing this must RE-BOOTSTRAP (full read at head + fresh cursor);
+    there is no way to reconstruct the missed deltas."""
+
+
+# ---------------------------------------------------------- log access --
+# Module-level manifest access so other readers of the log (the pysnapshot
+# DataSource connector in sources/pyds.py) share ONE implementation of
+# manifest resolution and zone-map overlap — a manifest format change or a
+# pruning fix lands here and everywhere at once.
+
+def latest_version(root: str) -> int:
+    mdir = os.path.join(root, "_manifests")
+    vs = [
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(vs, default=0)
+
+
+def load_manifest(root: str, version: int) -> dict:
+    """The manifest dict {version, files, stats}; raises LogTruncated if
+    the version has been vacuumed away."""
+    path = os.path.join(root, "_manifests", f"v{version}.json")
+    try:
+        with open(path) as f:
+            m = json.load(f)
+    except FileNotFoundError:
+        raise LogTruncated(
+            f"version {version} predates the retention window "
+            f"(manifest {path} vacuumed) — re-bootstrap from head"
+        ) from None
+    m.setdefault("stats", {})
+    return m
+
+
+def zone_prune(
+    files: list[str],
+    stats: dict[str, dict[str, list]],
+    bounds: dict[str, tuple],
+) -> list[str]:
+    """Files whose banked [min, max] ranges could intersect EVERY bound
+    in ``bounds`` ({col: (lo, hi)}, None = unbounded side). Absent stats
+    are a conservative keep — pruning can waste a read, never lose a
+    row."""
+    keep = []
+    for f in files:
+        st = stats.get(f, {})
+        skip = False
+        for col, (lo, hi) in bounds.items():
+            mm = st.get(col)
+            if mm is None:
+                continue
+            if (hi is not None and mm[0] > hi) or (
+                lo is not None and mm[1] < lo
+            ):
+                skip = True
+                break
+        if not skip:
+            keep.append(f)
+    return keep
+
+
 class SnapshotTable:
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
@@ -90,8 +156,7 @@ class SnapshotTable:
         return os.path.join(self.root, "_manifests", f"v{version}.json")
 
     def _load_manifest(self, version: int) -> list[str]:
-        with open(self._manifest_path(version)) as f:
-            return json.load(f)["files"]
+        return load_manifest(self.root, version)["files"]
 
     def _write_files(self, df: DataFrame) -> list[str]:
         """Write ``df`` as immutable parquet files under a fresh commit
@@ -137,8 +202,7 @@ class SnapshotTable:
         return {p: _footer_stats_one(p, cols) for p in files}
 
     def _load_stats(self, version: int) -> dict[str, dict[str, list]]:
-        with open(self._manifest_path(version)) as f:
-            return json.load(f).get("stats", {})
+        return load_manifest(self.root, version)["stats"]
 
     def _publish(
         self,
@@ -172,12 +236,7 @@ class SnapshotTable:
 
     # ------------------------------------------------------------- surface
     def current_version(self) -> int:
-        vs = [
-            int(f[1:-5])
-            for f in os.listdir(os.path.join(self.root, "_manifests"))
-            if f.startswith("v") and f.endswith(".json")
-        ]
-        return max(vs, default=0)
+        return latest_version(self.root)
 
     def _merged_stats(
         self,
@@ -271,14 +330,9 @@ class SnapshotTable:
         row). Bounds compare in the stat's JSON domain — numerics
         natively, dates/timestamps as ISO strings."""
         v = self.current_version() if version is None else version
-        files = self._load_manifest(v)
-        stats = self._load_stats(v)
-        keep = []
-        for f in files:
-            mm = stats.get(f, {}).get(col)
-            if mm is None or not (mm[1] < lo or mm[0] > hi):
-                keep.append(f)
-        return keep, len(files)
+        m = load_manifest(self.root, v)
+        keep = zone_prune(m["files"], m["stats"], {col: (lo, hi)})
+        return keep, len(m["files"])
 
     def read_where(
         self, col: str, lo, hi, version: int | None = None
@@ -325,7 +379,26 @@ class SnapshotTable:
         )
         b = set(self._load_manifest(to_version))
         added, removed = sorted(b - a), sorted(a - b)
-        schema = self.read(to_version).schema
+        # Align both sides to the union schema of the CHURNED files only
+        # (one mergeSchema footer union over O(churn) files) — deriving it
+        # from the full to-version snapshot would cost O(table) footer
+        # reads per poll. Rows come exclusively from churned files, so
+        # their union schema is complete for every returned row; a column
+        # that exists only in untouched files cannot appear in a change.
+        churned = added + removed
+        if not churned:
+            template = sorted(b) or sorted(a)
+            if not template:  # both versions empty: no rows, no columns
+                return self.spark.createDataFrame(
+                    [], "_change_type string"
+                )
+            empty = self.spark.read.parquet(template[0]).limit(0)
+            return empty.withColumn("_change_type", F.lit("insert"))
+        schema = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*churned)
+            .schema
+        )
 
         def side(files: list[str]) -> DataFrame:
             if not files:

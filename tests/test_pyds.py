@@ -93,3 +93,52 @@ def test_caller_schema_reorder_maps_by_name(spark):
     )
     r = df.orderBy("o_orderkey").first()
     assert r["o_orderkey"] < 10 and r["o_totalprice"] > 100
+
+
+def test_connector_works_on_fresh_conf_and_surfaces_evolved_columns(spark):
+    # register_snapshot_source must itself enable the python-filter-
+    # pushdown conf (Spark refuses pushFilters readers without it), so a
+    # vanilla session works; and additively-evolved columns must surface
+    # through the connector exactly as SnapshotTable.read exposes them —
+    # pre-evolution files yield typed NULLs, by-name mapping.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="pyds_evo_"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 100).coalesce(1))
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(100, 199))
+        .withColumn("flag", F.lit(7).cast("long"))
+        .coalesce(1)
+    )
+    register_snapshot_source(spark)
+    df = spark.read.format("pysnapshot").option("root", t.root).load()
+    assert set(df.columns) == {"o_orderkey", "flag"}
+    rows = {r["o_orderkey"]: r["flag"] for r in df.collect()}
+    assert all(
+        (f == 7 if k >= 100 else f is None) for k, f in rows.items()
+    )
+
+
+def test_connector_vacuumed_version_raises_log_truncated(spark):
+    import pytest
+
+    from s3_glue_redshift_guide_spark.sources.snapshots import LogTruncated
+
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="pyds_vac_"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 50).coalesce(1))
+    t.commit_rewrite(t.read().coalesce(1))
+    t.vacuum(retain_versions=1)
+    register_snapshot_source(spark)
+    with pytest.raises(Exception) as ei:
+        (
+            spark.read.format("pysnapshot")
+            .option("root", t.root)
+            .option("version", "1")
+            .load()
+            .count()
+        )
+    assert "retention window" in str(ei.value)
+    # ...and the cursor-expired path on the table API is typed
+    with pytest.raises(LogTruncated):
+        t.changes_since(1)

@@ -103,7 +103,9 @@ def test_vacuum_reclaims_unreferenced_files_only(spark):
     assert t.read(2).count() == n
     import pytest as _pt
 
-    with _pt.raises(FileNotFoundError):
+    from s3_glue_redshift_guide_spark.sources.snapshots import LogTruncated
+
+    with _pt.raises(LogTruncated):
         t._load_manifest(1)
 
 
@@ -382,3 +384,25 @@ def test_distributed_footer_stats_matches_driver_path(spark):
         SnapshotTable.DISTRIBUTED_STATS_THRESHOLD = old
     assert exec_side == driver_side
     assert all(st.get("o_orderkey") for st in exec_side.values())
+
+
+def test_changes_since_past_retention_raises_log_truncated(spark):
+    import pytest
+
+    from s3_glue_redshift_guide_spark.sources.snapshots import LogTruncated
+
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_lt_"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 50).coalesce(1))
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(50, 99)).coalesce(1)
+    )
+    t.commit_rewrite(t.read().coalesce(1))
+    t.vacuum(retain_versions=1)
+    # a consumer whose cursor predates retention gets a TYPED signal to
+    # re-bootstrap, never a raw FileNotFoundError mid-poll
+    with pytest.raises(LogTruncated):
+        t.changes_since(1)
+    # head-relative consumption still works
+    df, c = t.changes_since(t.current_version())
+    assert df is None and c == 3
