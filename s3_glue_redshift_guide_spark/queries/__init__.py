@@ -42,10 +42,10 @@ for _m in _MODULES:
 # round 3 the union of banked driver rows covers 144 of the 153 pre-round-4
 # queries; the 9 never-sampled (round-3 latecomers that missed the round-3
 # window) go FIRST so round 4 closes at-least-once verification for the
-# ENTIRE registry. The 38 new round-4 queries follow (they need first-window
-# slots too), leaving 3 slots inside the window for regression re-checks of
-# round-1-only passes (q3/q5/q6 — q3 and q5 are also bench headliners, so
-# they carry double evidence). The remaining regression entries listed
+# ENTIRE registry. The 39 new round-4 queries follow (they need first-window
+# slots too), leaving 2 slots inside the window for regression re-checks of
+# round-1-only passes (q3/q5 — both also bench headliners, so they carry
+# double evidence). The remaining regression entries listed
 # below sit PAST position 50 this round — they keep their priority order
 # so future, less-crowded windows pick them up first.
 _PRIORITY = [
@@ -69,6 +69,7 @@ _PRIORITY = [
     "src_snapshot_incremental", "src_file_metadata", "dq_observe_metrics",
     "agg_grouping_sets", "fn_try_safe", "udf_arrow_scalar",
     "src_python_datasource", "sink_snapshot_optimize", "llm_word_bigrams",
+    "src_stream_datasource",
     # -- regression re-checks (17): verified in round 1, never re-sampled --
     # TPC-H-shaped relational core
     "q3_shipping_priority", "q5_regional_revenue", "q6_forecast_revenue",

@@ -160,3 +160,42 @@ def ev_stream_dedup_watermark(spark, sf_dir):
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
     )
     return _drain(deduped, "ddw").select("user_id", "event_type")
+
+
+@query(
+    "src_stream_datasource",
+    oracle="""
+    SELECT o_orderkey FROM orders WHERE o_orderkey < 500
+    """,
+)
+def src_stream_datasource(spark, sf_dir):
+    """The snapshot log as a real Structured Streaming SOURCE through the
+    Spark-4 Python DataSource API (`sources/pyds.py::SnapshotStreamReader`):
+    ``spark.readStream.format("pysnapshot")`` treats VERSION NUMBERS as
+    stream offsets — each micro-batch covers the versions committed since
+    the checkpointed offset, its partitions are exactly the files those
+    commits added (file-parallel executor reads, zero tasks when nothing
+    is new), and exactly-once delivery comes from the engine's own
+    offset/commit protocol rather than any consumer-side cursor. Two
+    commits land before the availableNow run; the sink must hold exactly
+    their union — the Delta-streaming-source shape for incremental
+    lakehouse consumption (exactly-once across RESTARTS is pinned by
+    tests/test_pyds.py with a persisted checkpoint)."""
+    from ..catalog import load_table
+    from ..sources.pyds import register_snapshot_source
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="spark_strmds_"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 300).coalesce(1))
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(300, 499)).coalesce(1)
+    )
+    register_snapshot_source(spark)
+    stream = (
+        spark.readStream.format("pysnapshot")
+        .schema("o_orderkey bigint")
+        .option("root", t.root)
+        .load()
+    )
+    return _drain(stream, "pysnap")

@@ -28,6 +28,7 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -43,6 +44,16 @@ from .snapshots import latest_version, load_manifest, zone_prune
 class SnapshotFilePartition(InputPartition):
     def __init__(self, path: str) -> None:
         self.path = path
+
+
+def _schema_maps(schema) -> tuple[list[str], dict]:
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow = to_arrow_schema(schema)
+    return (
+        [f.name for f in schema.fields],
+        {f.name: f.type for f in arrow},
+    )
 
 
 def _resolve(options) -> dict:
@@ -129,6 +140,55 @@ class SnapshotManifestReader(DataSourceReader):
             yield pa.RecordBatch.from_arrays(cols, names=names)
 
 
+class SnapshotStreamReader(DataSourceStreamReader):
+    """The snapshot log as a STRUCTURED STREAMING SOURCE: offsets are
+    version numbers, one micro-batch covers the versions committed since
+    the last processed offset, and the rows of a batch are the files
+    ADDED in that version range — append-commit consumption, the Delta
+    streaming-source shape, driven by the engine's own offset/commit
+    bookkeeping (the checkpoint stores {"version": N}; exactly-once
+    across restarts comes from Structured Streaming itself, not from any
+    consumer-side cursor code). Each added file is one InputPartition,
+    so a batch scans at file parallelism on the executors and a poll
+    that finds nothing new schedules zero tasks.
+
+    Append-only by design (like Delta's source without
+    skipChangeCommits): files REMOVED in the range (rewrites/deletes)
+    are ignored; row-level delete feeds are the batch
+    ``read_changes``/``changes_since`` API."""
+
+    def __init__(self, options, columns, types) -> None:
+        self.options = options
+        self.root = options["root"]
+        self.columns = columns
+        self.types = types
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        return {"version": latest_version(self.root)}
+
+    def partitions(self, start: dict, end: dict):
+        a, b = start["version"], end["version"]
+        base = (
+            set() if a == 0 else set(load_manifest(self.root, a)["files"])
+        )
+        head = load_manifest(self.root, b)["files"]
+        return [
+            SnapshotFilePartition(p)
+            for p in sorted(f for f in head if f not in base)
+        ]
+
+    def read(self, partition: SnapshotFilePartition):
+        rdr = SnapshotManifestReader.__new__(SnapshotManifestReader)
+        rdr.columns, rdr.types = self.columns, self.types
+        yield from SnapshotManifestReader.read(rdr, partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # the engine's checkpoint is the cursor; nothing to clean
+
+
 class SnapshotDataSource(DataSource):
     """format("pysnapshot") — options: root (required), version
     (default: head)."""
@@ -168,14 +228,12 @@ class SnapshotDataSource(DataSource):
         return from_arrow_schema(unified)
 
     def reader(self, schema) -> SnapshotManifestReader:
-        from pyspark.sql.pandas.types import to_arrow_schema
+        names, types = _schema_maps(schema)
+        return SnapshotManifestReader(self.options, names, types)
 
-        arrow = to_arrow_schema(schema)
-        return SnapshotManifestReader(
-            self.options,
-            [f.name for f in schema.fields],
-            {f.name: f.type for f in arrow},
-        )
+    def streamReader(self, schema) -> SnapshotStreamReader:
+        names, types = _schema_maps(schema)
+        return SnapshotStreamReader(self.options, names, types)
 
 
 def register_snapshot_source(spark) -> None:

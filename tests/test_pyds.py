@@ -142,3 +142,50 @@ def test_connector_vacuumed_version_raises_log_truncated(spark):
     # ...and the cursor-expired path on the table API is typed
     with pytest.raises(LogTruncated):
         t.changes_since(1)
+
+
+def test_streaming_source_consumes_versions_exactly_once(spark, tmp_path):
+    """pysnapshot as a Structured Streaming SOURCE: offsets are version
+    numbers kept in the engine's checkpoint, so each commit's files are
+    consumed exactly once across separate availableNow runs, and a run
+    with nothing new emits nothing."""
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="pyds_strm_"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 100).coalesce(1))
+    register_snapshot_source(spark)
+
+    out: list[int] = []
+
+    def sink(df, _epoch):
+        out.extend(r["o_orderkey"] for r in df.collect())
+
+    def run():
+        q = (
+            spark.readStream.format("pysnapshot")
+            .schema("o_orderkey bigint")
+            .option("root", t.root)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    n1 = o.filter(F.col("o_orderkey") < 100).count()
+    assert len(out) == n1
+    run()  # caught up: nothing new, nothing re-emitted
+    assert len(out) == n1
+    # two commits between polls arrive in one run, still exactly once
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(100, 149)).coalesce(1)
+    )
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(150, 199)).coalesce(1)
+    )
+    run()
+    assert sorted(out) == sorted(
+        r["o_orderkey"]
+        for r in o.filter(F.col("o_orderkey") < 200).collect()
+    )
