@@ -25,10 +25,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+from dataclasses import dataclass, field
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -36,9 +39,17 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
-from .snapshots import latest_version, load_manifest, zone_prune
+from .snapshots import (
+    CommitConflict,
+    _footer_stats_one,
+    latest_version,
+    load_manifest,
+    publish_version,
+    zone_prune,
+)
 
 
 class SnapshotFilePartition(InputPartition):
@@ -189,6 +200,128 @@ class SnapshotStreamReader(DataSourceStreamReader):
         pass  # the engine's checkpoint is the cursor; nothing to clean
 
 
+@dataclass
+class SnapshotCommitMessage(WriterCommitMessage):
+    path: str = ""
+    stats: dict = field(default_factory=dict)
+
+
+class SnapshotDataWriter(DataSourceWriter):
+    """``df.write.format("pysnapshot")`` — a DISTRIBUTED ATOMIC COMMIT
+    through the Python DataSource writer protocol: each executor task
+    streams its rows into one immutable parquet file (Arrow batches, no
+    per-row Python cost beyond the engine's hand-off) and reports back
+    only (path, footer stats) as its commit message; the driver's
+    ``commit`` publishes ONE manifest over all task files — so a write is
+    all-or-nothing (a failed job's ``abort`` unlinks the orphans, and an
+    unpublished file is invisible anyway), stats for zone-map pruning are
+    collected executor-side FOR FREE at write time (Delta's exact
+    design), and ``mode("append")``/``mode("overwrite")`` map to
+    commit_append / commit_rewrite semantics with the same optimistic-
+    concurrency manifest protocol as every other log writer."""
+
+    def __init__(self, options, schema, overwrite: bool) -> None:
+        import os
+        import uuid
+
+        self.root = options["root"]
+        self.overwrite = overwrite
+        self.stats_cols = [
+            c for c in options.get("statscols", "").split(",") if c
+        ]
+        self.schema = schema  # StructType: picklable, ships to tasks
+        self.commit_dir = os.path.join(
+            self.root, "data", uuid.uuid4().hex
+        )
+        # a table created purely through the connector needs its log dir
+        os.makedirs(os.path.join(self.root, "_manifests"), exist_ok=True)
+
+    BATCH_ROWS = 65536
+
+    def write(self, iterator) -> SnapshotCommitMessage | None:
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self.schema)
+        names = [f.name for f in self.schema.fields]
+        os.makedirs(self.commit_dir, exist_ok=True)
+        path = os.path.join(
+            self.commit_dir, f"part-{uuid.uuid4().hex}.parquet"
+        )
+        writer = None
+        buf: list = []
+
+        def flush():
+            nonlocal writer
+            if not buf:
+                return
+            batch = pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[i] for r in buf], type=f.type)
+                    for i, f in enumerate(arrow_schema)
+                ],
+                names=names,
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(path, arrow_schema)
+            writer.write_batch(batch)
+            buf.clear()
+
+        for row in iterator:
+            buf.append(tuple(row))
+            if len(buf) >= self.BATCH_ROWS:
+                flush()
+        flush()
+        if writer is None:
+            return None  # empty task: no file, no commit message
+        writer.close()
+        stats = (
+            _footer_stats_one(path, self.stats_cols)
+            if self.stats_cols
+            else {}
+        )
+        return SnapshotCommitMessage(path=path, stats=stats)
+
+    def commit(self, messages) -> None:
+        files = sorted(m.path for m in messages if m)
+        stats = {m.path: m.stats for m in messages if m}
+        for _ in range(5):  # optimistic-concurrency retry loop
+            base_v = latest_version(self.root)
+            if self.overwrite or base_v == 0:
+                base_files, base_stats = [], {}
+            else:
+                m = load_manifest(self.root, base_v)
+                base_files, base_stats = m["files"], m["stats"]
+            try:
+                publish_version(
+                    self.root,
+                    base_files + files,
+                    base_v,
+                    {**base_stats, **stats},
+                )
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            "5 consecutive manifest conflicts — giving up"
+        )
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages or []:
+            if m:
+                try:
+                    os.unlink(m.path)
+                except FileNotFoundError:
+                    pass
+
+
 class SnapshotDataSource(DataSource):
     """format("pysnapshot") — options: root (required), version
     (default: head)."""
@@ -234,6 +367,9 @@ class SnapshotDataSource(DataSource):
     def streamReader(self, schema) -> SnapshotStreamReader:
         names, types = _schema_maps(schema)
         return SnapshotStreamReader(self.options, names, types)
+
+    def writer(self, schema, overwrite: bool) -> SnapshotDataWriter:
+        return SnapshotDataWriter(self.options, schema, overwrite)
 
 
 def register_snapshot_source(spark) -> None:

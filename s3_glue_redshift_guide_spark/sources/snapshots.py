@@ -118,6 +118,38 @@ def load_manifest(root: str, version: int) -> dict:
     return m
 
 
+def publish_version(
+    root: str,
+    files: list[str],
+    base_version: int,
+    stats: dict[str, dict[str, list]] | None = None,
+) -> int:
+    """Atomically publish version ``base_version + 1`` with optimistic
+    concurrency: commits target the version ON TOP OF THE SNAPSHOT THE
+    WRITER READ, and the manifest is created exclusively (hard-link of a
+    temp file onto the version name — fails if it exists), so of two
+    racing writers exactly ONE wins and the other gets ``CommitConflict``
+    to re-read and retry — a lost update is impossible. On S3 the
+    equivalent is a conditional put (If-None-Match) on the manifest key,
+    Delta's log protocol. Module-level so every log writer —
+    ``SnapshotTable`` and the pysnapshot DataSourceWriter — shares one
+    commit protocol."""
+    v = base_version + 1
+    path = os.path.join(root, "_manifests", f"v{v}.json")
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"version": v, "files": files, "stats": stats or {}}, f)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise CommitConflict(
+            f"version {v} was committed concurrently"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return v
+
+
 def zone_prune(
     files: list[str],
     stats: dict[str, dict[str, list]],
@@ -210,29 +242,7 @@ class SnapshotTable:
         base_version: int,
         stats: dict[str, dict[str, list]] | None = None,
     ) -> int:
-        """Atomically publish version ``base_version + 1`` with optimistic
-        concurrency: commits target the version ON TOP OF THE SNAPSHOT THE
-        WRITER READ, and the manifest is created exclusively (hard-link of
-        a temp file onto the version name — fails if it exists), so of two
-        racing writers exactly ONE wins and the other gets
-        ``CommitConflict`` to re-read and retry — a lost update is
-        impossible. On S3 the equivalent is a conditional put
-        (If-None-Match) on the manifest key, Delta's log protocol."""
-        v = base_version + 1
-        tmp = self._manifest_path(v) + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"version": v, "files": files, "stats": stats or {}}, f
-            )
-        try:
-            os.link(tmp, self._manifest_path(v))
-        except FileExistsError:
-            raise CommitConflict(
-                f"version {v} was committed concurrently"
-            ) from None
-        finally:
-            os.unlink(tmp)
-        return v
+        return publish_version(self.root, files, base_version, stats)
 
     # ------------------------------------------------------------- surface
     def current_version(self) -> int:

@@ -189,3 +189,67 @@ def test_streaming_source_consumes_versions_exactly_once(spark, tmp_path):
         r["o_orderkey"]
         for r in o.filter(F.col("o_orderkey") < 200).collect()
     )
+
+
+def test_writer_atomic_commit_append_overwrite_and_stats(spark, tmp_path):
+    """df.write.format("pysnapshot"): executor tasks write immutable
+    parquet shards, the driver publishes ONE manifest over them (atomic
+    all-or-nothing), append/overwrite map to the log's commit semantics,
+    and zone-map stats are banked executor-side at write time so the
+    read path prunes immediately."""
+    root = str(tmp_path / "wtable")
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    register_snapshot_source(spark)
+    (
+        o.filter(F.col("o_orderkey") < 200)
+        .repartition(3)
+        .write.format("pysnapshot")
+        .option("root", root)
+        .option("statsCols", "o_orderkey")
+        .mode("append")
+        .save()
+    )
+    t = SnapshotTable(spark, root)
+    assert t.current_version() == 1
+    n1 = o.filter(F.col("o_orderkey") < 200).count()
+    assert t.read().count() == n1
+    # second append becomes version 2; both visible
+    (
+        o.filter(F.col("o_orderkey").between(200, 299))
+        .coalesce(1)
+        .write.format("pysnapshot")
+        .option("root", root)
+        .option("statsCols", "o_orderkey")
+        .mode("append")
+        .save()
+    )
+    assert t.current_version() == 2
+    assert t.read().count() == o.filter(F.col("o_orderkey") < 300).count()
+    # stats banked at write time -> manifest pruning works immediately
+    kept, total = t.pruned_files("o_orderkey", 250, 260)
+    assert total >= 4 and len(kept) == 1
+    # round trip through the connector's own read path
+    back = (
+        spark.read.format("pysnapshot").option("root", root).load()
+    )
+    assert sorted(r["o_orderkey"] for r in back.collect()) == sorted(
+        r["o_orderkey"]
+        for r in o.filter(F.col("o_orderkey") < 300).collect()
+    )
+    # overwrite = rewrite commit: new version sees only the new rows,
+    # the historical version remains readable
+    (
+        o.filter(F.col("o_orderkey") < 50)
+        .coalesce(1)
+        .write.format("pysnapshot")
+        .option("root", root)
+        .mode("overwrite")
+        .save()
+    )
+    assert t.current_version() == 3
+    assert t.read().count() == o.filter(F.col("o_orderkey") < 50).count()
+    assert t.read(2).count() == o.filter(
+        F.col("o_orderkey") < 300
+    ).count()
