@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -322,6 +323,56 @@ class SnapshotDataWriter(DataSourceWriter):
                     pass
 
 
+class SnapshotStreamWriter(SnapshotDataWriter, DataSourceStreamWriter):
+    """``df.writeStream.format("pysnapshot")`` — one ATOMIC snapshot
+    version per micro-batch, with epoch IDEMPOTENCE: the committed
+    batchId is recorded in the manifest (``txn.batch_id``), so a retried
+    epoch (crash between the engine's commit call and its checkpoint
+    advance) detects it already published and unlinks its duplicate
+    shards instead of double-appending — exactly Delta's txn/appId
+    protocol for exactly-once streaming sinks. Executor-side shard
+    writes and write-time stats collection are inherited from the batch
+    writer."""
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        import os
+
+        files = sorted(m.path for m in messages if m)
+        stats = {m.path: m.stats for m in messages if m}
+        for _ in range(5):
+            base_v = latest_version(self.root)
+            base_files: list = []
+            base_stats: dict = {}
+            if base_v > 0:
+                m = load_manifest(self.root, base_v)
+                base_files, base_stats = m["files"], m["stats"]
+                if m.get("txn", {}).get("batch_id") == batchId:
+                    # replayed epoch: already durable — drop duplicates
+                    for p in files:
+                        try:
+                            os.unlink(p)
+                        except FileNotFoundError:
+                            pass
+                    return
+            try:
+                publish_version(
+                    self.root,
+                    base_files + files,
+                    base_v,
+                    {**base_stats, **stats},
+                    extra={"txn": {"batch_id": batchId}},
+                )
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            "5 consecutive manifest conflicts — giving up"
+        )
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        SnapshotDataWriter.abort(self, messages)
+
+
 class SnapshotDataSource(DataSource):
     """format("pysnapshot") — options: root (required), version
     (default: head)."""
@@ -370,6 +421,9 @@ class SnapshotDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> SnapshotDataWriter:
         return SnapshotDataWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> SnapshotStreamWriter:
+        return SnapshotStreamWriter(self.options, schema, False)
 
 
 def register_snapshot_source(spark) -> None:

@@ -123,6 +123,7 @@ def publish_version(
     files: list[str],
     base_version: int,
     stats: dict[str, dict[str, list]] | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Atomically publish version ``base_version + 1`` with optimistic
     concurrency: commits target the version ON TOP OF THE SNAPSHOT THE
@@ -138,7 +139,15 @@ def publish_version(
     path = os.path.join(root, "_manifests", f"v{v}.json")
     tmp = path + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
-        json.dump({"version": v, "files": files, "stats": stats or {}}, f)
+        json.dump(
+            {
+                "version": v,
+                "files": files,
+                "stats": stats or {},
+                **(extra or {}),
+            },
+            f,
+        )
     try:
         os.link(tmp, path)
     except FileExistsError:

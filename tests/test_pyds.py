@@ -253,3 +253,67 @@ def test_writer_atomic_commit_append_overwrite_and_stats(spark, tmp_path):
     assert t.read(2).count() == o.filter(
         F.col("o_orderkey") < 300
     ).count()
+
+
+def test_stream_writer_epoch_atomic_and_idempotent(spark, tmp_path):
+    """writeStream.format("pysnapshot"): one atomic snapshot version per
+    micro-batch; a replayed epoch (same batchId re-committed) is detected
+    via the manifest's txn record and deduplicated instead of
+    double-appending — Delta's txn protocol for exactly-once sinks."""
+    from pyspark.sql.types import StructType
+
+    from s3_glue_redshift_guide_spark.sources.pyds import (
+        SnapshotCommitMessage,
+        SnapshotStreamWriter,
+    )
+
+    root = str(tmp_path / "stbl")
+    src = str(tmp_path / "in")
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    register_snapshot_source(spark)
+
+    # two micro-batches through the REAL engine: two files + per-file
+    # trigger, availableNow drives both epochs in one run
+    import os
+
+    os.makedirs(src)
+    o.filter(F.col("o_orderkey") < 100).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    o.filter(F.col("o_orderkey").between(100, 199)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = (
+        spark.readStream.schema("o_orderkey bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.format("pysnapshot")
+        .option("root", root)
+        .option("statsCols", "o_orderkey")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = SnapshotTable(spark, root)
+    head = t.current_version()
+    assert head == 2  # one atomic version per epoch
+    assert t.read().count() == o.filter(F.col("o_orderkey") < 200).count()
+
+    # replayed epoch: same batchId commits again -> deduplicated no-op
+    w = SnapshotStreamWriter(
+        {"root": root}, StructType.fromDDL("o_orderkey bigint"), False
+    )
+    dup = os.path.join(root, "data", "dupshard.parquet")
+    o.filter(F.col("o_orderkey") < 10).coalesce(1).write.parquet(
+        dup + ".d"
+    )
+    part = [
+        os.path.join(dup + ".d", f)
+        for f in os.listdir(dup + ".d")
+        if f.endswith(".parquet")
+    ][0]
+    last_batch = 1  # availableNow ran epochs 0 and 1
+    w.commit([SnapshotCommitMessage(path=part, stats={})], last_batch)
+    assert t.current_version() == head  # no new version published
+    assert not os.path.exists(part)  # duplicate shard reclaimed
