@@ -1,5 +1,6 @@
 """Custom Python DataSource (the Spark 4 ``pyspark.sql.datasource`` API):
-the snapshot table exposed as a REGISTERED SPARK FORMAT.
+the snapshot table exposed as a REGISTERED SPARK FORMAT — batch read,
+streaming read, batch write, and streaming sink.
 
 ``spark.read.format("pysnapshot").option("root", ...).load()`` resolves a
 manifest on the driver, zone-map-prunes the file list with the stats
@@ -8,10 +9,11 @@ SURVIVING DATA FILE — so the scan parallelizes exactly like a native file
 source, executors open only their own file (pyarrow, yielding Arrow
 RecordBatches — zero row-at-a-time Python), and skipped files never get a
 task. This is the pure-Python equivalent of a DSv2 table-format connector
-(what delta-rs / iceberg-python do natively). Manifest resolution and the
-zone-map overlap test are the SAME code ``SnapshotTable`` reads with
-(`snapshots.latest_version/load_manifest/zone_prune`) — the connector
-cannot silently diverge from the table's own pruning.
+(what delta-rs / iceberg-python do natively). Manifest resolution, the
+zone-map overlap test, and the atomic publish are the SAME code
+``SnapshotTable`` uses (`snapshots.latest_version/load_manifest/
+zone_prune/publish_version`) — the connector cannot silently diverge from
+the table's own semantics.
 
 Filter pushdown is PRUNING-ONLY by design: ``pushFilters`` records range
 predicates on stats-tracked columns to shrink the partition list, but
@@ -19,6 +21,14 @@ RETURNS every filter as unsupported so Spark keeps the residual row-level
 filter — zone maps prune files, not rows, and claiming full pushdown
 would silently drop the residual semantics. That split (source prunes,
 engine re-filters) is exactly how native formats integrate with Catalyst.
+
+Write paths use the ARROW writer protocol (``DataSourceArrowWriter``):
+executors receive the engine's RecordBatches directly and stream them
+into one immutable parquet shard per task — no per-row Python anywhere.
+Commit transactions carry a ``txn`` map (appId -> last committed batchId)
+forward through EVERY commit, so streaming-epoch idempotence survives
+interleaved batch commits and distinguishes writers by application, the
+Delta txn protocol.
 """
 
 from __future__ import annotations
@@ -29,10 +39,10 @@ from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
-    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -74,6 +84,38 @@ def _resolve(options) -> dict:
     root = options["root"]
     v = int(options.get("version", latest_version(root)))
     return load_manifest(root, v)
+
+
+def _read_file(path: str, columns: list[str] | None, types: dict):
+    """Arrow-batch read of one data file, aligned to the declared read
+    schema: columns map BY NAME (a caller-supplied schema with reordered
+    fields reads correctly), unread columns are pruned at the parquet
+    layer, and a column this file predates (additive evolution) surfaces
+    as typed NULLs — the same contract as ``SnapshotTable.read``'s
+    mergeSchema. Shared by the batch and streaming readers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    have = set(pf.schema_arrow.names)
+    want = columns or pf.schema_arrow.names
+    present = [c for c in want if c in have]
+    for batch in pf.iter_batches(columns=present):
+        if len(present) == len(want):
+            yield batch
+            continue
+        by_name = {
+            n: batch.column(i) for i, n in enumerate(batch.schema.names)
+        }
+        yield pa.RecordBatch.from_arrays(
+            [
+                by_name.get(c, None)
+                if c in by_name
+                else pa.nulls(batch.num_rows, type=types.get(c))
+                for c in want
+            ],
+            names=list(want),
+        )
 
 
 class SnapshotManifestReader(DataSourceReader):
@@ -121,57 +163,34 @@ class SnapshotManifestReader(DataSourceReader):
 
     # ------------------------------------------------------------ read
     def read(self, partition: SnapshotFilePartition):
-        """Arrow-batch read of one data file, aligned to the declared
-        read schema: columns map BY NAME (a caller-supplied schema with
-        reordered fields reads correctly), unread columns are pruned at
-        the parquet layer, and a column this file predates (additive
-        evolution) surfaces as typed NULLs — the same contract as
-        ``SnapshotTable.read``'s mergeSchema."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        pf = pq.ParquetFile(partition.path)
-        have = set(pf.schema_arrow.names)
-        want = self.columns or pf.schema_arrow.names
-        present = [c for c in want if c in have]
-        for batch in pf.iter_batches(columns=present):
-            if len(present) == len(want):
-                yield batch
-                continue
-            cols, names = [], []
-            by_name = {n: batch.column(i)
-                       for i, n in enumerate(batch.schema.names)}
-            for c in want:
-                if c in by_name:
-                    cols.append(by_name[c])
-                else:
-                    cols.append(
-                        pa.nulls(batch.num_rows, type=self.types.get(c))
-                    )
-                names.append(c)
-            yield pa.RecordBatch.from_arrays(cols, names=names)
+        yield from _read_file(partition.path, self.columns, self.types)
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
     """The snapshot log as a STRUCTURED STREAMING SOURCE: offsets are
     version numbers, one micro-batch covers the versions committed since
     the last processed offset, and the rows of a batch are the files
-    ADDED in that version range — append-commit consumption, the Delta
-    streaming-source shape, driven by the engine's own offset/commit
-    bookkeeping (the checkpoint stores {"version": N}; exactly-once
-    across restarts comes from Structured Streaming itself, not from any
-    consumer-side cursor code). Each added file is one InputPartition,
-    so a batch scans at file parallelism on the executors and a poll
-    that finds nothing new schedules zero tasks.
+    ADDED by the APPEND commits in that range — the Delta streaming-
+    source shape, driven by the engine's own offset/commit bookkeeping
+    (the checkpoint stores {"version": N}; exactly-once across restarts
+    comes from Structured Streaming itself, not from any consumer-side
+    cursor code). Each added file is one InputPartition, so a batch
+    scans at file parallelism on the executors and a poll that finds
+    nothing new schedules zero tasks.
 
-    Append-only by design (like Delta's source without
-    skipChangeCommits): files REMOVED in the range (rewrites/deletes)
-    are ignored; row-level delete feeds are the batch
-    ``read_changes``/``changes_since`` API."""
+    CHANGE COMMITS (rewrites / OPTIMIZE / surgical deletes — any version
+    that also REMOVES files) would re-deliver every row their rewritten
+    files carry forward, so by default the stream FAILS on one, exactly
+    like Delta's source; ``.option("skipChangeCommits", "true")`` skips
+    them entirely (their added files are never emitted). Row-level
+    delete/update feeds are the batch ``read_changes`` API."""
 
     def __init__(self, options, columns, types) -> None:
-        self.options = options
         self.root = options["root"]
+        self.skip_change = (
+            str(options.get("skipchangecommits", "false")).lower()
+            == "true"
+        )
         self.columns = columns
         self.types = types
 
@@ -183,19 +202,31 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         a, b = start["version"], end["version"]
-        base = (
+        prev = (
             set() if a == 0 else set(load_manifest(self.root, a)["files"])
         )
-        head = load_manifest(self.root, b)["files"]
-        return [
-            SnapshotFilePartition(p)
-            for p in sorted(f for f in head if f not in base)
-        ]
+        out: list[str] = []
+        for v in range(a + 1, b + 1):
+            cur = set(load_manifest(self.root, v)["files"])
+            added, removed = cur - prev, prev - cur
+            if removed:
+                if not self.skip_change:
+                    raise ValueError(
+                        f"pysnapshot stream: version {v} is a change "
+                        "commit (files were rewritten/removed); its "
+                        "carried-forward rows would re-deliver as "
+                        "duplicates. Set "
+                        '.option("skipChangeCommits", "true") to skip '
+                        "change commits, or consume row-level changes "
+                        "via the batch read_changes API."
+                    )
+            else:
+                out.extend(added)
+            prev = cur
+        return [SnapshotFilePartition(p) for p in sorted(out)]
 
     def read(self, partition: SnapshotFilePartition):
-        rdr = SnapshotManifestReader.__new__(SnapshotManifestReader)
-        rdr.columns, rdr.types = self.columns, self.types
-        yield from SnapshotManifestReader.read(rdr, partition)
+        yield from _read_file(partition.path, self.columns, self.types)
 
     def commit(self, end: dict) -> None:
         pass  # the engine's checkpoint is the cursor; nothing to clean
@@ -207,19 +238,24 @@ class SnapshotCommitMessage(WriterCommitMessage):
     stats: dict = field(default_factory=dict)
 
 
-class SnapshotDataWriter(DataSourceWriter):
+class SnapshotDataWriter(DataSourceArrowWriter):
     """``df.write.format("pysnapshot")`` — a DISTRIBUTED ATOMIC COMMIT
-    through the Python DataSource writer protocol: each executor task
-    streams its rows into one immutable parquet file (Arrow batches, no
-    per-row Python cost beyond the engine's hand-off) and reports back
-    only (path, footer stats) as its commit message; the driver's
-    ``commit`` publishes ONE manifest over all task files — so a write is
+    through the Python DataSource ARROW writer protocol: each executor
+    task streams the engine's RecordBatches straight into one immutable
+    parquet shard (no per-row Python at all) and reports back only
+    (path, footer stats) as its commit message; the driver's ``commit``
+    publishes ONE manifest over all task files — so a write is
     all-or-nothing (a failed job's ``abort`` unlinks the orphans, and an
-    unpublished file is invisible anyway), stats for zone-map pruning are
-    collected executor-side FOR FREE at write time (Delta's exact
+    unpublished file is invisible anyway), stats for zone-map pruning
+    are collected executor-side FOR FREE at write time (Delta's exact
     design), and ``mode("append")``/``mode("overwrite")`` map to
     commit_append / commit_rewrite semantics with the same optimistic-
-    concurrency manifest protocol as every other log writer."""
+    concurrency manifest protocol as every other log writer. Stats for
+    columns the table ALREADY tracks are backfilled even when
+    ``statsCols`` omits them, so the stat schema stays uniform across
+    commits (the ``_merged_stats`` invariant). An all-empty write
+    publishes NO version: an empty manifest would make the table head
+    unreadable, and an empty append is a no-op by definition."""
 
     def __init__(self, options, schema, overwrite: bool) -> None:
         import os
@@ -230,56 +266,32 @@ class SnapshotDataWriter(DataSourceWriter):
         self.stats_cols = [
             c for c in options.get("statscols", "").split(",") if c
         ]
-        self.schema = schema  # StructType: picklable, ships to tasks
         self.commit_dir = os.path.join(
             self.root, "data", uuid.uuid4().hex
         )
         # a table created purely through the connector needs its log dir
         os.makedirs(os.path.join(self.root, "_manifests"), exist_ok=True)
 
-    BATCH_ROWS = 65536
-
     def write(self, iterator) -> SnapshotCommitMessage | None:
         import os
         import uuid
 
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        arrow_schema = to_arrow_schema(self.schema)
-        names = [f.name for f in self.schema.fields]
         os.makedirs(self.commit_dir, exist_ok=True)
         path = os.path.join(
             self.commit_dir, f"part-{uuid.uuid4().hex}.parquet"
         )
         writer = None
-        buf: list = []
-
-        def flush():
-            nonlocal writer
-            if not buf:
-                return
-            batch = pa.RecordBatch.from_arrays(
-                [
-                    pa.array([r[i] for r in buf], type=f.type)
-                    for i, f in enumerate(arrow_schema)
-                ],
-                names=names,
-            )
+        for batch in iterator:
             if writer is None:
-                writer = pq.ParquetWriter(path, arrow_schema)
+                writer = pq.ParquetWriter(path, batch.schema)
             writer.write_batch(batch)
-            buf.clear()
-
-        for row in iterator:
-            buf.append(tuple(row))
-            if len(buf) >= self.BATCH_ROWS:
-                flush()
-        flush()
         if writer is None:
-            return None  # empty task: no file, no commit message
+            # empty task: no file. The Arrow writer protocol requires a
+            # commit message object (None is rejected), so signal "no
+            # file" with an empty path the commit step filters out.
+            return SnapshotCommitMessage(path="", stats={})
         writer.close()
         stats = (
             _footer_stats_one(path, self.stats_cols)
@@ -288,22 +300,61 @@ class SnapshotDataWriter(DataSourceWriter):
         )
         return SnapshotCommitMessage(path=path, stats=stats)
 
-    def commit(self, messages) -> None:
-        files = sorted(m.path for m in messages if m)
-        stats = {m.path: m.stats for m in messages if m}
-        for _ in range(5):  # optimistic-concurrency retry loop
+    # ------------------------------------------------- commit protocol
+    def _commit_with_retry(self, messages, txn_update=None) -> None:
+        """The one manifest-commit loop every connector write path uses:
+        optimistic-concurrency retry, txn map carried forward through
+        every commit, tracked-stat-column backfill, append/overwrite
+        base handling, and the empty-write no-op."""
+        files = sorted(m.path for m in messages if m and m.path)
+        stats = {m.path: m.stats for m in messages if m and m.path}
+        if not files:
+            return  # no rows anywhere: publish nothing
+        for _ in range(5):
             base_v = latest_version(self.root)
-            if self.overwrite or base_v == 0:
-                base_files, base_stats = [], {}
-            else:
+            base_files: list = []
+            base_stats: dict = {}
+            txn: dict = {}
+            if base_v > 0:
                 m = load_manifest(self.root, base_v)
-                base_files, base_stats = m["files"], m["stats"]
+                base_stats, txn = m["stats"], dict(m.get("txn", {}))
+                if not self.overwrite:
+                    base_files = m["files"]
+                if txn_update:
+                    app, batch = txn_update
+                    if txn.get(app) is not None and txn[app] >= batch:
+                        # replayed epoch: already durable — reclaim dupes
+                        import os
+
+                        for p in files:
+                            try:
+                                os.unlink(p)
+                            except FileNotFoundError:
+                                pass
+                        return
+            # uniform stat schema: backfill columns the table already
+            # tracks but this write's statsCols omitted (O(new files)
+            # footer reads, same cost class as the write itself)
+            tracked = set().union(
+                *(set(s) for s in base_stats.values()), set()
+            ) if base_stats else set()
+            missing = sorted(tracked - set(self.stats_cols))
+            if missing:
+                for p in files:
+                    extra_stats = _footer_stats_one(p, missing)
+                    stats[p] = {**extra_stats, **stats.get(p, {})}
+            if txn_update:
+                txn[txn_update[0]] = txn_update[1]
             try:
                 publish_version(
                     self.root,
                     base_files + files,
                     base_v,
-                    {**base_stats, **stats},
+                    {
+                        **(base_stats if not self.overwrite else {}),
+                        **stats,
+                    },
+                    extra={"txn": txn} if txn else None,
                 )
                 return
             except CommitConflict:
@@ -312,61 +363,50 @@ class SnapshotDataWriter(DataSourceWriter):
             "5 consecutive manifest conflicts — giving up"
         )
 
+    def commit(self, messages) -> None:
+        self._commit_with_retry(messages)
+
     def abort(self, messages) -> None:
         import os
 
         for m in messages or []:
-            if m:
+            if m and m.path:
                 try:
                     os.unlink(m.path)
                 except FileNotFoundError:
                     pass
 
 
-class SnapshotStreamWriter(SnapshotDataWriter, DataSourceStreamWriter):
+class SnapshotStreamWriter(SnapshotDataWriter, DataSourceStreamArrowWriter):
     """``df.writeStream.format("pysnapshot")`` — one ATOMIC snapshot
-    version per micro-batch, with epoch IDEMPOTENCE: the committed
-    batchId is recorded in the manifest (``txn.batch_id``), so a retried
-    epoch (crash between the engine's commit call and its checkpoint
-    advance) detects it already published and unlinks its duplicate
-    shards instead of double-appending — exactly Delta's txn/appId
-    protocol for exactly-once streaming sinks. Executor-side shard
-    writes and write-time stats collection are inherited from the batch
-    writer."""
+    version per micro-batch, with epoch IDEMPOTENCE keyed on
+    (appId, batchId): the manifest's ``txn`` map records each writer
+    application's last committed batch and is carried forward through
+    EVERY commit, so a retried epoch (crash between the engine's commit
+    call and its checkpoint advance) detects it already published — even
+    if unrelated commits interleaved — and unlinks its duplicate shards
+    instead of double-appending, while a DIFFERENT streaming query
+    writing the same table is never misclassified as a replay. This is
+    Delta's txn/appId protocol. The appId defaults to the query's
+    checkpoint location (the engine passes it through the options) and
+    can be pinned with ``.option("txnAppId", ...)``.
+
+    ``outputMode("complete")`` (the engine passes overwrite=True) makes
+    each epoch a rewrite commit: the new version holds only that epoch's
+    recomputed result. Executor-side Arrow shard writes and write-time
+    stats collection are inherited from the batch writer."""
+
+    def __init__(self, options, schema, overwrite: bool) -> None:
+        super().__init__(options, schema, overwrite)
+        self.app_id = (
+            options.get("txnappid")
+            or options.get("checkpointlocation")
+            or "pysnapshot-stream"
+        )
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
-        import os
-
-        files = sorted(m.path for m in messages if m)
-        stats = {m.path: m.stats for m in messages if m}
-        for _ in range(5):
-            base_v = latest_version(self.root)
-            base_files: list = []
-            base_stats: dict = {}
-            if base_v > 0:
-                m = load_manifest(self.root, base_v)
-                base_files, base_stats = m["files"], m["stats"]
-                if m.get("txn", {}).get("batch_id") == batchId:
-                    # replayed epoch: already durable — drop duplicates
-                    for p in files:
-                        try:
-                            os.unlink(p)
-                        except FileNotFoundError:
-                            pass
-                    return
-            try:
-                publish_version(
-                    self.root,
-                    base_files + files,
-                    base_v,
-                    {**base_stats, **stats},
-                    extra={"txn": {"batch_id": batchId}},
-                )
-                return
-            except CommitConflict:
-                continue
-        raise CommitConflict(
-            "5 consecutive manifest conflicts — giving up"
+        self._commit_with_retry(
+            messages, txn_update=(self.app_id, batchId)
         )
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
@@ -375,7 +415,7 @@ class SnapshotStreamWriter(SnapshotDataWriter, DataSourceStreamWriter):
 
 class SnapshotDataSource(DataSource):
     """format("pysnapshot") — options: root (required), version
-    (default: head)."""
+    (default: head), statsCols, skipChangeCommits, txnAppId."""
 
     @classmethod
     def name(cls) -> str:
@@ -386,6 +426,7 @@ class SnapshotDataSource(DataSource):
         evolution means later files carry new columns that older files
         surface as NULL — exactly what ``SnapshotTable.read``'s
         mergeSchema exposes). Footer-only: no data reads."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         from pyspark.sql.pandas.types import from_arrow_schema
@@ -396,8 +437,6 @@ class SnapshotDataSource(DataSource):
                 "pysnapshot: the requested version has no data files; "
                 "supply an explicit .schema(...)"
             )
-        import pyarrow as pa
-
         unified = pq.ParquetFile(files[0]).schema_arrow
         for f in files[1:]:
             unified = pa.unify_schemas(
@@ -406,9 +445,7 @@ class SnapshotDataSource(DataSource):
         # every field nullable: a column added by evolution is NULL in
         # pre-evolution files even if its own writer marked it required
         # (e.g. a literal column) — same posture as Spark's mergeSchema
-        unified = pa.schema(
-            [f.with_nullable(True) for f in unified]
-        )
+        unified = pa.schema([f.with_nullable(True) for f in unified])
         return from_arrow_schema(unified)
 
     def reader(self, schema) -> SnapshotManifestReader:
@@ -423,7 +460,7 @@ class SnapshotDataSource(DataSource):
         return SnapshotDataWriter(self.options, schema, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> SnapshotStreamWriter:
-        return SnapshotStreamWriter(self.options, schema, False)
+        return SnapshotStreamWriter(self.options, schema, overwrite)
 
 
 def register_snapshot_source(spark) -> None:

@@ -251,7 +251,21 @@ class SnapshotTable:
         base_version: int,
         stats: dict[str, dict[str, list]] | None = None,
     ) -> int:
-        return publish_version(self.root, files, base_version, stats)
+        # carry the txn map (streaming writers' appId -> batchId records)
+        # forward through EVERY commit — epoch-replay detection must
+        # survive interleaved table commits (the Delta txn invariant)
+        txn = (
+            load_manifest(self.root, base_version).get("txn", {})
+            if base_version > 0
+            else {}
+        )
+        return publish_version(
+            self.root,
+            files,
+            base_version,
+            stats,
+            extra={"txn": txn} if txn else None,
+        )
 
     # ------------------------------------------------------------- surface
     def current_version(self) -> int:

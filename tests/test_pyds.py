@@ -301,8 +301,17 @@ def test_stream_writer_epoch_atomic_and_idempotent(spark, tmp_path):
     assert t.read().count() == o.filter(F.col("o_orderkey") < 200).count()
 
     # replayed epoch: same batchId commits again -> deduplicated no-op
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        load_manifest,
+    )
+
+    txn = load_manifest(root, t.current_version()).get("txn", {})
+    app = next(iter(txn))
+    assert txn[app] == 1  # availableNow ran epochs 0 and 1
     w = SnapshotStreamWriter(
-        {"root": root}, StructType.fromDDL("o_orderkey bigint"), False
+        {"root": root, "txnappid": app},
+        StructType.fromDDL("o_orderkey bigint"),
+        False,
     )
     dup = os.path.join(root, "data", "dupshard.parquet")
     o.filter(F.col("o_orderkey") < 10).coalesce(1).write.parquet(
@@ -317,3 +326,122 @@ def test_stream_writer_epoch_atomic_and_idempotent(spark, tmp_path):
     w.commit([SnapshotCommitMessage(path=part, stats={})], last_batch)
     assert t.current_version() == head  # no new version published
     assert not os.path.exists(part)  # duplicate shard reclaimed
+
+
+def test_stream_writer_replay_survives_interleaved_commits(
+    spark, tmp_path
+):
+    """The txn map must be carried forward through EVERY commit: an
+    epoch replay is still detected after an unrelated batch append
+    landed in between (the Delta txn invariant), and a DIFFERENT app's
+    same-numbered epoch is NOT misclassified as a replay."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from s3_glue_redshift_guide_spark.sources.pyds import (
+        SnapshotCommitMessage,
+        SnapshotStreamWriter,
+    )
+
+    root = str(tmp_path / "itbl")
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    ddl = StructType.fromDDL("o_orderkey bigint")
+
+    def shard(tag, pred):
+        d = str(tmp_path / tag)
+        o.filter(pred).coalesce(1).write.parquet(d)
+        p = [
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        ][0]
+        return SnapshotCommitMessage(path=p, stats={})
+
+    wa = SnapshotStreamWriter({"root": root, "txnappid": "appA"}, ddl, False)
+    wa.commit([shard("e0", F.col("o_orderkey") < 50)], 0)
+    t = SnapshotTable(spark, root)
+    n_after_epoch0 = t.read().count()
+    # unrelated batch commit interleaves
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(50, 99)).coalesce(1)
+    )
+    # appA's epoch 0 replays: must dedupe even though the latest
+    # manifest is the batch commit's
+    replay = shard("e0r", F.col("o_orderkey") < 50)
+    head = t.current_version()
+    wa2 = SnapshotStreamWriter({"root": root, "txnappid": "appA"}, ddl, False)
+    wa2.commit([replay], 0)
+    assert t.current_version() == head  # no new version
+    assert not os.path.exists(replay.path)  # duplicate reclaimed
+    # a DIFFERENT app's epoch 0 is a genuine commit, not a replay
+    wb = SnapshotStreamWriter({"root": root, "txnappid": "appB"}, ddl, False)
+    wb.commit([shard("b0", F.col("o_orderkey").between(100, 149))], 0)
+    assert t.current_version() == head + 1
+    assert t.read().count() == o.filter(F.col("o_orderkey") < 150).count()
+    assert n_after_epoch0 == o.filter(F.col("o_orderkey") < 50).count()
+
+
+def test_stream_reader_rejects_change_commits_unless_skipped(
+    spark, tmp_path
+):
+    """A rewrite in the consumed range re-delivers carried-forward rows,
+    so the stream must FAIL on it by default (Delta's behavior) and skip
+    it cleanly under skipChangeCommits."""
+    import pytest
+
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="pyds_chg_"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 100).coalesce(1))
+    t.commit_rewrite(t.read().coalesce(1))  # change commit (v2)
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(100, 199)).coalesce(1)
+    )
+    register_snapshot_source(spark)
+
+    def run(skip, tag):
+        out = []
+
+        def sink(df, _):
+            out.extend(r["o_orderkey"] for r in df.collect())
+
+        q = (
+            spark.readStream.format("pysnapshot")
+            .schema("o_orderkey bigint")
+            .option("root", t.root)
+            .option("skipChangeCommits", str(skip).lower())
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / tag))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return out
+
+    with pytest.raises(Exception) as ei:
+        run(False, "ck_fail")
+    assert "change commit" in str(ei.value)
+    got = run(True, "ck_skip")
+    # v1's append emits f1 (before the rewrite), v2's change commit is
+    # SKIPPED (its rewritten file — the same rows again — never emits),
+    # v3's append emits: each row exactly once
+    assert sorted(got) == sorted(
+        r["o_orderkey"]
+        for r in o.filter(F.col("o_orderkey") < 200).collect()
+    )
+
+
+def test_writer_empty_input_publishes_no_version(spark, tmp_path):
+    root = str(tmp_path / "etbl")
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    register_snapshot_source(spark)
+    (
+        o.filter(F.col("o_orderkey") < 0)  # empty
+        .write.format("pysnapshot")
+        .option("root", root)
+        .mode("append")
+        .save()
+    )
+    t = SnapshotTable(spark, root)
+    assert t.current_version() == 0  # nothing published
