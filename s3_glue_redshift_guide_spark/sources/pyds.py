@@ -56,6 +56,7 @@ from pyspark.sql.datasource import (
 from .snapshots import (
     CommitConflict,
     _footer_stats_one,
+    _json_scalar_value,
     latest_version,
     load_manifest,
     publish_version,
@@ -100,16 +101,22 @@ def _read_file(path: str, columns: list[str] | None, types: dict):
     have = set(pf.schema_arrow.names)
     want = columns or pf.schema_arrow.names
     present = [c for c in want if c in have]
+
+    def align(col, name):
+        """Cast a file's physical column to the DECLARED read type: a
+        file written before a type widened (int32 commits, then int64)
+        must surface in the widened type, same as the declared schema
+        (which unifies permissively) promises."""
+        t = types.get(name)
+        return col.cast(t) if t is not None and col.type != t else col
+
     for batch in pf.iter_batches(columns=present):
-        if len(present) == len(want):
-            yield batch
-            continue
         by_name = {
             n: batch.column(i) for i, n in enumerate(batch.schema.names)
         }
         yield pa.RecordBatch.from_arrays(
             [
-                by_name.get(c, None)
+                align(by_name[c], c)
                 if c in by_name
                 else pa.nulls(batch.num_rows, type=types.get(c))
                 for c in want
@@ -135,7 +142,11 @@ class SnapshotManifestReader(DataSourceReader):
         filter unsupported: the engine keeps the row-level residual (zone
         maps prune files, not rows)."""
         for f in filters:
-            col = f.attribute[0] if getattr(f, "attribute", None) else None
+            attr = getattr(f, "attribute", None)
+            # only simple top-level column references participate in
+            # pruning: a nested path ("s", "b") would compare against the
+            # WRONG banked stat key
+            col = attr[0] if attr and len(attr) == 1 else None
             if isinstance(f, EqualTo):
                 self._narrow(col, f.value, f.value)
             elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
@@ -145,13 +156,34 @@ class SnapshotManifestReader(DataSourceReader):
         return iter(filters)
 
     def _narrow(self, col: str | None, lo, hi) -> None:
+        """Tighten the pruning bounds for ``col``. Filter literals arrive
+        in PYTHON domain (datetime.date / datetime.datetime for date and
+        timestamp predicates, lists for array equality); banked manifest
+        stats live in the JSON domain (`_json_scalar_value`: ISO strings
+        for temporals). Normalize through the SAME function so the
+        zone-map comparison is always like-vs-like — an unnormalized
+        datetime literal used to TypeError at partition planning. Non-
+        scalar literals (lists, dicts) never narrow: zone maps carry
+        scalar ranges only."""
         if col is None:
             return
+        lo = _json_scalar_value(lo)
+        hi = _json_scalar_value(hi)
+        if isinstance(lo, (list, dict, tuple, set)) or isinstance(
+            hi, (list, dict, tuple, set)
+        ):
+            return
         cur = self.bounds.setdefault(col, [None, None])
-        if lo is not None and (cur[0] is None or lo > cur[0]):
-            cur[0] = lo
-        if hi is not None and (cur[1] is None or hi < cur[1]):
-            cur[1] = hi
+        try:
+            if lo is not None and (cur[0] is None or lo > cur[0]):
+                cur[0] = lo
+            if hi is not None and (cur[1] is None or hi < cur[1]):
+                cur[1] = hi
+        except TypeError:
+            # two pushed literals for one column in incomparable domains
+            # — drop the narrowing for this column entirely (pruning is
+            # an optimization; the engine keeps the row-level residual)
+            self.bounds.pop(col, None)
 
     # ------------------------------------------------------ partitions
     def partitions(self) -> list[InputPartition]:
@@ -163,6 +195,11 @@ class SnapshotManifestReader(DataSourceReader):
 
     # ------------------------------------------------------------ read
     def read(self, partition: SnapshotFilePartition):
+        # partitions() returning [] (every file pruned, or an empty
+        # snapshot) makes PySpark still invoke read(None) once — a fully
+        # out-of-range filter must yield zero rows, not crash
+        if partition is None or not getattr(partition, "path", None):
+            return
         yield from _read_file(partition.path, self.columns, self.types)
 
 
@@ -226,6 +263,8 @@ class SnapshotStreamReader(DataSourceStreamReader):
         return [SnapshotFilePartition(p) for p in sorted(out)]
 
     def read(self, partition: SnapshotFilePartition):
+        if partition is None or not getattr(partition, "path", None):
+            return  # empty micro-batch: PySpark substitutes a None part
         yield from _read_file(partition.path, self.columns, self.types)
 
     def commit(self, end: dict) -> None:
@@ -308,8 +347,14 @@ class SnapshotDataWriter(DataSourceArrowWriter):
         base handling, and the empty-write no-op."""
         files = sorted(m.path for m in messages if m and m.path)
         stats = {m.path: m.stats for m in messages if m and m.path}
-        if not files:
-            return  # no rows anywhere: publish nothing
+        if not files and txn_update is None:
+            return  # empty BATCH write: publish nothing (append of
+            # nothing is a no-op; an empty batch overwrite keeps the
+            # table readable rather than truncating it — documented)
+        # An empty STREAMING epoch still commits: complete-mode must
+        # publish the recomputed (empty) result instead of leaving the
+        # previous epoch visible, and append-mode must still bank the
+        # (appId, batchId) txn entry so replay detection has no holes.
         for _ in range(5):
             base_v = latest_version(self.root)
             base_files: list = []
@@ -433,14 +478,33 @@ class SnapshotDataSource(DataSource):
 
         files = _resolve(self.options)["files"]
         if not files:
+            # empty snapshot (e.g. a complete-mode epoch that recomputed
+            # to zero rows): schema from the newest PRIOR version that
+            # had files — the table's last known shape
+            root = self.options["root"]
+            v = int(self.options.get("version", latest_version(root)))
+            for pv in range(v - 1, 0, -1):
+                try:
+                    prior = load_manifest(root, pv)["files"]
+                except Exception:
+                    break
+                if prior:
+                    files = [prior[0]]
+                    break
+        if not files:
             raise ValueError(
                 "pysnapshot: the requested version has no data files; "
                 "supply an explicit .schema(...)"
             )
         unified = pq.ParquetFile(files[0]).schema_arrow
         for f in files[1:]:
+            # permissive promotion: commits may WIDEN a column's physical
+            # type (int32 files then int64 files) — unify to the wider
+            # type instead of raising; _read_file casts each file's
+            # batches up to this declared type
             unified = pa.unify_schemas(
-                [unified, pq.ParquetFile(f).schema_arrow]
+                [unified, pq.ParquetFile(f).schema_arrow],
+                promote_options="permissive",
             )
         # every field nullable: a column added by evolution is NULL in
         # pre-evolution files even if its own writer marked it required

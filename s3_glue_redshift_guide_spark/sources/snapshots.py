@@ -54,7 +54,12 @@ def _footer_stats_one(path: str, cols: list[str]) -> dict[str, list]:
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
-    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    # Key physical columns by their DOTTED PATH, not the leaf name: a
+    # struct field ``s.b`` has leaf name ``b`` and would otherwise shadow
+    # a top-level column ``b``, banking min/max from the WRONG physical
+    # column — silent mispruning that loses rows. Requested stats_cols
+    # are top-level names, so they only ever match path == name.
+    idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
     st: dict[str, list] = {}
     for c in cols:
         if c not in idx:
@@ -176,11 +181,18 @@ def zone_prune(
             mm = st.get(col)
             if mm is None:
                 continue
-            if (hi is not None and mm[0] > hi) or (
-                lo is not None and mm[1] < lo
-            ):
-                skip = True
-                break
+            try:
+                if (hi is not None and mm[0] > hi) or (
+                    lo is not None and mm[1] < lo
+                ):
+                    skip = True
+                    break
+            except TypeError:
+                # bound and banked stat live in incomparable domains
+                # (e.g. a datetime literal vs an ISO-string stat a caller
+                # failed to normalize): conservative keep — pruning may
+                # waste a read, never lose a row.
+                continue
         if not skip:
             keep.append(f)
     return keep
@@ -325,6 +337,27 @@ class SnapshotTable:
         a footer union for it."""
         v = self.current_version() if version is None else version
         files = self._load_manifest(v)
+        if not files:
+            # an EMPTY snapshot (e.g. a streaming complete-mode epoch
+            # whose recomputed result was empty): zero rows, schema from
+            # the newest prior version that had files — the table's last
+            # known shape, exactly what a reader of "the current result"
+            # expects.
+            for pv in range(v - 1, 0, -1):
+                try:
+                    prior = self._load_manifest(pv)
+                except LogTruncated:
+                    break
+                if prior:
+                    return (
+                        self.spark.read.option("mergeSchema", "true")
+                        .parquet(*prior)
+                        .limit(0)
+                    )
+            raise ValueError(
+                f"snapshot version {v} is empty and no prior version "
+                "carries a schema"
+            )
         return self.spark.read.option("mergeSchema", "true").parquet(*files)
 
     def file_count(self, version: int | None = None) -> int:

@@ -445,3 +445,156 @@ def test_writer_empty_input_publishes_no_version(spark, tmp_path):
     )
     t = SnapshotTable(spark, root)
     assert t.current_version() == 0  # nothing published
+
+
+def test_pushed_temporal_filters_prune_and_return_rows(spark, tmp_path):
+    """ADVICE r4 (high): date/timestamp literals arrive as Python
+    datetime objects while manifest stats are ISO strings — pushdown
+    must normalize (not TypeError), prune correctly, and keep rows."""
+    import datetime
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "dt_tbl"))
+    t.commit_append(
+        o.filter(F.col("o_orderdate") < "1998-01-01").coalesce(1),
+        stats_cols=["o_orderdate", "o_orderkey"],
+    )
+    t.commit_append(
+        o.filter(F.col("o_orderdate") >= "1998-01-01").coalesce(1),
+        stats_cols=["o_orderdate", "o_orderkey"],
+    )
+    register_snapshot_source(spark)
+    df = spark.read.format("pysnapshot").option("root", t.root).load()
+    cut = datetime.date(1998, 1, 1)
+    got = df.filter(F.col("o_orderdate") >= F.lit(cut)).count()
+    want = o.filter(F.col("o_orderdate") >= "1998-01-01").count()
+    assert got == want
+    # reader-level: the datetime literal narrows to an ISO-string bound
+    r = SnapshotManifestReader({"root": t.root})
+    r.pushFilters([GreaterThanOrEqual(("o_orderdate",), cut)])
+    assert r.bounds["o_orderdate"][0] == "1998-01-01"
+    assert len(r.partitions()) == 1  # pre-1998 file pruned
+
+
+def test_fully_pruned_filter_returns_zero_rows_not_crash(spark):
+    """ADVICE r4 (high): zone pruning that eliminates EVERY file makes
+    PySpark call read(None); that must be zero rows, not a crash."""
+    _, t = _table(spark)
+    register_snapshot_source(spark)
+    df = spark.read.format("pysnapshot").option("root", t.root).load()
+    assert df.filter(F.col("o_orderkey") > 10_000_000).count() == 0
+
+
+def test_nested_and_array_filters_do_not_break_pruning(spark):
+    """Nested attribute paths and non-scalar literals must not corrupt
+    the pruning bounds (harvest only len==1 scalar filters)."""
+    _, t = _table(spark)
+    r = SnapshotManifestReader({"root": t.root})
+    r.pushFilters(
+        [
+            EqualTo(("s", "b"), 5),          # nested path: ignored
+            EqualTo(("o_orderkey",), [1, 2]),  # array literal: ignored
+        ]
+    )
+    assert r.bounds == {}
+    assert len(r.partitions()) == 3
+
+
+def test_footer_stats_struct_leaf_does_not_shadow_toplevel(tmp_path):
+    """ADVICE r4 (medium): a struct field s.b has leaf name 'b' — stats
+    for top-level column 'b' must come from the top-level column, keyed
+    by dotted path, never from the struct leaf."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        _footer_stats_one,
+    )
+
+    tbl = pa.table(
+        {
+            "b": pa.array([10, 20, 30], pa.int64()),
+            "s": pa.array(
+                [{"b": 900}, {"b": 901}, {"b": 902}],
+                pa.struct([("b", pa.int64())]),
+            ),
+        }
+    )
+    p = str(tmp_path / "nested.parquet")
+    pq.write_table(tbl, p)
+    st = _footer_stats_one(p, ["b"])
+    assert st["b"] == [10, 30]  # NOT [900, 902] from s.b
+    # and the nested leaf is addressable only by its dotted path
+    assert _footer_stats_one(p, ["s.b"])["s.b"] == [900, 902]
+
+
+def test_connector_reads_type_widened_commits(spark, tmp_path):
+    """ADVICE r4 (low): int32 files then int64 files in one table must
+    unify permissively and cast per-file batches to the declared type."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        latest_version,
+        publish_version,
+    )
+
+    root = str(tmp_path / "widen")
+    ddir = tmp_path / "widen" / "data" / "d0"
+    ddir.mkdir(parents=True)
+    (tmp_path / "widen" / "_manifests").mkdir()
+    p32 = str(ddir / "a32.parquet")
+    p64 = str(ddir / "b64.parquet")
+    pq.write_table(pa.table({"k": pa.array([1, 2], pa.int32())}), p32)
+    pq.write_table(pa.table({"k": pa.array([3, 4], pa.int64())}), p64)
+    publish_version(root, [p32], 0, {})
+    publish_version(root, [p32, p64], latest_version(root), {})
+    register_snapshot_source(spark)
+    df = spark.read.format("pysnapshot").option("root", root).load()
+    assert df.schema["k"].dataType.simpleString() == "bigint"
+    assert sorted(r["k"] for r in df.collect()) == [1, 2, 3, 4]
+
+
+def test_stream_empty_epoch_complete_mode_publishes_empty_snapshot(
+    spark, tmp_path
+):
+    """ADVICE r4 (low): an empty complete-mode epoch must publish an
+    EMPTY version (not leave the stale epoch visible) and still bank its
+    (appId, batchId) txn entry."""
+    from s3_glue_redshift_guide_spark.sources.pyds import (
+        SnapshotStreamWriter,
+    )
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        load_manifest,
+    )
+
+    root = str(tmp_path / "cempty")
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    register_snapshot_source(spark)
+    o.limit(3).write.format("pysnapshot").option("root", root).mode(
+        "overwrite"
+    ).save()
+    t = SnapshotTable(spark, root)
+    assert t.read().count() == 3
+    w = SnapshotStreamWriter(
+        {"root": root, "txnappid": "appX"}, None, overwrite=True
+    )
+    w.commit([], batchId=7)  # empty recomputed epoch
+    head = t.current_version()
+    m = load_manifest(root, head)
+    assert m["files"] == []
+    assert m["txn"]["appX"] == 7
+    # the empty snapshot stays READABLE: 0 rows, prior schema
+    df = t.read()
+    assert df.count() == 0 and "o_orderkey" in df.columns
+    # connector read of the empty head also works (schema from history)
+    c = spark.read.format("pysnapshot").option("root", root).load()
+    assert c.count() == 0 and "o_orderkey" in c.columns
+    # replay of the same epoch is still detected (no new version)
+    w2 = SnapshotStreamWriter(
+        {"root": root, "txnappid": "appX"}, None, overwrite=True
+    )
+    w2.commit([], batchId=7)
+    assert t.current_version() == head
