@@ -39,55 +39,41 @@ for _m in _MODULES:
 
 # Registry iteration order is the order the grading driver checks queries
 # in; the driver verifies exactly the FIRST 50 entries per round. After
-# round 3 the union of banked driver rows covers 144 of the 153 pre-round-4
-# queries; the 9 never-sampled (round-3 latecomers that missed the round-3
-# window) go FIRST so round 4 closes at-least-once verification for the
-# ENTIRE registry. The 39 new round-4 queries follow (they need first-window
-# slots too), leaving 2 slots inside the window for regression re-checks of
-# round-1-only passes (q3/q5 — both also bench headliners, so they carry
-# double evidence). The remaining regression entries listed
-# below sit PAST position 50 this round — they keep their priority order
-# so future, less-crowded windows pick them up first.
+# round 4 every registry query has at least one green driver row, so round
+# 5's window does two jobs: (a) the round-5 NEWCOMERS go first (they have
+# no driver evidence at all), and (b) the rest of the window rotates onto
+# the 42 queries whose newest driver evidence is ROUND 1 — the relational/
+# join/window/function core, three rounds of engine churn stale (VERDICT
+# r4 directive #1). Everything else keeps its order past position 50 for
+# future rotations.
 _PRIORITY = [
-    # -- never driver-sampled (9): the round-3 latecomers ------------------
-    "llm_corpus_clean_pipeline", "llm_fuzzy_name_pairs",
-    "llm_unigram_logprob", "rollup_distinct_users",
-    "sql_q21_waiting_suppliers", "src_json_roundtrip",
-    "src_partition_pruning", "src_xml_roundtrip", "ts_event_transitions",
-    # -- new in round 4 ----------------------------------------------------
-    "sink_jdbc_roundtrip", "sink_scd1_stream",
-    "llm_binaryfile_features", "llm_fuzzy_name_pairs_dist2",
-    "sk_countmin_heavy_hitters", "llm_dedup_delta", "sink_zorder_layout",
-    "sink_cdc_apply", "sink_scd2_history",
-    "src_dataskip_index", "join_bloom_prefilter", "cur_span_scrub",
-    "llm_pq_topk", "rollup_quantile_state", "llm_ivfpq_topk",
-    "llm_contamination_bloom", "llm_quality_classifier",
-    "join_scd2_pointintime", "llm_normalized_dedup", "llm_vocab_oov",
-    "src_time_travel", "sink_snapshot_stream", "src_surgical_delete",
-    "sink_snapshot_merge", "src_change_feed", "src_manifest_pruning",
-    "llm_weighted_sample", "llm_frame_sample", "ev_stream_dedup_watermark",
-    "src_snapshot_incremental", "src_file_metadata", "dq_observe_metrics",
-    "agg_grouping_sets", "fn_try_safe", "udf_arrow_scalar",
-    "src_python_datasource", "sink_snapshot_optimize", "llm_word_bigrams",
-    "src_stream_datasource",
-    # -- regression re-checks (17): verified in round 1, never re-sampled --
+    # -- new in round 5 (never driver-sampled) ------------------------------
+    "src_deletion_vector", "src_schema_rename", "llm_bpe_merges",
+    "src_dynamic_partition_pruning", "join_aqe_skew",
+    # -- round-1-stale regression re-checks (42): newest evidence is r1 ----
     # TPC-H-shaped relational core
     "q3_shipping_priority", "q5_regional_revenue", "q6_forecast_revenue",
-    "q10_returned_items",
-    # join family
-    "join_left_outer",
-    "join_semi_exists", "join_anti_not_exists",
-    "join_range_events", "join_asof_events",
-    # aggregate family (incl. the bench-watched agg_rollup)
-    "agg_stats", "agg_rollup",
-    "agg_cube",
-    # window / sort / set-op family (incl. the bench-watched win_rank_topk)
-    "win_rank_topk", "win_lag_lead",
-    "setop_union",
-    # function suites
-    "fn_string",
+    "q10_returned_items", "q12_priority_shipping",
     # projection / ETL typing
-    "etl_string_first_typing",
+    "p_change_schema", "p_filter_predicates", "etl_string_first_typing",
+    # join family
+    "join_left_outer", "join_right_outer", "join_full_outer",
+    "join_semi_exists", "join_anti_not_exists", "join_theta",
+    "join_cross", "join_range_events", "join_asof_events",
+    # aggregate family
+    "agg_stats", "agg_count_distinct", "agg_minmax_by", "agg_rollup",
+    "agg_cube", "agg_dedup_distinct", "agg_pivot",
+    # window / sort / set-op family
+    "win_rank_topk", "win_lag_lead", "win_running_frames",
+    "win_ntile_percent", "sort_limit_topk",
+    "setop_union", "setop_union_all_counts", "setop_intersect",
+    "setop_except",
+    # function suites
+    "fn_string", "fn_datetime", "fn_math", "fn_conditional", "fn_json",
+    "fn_unpivot", "fn_posexplode_map", "fn_map_entries",
+    "fn_fuzzy_levenshtein",
+    # streaming windows (r1-verified, engine-churn-sensitive)
+    "ev_tumbling_window", "ev_sliding_window",
 ]
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
 _ordered.update({n: q for n, q in REGISTRY.items() if n not in _ordered})

@@ -305,3 +305,89 @@ def join_bloom_prefilter(spark, sf_dir):
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+# -------------------- AQE skew-join runtime split (V1 built-in) --------
+@query(
+    "join_aqe_skew",
+    oracle="""
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0
+                  ELSE l_orderkey % 97 END AS k,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem),
+    dim AS (SELECT range AS k, range * 2 + 1 AS w FROM range(0, 97))
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(f.cents * d.w) AS BIGINT) AS weighted_cents,
+           1 AS skew_split
+    FROM fact f JOIN dim d USING (k)
+    """,
+)
+def join_aqe_skew(spark, sf_dir):
+    """AQE skew-join, the BUILT-IN skew remedy users flip on first
+    (contrast: ``operators/skew.py`` is the manual salting form). The
+    fact side funnels ~90% of lineitem onto one join key, the join is
+    forced to sort-merge (broadcast thresholds off), and ADAPTIVE
+    EXECUTION detects the hot post-shuffle partition at RUNTIME and
+    splits it across mapper ranges — the final plan must carry
+    ``SortMergeJoin(skew=true)``, returned as the ``skew_split`` fact.
+    Values are checksummed in integer cents so the split (which reorders
+    the sum) stays bit-exact against the oracle.
+
+    The ``repartition(16)`` is demo scaffolding for gate-SF data that
+    arrives as ONE input split: AQE splits a skewed partition at mapper
+    granularity, and a single mapper leaves it nothing to split. On a
+    real cluster the thousands of scan tasks provide the mappers and the
+    repartition would be dropped. Thresholds are shrunk the same way —
+    production defaults (256 MB) with the same topology. Confs are
+    save/restored around an EAGER execution, so the session leaves this
+    query exactly as it entered."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        fact = (
+            _t(spark, sf_dir, "lineitem")
+            .repartition(16)
+            .select(
+                F.when(F.col("l_orderkey") % 10 < 9, F.lit(0))
+                .otherwise(F.col("l_orderkey") % 97)
+                .alias("k"),
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+        dim = spark.range(0, 97).select(
+            F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("w")
+        )
+        agg = fact.join(dim, "k").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("cents") * F.col("w")).alias("weighted_cents"),
+        )
+        row = agg.collect()[0]
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        skew = 1 if "skew=true" in plan else 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        [(row["n_rows"], row["weighted_cents"], skew)],
+        "n_rows bigint, weighted_cents bigint, skew_split int",
+    )

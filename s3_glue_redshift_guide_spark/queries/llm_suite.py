@@ -1672,3 +1672,138 @@ def llm_word_bigrams(spark, sf_dir):
         .orderBy(F.col("n").desc(), "bigram")
         .limit(100)
     )
+
+
+# ----------------------- BPE merge training loop (R19's other half) ----
+_BPE_K = 6  # bounded merge count; each iteration is ONE aggregated shuffle
+
+
+def _bpe_oracle(k: int) -> str:
+    """DuckDB replay of the same K greedy merges, unrolled as a CTE chain
+    (pair-count -> deterministic top pair -> left-to-right fold-merge per
+    word). The fold accumulates a chr(1)-delimited symbol string, merging
+    when the accumulator's TRAILING SYMBOL is exactly the pair's left and
+    the next symbol is its right — the same expression the Spark side
+    evaluates, so the merge tables are bit-exact."""
+    parts = [
+        """WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                t -> t <> '')) AS w
+  FROM documents),
+words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM toks
+  WHERE regexp_matches(w, '^[a-z]+$')
+  GROUP BY w ORDER BY freq DESC, w LIMIT 50),
+w0 AS (
+  SELECT freq, chr(1) || array_to_string(
+           list_filter(string_split(w, ''), t -> t <> ''), chr(1)) AS seq
+  FROM words)"""
+    ]
+    for i in range(k):
+        parts.append(
+            f"""p{i} AS (
+  SELECT p[1] AS a, p[2] AS b, CAST(sum(freq) AS BIGINT) AS n
+  FROM (SELECT unnest(list_zip(l[1:length(l)-1], l[2:length(l)])) AS p,
+               freq
+        FROM (SELECT string_split(seq[2:], chr(1)) AS l, freq FROM w{i})
+        WHERE length(l) >= 2)
+  GROUP BY 1, 2),
+t{i} AS (SELECT {i + 1} AS step, a, b, n FROM p{i}
+         ORDER BY n DESC, a, b LIMIT 1),
+w{i + 1} AS (
+  SELECT freq, list_reduce(list_prepend('', string_split(seq[2:], chr(1))),
+          (acc, x) -> CASE WHEN x = t.b AND ends_with(acc, chr(1) || t.a)
+                           THEN acc || x ELSE acc || chr(1) || x END) AS seq
+  FROM w{i}, t{i} AS t)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM t{i}" for i in range(k))
+    return (
+        ",\n".join(parts)
+        + "\nSELECT step, a AS left_sym, b AS right_sym,"
+        " n AS pair_count FROM (" + union + ") ORDER BY step"
+    )
+
+
+@query("llm_bpe_merges", oracle=_bpe_oracle(_BPE_K))
+def llm_bpe_merges(spark, sf_dir):
+    """BPE merge TRAINING loop — the iterative half of tokenizer prep
+    whose inner loop ``llm_word_bigrams`` already covers: start from the
+    character sequences of the corpus's top-50 words (frequency-weighted
+    vocabulary, deterministic (freq, word) order), then K times (a) count
+    adjacent symbol pairs weighted by word frequency — ONE partial+final
+    aggregated shuffle over vocabulary-scale rows, (b) pick the top pair
+    under a total (count desc, pair) order, (c) merge it greedily
+    left-to-right inside every word via an expression-only fold
+    (``F.aggregate`` over the symbol array — no UDF, no per-row Python).
+    Driver traffic is K single-row collects (the chosen pair — exactly
+    what any BPE trainer materializes per step), and ``localCheckpoint``
+    truncates the growing lineage each round. At 100 TB the word-freq
+    table is vocabulary-scale (millions of rows, shuffled once up
+    front); each merge iteration then costs one bounded aggregation, so
+    the loop's cost is K aggregations over the vocabulary — never a
+    corpus rescan. Symbols accumulate in a chr(1)-delimited string; the
+    merge condition (next symbol == right AND accumulator ends with
+    delimiter+left) is the same expression the DuckDB oracle folds
+    with, making the merge table bit-exact, multi-character merges
+    included."""
+    D = "\x01"
+    d = _docs(spark, sf_dir)
+    toks = F.explode(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+        )
+    ).alias("w")
+    words = (
+        d.select(toks)
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "w")
+        .limit(50)
+    )
+    cur = words.select(
+        "freq",
+        F.concat(
+            F.lit(D),
+            F.array_join(
+                F.filter(F.split("w", ""), lambda t: t != ""), D
+            ),
+        ).alias("seq"),
+    ).localCheckpoint()
+    merges: list[tuple] = []
+    for step in range(_BPE_K):
+        l = F.split(F.expr("substring(seq, 2)"), D)
+        pairs_col = F.zip_with(
+            F.slice(l, 1, F.size(l) - 1),
+            F.slice(l, 2, F.size(l) - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        top = (
+            cur.select(F.explode(pairs_col).alias("p"), "freq")
+            .groupBy(
+                F.col("p.a").alias("a"), F.col("p.b").alias("b")
+            )
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((step + 1, a, b, n))
+        cur = cur.withColumn(
+            "seq",
+            F.aggregate(
+                F.split(F.expr("substring(seq, 2)"), D),
+                F.lit(""),
+                lambda acc, x: F.when(
+                    (x == F.lit(b)) & acc.endswith(F.lit(D + a)),
+                    F.concat(acc, x),
+                ).otherwise(F.concat(acc, F.lit(D), x)),
+            ),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, pair_count bigint",
+    )

@@ -992,3 +992,180 @@ def src_python_datasource(spark, sf_dir):
         F.lit(n_files).cast("long").alias("n_files"),
         F.lit(len(files_read)).cast("long").alias("n_files_read"),
     )
+
+
+# ---------------- dynamic partition pruning runtime proof (R8+) --------
+@query(
+    "src_dynamic_partition_pruning",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           2 AS partitions_matched,
+           1 AS dpp_in_plan
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def src_dynamic_partition_pruning(spark, sf_dir):
+    """DYNAMIC partition pruning — the star-schema scan saver static
+    pruning (``src_partition_pruning``) can't reach: the filter sits on
+    a DIMENSION attribute (``urgency``), not on the fact's partition
+    column, so which fact partitions matter is only known at RUNTIME
+    from the dimension's surviving join keys. Catalyst reuses the
+    broadcast of the filtered dimension as a subquery inside the fact
+    scan's PartitionFilters (``dynamicpruningexpression``) — at 100 TB
+    this turns a full fact scan into reads of only the joined-to
+    partitions, the single biggest built-in saver on partitioned stars.
+    Facts returned: the join aggregates (oracle-checked in DuckDB), the
+    partition directories actually contributing rows (input_file_name),
+    and the executed plan carrying the dynamic-pruning subquery."""
+    o = load_table(spark, sf_dir, "orders")
+    base = _tmp("dpp")
+    (
+        o.select("o_orderkey", "o_orderpriority")
+        .repartition("o_orderpriority")
+        .write.partitionBy("o_orderpriority")
+        .mode("overwrite")
+        .parquet(base)
+    )
+    fact = spark.read.parquet(base)
+    dim = (
+        o.select("o_orderpriority")
+        .distinct()
+        .withColumn(
+            "urgency",
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                "hot",
+            ).otherwise("cold"),
+        )
+    )
+    hot = dim.filter(F.col("urgency") == "hot")
+    # Execution 1 — the CLEAN star join: this is the plan DPP applies to
+    # (the fact scan's PartitionFilters gain a dynamicpruningexpression
+    # fed by the broadcast of the filtered dimension).
+    # explicit broadcast hint: DPP's reuseBroadcastOnly default needs
+    # the DIMENSION as the broadcast build side; at gate SF both sides
+    # are tiny and Catalyst sometimes flips the build side, which makes
+    # insertion nondeterministic — on a real star the size asymmetry
+    # decides it, and the hint pins the same shape here
+    agg = fact.join(F.broadcast(hot), "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )
+    # widen plan metadata strings: the default 100-char truncation can
+    # cut PartitionFilters mid-token, making the marker check flaky
+    old_len = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        row = agg.collect()[0]
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old_len)
+    dpp = 1 if "dynamicpruning" in plan.lower() else 0
+    # Execution 2 — per-file evidence: tag each fact row with its
+    # partition directory (input_file_name, projected on the single-
+    # source side; its non-determinism blocks DPP on THIS run, which is
+    # why the plan fact comes from execution 1) and count the distinct
+    # directories contributing surviving rows.
+    tagged = fact.select(
+        "o_orderpriority",
+        F.regexp_extract(
+            F.input_file_name(), r"o_orderpriority=([^/]+)", 1
+        ).alias("part_dir"),
+    )
+    n_parts = (
+        tagged.join(F.broadcast(hot), "o_orderpriority")
+        .agg(F.countDistinct("part_dir").cast("int").alias("p"))
+        .collect()[0]["p"]
+    )
+    return spark.createDataFrame(
+        [(row["n_rows"], row["key_sum"], n_parts, dpp)],
+        "n_rows bigint, key_sum bigint, partitions_matched int, "
+        "dpp_in_plan int",
+    )
+
+
+# --------------------- deletion vectors: merge-on-read DELETE ----------
+@query(
+    "src_deletion_vector",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows_after,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum_after,
+           CAST((SELECT count(*) FROM orders WHERE o_orderkey < 600)
+                AS BIGINT) AS n_rows_at_v3,
+           1 AS files_unchanged
+    FROM orders WHERE o_orderkey < 600 AND o_orderkey % 7 <> 0
+    """,
+)
+def src_deletion_vector(spark, sf_dir):
+    """MERGE-ON-READ delete via deletion vectors (the Delta/Iceberg DV
+    design): three snapshot commits, then a DELETE that writes only a
+    row-position sidecar — the facts prove the visible rows shrank
+    (count/sum oracle-checked against the equivalent predicate), the
+    pre-delete version still reads in full (time travel over tombstones),
+    and the data file set is BYTE-IDENTICAL across the delete commit
+    (``files_unchanged``). At 100 TB this is the GDPR path: a 3-row
+    delete costs KBs of sidecar, not a rewrite of every 1 GB file that
+    contains a matching row (``sources/snapshots.py::delete_where``)."""
+    from ..sources.snapshots import SnapshotTable, load_manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = SnapshotTable(spark, _tmp("dv"))
+    for lo, hi in ((0, 199), (200, 399), (400, 599)):
+        t.commit_append(
+            o.filter(F.col("o_orderkey").between(lo, hi)).coalesce(1),
+            stats_cols=["o_orderkey"],
+        )
+    v3 = t.current_version()
+    v4 = t.delete_where(F.col("o_orderkey") % 7 == 0)
+    same_files = int(
+        load_manifest(t.root, v3)["files"]
+        == load_manifest(t.root, v4)["files"]
+    )
+    after = t.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("long").alias("s"),
+    ).collect()[0]
+    n_at_v3 = t.read(v3).count()
+    return spark.createDataFrame(
+        [(after["n"], after["s"], n_at_v3, same_files)],
+        "n_rows_after bigint, key_sum_after bigint, "
+        "n_rows_at_v3 bigint, files_unchanged int",
+    )
+
+
+# --------------------- field-id rename schema evolution ----------------
+@query(
+    "src_schema_rename",
+    oracle="""
+    SELECT c_custkey, c_acctbal AS account_balance
+    FROM customer WHERE c_custkey < 1000
+    """,
+)
+def src_schema_rename(spark, sf_dir):
+    """Column RENAME as metadata-only evolution (Iceberg field-id
+    semantics, ``sources/snapshots.py::rename_column``): rows committed
+    BEFORE the rename (physical column ``c_acctbal``) and rows appended
+    AFTER it (physical ``account_balance``) must read back as ONE column
+    under the current name, value-exact — not as drop+add with NULL
+    holes. The oracle is the plain source projection: if either era
+    leaked NULLs or the old name, the row-level compare fails. Zero data
+    files are touched by the rename commit; readers coalesce each field
+    id's historical names, an expression-only mapping that costs nothing
+    extra at scan scale."""
+    from ..sources.snapshots import SnapshotTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    t = SnapshotTable(spark, _tmp("rename"))
+    t.commit_append(c.filter(F.col("c_custkey") < 500).coalesce(1))
+    t.rename_column("c_acctbal", "account_balance")
+    t.commit_append(
+        c.filter(F.col("c_custkey").between(500, 999))
+        .withColumnRenamed("c_acctbal", "account_balance")
+        .coalesce(1)
+    )
+    return t.read()

@@ -65,8 +65,9 @@ from .snapshots import (
 
 
 class SnapshotFilePartition(InputPartition):
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, dv: tuple[str, ...] = ()) -> None:
         self.path = path
+        self.dv = dv  # deletion-vector sidecar dirs masking this file
 
 
 def _schema_maps(schema) -> tuple[list[str], dict]:
@@ -87,20 +88,80 @@ def _resolve(options) -> dict:
     return load_manifest(root, v)
 
 
-def _read_file(path: str, columns: list[str] | None, types: dict):
+def _alias_map(schema_map) -> dict[str, list[str]]:
+    """current name -> historical physical names, from the manifest's
+    field-id map (empty for tables that never renamed)."""
+    if not schema_map:
+        return {}
+    return {
+        e["name"]: list(e.get("prior", []))
+        for e in schema_map
+        if e.get("prior")
+    }
+
+
+def _dv_positions(path: str, dv_dirs: tuple[str, ...]):
+    """The set of tombstoned row positions for one data file, read from
+    its deletion-vector sidecars (each a parquet of (__dv_file,
+    __dv_pos) pairs). O(deleted rows) — the sidecars are the point-
+    delete ledger, not data."""
+    import os
+
+    import pyarrow.dataset as ds
+    import pyarrow.compute as pc
+
+    pos: set[int] = set()
+    for d in dv_dirs:
+        files = [
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            continue
+        t = ds.dataset(files).to_table(
+            columns=["__dv_pos"], filter=pc.field("__dv_file") == path
+        )
+        pos.update(t.column("__dv_pos").to_pylist())
+    return pos
+
+
+def _read_file(
+    path: str,
+    columns: list[str] | None,
+    types: dict,
+    aliases: dict | None = None,
+    dv_dirs: tuple[str, ...] = (),
+):
     """Arrow-batch read of one data file, aligned to the declared read
     schema: columns map BY NAME (a caller-supplied schema with reordered
     fields reads correctly), unread columns are pruned at the parquet
     layer, and a column this file predates (additive evolution) surfaces
     as typed NULLs — the same contract as ``SnapshotTable.read``'s
-    mergeSchema. Shared by the batch and streaming readers."""
+    mergeSchema. ``aliases`` maps each current name to its historical
+    physical names (field-id renames), so a pre-rename file reads back
+    under the new name; ``dv_dirs`` masks tombstoned row positions
+    (deletion vectors) by running offset. Shared by the batch and
+    streaming readers."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(path)
     have = set(pf.schema_arrow.names)
     want = columns or pf.schema_arrow.names
-    present = [c for c in want if c in have]
+    aliases = aliases or {}
+
+    def physical(c: str) -> str | None:
+        for n in (c, *aliases.get(c, [])):
+            if n in have:
+                return n
+        return None
+
+    phys_of = {c: physical(c) for c in want}
+    present = sorted({p for p in phys_of.values() if p is not None})
+    deleted = _dv_positions(path, dv_dirs) if dv_dirs else None
+    offset = 0
 
     def align(col, name):
         """Cast a file's physical column to the DECLARED read type: a
@@ -111,13 +172,23 @@ def _read_file(path: str, columns: list[str] | None, types: dict):
         return col.cast(t) if t is not None and col.type != t else col
 
     for batch in pf.iter_batches(columns=present):
+        n = batch.num_rows
+        if deleted:
+            keep = np.array(
+                [offset + i not in deleted for i in range(n)], dtype=bool
+            )
+            offset += n
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
+                if batch.num_rows == 0:
+                    continue
         by_name = {
-            n: batch.column(i) for i, n in enumerate(batch.schema.names)
+            nm: batch.column(i) for i, nm in enumerate(batch.schema.names)
         }
         yield pa.RecordBatch.from_arrays(
             [
-                align(by_name[c], c)
-                if c in by_name
+                align(by_name[phys_of[c]], c)
+                if phys_of[c] is not None
                 else pa.nulls(batch.num_rows, type=types.get(c))
                 for c in want
             ],
@@ -134,6 +205,8 @@ class SnapshotManifestReader(DataSourceReader):
         m = _resolve(options)
         self.files: list[str] = m["files"]
         self.stats: dict = m["stats"]
+        self.dv: dict = m.get("dv", {})
+        self.aliases = _alias_map(m.get("schema"))
         self.bounds: dict[str, list] = {}
 
     # ------------------------------------------------- filter pushdown
@@ -187,9 +260,15 @@ class SnapshotManifestReader(DataSourceReader):
 
     # ------------------------------------------------------ partitions
     def partitions(self) -> list[InputPartition]:
-        bounds = {c: (lo, hi) for c, (lo, hi) in self.bounds.items()}
+        # a renamed column's stats are banked under the physical name
+        # each file was written with — spread every bound over the
+        # column's historical aliases so pre-rename files keep pruning
+        bounds: dict[str, tuple] = {}
+        for c, (lo, hi) in self.bounds.items():
+            for n in (c, *self.aliases.get(c, [])):
+                bounds[n] = (lo, hi)
         return [
-            SnapshotFilePartition(p)
+            SnapshotFilePartition(p, tuple(self.dv.get(p, [])))
             for p in zone_prune(self.files, self.stats, bounds)
         ]
 
@@ -200,7 +279,13 @@ class SnapshotManifestReader(DataSourceReader):
         # out-of-range filter must yield zero rows, not crash
         if partition is None or not getattr(partition, "path", None):
             return
-        yield from _read_file(partition.path, self.columns, self.types)
+        yield from _read_file(
+            partition.path,
+            self.columns,
+            self.types,
+            self.aliases,
+            getattr(partition, "dv", ()),
+        )
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
@@ -230,6 +315,17 @@ class SnapshotStreamReader(DataSourceStreamReader):
         )
         self.columns = columns
         self.types = types
+        # rename aliases from the head manifest (the map only grows, so
+        # resolving at construction covers every earlier version; the
+        # reader ships pickled to executors with this map aboard)
+        try:
+            self._aliases = _alias_map(
+                load_manifest(
+                    self.root, latest_version(self.root)
+                ).get("schema")
+            )
+        except Exception:
+            self._aliases = {}
 
     def initialOffset(self) -> dict:
         return {"version": 0}
@@ -239,33 +335,48 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         a, b = start["version"], end["version"]
-        prev = (
-            set() if a == 0 else set(load_manifest(self.root, a)["files"])
-        )
+        if a == 0:
+            prev, prev_dv = set(), {}
+        else:
+            ma = load_manifest(self.root, a)
+            prev, prev_dv = set(ma["files"]), ma["dv"]
         out: list[str] = []
+        aliases: dict = {}
         for v in range(a + 1, b + 1):
-            cur = set(load_manifest(self.root, v)["files"])
+            m = load_manifest(self.root, v)
+            cur, cur_dv = set(m["files"]), m["dv"]
+            aliases = _alias_map(m.get("schema"))
             added, removed = cur - prev, prev - cur
-            if removed:
+            # a DELETION-VECTOR commit removes ROWS while keeping file
+            # identity — same re-delivery hazard as a rewrite, so it is
+            # a change commit too (Delta's DV streams behave the same)
+            dv_changed = cur_dv != prev_dv
+            if removed or dv_changed:
                 if not self.skip_change:
                     raise ValueError(
                         f"pysnapshot stream: version {v} is a change "
-                        "commit (files were rewritten/removed); its "
-                        "carried-forward rows would re-deliver as "
-                        "duplicates. Set "
+                        "commit (files were rewritten/removed, or "
+                        "deletion vectors changed); its carried-forward "
+                        "rows would re-deliver as duplicates. Set "
                         '.option("skipChangeCommits", "true") to skip '
                         "change commits, or consume row-level changes "
                         "via the batch read_changes API."
                     )
             else:
                 out.extend(added)
-            prev = cur
+            prev, prev_dv = cur, cur_dv
+        self._aliases = aliases
         return [SnapshotFilePartition(p) for p in sorted(out)]
 
     def read(self, partition: SnapshotFilePartition):
         if partition is None or not getattr(partition, "path", None):
             return  # empty micro-batch: PySpark substitutes a None part
-        yield from _read_file(partition.path, self.columns, self.types)
+        yield from _read_file(
+            partition.path,
+            self.columns,
+            self.types,
+            getattr(self, "_aliases", {}),
+        )
 
     def commit(self, end: dict) -> None:
         pass  # the engine's checkpoint is the cursor; nothing to clean
@@ -476,7 +587,8 @@ class SnapshotDataSource(DataSource):
 
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        files = _resolve(self.options)["files"]
+        m = _resolve(self.options)
+        files = m["files"]
         if not files:
             # empty snapshot (e.g. a complete-mode epoch that recomputed
             # to zero rows): schema from the newest PRIOR version that
@@ -510,6 +622,20 @@ class SnapshotDataSource(DataSource):
         # pre-evolution files even if its own writer marked it required
         # (e.g. a literal column) — same posture as Spark's mergeSchema
         unified = pa.schema([f.with_nullable(True) for f in unified])
+        smap = m.get("schema")
+        if smap:
+            # field-id map: project the physical union onto the CURRENT
+            # logical names (renames read back under the new name; a
+            # dropped field's physical bytes stop surfacing)
+            fields = []
+            for ent in smap:
+                for n in (ent["name"], *ent.get("prior", [])):
+                    if unified.get_field_index(n) >= 0:
+                        fields.append(
+                            unified.field(n).with_name(ent["name"])
+                        )
+                        break
+            unified = pa.schema(fields)
         return from_arrow_schema(unified)
 
     def reader(self, schema) -> SnapshotManifestReader:

@@ -13,6 +13,19 @@ files visible in that snapshot. Commits never mutate data files:
 * ``commit_replace(remove, df)`` — surgical rewrite of only the files
   that contain affected rows (the DELETE/UPDATE primitive).
 
+* ``delete_where(predicate)`` — MERGE-ON-READ delete via DELETION
+  VECTORS: data files stay byte-identical; the commit adds per-file
+  row-position sidecars (``dv`` in the manifest) that every reader
+  anti-joins away. Point deletes (the GDPR shape) cost O(deleted rows),
+  not O(bytes of every touched file) — the Delta/Iceberg DV design.
+  ``materialize_deletes()`` folds DVs back into rewritten files.
+
+* ``rename_column(old, new)`` / ``drop_column(name)`` — METADATA-ONLY
+  schema evolution through a field-id map in the manifest (Iceberg
+  semantics): zero data files touched; readers map each field id's
+  historical physical names onto its current name, so files written
+  before a rename read back under the new name instead of as drop+add.
+
 Readers resolve a manifest first and read ONLY its files, so a reader of
 version N is never affected by later appends, rewrites, or compactions —
 snapshot isolation by construction — and old versions stay readable until
@@ -120,6 +133,8 @@ def load_manifest(root: str, version: int) -> dict:
             f"(manifest {path} vacuumed) — re-bootstrap from head"
         ) from None
     m.setdefault("stats", {})
+    m.setdefault("dv", {})      # data file -> [deletion-vector sidecars]
+    m.setdefault("schema", None)  # field-id map (None = physical names)
     return m
 
 
@@ -262,22 +277,128 @@ class SnapshotTable:
         files: list[str],
         base_version: int,
         stats: dict[str, dict[str, list]] | None = None,
+        dv: dict[str, list[str]] | None = None,
+        schema_map: list[dict] | None = None,
     ) -> int:
-        # carry the txn map (streaming writers' appId -> batchId records)
-        # forward through EVERY commit — epoch-replay detection must
-        # survive interleaved table commits (the Delta txn invariant)
-        txn = (
-            load_manifest(self.root, base_version).get("txn", {})
+        # carry the txn map (streaming writers' appId -> batchId records),
+        # the deletion-vector map, and the field-id schema map forward
+        # through EVERY commit — replay detection, merge-on-read deletes,
+        # and renames must survive interleaved table commits (the Delta
+        # txn invariant, extended to the other two metadata families).
+        # DV entries survive only for files still visible (a rewritten
+        # file's deletes are materialized in its replacement).
+        base = (
+            load_manifest(self.root, base_version)
             if base_version > 0
-            else {}
+            else {"txn": {}, "dv": {}, "schema": None}
         )
+        txn = base.get("txn", {})
+        if dv is None:
+            dv = base.get("dv", {})
+        dv = {f: v for f, v in dv.items() if f in set(files) and v}
+        if schema_map is None:
+            schema_map = base.get("schema")
+        extra: dict = {}
+        if txn:
+            extra["txn"] = txn
+        if dv:
+            extra["dv"] = dv
+        if schema_map is not None:
+            extra["schema"] = schema_map
         return publish_version(
             self.root,
             files,
             base_version,
             stats,
-            extra={"txn": txn} if txn else None,
+            extra=extra or None,
         )
+
+    # --------------------------------------------- deletion-vector reads
+    #: expression turning ``_metadata.file_path`` URIs (file:///x or
+    #: file:/x) back into the plain paths the manifest stores
+    @staticmethod
+    def _plain_path(col):
+        return F.regexp_replace(col, "^file:(//)?", "")
+
+    def _dv_rows(self, dv: dict[str, list[str]]) -> DataFrame:
+        """The (file, position) pairs of every sidecar in ``dv``, deduped
+        (re-deleting an already-deleted row must stay idempotent)."""
+        dirs = sorted({d for lst in dv.values() for d in lst})
+        return (
+            self.spark.read.parquet(*dirs)
+            .dropDuplicates(["__dv_file", "__dv_pos"])
+        )
+
+    def _masked_read(self, files: list[str], dv: dict) -> DataFrame:
+        """mergeSchema read of ``files`` with deletion vectors applied:
+        each row's (file, row_index) provenance — free metadata columns,
+        no widening of the parquet scan — anti-joins the BROADCAST dv
+        rowset. DVs are the POINT-delete path (GDPR rows, late
+        corrections), so the broadcast is KBs; bulk deletes belong to
+        ``commit_replace``, which rewrites instead of tombstoning."""
+        relevant = {f: dv[f] for f in files if dv.get(f)}
+        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        if not relevant:
+            return df
+        dvr = self._dv_rows(relevant)
+        df = df.withColumns(
+            {
+                "__fp": self._plain_path(F.col("_metadata.file_path")),
+                "__pos": F.col("_metadata.row_index"),
+            }
+        )
+        return (
+            df.join(
+                F.broadcast(dvr),
+                (df["__fp"] == dvr["__dv_file"])
+                & (df["__pos"] == dvr["__dv_pos"]),
+                "left_anti",
+            ).drop("__fp", "__pos")
+        )
+
+    # ------------------------------------------- field-id schema mapping
+    @staticmethod
+    def _apply_schema_map(
+        df: DataFrame, schema_map, keep: tuple[str, ...] = ()
+    ) -> DataFrame:
+        """Project physical columns onto the CURRENT logical schema: for
+        each field id, coalesce across its historical physical names (a
+        pre-rename file carries the old name, a post-rename file the new
+        one — never both non-null for a row), alias to the current name,
+        and exclude physically-present columns whose field was dropped.
+        ``keep`` columns (e.g. row provenance) pass through in front.
+        No-op for tables that never renamed/dropped (schema_map None)."""
+        if not schema_map:
+            return df
+        have = set(df.columns)
+        cols = [F.col(k) for k in keep]
+        for ent in schema_map:
+            names = [ent["name"], *ent.get("prior", [])]
+            present = [n for n in names if n in have]
+            if not present:
+                continue
+            col = (
+                F.col(present[0])
+                if len(present) == 1
+                else F.coalesce(*[F.col(n) for n in present])
+            )
+            cols.append(col.alias(ent["name"]))
+        return df.select(*cols)
+
+    def _extend_schema_map(self, base_m: dict, df: DataFrame):
+        """A commit that introduces columns while a field-id map exists
+        must register them (fresh ids) so later renames can track them."""
+        sm = base_m.get("schema")
+        if sm is None:
+            return None
+        sm = [dict(e) for e in sm]
+        known = {n for e in sm for n in (e["name"], *e.get("prior", []))}
+        next_id = max((e["id"] for e in sm), default=-1) + 1
+        for c in df.columns:
+            if c not in known:
+                sm.append({"id": next_id, "name": c, "prior": []})
+                next_id += 1
+        return sm
 
     # ------------------------------------------------------------- surface
     def current_version(self) -> int:
@@ -311,10 +432,17 @@ class SnapshotTable:
         self, df: DataFrame, stats_cols: list[str] | None = None
     ) -> int:
         cur = self.current_version()
-        base = [] if cur == 0 else self._load_manifest(cur)
+        m = (
+            load_manifest(self.root, cur)
+            if cur > 0
+            else {"files": [], "schema": None}
+        )
         new = self._write_files(df)
         return self._publish(
-            base + new, cur, self._merged_stats(cur, new, stats_cols)
+            m["files"] + new,
+            cur,
+            self._merged_stats(cur, new, stats_cols),
+            schema_map=self._extend_schema_map(m, df),
         )
 
     def commit_rewrite(
@@ -324,10 +452,18 @@ class SnapshotTable:
         of older versions keep their files; the new version sees only the
         rewritten layout."""
         cur = self.current_version()
+        m = (
+            load_manifest(self.root, cur)
+            if cur > 0
+            else {"files": [], "schema": None}
+        )
         new = self._write_files(df)
         stats = self._merged_stats(cur, new, stats_cols)
         return self._publish(
-            new, cur, {f: stats.get(f, {}) for f in new}
+            new,
+            cur,
+            {f: stats.get(f, {}) for f in new},
+            schema_map=self._extend_schema_map(m, df),
         )
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -336,7 +472,8 @@ class SnapshotTable:
         surface the new columns as NULL), and same-schema reads pay only
         a footer union for it."""
         v = self.current_version() if version is None else version
-        files = self._load_manifest(v)
+        m = load_manifest(self.root, v)
+        files = m["files"]
         if not files:
             # an EMPTY snapshot (e.g. a streaming complete-mode epoch
             # whose recomputed result was empty): zero rows, schema from
@@ -358,7 +495,9 @@ class SnapshotTable:
                 f"snapshot version {v} is empty and no prior version "
                 "carries a schema"
             )
-        return self.spark.read.option("mergeSchema", "true").parquet(*files)
+        return self._apply_schema_map(
+            self._masked_read(files, m["dv"]), m["schema"]
+        )
 
     def file_count(self, version: int | None = None) -> int:
         v = self.current_version() if version is None else version
@@ -374,14 +513,137 @@ class SnapshotTable:
         deleted."""
         gone = set(remove)
         cur = self.current_version()
-        base = [] if cur == 0 else self._load_manifest(cur)
-        keep = [f for f in base if f not in gone]
+        m = (
+            load_manifest(self.root, cur)
+            if cur > 0
+            else {"files": [], "schema": None}
+        )
+        keep = [f for f in m["files"] if f not in gone]
         new = self._write_files(df)
         stats = self._merged_stats(cur, new, None)
         visible = keep + new
         return self._publish(
-            visible, cur, {f: stats.get(f, {}) for f in visible}
+            visible,
+            cur,
+            {f: stats.get(f, {}) for f in visible},
+            schema_map=self._extend_schema_map(m, df),
         )
+
+    # ------------------------------------- merge-on-read DELETE (DVs) --
+    def delete_where(self, predicate) -> int:
+        """DELETE as a DELETION-VECTOR commit (merge-on-read): data files
+        stay byte-identical; the commit writes one sidecar of (file,
+        row_position) pairs for the matched rows and banks it in the
+        manifest's ``dv`` map. Readers anti-join the positions away. This
+        is the GDPR point-delete shape: commit cost is O(matched rows) —
+        a 3-row delete on a table of 1 GB files writes KBs, where
+        copy-on-write (``commit_replace``) rewrites every touched file in
+        full. Row provenance comes from the free ``_metadata`` columns
+        (no scan widening); the matching scan itself is a normal
+        predicate-pushed read. Already-deleted rows can't re-match (the
+        matching read is DV-masked), so replaying a delete is a no-op
+        commit. History stays intact: version N-1 still reads the rows.
+        ``materialize_deletes`` / OPTIMIZE folds DVs into rewrites when
+        tombstones accumulate."""
+        import uuid as _uuid
+
+        cur = self.current_version()
+        m = load_manifest(self.root, cur)
+        if not m["files"]:
+            return cur
+        visible = self._masked_read(m["files"], m["dv"])
+        tagged = visible.withColumns(
+            {
+                "__dv_file": self._plain_path(
+                    F.col("_metadata.file_path")
+                ),
+                "__dv_pos": F.col("_metadata.row_index"),
+            }
+        )
+        mapped = self._apply_schema_map(
+            tagged, m["schema"], keep=("__dv_file", "__dv_pos")
+        )
+        matched = mapped.filter(predicate).select("__dv_file", "__dv_pos")
+        dvdir = os.path.join(self.root, "deletes", _uuid.uuid4().hex)
+        matched.coalesce(1).write.mode("errorifexists").parquet(dvdir)
+        affected = [
+            r["__dv_file"]
+            for r in self.spark.read.parquet(dvdir)
+            .select("__dv_file")
+            .distinct()
+            .collect()
+        ]
+        if not affected:
+            return cur  # nothing matched: no commit
+        dv = {f: list(v) for f, v in m["dv"].items()}
+        for f in affected:
+            dv.setdefault(f, []).append(dvdir)
+        return self._publish(m["files"], cur, m["stats"], dv=dv)
+
+    def materialize_deletes(self) -> int:
+        """Fold accumulated deletion vectors into rewritten files (the
+        OPTIMIZE half of merge-on-read): only DV-carrying files rewrite —
+        a ``commit_replace`` whose replacement is their masked content —
+        and their dv entries drop from the manifest. Untouched files keep
+        byte identity; history keeps the tombstoned layout."""
+        cur = self.current_version()
+        m = load_manifest(self.root, cur)
+        dv_files = sorted(f for f in m["dv"] if m["dv"][f])
+        if not dv_files:
+            return cur
+        packed = self._masked_read(dv_files, m["dv"])
+        return self.commit_replace(dv_files, packed)
+
+    # --------------------------------- rename/drop schema evolution ----
+    def _schema_map_for_edit(self, m: dict) -> list[dict]:
+        """The manifest's field-id map, bootstrapping one from the
+        current physical union schema on first use (footer-only)."""
+        if m["schema"] is not None:
+            return [dict(e) for e in m["schema"]]
+        if not m["files"]:
+            return []
+        names = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*m["files"])
+            .schema.fieldNames()
+        )
+        return [
+            {"id": i, "name": n, "prior": []} for i, n in enumerate(names)
+        ]
+
+    def rename_column(self, old: str, new: str) -> int:
+        """METADATA-ONLY column rename (Iceberg semantics, via field
+        ids): zero data files touched; the field keeps its id, the old
+        physical name joins its ``prior`` list, and every reader
+        coalesces the historical names onto the new one — so files
+        written before the rename read back under the new name, never as
+        drop+add. Re-using a dropped/old name for a NEW column is
+        rejected: the coalesce mapping would conflate the two fields."""
+        cur = self.current_version()
+        m = load_manifest(self.root, cur)
+        sm = self._schema_map_for_edit(m)
+        ent = next((e for e in sm if e["name"] == old), None)
+        if ent is None:
+            raise KeyError(f"no column named {old!r}")
+        taken = {n for e in sm for n in (e["name"], *e.get("prior", []))}
+        if new in taken:
+            raise ValueError(
+                f"{new!r} is (or historically was) another column"
+            )
+        ent.setdefault("prior", []).insert(0, old)
+        ent["name"] = new
+        return self._publish(m["files"], cur, m["stats"], schema_map=sm)
+
+    def drop_column(self, name: str) -> int:
+        """METADATA-ONLY column drop: the field leaves the id map, so
+        readers stop projecting it; bytes stay until files churn."""
+        cur = self.current_version()
+        m = load_manifest(self.root, cur)
+        sm = self._schema_map_for_edit(m)
+        if not any(e["name"] == name for e in sm):
+            raise KeyError(f"no column named {name!r}")
+        sm = [e for e in sm if e["name"] != name]
+        return self._publish(m["files"], cur, m["stats"], schema_map=sm)
 
     def pruned_files(
         self, col: str, lo, hi, version: int | None = None
@@ -397,7 +659,16 @@ class SnapshotTable:
         natively, dates/timestamps as ISO strings."""
         v = self.current_version() if version is None else version
         m = load_manifest(self.root, v)
-        keep = zone_prune(m["files"], m["stats"], {col: (lo, hi)})
+        # a renamed column's stats are banked under the physical name the
+        # file was written with — bound every historical alias, so pre-
+        # rename files keep pruning under the new logical name
+        names = [col]
+        for ent in m["schema"] or []:
+            if ent["name"] == col:
+                names += ent.get("prior", [])
+        keep = zone_prune(
+            m["files"], m["stats"], {n: (lo, hi) for n in names}
+        )
         return keep, len(m["files"])
 
     def read_where(
@@ -405,12 +676,15 @@ class SnapshotTable:
     ) -> DataFrame:
         """Snapshot read with manifest-stats file pruning; the residual
         per-row filter still applies downstream (zone maps prune files,
-        not rows)."""
+        not rows). Deletion vectors and the field-id schema map apply the
+        same as ``read``."""
         files, _ = self.pruned_files(col, lo, hi, version)
         if not files:
             return self.read(version).limit(0)
-        return self.spark.read.option("mergeSchema", "true").parquet(
-            *files
+        v = self.current_version() if version is None else version
+        m = load_manifest(self.root, v)
+        return self._apply_schema_map(
+            self._masked_read(files, m["dv"]), m["schema"]
         )
 
     def read_changes(
@@ -437,41 +711,53 @@ class SnapshotTable:
           change log.
 
         Columns are aligned to the ``to_version`` schema (additive
-        evolution: pre-evolution rows surface new columns as NULL).
+        evolution: pre-evolution rows surface new columns as NULL; a
+        rename maps both eras onto the current name via the field-id
+        map). Deletion-vector commits are file-identity-preserving, so
+        they surface through a THIRD leg: for files shared by both
+        manifests, positions tombstoned in between are read back
+        (O(affected files)) and reported as deletes.
         """
-        a = (
-            set() if from_version == 0
-            else set(self._load_manifest(from_version))
+        ma = (
+            load_manifest(self.root, from_version)
+            if from_version > 0
+            else {"files": [], "dv": {}, "schema": None}
         )
-        b = set(self._load_manifest(to_version))
+        mb = load_manifest(self.root, to_version)
+        a, b = set(ma["files"]), set(mb["files"])
         added, removed = sorted(b - a), sorted(a - b)
-        # Align both sides to the union schema of the CHURNED files only
+        smap = mb["schema"]
+        # DV-growth leg: shared files whose tombstone set grew
+        shared_grown = sorted(
+            f
+            for f in a & b
+            if set(mb["dv"].get(f, [])) - set(ma["dv"].get(f, []))
+        )
+        # Align all legs to the union schema of the TOUCHED files only
         # (one mergeSchema footer union over O(churn) files) — deriving it
         # from the full to-version snapshot would cost O(table) footer
-        # reads per poll. Rows come exclusively from churned files, so
+        # reads per poll. Rows come exclusively from touched files, so
         # their union schema is complete for every returned row; a column
         # that exists only in untouched files cannot appear in a change.
-        churned = added + removed
-        if not churned:
+        touched = added + removed + shared_grown
+        if not touched:
             template = sorted(b) or sorted(a)
             if not template:  # both versions empty: no rows, no columns
                 return self.spark.createDataFrame(
                     [], "_change_type string"
                 )
-            empty = self.spark.read.parquet(template[0]).limit(0)
-            return empty.withColumn("_change_type", F.lit("insert"))
-        schema = (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*churned)
-            .schema
-        )
-
-        def side(files: list[str]) -> DataFrame:
-            if not files:
-                return self.spark.createDataFrame([], schema)
-            df = self.spark.read.option("mergeSchema", "true").parquet(
-                *files
+            empty = self._apply_schema_map(
+                self.spark.read.parquet(template[0]).limit(0), smap
             )
+            return empty.withColumn("_change_type", F.lit("insert"))
+        schema = self._apply_schema_map(
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*touched)
+            .limit(0),
+            smap,
+        ).schema
+
+        def align(df: DataFrame) -> DataFrame:
             return df.select(
                 *[
                     (
@@ -482,8 +768,16 @@ class SnapshotTable:
                 ]
             )
 
-        new_rows, old_rows = side(added), side(removed)
-        return (
+        def side(files: list[str], dv: dict) -> DataFrame:
+            if not files:
+                return self.spark.createDataFrame([], schema)
+            return align(
+                self._apply_schema_map(self._masked_read(files, dv), smap)
+            )
+
+        new_rows = side(added, mb["dv"])
+        old_rows = side(removed, ma["dv"])
+        changes = (
             new_rows.exceptAll(old_rows)
             .withColumn("_change_type", F.lit("insert"))
             .unionAll(
@@ -491,6 +785,39 @@ class SnapshotTable:
                 .withColumn("_change_type", F.lit("delete"))
             )
         )
+        if shared_grown:
+            raw = self.spark.read.option("mergeSchema", "true").parquet(
+                *shared_grown
+            )
+            raw = raw.withColumns(
+                {
+                    "__fp": self._plain_path(F.col("_metadata.file_path")),
+                    "__pos": F.col("_metadata.row_index"),
+                }
+            )
+            dvr_b = self._dv_rows(
+                {f: mb["dv"][f] for f in shared_grown}
+            )
+            prior_dv = {
+                f: ma["dv"][f] for f in shared_grown if ma["dv"].get(f)
+            }
+            if prior_dv:
+                dvr_a = self._dv_rows(prior_dv)
+                dvr_b = dvr_b.join(
+                    dvr_a, ["__dv_file", "__dv_pos"], "left_anti"
+                )
+            tombstoned = raw.join(
+                F.broadcast(dvr_b),
+                (raw["__fp"] == dvr_b["__dv_file"])
+                & (raw["__pos"] == dvr_b["__dv_pos"]),
+                "left_semi",
+            ).drop("__fp", "__pos")
+            changes = changes.unionAll(
+                align(
+                    self._apply_schema_map(tombstoned, smap)
+                ).withColumn("_change_type", F.lit("delete"))
+            )
+        return changes
 
     def optimize_small_files(
         self,
@@ -519,7 +846,8 @@ class SnapshotTable:
         import math
 
         cur = self.current_version()
-        files = self._load_manifest(cur)
+        m = load_manifest(self.root, cur)
+        files = m["files"]
         sizes = {f: os.path.getsize(f) for f in files}
         small = [f for f in files if sizes[f] < small_threshold]
         if len(small) <= 1:
@@ -530,9 +858,9 @@ class SnapshotTable:
                 "version": cur,
             }
         n_bins = max(1, math.ceil(sum(sizes[f] for f in small) / target_bytes))
-        packed = self.spark.read.option("mergeSchema", "true").parquet(
-            *small
-        )
+        # DV-masked: compaction MATERIALIZES the compacted files'
+        # deletion vectors (their dv entries drop with the files)
+        packed = self._masked_read(small, m["dv"])
         if z_cols is not None:
             from ..operators.zorder import z_order_key
 
@@ -578,13 +906,18 @@ class SnapshotTable:
         everything else under data/ unlinks. Returns the deleted paths.
         Versions older than the retention window stop being readable, by
         design — retention is the time-travel horizon."""
+        import shutil
+
         cur = self.current_version()
         keep_versions = [
             v for v in range(max(1, cur - retain_versions + 1), cur + 1)
         ]
         reachable: set[str] = set()
+        reachable_dv: set[str] = set()
         for v in keep_versions:
-            reachable |= set(self._load_manifest(v))
+            m = load_manifest(self.root, v)
+            reachable |= set(m["files"])
+            reachable_dv |= {d for lst in m["dv"].values() for d in lst}
         deleted: list[str] = []
         data_root = os.path.join(self.root, "data")
         for d in os.listdir(data_root) if os.path.isdir(data_root) else []:
@@ -594,6 +927,14 @@ class SnapshotTable:
                 if f.endswith(".parquet") and p not in reachable:
                     os.unlink(p)
                     deleted.append(p)
+        # deletion-vector sidecar dirs unreachable from the window
+        dv_root = os.path.join(self.root, "deletes")
+        if os.path.isdir(dv_root):
+            for d in os.listdir(dv_root):
+                full = os.path.join(dv_root, d)
+                if full not in reachable_dv:
+                    shutil.rmtree(full, ignore_errors=True)
+                    deleted.append(full)
         for v in range(1, keep_versions[0]):
             try:
                 os.unlink(self._manifest_path(v))

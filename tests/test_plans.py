@@ -280,3 +280,58 @@ def test_change_feed_scans_only_churned_files(spark):
     scanned = {p.removeprefix("file:") for p in chg.inputFiles()}
     shared = set(t._load_manifest(1))
     assert not (shared & scanned)
+
+
+def test_dpp_subquery_reaches_fact_partition_filters(spark):
+    # the star join on the partitioned fact must carry a dynamic-pruning
+    # subquery in the FACT SCAN's PartitionFilters — runtime partition
+    # pruning driven by the filtered dimension, not a static predicate
+    import tempfile
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    base = tempfile.mkdtemp(prefix="plan_dpp_")
+    (
+        o.select("o_orderkey", "o_orderpriority")
+        .repartition("o_orderpriority")
+        .write.partitionBy("o_orderpriority")
+        .mode("overwrite")
+        .parquet(base)
+    )
+    fact = spark.read.parquet(base)
+    dim = (
+        o.select("o_orderpriority")
+        .distinct()
+        .withColumn(
+            "urgency",
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hot"
+            ).otherwise("cold"),
+        )
+    )
+    agg = fact.join(
+        F.broadcast(dim.filter(F.col("urgency") == "hot")),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # plan strings truncate metadata fields at 100 chars (and the cut
+    # point shifts with plan-id digits) — widen so the PartitionFilters
+    # assertion is deterministic
+    old_len = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        agg.collect()
+        plan = _plan(agg)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old_len)
+    assert "dynamicpruningexpression" in plan.lower()
+    # and it sits in the scan's PartitionFilters, not a post-scan filter
+    scan_lines = [
+        l for l in plan.splitlines() if "PartitionFilters" in l
+    ]
+    assert any("dynamicpruning" in l.lower() for l in scan_lines)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    # the registry query must come back with the skew fact set AND the
+    # adaptive final plan must carry the split markers
+    row = REGISTRY["join_aqe_skew"].fn(spark, SF_SMOKE).collect()[0]
+    assert row["skew_split"] == 1

@@ -598,3 +598,69 @@ def test_stream_empty_epoch_complete_mode_publishes_empty_snapshot(
     )
     w2.commit([], batchId=7)
     assert t.current_version() == head
+
+
+def test_connector_honors_deletion_vectors_and_renames(spark, tmp_path):
+    """DV masking and field-id renames must surface IDENTICALLY through
+    the registered format as through SnapshotTable.read."""
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "dvtbl"))
+    for lo, hi in ((0, 199), (200, 399)):
+        t.commit_append(
+            o.filter(F.col("o_orderkey").between(lo, hi)).coalesce(1),
+            stats_cols=["o_orderkey"],
+        )
+    t.delete_where(F.col("o_orderkey") % 5 == 0)
+    t.rename_column("o_totalprice", "price")
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(400, 449))
+        .withColumnRenamed("o_totalprice", "price")
+        .coalesce(1),
+        stats_cols=["o_orderkey"],
+    )
+    register_snapshot_source(spark)
+    via_fmt = (
+        spark.read.format("pysnapshot").option("root", t.root).load()
+    )
+    assert via_fmt.columns == ["o_orderkey", "price"]
+    a = sorted(
+        (r["o_orderkey"], r["price"]) for r in via_fmt.collect()
+    )
+    b = sorted(
+        (r["o_orderkey"], r["price"])
+        for r in t.read().select("o_orderkey", "price").collect()
+    )
+    assert a == b and len(a) > 0
+    # deleted keys are really gone through the connector
+    assert (
+        via_fmt.filter(
+            (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") < 400)
+        ).count()
+        == 0
+    )
+    # pruning on the RENAMED column still prunes pre-rename files
+    r = SnapshotManifestReader({"root": t.root})
+    r.pushFilters([LessThan(("o_orderkey",), 150)])
+    assert len(r.partitions()) == 1
+
+
+def test_stream_reader_flags_dv_commit_as_change(spark, tmp_path):
+    from s3_glue_redshift_guide_spark.sources.pyds import (
+        SnapshotStreamReader,
+    )
+
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, str(tmp_path / "dvstream"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 100).coalesce(1))
+    t.delete_where(F.col("o_orderkey") % 3 == 0)
+    rd = SnapshotStreamReader({"root": t.root}, None, {})
+    import pytest
+
+    with pytest.raises(ValueError, match="change commit"):
+        rd.partitions({"version": 1}, {"version": 2})
+    rd2 = SnapshotStreamReader(
+        {"root": t.root, "skipchangecommits": "true"}, None, {}
+    )
+    assert rd2.partitions({"version": 1}, {"version": 2}) == []

@@ -14,7 +14,7 @@ from s3_glue_redshift_guide_spark.queries import _PRIORITY, REGISTRY
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: Update when queries land; test_registry_size keeps COVERAGE.md honest.
-EXPECTED_REGISTRY_SIZE = 192
+EXPECTED_REGISTRY_SIZE = 197
 
 
 def _verified_names() -> set[str]:
@@ -23,6 +23,7 @@ def _verified_names() -> set[str]:
         "CORRECTNESS_r01.json",
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
+        "CORRECTNESS_r04.json",
     ):
         path = os.path.join(REPO, f)
         if os.path.exists(path):

@@ -406,3 +406,135 @@ def test_changes_since_past_retention_raises_log_truncated(spark):
     # head-relative consumption still works
     df, c = t.changes_since(t.current_version())
     assert df is None and c == 3
+
+
+def _dv_table(spark, tmp_path, name):
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = SnapshotTable(spark, str(tmp_path / name))
+    for lo, hi in ((0, 199), (200, 399), (400, 599)):
+        t.commit_append(
+            o.filter(F.col("o_orderkey").between(lo, hi)).coalesce(1),
+            stats_cols=["o_orderkey"],
+        )
+    return o, t
+
+
+def test_delete_where_is_merge_on_read(spark, tmp_path):
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        load_manifest,
+    )
+
+    o, t = _dv_table(spark, tmp_path, "mor")
+    v0 = t.current_version()
+    v1 = t.delete_where(F.col("o_orderkey") % 7 == 0)
+    m0, m1 = load_manifest(t.root, v0), load_manifest(t.root, v1)
+    # data files BYTE-IDENTICAL (same paths, untouched), only dv added
+    assert m0["files"] == m1["files"]
+    assert len(m1["dv"]) == 3 and not m0["dv"]
+    want = o.filter(
+        (F.col("o_orderkey") < 600) & (F.col("o_orderkey") % 7 != 0)
+    ).count()
+    assert t.read().count() == want
+    # history intact: the pre-delete version still shows every row
+    assert t.read(v0).count() == 600
+    # replaying the delete is a no-op commit (DV-masked matching scan)
+    assert t.delete_where(F.col("o_orderkey") % 7 == 0) == v1
+
+
+def test_delete_where_cost_is_o_of_deletes(spark, tmp_path):
+    import os
+
+    _, t = _dv_table(spark, tmp_path, "cost")
+    data_bytes = sum(
+        os.path.getsize(f) for f in t._load_manifest(t.current_version())
+    )
+    t.delete_where(F.col("o_orderkey").isin(3, 77, 501))
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        load_manifest,
+    )
+
+    m = load_manifest(t.root, t.current_version())
+    dv_dirs = {d for lst in m["dv"].values() for d in lst}
+    dv_bytes = sum(
+        os.path.getsize(os.path.join(d, f))
+        for d in dv_dirs
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+    # the commit wrote a position ledger, not data: orders of magnitude
+    # under the table (3 rows of (path, pos) vs 600 rows of data)
+    assert dv_bytes < data_bytes
+    assert t.read().count() == 597
+
+
+def test_materialize_deletes_folds_dvs(spark, tmp_path):
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        load_manifest,
+    )
+
+    _, t = _dv_table(spark, tmp_path, "mat")
+    t.delete_where(F.col("o_orderkey") % 7 == 0)
+    n = t.read().count()
+    v = t.materialize_deletes()
+    m = load_manifest(t.root, v)
+    assert not m["dv"] and t.read().count() == n
+
+
+def test_change_feed_reports_dv_deletes(spark, tmp_path):
+    _, t = _dv_table(spark, tmp_path, "cdfdv")
+    v0 = t.current_version()
+    v1 = t.delete_where(F.col("o_orderkey") % 7 == 0)
+    chg = t.read_changes(v0, v1)
+    assert chg.filter(F.col("_change_type") == "insert").count() == 0
+    deleted = chg.filter(F.col("_change_type") == "delete")
+    assert deleted.count() == 86  # keys 0,7,...,595
+    assert deleted.filter(F.col("o_orderkey") % 7 != 0).count() == 0
+
+
+def test_rename_round_trips_across_commits(spark, tmp_path):
+    o, t = _dv_table(spark, tmp_path, "ren")
+    t.rename_column("o_totalprice", "price")
+    # append AFTER the rename under the new physical name
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(600, 699))
+        .withColumnRenamed("o_totalprice", "price")
+        .coalesce(1),
+        stats_cols=["o_orderkey"],
+    )
+    df = t.read()
+    assert df.columns == ["o_orderkey", "price"]
+    got = {r["o_orderkey"]: r["price"] for r in df.collect()}
+    exp = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in o.filter(F.col("o_orderkey") < 700).collect()
+    }
+    assert got == exp  # BOTH eras read under the new name, values exact
+    # manifest pruning works under the renamed logical name
+    keep, total = t.pruned_files("o_orderkey", 0, 50)
+    assert (len(keep), total) == (1, 4)
+    # old name is gone; reusing a historical name is rejected
+    import pytest
+
+    with pytest.raises(KeyError):
+        t.rename_column("o_totalprice", "x")
+    with pytest.raises(ValueError):
+        t.rename_column("o_orderkey", "o_totalprice")
+
+
+def test_drop_column_is_metadata_only(spark, tmp_path):
+    import os
+
+    _, t = _dv_table(spark, tmp_path, "drop")
+    before = {
+        f: os.path.getmtime(f)
+        for f in t._load_manifest(t.current_version())
+    }
+    t.drop_column("o_totalprice")
+    assert t.read().columns == ["o_orderkey"]
+    after = {
+        f: os.path.getmtime(f)
+        for f in t._load_manifest(t.current_version())
+    }
+    assert before == after  # zero data files touched
