@@ -48,8 +48,8 @@ for _m in _MODULES:
 # future rotations.
 _PRIORITY = [
     # -- new in round 5 (never driver-sampled) ------------------------------
-    "src_deletion_vector", "src_schema_rename", "llm_bpe_merges",
-    "src_dynamic_partition_pruning", "join_aqe_skew",
+    "src_deletion_vector", "sink_snapshot_update_mor", "src_schema_rename",
+    "llm_bpe_merges", "src_dynamic_partition_pruning", "join_aqe_skew",
     # -- round-1-stale regression re-checks (42): newest evidence is r1 ----
     # TPC-H-shaped relational core
     "q3_shipping_priority", "q5_regional_revenue", "q6_forecast_revenue",

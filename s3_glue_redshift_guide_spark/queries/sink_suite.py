@@ -655,3 +655,43 @@ def sink_snapshot_optimize(spark, sf_dir):
         F.count(F.lit(1)).alias("rows_after"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
+
+
+# ------------------- merge-on-read UPDATE (DV + reinsert) --------------
+@query(
+    "sink_snapshot_update_mor",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey < 600
+    """,
+)
+def sink_snapshot_update_mor(spark, sf_dir):
+    """UPDATE as ONE merge-on-read commit
+    (``sources/snapshots.py::update_where``): matched rows tombstone via
+    a deletion-vector sidecar AND their post-images land in the commit's
+    new files — a single atomic manifest publish, so readers see pre- or
+    post-state, never a torn mix. This completes the DV write family:
+    DELETE (``src_deletion_vector``), UPDATE (here), with copy-on-write
+    MERGE (``sink_snapshot_merge``) as the bulk path. Cost is O(matched
+    rows) sidecar + a write of only the matched rows; at 100 TB a
+    10%-of-one-file UPDATE stops costing a full file rewrite. The +1000.0
+    assignment is IEEE-exact at these magnitudes, so the row-level oracle
+    (CASE over the source) is bit-exact. Untouched base files keep byte
+    identity (asserted in tests/test_snapshots.py); history keeps the
+    pre-images and the change feed reports the delete/insert pair."""
+    from ..sources.snapshots import SnapshotTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="spark_mor_upd_"))
+    for lo, hi in ((0, 199), (200, 399), (400, 599)):
+        t.commit_append(
+            o.filter(F.col("o_orderkey").between(lo, hi)).coalesce(1),
+            stats_cols=["o_orderkey"],
+        )
+    t.update_where(
+        F.col("o_orderkey") % 10 == 3,
+        {"o_totalprice": F.col("o_totalprice") + F.lit(1000.0)},
+    )
+    return t.read().select("o_orderkey", "o_totalprice")

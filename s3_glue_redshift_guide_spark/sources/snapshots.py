@@ -580,6 +580,63 @@ class SnapshotTable:
             dv.setdefault(f, []).append(dvdir)
         return self._publish(m["files"], cur, m["stats"], dv=dv)
 
+    def update_where(self, predicate, assignments: dict) -> int:
+        """UPDATE as ONE merge-on-read commit: matched rows are
+        tombstoned (deletion-vector sidecar) and their post-images —
+        ``assignments`` ({column: Column expression}) applied — land in
+        the commit's new files; both halves publish in a single atomic
+        manifest, so readers see the old row or the new row, never both
+        and never neither. Cost is O(matched rows) for the sidecar plus
+        a write of the matched rows only — copy-on-write would rewrite
+        every touched FILE in full. History keeps the pre-images
+        (time travel + CDF report the delete/insert pair)."""
+        import uuid as _uuid
+
+        cur = self.current_version()
+        m = load_manifest(self.root, cur)
+        if not m["files"]:
+            return cur
+        visible = self._masked_read(m["files"], m["dv"])
+        tagged = visible.withColumns(
+            {
+                "__dv_file": self._plain_path(
+                    F.col("_metadata.file_path")
+                ),
+                "__dv_pos": F.col("_metadata.row_index"),
+            }
+        )
+        mapped = self._apply_schema_map(
+            tagged, m["schema"], keep=("__dv_file", "__dv_pos")
+        )
+        matched = mapped.filter(predicate)
+        dvdir = os.path.join(self.root, "deletes", _uuid.uuid4().hex)
+        matched.select("__dv_file", "__dv_pos").coalesce(1).write.mode(
+            "errorifexists"
+        ).parquet(dvdir)
+        affected = [
+            r["__dv_file"]
+            for r in self.spark.read.parquet(dvdir)
+            .select("__dv_file")
+            .distinct()
+            .collect()
+        ]
+        if not affected:
+            return cur  # nothing matched
+        post = matched.drop("__dv_file", "__dv_pos").withColumns(
+            assignments
+        )
+        new = self._write_files(post)
+        dv = {f: list(v) for f, v in m["dv"].items()}
+        for f in affected:
+            dv.setdefault(f, []).append(dvdir)
+        return self._publish(
+            m["files"] + new,
+            cur,
+            self._merged_stats(cur, new, None),
+            dv=dv,
+            schema_map=self._extend_schema_map(m, post),
+        )
+
     def materialize_deletes(self) -> int:
         """Fold accumulated deletion vectors into rewritten files (the
         OPTIMIZE half of merge-on-read): only DV-carrying files rewrite —

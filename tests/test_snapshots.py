@@ -538,3 +538,54 @@ def test_drop_column_is_metadata_only(spark, tmp_path):
         for f in t._load_manifest(t.current_version())
     }
     assert before == after  # zero data files touched
+
+
+def test_update_where_is_one_atomic_mor_commit(spark, tmp_path):
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        load_manifest,
+    )
+
+    o, t = _dv_table(spark, tmp_path, "morupd")
+    v0 = t.current_version()
+    v1 = t.update_where(
+        F.col("o_orderkey") % 10 == 3,
+        {"o_totalprice": F.col("o_totalprice") + F.lit(1000.0)},
+    )
+    assert v1 == v0 + 1  # tombstone + reinsert in ONE commit
+    m0, m1 = load_manifest(t.root, v0), load_manifest(t.root, v1)
+    # every base file still visible (byte identity), plus the post-image
+    # files; tombstones mask exactly the matched pre-images
+    assert set(m0["files"]) < set(m1["files"])
+    assert len(m1["dv"]) == 3
+    got = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in t.read().select("o_orderkey", "o_totalprice").collect()
+    }
+    exp = {
+        r["o_orderkey"]: (
+            r["o_totalprice"] + 1000.0
+            if r["o_orderkey"] % 10 == 3
+            else r["o_totalprice"]
+        )
+        for r in o.filter(F.col("o_orderkey") < 600).collect()
+    }
+    assert got == exp
+    assert len(got) == 600  # row count preserved: update, not upsert
+    # history: pre-update version unchanged
+    pre = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in t.read(v0).collect()
+    }
+    assert pre == {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in o.filter(F.col("o_orderkey") < 600).collect()
+    }
+    # change feed reports the update as delete/insert pairs
+    chg = t.read_changes(v0, v1)
+    n_upd = sum(1 for k in pre if k % 10 == 3)
+    assert (
+        chg.filter(F.col("_change_type") == "delete").count() == n_upd
+    )
+    assert (
+        chg.filter(F.col("_change_type") == "insert").count() == n_upd
+    )
