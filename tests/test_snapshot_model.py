@@ -1,0 +1,94 @@
+"""Model-based randomized interleaving test of the snapshot table: a
+seeded random walk over every mutating operation the table supports —
+append, deletion-vector DELETE, merge-on-read UPDATE, metadata-only
+rename, OPTIMIZE compaction, DV materialization, VACUUM — validated
+after EVERY step against an exact in-memory model. This is the
+systematic interaction check the per-operation tests can't give:
+deletes over renamed columns, compaction folding tombstones while
+history shrinks under vacuum, updates landing post-rename files next to
+pre-rename ones, etc. Values are chosen binary-exact (k * 1.5, +100.0)
+so the comparison is ==, not approx."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from s3_glue_redshift_guide_spark.sources.snapshots import SnapshotTable
+
+
+def _read_model(t: SnapshotTable, col: str) -> dict[int, float]:
+    return {
+        r["k"]: r[col] for r in t.read().select("k", col).collect()
+    }
+
+
+@pytest.mark.parametrize("seed", [7, 23, 42, 99])
+def test_random_interleaving_matches_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    t = SnapshotTable(spark, str(tmp_path / f"model_{seed}"))
+    model: dict[int, float] = {}
+    col = "bal"  # current logical name of the value column
+    next_key = 0
+    renames = 0
+    last_version = 0
+
+    def append():
+        nonlocal next_key
+        n = rng.randrange(20, 60)
+        rows = [(k, k * 1.5) for k in range(next_key, next_key + n)]
+        next_key += n
+        df = spark.createDataFrame(rows, f"k bigint, {col} double")
+        t.commit_append(df.coalesce(1), stats_cols=["k"])
+        model.update(dict(rows))
+
+    def delete():
+        r = rng.randrange(5)
+        t.delete_where(F.col("k") % 5 == r)
+        for k in [k for k in model if k % 5 == r]:
+            del model[k]
+
+    def update():
+        r = rng.randrange(7)
+        t.update_where(
+            F.col("k") % 7 == r, {col: F.col(col) + F.lit(100.0)}
+        )
+        for k in model:
+            if k % 7 == r:
+                model[k] += 100.0
+
+    def rename():
+        nonlocal col, renames
+        renames += 1
+        new = f"bal_{renames}"
+        t.rename_column(col, new)
+        col = new
+
+    def optimize():
+        t.optimize_small_files(10 << 20, 10 << 20)
+
+    def materialize():
+        t.materialize_deletes()
+
+    def vacuum():
+        t.vacuum(retain_versions=3)
+
+    append()  # always start with rows
+    assert _read_model(t, col) == model
+    ops = [append, delete, update, rename, optimize, materialize,
+           vacuum]
+    weights = [3, 2, 2, 1, 1, 1, 1]
+    for step in range(14):
+        op = rng.choices(ops, weights=weights)[0]
+        op()
+        v = t.current_version()
+        assert v >= last_version  # versions never regress
+        last_version = v
+        got = _read_model(t, col)
+        assert got == model, (
+            f"seed={seed} step={step} op={op.__name__}: table/model "
+            f"diverged ({len(got)} vs {len(model)} rows)"
+        )
