@@ -1807,3 +1807,145 @@ def llm_bpe_merges(spark, sf_dir):
         merges,
         "step int, left_sym string, right_sym string, pair_count bigint",
     )
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    """DuckDB replay of TRAIN (top-50 words, as in ``_bpe_oracle``) then
+    APPLY: the K learned merges fold over EVERY corpus word, and the
+    output is the corpus-level compression fact row."""
+    train = _bpe_oracle(k)
+    # reuse the training chain up to its final SELECT; keep the CTEs
+    chain = train[: train.rindex("\nSELECT ")]
+    parts = [chain]
+    parts.append(
+        """e0 AS (
+  SELECT w, freq, chr(1) || array_to_string(
+           list_filter(string_split(w, ''), t -> t <> ''), chr(1)) AS seq
+  FROM (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM toks
+        WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w))"""
+    )
+    for i in range(k):
+        parts.append(
+            f"""e{i + 1} AS (
+  SELECT w, freq, list_reduce(
+          list_prepend('', string_split(seq[2:], chr(1))),
+          (acc, x) -> CASE WHEN x = t.b AND ends_with(acc, chr(1) || t.a)
+                           THEN acc || x ELSE acc || chr(1) || x END) AS seq
+  FROM e{i}, t{i} AS t)"""
+        )
+    parts.append(
+        f"""fin AS (
+  SELECT freq, length(string_split(seq[2:], chr(1))) AS n_sym,
+         length(w) AS n_chr
+  FROM e{k})"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(freq * n_chr) AS BIGINT) AS char_tokens,
+       CAST(sum(freq * n_sym) AS BIGINT) AS bpe_tokens,
+       """
+        + f"{k} AS n_merges FROM fin"
+    )
+
+
+@query("llm_bpe_encode", oracle=_bpe_encode_oracle(_BPE_K))
+def llm_bpe_encode(spark, sf_dir):
+    """BPE ENCODE — the apply half of tokenizer prep: the K merges
+    trained by ``llm_bpe_merges``' loop fold over EVERY corpus word
+    (not just the training sample), producing the corpus-level
+    compression facts (char tokens vs BPE tokens) a tokenizer-budget
+    decision needs. The merge application is the same expression-only
+    fold, mapped over the full vocabulary-scale word table — no UDF, no
+    driver loop beyond the K trained pairs (already-collected 1-row
+    results). At 100 TB: corpus → word-frequency table is one shuffle;
+    each merge application is a map-side expression pass over the vocab;
+    the fact row aggregates once. Oracle replays train+apply in one
+    unrolled CTE chain — bit-exact."""
+    D = "\x01"
+    d = _docs(spark, sf_dir)
+    toks = F.explode(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+        )
+    ).alias("w")
+    allwords = (
+        d.select(toks)
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = allwords.orderBy(F.desc("freq"), "w").limit(50)
+    seq_of = F.concat(
+        F.lit(D),
+        F.array_join(F.filter(F.split("w", ""), lambda t: t != ""), D),
+    )
+    cur = top.select("freq", seq_of.alias("seq")).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for _ in range(_BPE_K):
+        l = F.split(F.expr("substring(seq, 2)"), D)
+        pairs_col = F.zip_with(
+            F.slice(l, 1, F.size(l) - 1),
+            F.slice(l, 2, F.size(l) - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        topp = (
+            cur.select(F.explode(pairs_col).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not topp:
+            break
+        a, b = topp[0]["a"], topp[0]["b"]
+        merges.append((a, b))
+
+        def fold(col, a=a, b=b):
+            return F.aggregate(
+                F.split(F.expr(f"substring({col}, 2)"), D),
+                F.lit(""),
+                lambda acc, x: F.when(
+                    (x == F.lit(b)) & acc.endswith(F.lit(D + a)),
+                    F.concat(acc, x),
+                ).otherwise(F.concat(acc, F.lit(D), x)),
+            )
+
+        cur = cur.withColumn("seq", fold("seq")).localCheckpoint()
+    def merge_fold(a: str, b: str):
+        # closure factory: PySpark introspects higher-order lambdas'
+        # arity, so the pair must bind via closure, not default args
+        def _f(acc, x):
+            return F.when(
+                (x == F.lit(b)) & acc.endswith(F.lit(D + a)),
+                F.concat(acc, x),
+            ).otherwise(F.concat(acc, F.lit(D), x))
+
+        return _f
+
+    enc = allwords.select("w", "freq", seq_of.alias("seq"))
+    for a, b in merges:
+        enc = enc.withColumn(
+            "seq",
+            F.aggregate(
+                F.split(F.expr("substring(seq, 2)"), D),
+                F.lit(""),
+                merge_fold(a, b),
+            ),
+        )
+    return enc.select(
+        "freq",
+        F.size(F.split(F.expr("substring(seq, 2)"), D)).alias("n_sym"),
+        F.length("w").alias("n_chr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.col("freq") * F.col("n_chr"))
+        .cast("long")
+        .alias("char_tokens"),
+        F.sum(F.col("freq") * F.col("n_sym"))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.lit(_BPE_K).cast("int").alias("n_merges"),
+    )

