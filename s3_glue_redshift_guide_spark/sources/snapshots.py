@@ -955,6 +955,45 @@ class SnapshotTable:
             return None, cursor
         return self.read_changes(cursor, head), head
 
+    def restore(self, version: int) -> int:
+        """RESTORE the table to a historical snapshot AS A NEW COMMIT
+        (Delta's RESTORE): the head advances to a manifest carrying
+        version N's exact file list, deletion vectors, and schema map —
+        a pure metadata publish (zero data movement, O(1) regardless of
+        table size), and because it's a commit, the restore itself is
+        auditable and revertible. Requires N inside the retention window
+        (a vacuumed version's files may be gone)."""
+        cur = self.current_version()
+        m = load_manifest(self.root, version)
+        return self._publish(
+            m["files"],
+            cur,
+            m["stats"],
+            dv=m["dv"],
+            schema_map=m["schema"],
+        )
+
+    def clone_shallow(self, target_root: str) -> "SnapshotTable":
+        """SHALLOW CLONE (Delta's CLONE): a NEW table whose first
+        manifest references the source's current data files — zero
+        copy, O(metadata) regardless of table size. The clone's future
+        commits diverge freely (its log is its own); the source is
+        never affected. Caveat shared with Delta: the clone borrows
+        the source's files, so a source VACUUM that collects files the
+        clone still references breaks the clone — production setups
+        either retain accordingly or deep-clone hot tables."""
+        m = load_manifest(self.root, self.current_version())
+        clone = SnapshotTable(self.spark, target_root)
+        if m["files"]:
+            clone._publish(
+                m["files"],
+                0,
+                m["stats"],
+                dv=m["dv"],
+                schema_map=m["schema"],
+            )
+        return clone
+
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Garbage-collect data files unreachable from the newest
         ``retain_versions`` manifests (and drop the older manifests) —

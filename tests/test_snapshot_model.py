@@ -76,11 +76,29 @@ def test_random_interleaving_matches_model(spark, tmp_path, seed):
     def vacuum():
         t.vacuum(retain_versions=3)
 
+    def restore():
+        # only versions inside the vacuum retention window (last 3)
+        cur = t.current_version()
+        lo = max(1, cur - 2)
+        candidates = [v for v in history if lo <= v <= cur]
+        if not candidates:
+            return
+        nonlocal col
+        v = rng.choice(sorted(candidates))
+        t.restore(v)
+        snap_model, snap_col = history[v]
+        model.clear()
+        model.update(snap_model)
+        col = snap_col
+
+    history: dict[int, tuple[dict[int, float], str]] = {}
+
     append()  # always start with rows
     assert _read_model(t, col) == model
+    history[t.current_version()] = (dict(model), col)
     ops = [append, delete, update, rename, optimize, materialize,
-           vacuum]
-    weights = [3, 2, 2, 1, 1, 1, 1]
+           vacuum, restore]
+    weights = [3, 2, 2, 1, 1, 1, 1, 1]
     for step in range(14):
         op = rng.choices(ops, weights=weights)[0]
         op()
@@ -92,3 +110,4 @@ def test_random_interleaving_matches_model(spark, tmp_path, seed):
             f"seed={seed} step={step} op={op.__name__}: table/model "
             f"diverged ({len(got)} vs {len(model)} rows)"
         )
+        history[v] = (dict(model), col)

@@ -589,3 +589,57 @@ def test_update_where_is_one_atomic_mor_commit(spark, tmp_path):
     assert (
         chg.filter(F.col("_change_type") == "insert").count() == n_upd
     )
+
+
+def test_restore_is_a_metadata_commit(spark, tmp_path):
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        load_manifest,
+    )
+
+    o, t = _dv_table(spark, tmp_path, "restore")
+    v3 = t.current_version()
+    t.delete_where(F.col("o_orderkey") % 7 == 0)
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(600, 699)).coalesce(1)
+    )
+    assert t.read().count() == 514 + 100
+    v_restored = t.restore(v3)
+    assert v_restored == t.current_version()
+    # head now shows exactly version 3's content...
+    assert t.read().count() == 600
+    m = load_manifest(t.root, v_restored)
+    assert m["files"] == load_manifest(t.root, v3)["files"]
+    # ...and the restore is itself a commit: the pre-restore head is
+    # still addressable (auditable, revertible)
+    assert t.read(v_restored - 1).count() == 614
+
+
+def test_shallow_clone_is_zero_copy_and_diverges(spark, tmp_path):
+    import os
+
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        load_manifest,
+    )
+
+    o, t = _dv_table(spark, tmp_path, "clsrc")
+    t.delete_where(F.col("o_orderkey") % 7 == 0)
+    clone = t.clone_shallow(str(tmp_path / "cltgt"))
+    # zero copy: the clone's manifest references the SOURCE's files,
+    # and no data lives under the clone's root
+    m = load_manifest(clone.root, 1)
+    assert m["files"] == load_manifest(t.root, t.current_version())["files"]
+    assert not os.path.isdir(os.path.join(clone.root, "data")) or not any(
+        os.scandir(os.path.join(clone.root, "data"))
+    )
+    # content identical, deletion vectors included
+    assert clone.read().count() == t.read().count() == 514
+    # divergence: a commit to the clone never touches the source
+    src_v = t.current_version()
+    clone.commit_append(
+        o.filter(F.col("o_orderkey").between(600, 649)).coalesce(1)
+    )
+    assert clone.read().count() == 564
+    assert t.current_version() == src_v and t.read().count() == 514
+    # and source commits don't leak into the clone
+    t.delete_where(F.col("o_orderkey") % 11 == 0)
+    assert clone.read().count() == 564
