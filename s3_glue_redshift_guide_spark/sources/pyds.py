@@ -43,13 +43,16 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
+    EqualNullSafe,
     EqualTo,
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 
@@ -86,6 +89,18 @@ def _resolve(options) -> dict:
     root = options["root"]
     v = int(options.get("version", latest_version(root)))
     return load_manifest(root, v)
+
+
+def _prefix_upper(p: str) -> str | None:
+    """The smallest string GREATER than every string with prefix ``p``
+    (exclusive upper bound for StringStartsWith pruning): increment the
+    rightmost incrementable code point and truncate. None when every
+    char is U+10FFFF (no finite bound — lower bound still prunes)."""
+    for i in range(len(p) - 1, -1, -1):
+        c = ord(p[i])
+        if c < 0x10FFFF:
+            return p[:i] + chr(c + 1)
+    return None
 
 
 def _alias_map(schema_map) -> dict[str, list[str]]:
@@ -222,10 +237,36 @@ class SnapshotManifestReader(DataSourceReader):
             col = attr[0] if attr and len(attr) == 1 else None
             if isinstance(f, EqualTo):
                 self._narrow(col, f.value, f.value)
+            elif isinstance(f, EqualNullSafe):
+                # <=> NULL matches only nulls — zone maps carry no null
+                # counts, so only the non-null case narrows
+                if f.value is not None:
+                    self._narrow(col, f.value, f.value)
             elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                 self._narrow(col, f.value, None)
             elif isinstance(f, (LessThan, LessThanOrEqual)):
                 self._narrow(col, None, f.value)
+            elif isinstance(f, In):
+                # sound relaxation: IN (v1..vn) ⊆ [min(v), max(v)] — a
+                # file outside the hull can't hold any listed value
+                vals = [_json_scalar_value(v) for v in f.value or ()]
+                if vals and all(
+                    not isinstance(v, (list, dict, tuple, set))
+                    and v is not None
+                    for v in vals
+                ):
+                    try:
+                        self._narrow(col, min(vals), max(vals))
+                    except TypeError:
+                        pass  # mixed-domain list: no narrowing
+            elif isinstance(f, StringStartsWith):
+                p = f.value
+                if isinstance(p, str) and p:
+                    # every match is >= p and < the next prefix string
+                    self._narrow(col, p, None)
+                    up = _prefix_upper(p)
+                    if up is not None:
+                        self._narrow(col, None, up)
         return iter(filters)
 
     def _narrow(self, col: str | None, lo, hi) -> None:

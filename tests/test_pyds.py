@@ -664,3 +664,63 @@ def test_stream_reader_flags_dv_commit_as_change(spark, tmp_path):
         {"root": t.root, "skipchangecommits": "true"}, None, {}
     )
     assert rd2.partitions({"version": 1}, {"version": 2}) == []
+
+
+def test_pushdown_in_nullsafe_and_prefix_filters(spark, tmp_path):
+    """IN narrows to the value hull, <=> to the point, and
+    startswith(p) to [p, next-prefix) — all sound relaxations over the
+    banked zone maps; and every filter is still returned for the
+    engine's row-level residual."""
+    from pyspark.sql.datasource import (
+        EqualNullSafe,
+        In,
+        StringStartsWith,
+    )
+
+    from s3_glue_redshift_guide_spark.sources.pyds import _prefix_upper
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "pf"))
+    for lo, hi in ((0, 199), (200, 399), (400, 599)):
+        t.commit_append(
+            o.filter(F.col("o_orderkey").between(lo, hi)).coalesce(1),
+            stats_cols=["o_orderkey", "o_orderpriority"],
+        )
+    r = SnapshotManifestReader({"root": t.root})
+    leftover = list(r.pushFilters([In(("o_orderkey",), (250, 260, 310))]))
+    assert len(leftover) == 1  # residual kept
+    assert len(r.partitions()) == 1  # hull [250, 310] hits one file
+    r2 = SnapshotManifestReader({"root": t.root})
+    r2.pushFilters([EqualNullSafe(("o_orderkey",), 450)])
+    assert len(r2.partitions()) == 1
+    # <=> NULL cannot narrow (no null counts banked): keep everything
+    r3 = SnapshotManifestReader({"root": t.root})
+    r3.pushFilters([EqualNullSafe(("o_orderkey",), None)])
+    assert len(r3.partitions()) == 3
+    # string prefix: priorities span '1-URGENT'..'5-LOW' in every file,
+    # so prefix '9' prunes all and prefix '1' keeps all
+    r4 = SnapshotManifestReader({"root": t.root})
+    r4.pushFilters([StringStartsWith(("o_orderpriority",), "9")])
+    assert len(r4.partitions()) == 0
+    r5 = SnapshotManifestReader({"root": t.root})
+    r5.pushFilters([StringStartsWith(("o_orderpriority",), "1-")])
+    assert len(r5.partitions()) == 3
+    # end-to-end: values survive the relaxed pruning exactly
+    register_snapshot_source(spark)
+    df = spark.read.format("pysnapshot").option("root", t.root).load()
+    got = df.filter(F.col("o_orderkey").isin(250, 260, 5_000_000)).count()
+    want = o.filter(F.col("o_orderkey").isin(250, 260)).count()
+    assert got == want
+    assert (
+        df.filter(F.col("o_orderpriority").startswith("3")).count()
+        == o.filter(
+            (F.col("o_orderkey") < 600)
+            & F.col("o_orderpriority").startswith("3")
+        ).count()
+    )
+    # _prefix_upper edge cases
+    assert _prefix_upper("abc") == "abd"
+    assert _prefix_upper("a" + chr(0x10FFFF)) == "b"
+    assert _prefix_upper(chr(0x10FFFF)) is None
