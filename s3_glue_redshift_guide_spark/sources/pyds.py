@@ -50,6 +50,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
@@ -57,6 +59,7 @@ from pyspark.sql.datasource import (
 )
 
 from .snapshots import (
+    NULLS_SUFFIX,
     CommitConflict,
     _footer_stats_one,
     _json_scalar_value,
@@ -223,6 +226,7 @@ class SnapshotManifestReader(DataSourceReader):
         self.dv: dict = m.get("dv", {})
         self.aliases = _alias_map(m.get("schema"))
         self.bounds: dict[str, list] = {}
+        self.null_req: dict[str, set] = {}  # col -> {"null","notnull"}
 
     # ------------------------------------------------- filter pushdown
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -267,6 +271,12 @@ class SnapshotManifestReader(DataSourceReader):
                     up = _prefix_upper(p)
                     if up is not None:
                         self._narrow(col, None, up)
+            elif isinstance(f, IsNull):
+                if col:
+                    self.null_req.setdefault(col, set()).add("null")
+            elif isinstance(f, IsNotNull):
+                if col:
+                    self.null_req.setdefault(col, set()).add("notnull")
         return iter(filters)
 
     def _narrow(self, col: str | None, lo, hi) -> None:
@@ -308,10 +318,37 @@ class SnapshotManifestReader(DataSourceReader):
         for c, (lo, hi) in self.bounds.items():
             for n in (c, *self.aliases.get(c, [])):
                 bounds[n] = (lo, hi)
+        keep = zone_prune(self.files, self.stats, bounds)
+        if self.null_req:
+            keep = [f for f in keep if self._null_admits(f)]
         return [
             SnapshotFilePartition(p, tuple(self.dv.get(p, [])))
-            for p in zone_prune(self.files, self.stats, bounds)
+            for p in keep
         ]
+
+    def _null_admits(self, f: str) -> bool:
+        """Null-count data skipping (the banked ``col#nulls`` =
+        [null_count, num_rows] stats): an IS NULL predicate can't match
+        in a file with zero nulls; IS NOT NULL can't match in an
+        all-null file. Absent accounting = conservative keep. A file
+        the query deletes rows from (deletion vectors) still admits —
+        masking can only REMOVE rows, and a kept file is never wrong,
+        only potentially wasted."""
+        st = self.stats.get(f, {})
+        for col, reqs in self.null_req.items():
+            entry = None
+            for n in (col, *self.aliases.get(col, [])):
+                entry = st.get(n + NULLS_SUFFIX)
+                if entry is not None:
+                    break
+            if entry is None:
+                continue
+            nulls, rows = entry
+            if "null" in reqs and nulls == 0:
+                return False
+            if "notnull" in reqs and rows > 0 and nulls == rows:
+                return False
+        return True
 
     # ------------------------------------------------------------ read
     def read(self, partition: SnapshotFilePartition):

@@ -61,9 +61,17 @@ def _json_scalar_value(v):
     return v
 
 
+#: stat-key suffix for per-file null accounting: ``c#nulls`` banks
+#: ``[null_count, num_rows]`` next to ``c``'s ``[min, max]`` — IS NULL
+#: prunes files with zero nulls, IS NOT NULL prunes all-null files
+NULLS_SUFFIX = "#nulls"
+
+
 def _footer_stats_one(path: str, cols: list[str]) -> dict[str, list]:
-    """Footer min/max for one file (module-level so the distributed
-    stats path can ship it to executors)."""
+    """Footer stats for one file (module-level so the distributed stats
+    path can ship it to executors): ``[min, max]`` under the column name
+    plus ``[null_count, num_rows]`` under ``name#nulls`` (requesting
+    either form banks both — the backfill path asks by banked key)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -74,21 +82,31 @@ def _footer_stats_one(path: str, cols: list[str]) -> dict[str, list]:
     # are top-level names, so they only ever match path == name.
     idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
     st: dict[str, list] = {}
-    for c in cols:
-        if c not in idx:
+    for req in {c.removesuffix(NULLS_SUFFIX) for c in cols}:
+        if req not in idx:
             continue
         mins: list = []
         maxs: list = []
-        ok = True
+        nulls = 0
+        ok = nulls_ok = md.num_row_groups > 0
         for rg in range(md.num_row_groups):
-            s = md.row_group(rg).column(idx[c]).statistics
-            if s is None or not s.has_min_max:
-                ok = False
+            s = md.row_group(rg).column(idx[req]).statistics
+            if s is None:
+                ok = nulls_ok = False
                 break
-            mins.append(_json_scalar_value(s.min))
-            maxs.append(_json_scalar_value(s.max))
+            if s.has_min_max:
+                mins.append(_json_scalar_value(s.min))
+                maxs.append(_json_scalar_value(s.max))
+            else:
+                ok = False
+            if s.null_count is None:
+                nulls_ok = False
+            else:
+                nulls += s.null_count
         if ok and mins:
-            st[c] = [min(mins), max(maxs)]
+            st[req] = [min(mins), max(maxs)]
+        if nulls_ok:
+            st[req + NULLS_SUFFIX] = [nulls, md.num_rows]
     return st
 
 

@@ -724,3 +724,45 @@ def test_pushdown_in_nullsafe_and_prefix_filters(spark, tmp_path):
     assert _prefix_upper("abc") == "abd"
     assert _prefix_upper("a" + chr(0x10FFFF)) == "b"
     assert _prefix_upper(chr(0x10FFFF)) is None
+
+
+def test_null_count_data_skipping(spark, tmp_path):
+    """Banked null accounting (col#nulls = [null_count, num_rows]): an
+    IS NULL filter skips files with zero nulls, IS NOT NULL skips
+    all-null files, and rows survive end-to-end exactly."""
+    from pyspark.sql.datasource import IsNotNull, IsNull
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "nulls"))
+    # file 1: no nulls; file 2: mixed; file 3: all-null prices
+    t.commit_append(
+        o.filter(F.col("o_orderkey") < 200).coalesce(1),
+        stats_cols=["o_totalprice"],
+    )
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(200, 399))
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 2 == 0, F.col("o_totalprice")),
+        )
+        .coalesce(1),
+        stats_cols=["o_totalprice"],
+    )
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(400, 599))
+        .withColumn("o_totalprice", F.lit(None).cast("double"))
+        .coalesce(1),
+        stats_cols=["o_totalprice"],
+    )
+    r = SnapshotManifestReader({"root": t.root})
+    r.pushFilters([IsNull(("o_totalprice",))])
+    assert len(r.partitions()) == 2  # the no-null file is skipped
+    r2 = SnapshotManifestReader({"root": t.root})
+    r2.pushFilters([IsNotNull(("o_totalprice",))])
+    assert len(r2.partitions()) == 2  # the all-null file is skipped
+    register_snapshot_source(spark)
+    df = spark.read.format("pysnapshot").option("root", t.root).load()
+    assert df.filter(F.col("o_totalprice").isNull()).count() == 100 + 200
+    assert df.filter(F.col("o_totalprice").isNotNull()).count() == 200 + 100
