@@ -150,6 +150,8 @@ def _read_file(
     types: dict,
     aliases: dict | None = None,
     dv_dirs: tuple[str, ...] = (),
+    only_positions: set | None = None,
+    extra_consts: dict | None = None,
 ):
     """Arrow-batch read of one data file, aligned to the declared read
     schema: columns map BY NAME (a caller-supplied schema with reordered
@@ -159,15 +161,24 @@ def _read_file(
     mergeSchema. ``aliases`` maps each current name to its historical
     physical names (field-id renames), so a pre-rename file reads back
     under the new name; ``dv_dirs`` masks tombstoned row positions
-    (deletion vectors) by running offset. Shared by the batch and
-    streaming readers."""
+    (deletion vectors) by running offset; ``only_positions`` inverts the
+    selection to emit EXACTLY those row positions (the change-feed
+    delete leg); ``extra_consts`` appends constant metadata columns
+    ({name: (value, pyarrow_type)} — the CDF ``_change_type`` /
+    ``_commit_version``). Shared by the batch and streaming readers."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(path)
     have = set(pf.schema_arrow.names)
-    want = columns or pf.schema_arrow.names
+    extra_consts = extra_consts or {}
+    want = [
+        c
+        for c in (columns or list(pf.schema_arrow.names))
+        if c not in extra_consts
+    ]
+    out_names = want + list(extra_consts)
     aliases = aliases or {}
 
     def physical(c: str) -> str | None:
@@ -191,7 +202,16 @@ def _read_file(
 
     for batch in pf.iter_batches(columns=present):
         n = batch.num_rows
-        if deleted:
+        if only_positions is not None:
+            keep = np.array(
+                [offset + i in only_positions for i in range(n)],
+                dtype=bool,
+            )
+            offset += n
+            batch = batch.filter(pa.array(keep))
+            if batch.num_rows == 0:
+                continue
+        elif deleted:
             keep = np.array(
                 [offset + i not in deleted for i in range(n)], dtype=bool
             )
@@ -203,15 +223,15 @@ def _read_file(
         by_name = {
             nm: batch.column(i) for i, nm in enumerate(batch.schema.names)
         }
-        yield pa.RecordBatch.from_arrays(
-            [
-                align(by_name[phys_of[c]], c)
-                if phys_of[c] is not None
-                else pa.nulls(batch.num_rows, type=types.get(c))
-                for c in want
-            ],
-            names=list(want),
-        )
+        arrays = [
+            align(by_name[phys_of[c]], c)
+            if phys_of[c] is not None
+            else pa.nulls(batch.num_rows, type=types.get(c))
+            for c in want
+        ]
+        for name, (v, t) in extra_consts.items():
+            arrays.append(pa.array([v] * batch.num_rows, type=t))
+        yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
 
 class SnapshotManifestReader(DataSourceReader):
@@ -458,6 +478,148 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # the engine's checkpoint is the cursor; nothing to clean
+
+
+class SnapshotCdfPartition(InputPartition):
+    def __init__(
+        self,
+        path: str,
+        kind: str,  # "insert" | "delete"
+        version: int,
+        dv_new: tuple[str, ...] = (),
+        dv_old: tuple[str, ...] = (),
+    ) -> None:
+        self.path = path
+        self.kind = kind
+        self.version = version
+        self.dv_new = dv_new
+        self.dv_old = dv_old
+
+
+class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
+    """The snapshot log as a STREAMING CHANGE DATA FEED (Delta's
+    ``readChangeFeed`` stream): offsets are version numbers; each
+    micro-batch emits ROW-LEVEL changes with ``_change_type`` and
+    ``_commit_version`` columns — inserts from APPEND commits (the added
+    files' rows) and deletes from DELETION-VECTOR commits (exactly the
+    newly tombstoned positions, read straight from the sidecar diff —
+    no exceptAll needed, so every partition stays an independent
+    per-file executor read). A merge-on-read UPDATE surfaces as its
+    delete/insert pair across the same version, the Delta CDF shape.
+
+    Commits that REMOVE files (rewrites, OPTIMIZE, materialize, restore)
+    cannot be diffed per-partition; they fail the stream by default and
+    ``.option("skipChangeCommits", "true")`` skips them — rewrites carry
+    rows forward, so skipping a pure-layout commit loses nothing."""
+
+    def __init__(self, options, columns, types) -> None:
+        self.root = options["root"]
+        self.skip_change = (
+            str(options.get("skipchangecommits", "false")).lower()
+            == "true"
+        )
+        self.columns = columns
+        self.types = types
+        try:
+            self._aliases = _alias_map(
+                load_manifest(
+                    self.root, latest_version(self.root)
+                ).get("schema")
+            )
+        except Exception:
+            self._aliases = {}
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        return {"version": latest_version(self.root)}
+
+    def partitions(self, start: dict, end: dict):
+        a, b = start["version"], end["version"]
+        if a == 0:
+            prev, prev_dv = set(), {}
+        else:
+            ma = load_manifest(self.root, a)
+            prev, prev_dv = set(ma["files"]), ma["dv"]
+        out: list[SnapshotCdfPartition] = []
+        for v in range(a + 1, b + 1):
+            m = load_manifest(self.root, v)
+            cur, cur_dv = set(m["files"]), m["dv"]
+            removed = prev - cur
+            if removed:
+                if not self.skip_change:
+                    raise ValueError(
+                        f"pysnapshot CDF stream: version {v} removes "
+                        "files (rewrite/OPTIMIZE/restore) — its row "
+                        "diff is not per-file computable. Set "
+                        '.option("skipChangeCommits", "true") to skip '
+                        "layout commits, or use the batch "
+                        "read_changes API."
+                    )
+            else:
+                for p in sorted(cur - prev):
+                    out.append(
+                        SnapshotCdfPartition(
+                            p, "insert", v,
+                            dv_new=tuple(cur_dv.get(p, [])),
+                        )
+                    )
+                for p in sorted(cur & prev):
+                    new_dirs = [
+                        d
+                        for d in cur_dv.get(p, [])
+                        if d not in set(prev_dv.get(p, []))
+                    ]
+                    if new_dirs:
+                        out.append(
+                            SnapshotCdfPartition(
+                                p, "delete", v,
+                                dv_new=tuple(new_dirs),
+                                dv_old=tuple(prev_dv.get(p, [])),
+                            )
+                        )
+            prev, prev_dv = cur, cur_dv
+        return out
+
+    def read(self, partition: SnapshotCdfPartition):
+        import pyarrow as pa
+
+        if partition is None or not getattr(partition, "path", None):
+            return
+        consts = {
+            "_change_type": (partition.kind, pa.string()),
+            "_commit_version": (partition.version, pa.int64()),
+        }
+        if partition.kind == "insert":
+            # rows visible at the add commit (minus any dv it carried)
+            yield from _read_file(
+                partition.path,
+                self.columns,
+                self.types,
+                self._aliases,
+                dv_dirs=partition.dv_new,
+                extra_consts=consts,
+            )
+            return
+        # delete leg: EXACTLY the newly tombstoned positions — the
+        # sidecar diff, never a table diff
+        new_pos = _dv_positions(partition.path, partition.dv_new)
+        if partition.dv_old:
+            new_pos -= _dv_positions(partition.path, partition.dv_old)
+        if not new_pos:
+            return
+        yield from _read_file(
+            partition.path,
+            self.columns,
+            self.types,
+            self._aliases,
+            only_positions=new_pos,
+            extra_consts=consts,
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # the engine's checkpoint is the cursor
 
 
 @dataclass
@@ -714,14 +876,33 @@ class SnapshotDataSource(DataSource):
                         )
                         break
             unified = pa.schema(fields)
+        if (
+            str(self.options.get("readchangefeed", "false")).lower()
+            == "true"
+        ):
+            # CDF metadata columns ride LAST (the readers append them)
+            unified = pa.schema(
+                list(unified)
+                + [
+                    pa.field("_change_type", pa.string()),
+                    pa.field("_commit_version", pa.int64()),
+                ]
+            )
         return from_arrow_schema(unified)
 
     def reader(self, schema) -> SnapshotManifestReader:
         names, types = _schema_maps(schema)
         return SnapshotManifestReader(self.options, names, types)
 
-    def streamReader(self, schema) -> SnapshotStreamReader:
+    def streamReader(self, schema) -> DataSourceStreamReader:
         names, types = _schema_maps(schema)
+        if (
+            str(self.options.get("readchangefeed", "false")).lower()
+            == "true"
+        ):
+            return SnapshotChangeFeedStreamReader(
+                self.options, names, types
+            )
         return SnapshotStreamReader(self.options, names, types)
 
     def writer(self, schema, overwrite: bool) -> SnapshotDataWriter:

@@ -766,3 +766,83 @@ def test_null_count_data_skipping(spark, tmp_path):
     df = spark.read.format("pysnapshot").option("root", t.root).load()
     assert df.filter(F.col("o_totalprice").isNull()).count() == 100 + 200
     assert df.filter(F.col("o_totalprice").isNotNull()).count() == 200 + 100
+
+
+def test_change_feed_stream_emits_row_level_changes(spark, tmp_path):
+    """readChangeFeed streaming: inserts from append commits, deletes
+    from deletion-vector commits (sidecar-diff positions — per-file
+    executor reads, no table diff), an UPDATE as its delete/insert
+    pair, exactly once across availableNow runs."""
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "cdfstream"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 100).coalesce(1))
+    register_snapshot_source(spark)
+
+    out: list[tuple] = []
+
+    def sink(df, _epoch):
+        out.extend(
+            (r["o_orderkey"], r["_change_type"], r["_commit_version"])
+            for r in df.collect()
+        )
+
+    def run():
+        q = (
+            spark.readStream.format("pysnapshot")
+            .option("root", t.root)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "cdfck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert len(out) == 100
+    assert {c for _, c, _v in out} == {"insert"}
+    assert {v for *_, v in out} == {1}
+    # a DV delete arrives as delete rows for exactly the matched keys
+    t.delete_where(F.col("o_orderkey") % 10 == 0)
+    run()
+    deletes = [(k, v) for k, c, v in out if c == "delete"]
+    assert sorted(k for k, _ in deletes) == list(range(0, 100, 10))
+    assert {v for _, v in deletes} == {2}
+    # an UPDATE surfaces as its delete/insert pair in one version
+    n_before = len(out)
+    t.update_where(
+        F.col("o_orderkey") == 7,
+        {"o_totalprice": F.col("o_totalprice") + F.lit(1.0)},
+    )
+    run()
+    new = out[n_before:]
+    assert sorted(c for _, c, _v in new) == ["delete", "insert"]
+    assert {k for k, *_ in new} == {7}
+    assert {v for *_, v in new} == {3}
+    # caught up: nothing re-emitted
+    n = len(out)
+    run()
+    assert len(out) == n
+    # a rewrite commit fails the CDF stream unless explicitly skipped
+    t.materialize_deletes()
+    import pytest
+
+    with pytest.raises(Exception, match="removes files"):
+        run()
+    out.clear()
+    q = (
+        spark.readStream.format("pysnapshot")
+        .option("root", t.root)
+        .option("readChangeFeed", "true")
+        .option("skipChangeCommits", "true")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cdfck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert out == []  # layout commit skipped, nothing re-delivered
