@@ -84,6 +84,14 @@ OPERATOR_OVERRIDES = {
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    try:  # machine-load context: co-tenant CPU shifts sub-second
+        # queries ±10-15% (BENCH_NOTES.md variance study) — record the
+        # 1-minute loadavg AT RUN START so cross-round deltas can be
+        # read against it
+        with open("/proc/loadavg") as f:
+            load_1m = float(f.read().split()[0])
+    except OSError:
+        load_1m = None
     spark = get_spark("bench")
 
     names = [n for n in HEADLINE if n in REGISTRY]
@@ -118,6 +126,7 @@ def main() -> None:
         "queries": timings,
         "runs_per_query": RUNS,
         "sf": float(sf),
+        "load_avg_1m_at_start": load_1m,
         # sub-second queries vary ±10-15% with co-tenant machine load even
         # under min-of-N; see BENCH_NOTES.md (7-run idle-machine study)
         "notes": "variance study in BENCH_NOTES.md",
