@@ -846,3 +846,43 @@ def test_change_feed_stream_emits_row_level_changes(spark, tmp_path):
     )
     q.awaitTermination()
     assert out == []  # layout commit skipped, nothing re-delivered
+
+
+def test_change_feed_stream_maps_renamed_columns(spark, tmp_path):
+    """CDF streaming over a renamed table: pre-rename files' change rows
+    must surface under the CURRENT logical name."""
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "cdfren"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 50).coalesce(1))
+    t.rename_column("o_totalprice", "price")
+    t.delete_where(F.col("o_orderkey") % 7 == 0)
+    register_snapshot_source(spark)
+    rows: list[tuple] = []
+    q = (
+        spark.readStream.format("pysnapshot")
+        .option("root", t.root)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _e: rows.extend(
+                (r["o_orderkey"], r["price"], r["_change_type"])
+                for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # 50 inserts (v1, pre-rename physical files) + 8 deletes (v3 dv)
+    assert sum(1 for r in rows if r[2] == "insert") == 50
+    dels = sorted(k for k, _p, c in rows if c == "delete")
+    assert dels == list(range(0, 50, 7))
+    # values mapped under the current name, never NULL-holed
+    exp = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in o.filter(F.col("o_orderkey") < 50).collect()
+    }
+    assert all(p == exp[k] for k, p, c in rows)
