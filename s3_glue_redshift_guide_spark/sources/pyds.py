@@ -144,6 +144,38 @@ def _dv_positions(path: str, dv_dirs: tuple[str, ...]):
     return pos
 
 
+def _row_group_selection(md, bounds: dict, phys_of: dict) -> list[int]:
+    """Row groups whose footer min/max could intersect every pushed
+    bound — the SECOND skipping tier below manifest zone maps (a 1 GB
+    file holds ~100 row groups; a selective predicate reads a handful).
+    Same conservative semantics as ``zone_prune``: absent stats or
+    incomparable domains keep the group."""
+    idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+    keep = []
+    for rg in range(md.num_row_groups):
+        skip = False
+        for col, (lo, hi) in bounds.items():
+            phys = phys_of.get(col)
+            if phys is None or phys not in idx:
+                continue
+            s = md.row_group(rg).column(idx[phys]).statistics
+            if s is None or not s.has_min_max:
+                continue
+            mn = _json_scalar_value(s.min)
+            mx = _json_scalar_value(s.max)
+            try:
+                if (hi is not None and mn > hi) or (
+                    lo is not None and mx < lo
+                ):
+                    skip = True
+                    break
+            except TypeError:
+                continue
+        if not skip:
+            keep.append(rg)
+    return keep
+
+
 def _read_file(
     path: str,
     columns: list[str] | None,
@@ -152,6 +184,7 @@ def _read_file(
     dv_dirs: tuple[str, ...] = (),
     only_positions: set | None = None,
     extra_consts: dict | None = None,
+    bounds: dict | None = None,
 ):
     """Arrow-batch read of one data file, aligned to the declared read
     schema: columns map BY NAME (a caller-supplied schema with reordered
@@ -190,7 +223,6 @@ def _read_file(
     phys_of = {c: physical(c) for c in want}
     present = sorted({p for p in phys_of.values() if p is not None})
     deleted = _dv_positions(path, dv_dirs) if dv_dirs else None
-    offset = 0
 
     def align(col, name):
         """Cast a file's physical column to the DECLARED read type: a
@@ -200,38 +232,56 @@ def _read_file(
         t = types.get(name)
         return col.cast(t) if t is not None and col.type != t else col
 
-    for batch in pf.iter_batches(columns=present):
-        n = batch.num_rows
-        if only_positions is not None:
-            keep = np.array(
-                [offset + i in only_positions for i in range(n)],
-                dtype=bool,
-            )
-            offset += n
-            batch = batch.filter(pa.array(keep))
-            if batch.num_rows == 0:
-                continue
-        elif deleted:
-            keep = np.array(
-                [offset + i not in deleted for i in range(n)], dtype=bool
-            )
-            offset += n
-            if not keep.all():
+    md = pf.metadata
+    # row positions are FILE-absolute (deletion vectors / CDF legs key
+    # on them), so reads iterate per ROW GROUP with each group's true
+    # starting offset — pruned groups never desync the position math
+    group_start = [0]
+    for rg in range(md.num_row_groups):
+        group_start.append(group_start[-1] + md.row_group(rg).num_rows)
+    selected = (
+        _row_group_selection(md, bounds, phys_of)
+        if bounds
+        else range(md.num_row_groups)
+    )
+    for rg in selected:
+        offset = group_start[rg]
+        for batch in pf.iter_batches(row_groups=[rg], columns=present):
+            n = batch.num_rows
+            if only_positions is not None:
+                keep = np.array(
+                    [offset + i in only_positions for i in range(n)],
+                    dtype=bool,
+                )
+                offset += n
                 batch = batch.filter(pa.array(keep))
                 if batch.num_rows == 0:
                     continue
-        by_name = {
-            nm: batch.column(i) for i, nm in enumerate(batch.schema.names)
-        }
-        arrays = [
-            align(by_name[phys_of[c]], c)
-            if phys_of[c] is not None
-            else pa.nulls(batch.num_rows, type=types.get(c))
-            for c in want
-        ]
-        for name, (v, t) in extra_consts.items():
-            arrays.append(pa.array([v] * batch.num_rows, type=t))
-        yield pa.RecordBatch.from_arrays(arrays, names=out_names)
+            elif deleted:
+                keep = np.array(
+                    [offset + i not in deleted for i in range(n)],
+                    dtype=bool,
+                )
+                offset += n
+                if not keep.all():
+                    batch = batch.filter(pa.array(keep))
+                    if batch.num_rows == 0:
+                        continue
+            else:
+                offset += n
+            by_name = {
+                nm: batch.column(i)
+                for i, nm in enumerate(batch.schema.names)
+            }
+            arrays = [
+                align(by_name[phys_of[c]], c)
+                if phys_of[c] is not None
+                else pa.nulls(batch.num_rows, type=types.get(c))
+                for c in want
+            ]
+            for name, (v, t) in extra_consts.items():
+                arrays.append(pa.array([v] * batch.num_rows, type=t))
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
 
 class SnapshotManifestReader(DataSourceReader):
@@ -383,6 +433,9 @@ class SnapshotManifestReader(DataSourceReader):
             self.types,
             self.aliases,
             getattr(partition, "dv", ()),
+            bounds={
+                c: (lo, hi) for c, (lo, hi) in self.bounds.items()
+            },
         )
 
 

@@ -886,3 +886,74 @@ def test_change_feed_stream_maps_renamed_columns(spark, tmp_path):
         for r in o.filter(F.col("o_orderkey") < 50).collect()
     }
     assert all(p == exp[k] for k, p, c in rows)
+
+
+def test_row_group_pruning_and_dv_offsets(spark, tmp_path):
+    """The second skipping tier: pushed bounds prune ROW GROUPS inside a
+    file (zone maps prune files), and deletion-vector positions stay
+    FILE-absolute — skipping earlier groups must not shift the masks of
+    later ones."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s3_glue_redshift_guide_spark.sources.pyds import (
+        _read_file,
+        _row_group_selection,
+    )
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        publish_version,
+        _footer_stats_one,
+    )
+
+    root = str(tmp_path / "rg")
+    ddir = tmp_path / "rg" / "data" / "d0"
+    ddir.mkdir(parents=True)
+    (tmp_path / "rg" / "_manifests").mkdir()
+    p = str(ddir / "wide.parquet")
+    # 1000 rows of k=0..999 in 10 row groups of 100
+    pq.write_table(
+        pa.table({"k": pa.array(range(1000), pa.int64())}),
+        p,
+        row_group_size=100,
+    )
+    md = pq.ParquetFile(p).metadata
+    assert md.num_row_groups == 10
+    # selection: k in [250, 260] touches exactly one group
+    sel = _row_group_selection(md, {"k": (250, 260)}, {"k": "k"})
+    assert sel == [2]
+    # unbounded side + absent column stay conservative
+    assert _row_group_selection(md, {"z": (0, 1)}, {"z": None}) == list(
+        range(10)
+    )
+    # end-to-end through the reader with a dv masking rows 255 and 700:
+    # group pruning must not shift the absolute positions
+    dvdir = tmp_path / "rg" / "deletes" / "x"
+    dvdir.mkdir(parents=True)
+    pq.write_table(
+        pa.table(
+            {
+                "__dv_file": pa.array([p, p]),
+                "__dv_pos": pa.array([255, 700], pa.int64()),
+            }
+        ),
+        str(dvdir / "dv.parquet"),
+    )
+    publish_version(
+        root, [p], 0, {p: _footer_stats_one(p, ["k"])},
+        extra={"dv": {p: [str(dvdir)]}},
+    )
+    got = [
+        v
+        for b in _read_file(
+            p, ["k"], {}, dv_dirs=(str(dvdir),),
+            bounds={"k": (250, 260)},
+        )
+        for v in b.column(0).to_pylist()
+    ]
+    # only group 2 (rows 200-299) was read, minus absolute position 255
+    assert got == [k for k in range(200, 300) if k != 255]
+    register_snapshot_source(spark)
+    df = spark.read.format("pysnapshot").option("root", root).load()
+    assert df.count() == 998  # both tombstones masked
+    assert df.filter(F.col("k").between(250, 260)).count() == 10  # 255 gone
+    assert df.filter(F.col("k").between(690, 710)).count() == 20  # 700 gone
