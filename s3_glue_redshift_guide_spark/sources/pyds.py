@@ -675,6 +675,33 @@ class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
         pass  # the engine's checkpoint is the cursor
 
 
+class SnapshotChangeFeedBatchReader(DataSourceReader):
+    """Batch CDF through the connector (Delta's
+    ``read.option("readChangeFeed", true)``): row-level changes between
+    ``startingVersion`` (exclusive base, default 0 = from the beginning)
+    and ``endingVersion`` (default head), same per-file insert/delete
+    partitions as the streaming reader — one bounded slice of history
+    instead of a cursor."""
+
+    def __init__(self, options, columns, types) -> None:
+        root = options["root"]
+        self._inner = SnapshotChangeFeedStreamReader(
+            options, columns, types
+        )
+        self.start = int(options.get("startingversion", 0))
+        self.end = int(
+            options.get("endingversion", latest_version(root))
+        )
+
+    def partitions(self) -> list[InputPartition]:
+        return self._inner.partitions(
+            {"version": self.start}, {"version": self.end}
+        )
+
+    def read(self, partition):
+        yield from self._inner.read(partition)
+
+
 @dataclass
 class SnapshotCommitMessage(WriterCommitMessage):
     path: str = ""
@@ -943,8 +970,15 @@ class SnapshotDataSource(DataSource):
             )
         return from_arrow_schema(unified)
 
-    def reader(self, schema) -> SnapshotManifestReader:
+    def reader(self, schema) -> DataSourceReader:
         names, types = _schema_maps(schema)
+        if (
+            str(self.options.get("readchangefeed", "false")).lower()
+            == "true"
+        ):
+            return SnapshotChangeFeedBatchReader(
+                self.options, names, types
+            )
         return SnapshotManifestReader(self.options, names, types)
 
     def streamReader(self, schema) -> DataSourceStreamReader:

@@ -957,3 +957,51 @@ def test_row_group_pruning_and_dv_offsets(spark, tmp_path):
     assert df.count() == 998  # both tombstones masked
     assert df.filter(F.col("k").between(250, 260)).count() == 10  # 255 gone
     assert df.filter(F.col("k").between(690, 710)).count() == 20  # 700 gone
+
+
+def test_change_feed_batch_read_version_range(spark, tmp_path):
+    """Batch CDF: option(readChangeFeed) + startingVersion/endingVersion
+    reads one bounded slice of history as _change_type rows."""
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "cdfbatch"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 100).coalesce(1))  # v1
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(100, 149)).coalesce(1)
+    )  # v2
+    t.delete_where(F.col("o_orderkey") % 25 == 0)  # v3: 6 tombstones
+    register_snapshot_source(spark)
+    full = (
+        spark.read.format("pysnapshot")
+        .option("root", t.root)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    assert full.count() == 150 + 6
+    assert (
+        full.filter(F.col("_change_type") == "delete").count() == 6
+    )
+    # bounded slice: only v2..v3
+    part = (
+        spark.read.format("pysnapshot")
+        .option("root", t.root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+    )
+    assert part.filter(F.col("_change_type") == "insert").count() == 50
+    assert part.filter(F.col("_change_type") == "delete").count() == 6
+    assert set(
+        r["_commit_version"]
+        for r in part.select("_commit_version").distinct().collect()
+    ) == {2, 3}
+    only_v2 = (
+        spark.read.format("pysnapshot")
+        .option("root", t.root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("endingVersion", "2")
+        .load()
+    )
+    assert only_v2.count() == 50
