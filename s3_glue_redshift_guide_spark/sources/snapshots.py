@@ -247,7 +247,11 @@ class SnapshotTable:
     def _write_files(self, df: DataFrame) -> list[str]:
         """Write ``df`` as immutable parquet files under a fresh commit
         dir; returns the file paths. Distributed write — rows never cross
-        the driver; only the resulting path list (metadata) does."""
+        the driver; only the resulting path list (metadata) does. EVERY
+        data write passes through here, so registered CHECK constraints
+        are enforced at this choke point (one aggregated pass over the
+        incoming batch — Delta's writer-side contract)."""
+        self._enforce_constraints(df)
         d = os.path.join(self.root, "data", uuid.uuid4().hex)
         df.write.mode("errorifexists").parquet(d)
         return sorted(
@@ -323,6 +327,8 @@ class SnapshotTable:
             extra["dv"] = dv
         if schema_map is not None:
             extra["schema"] = schema_map
+        if base.get("constraints"):
+            extra["constraints"] = base["constraints"]
         return publish_version(
             self.root,
             files,
@@ -972,6 +978,92 @@ class SnapshotTable:
         if head == cursor:
             return None, cursor
         return self.read_changes(cursor, head), head
+
+    # ------------------------------------------ CHECK constraints ----
+    def add_constraint(self, name: str, expr_sql: str) -> int:
+        """Register a CHECK constraint (Delta's ``ADD CONSTRAINT``): a
+        SQL boolean expression stored in the manifest and enforced
+        against EVERY subsequent append/update — a writer-side contract,
+        so a 100 TB table never needs a repair scan. Adding a constraint
+        validates the CURRENT snapshot first (one aggregated scan: the
+        count of violating rows crosses the driver, never the rows)."""
+        cur = self.current_version()
+        m = load_manifest(self.root, cur)
+        cons = dict(m.get("constraints", {}))
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        if m["files"]:
+            bad = (
+                self.read()
+                .filter(~F.expr(expr_sql).eqNullSafe(F.lit(True)))
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"constraint {name!r} ({expr_sql}) is violated by "
+                    f"{bad} existing row(s)"
+                )
+        cons[name] = expr_sql
+        return publish_version(
+            self.root,
+            m["files"],
+            cur,
+            m["stats"],
+            extra=self._carry_extra(m, constraints=cons),
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        cur = self.current_version()
+        m = load_manifest(self.root, cur)
+        cons = dict(m.get("constraints", {}))
+        cons.pop(name, None)
+        return publish_version(
+            self.root,
+            m["files"],
+            cur,
+            m["stats"],
+            extra=self._carry_extra(m, constraints=cons),
+        )
+
+    @staticmethod
+    def _carry_extra(m: dict, **overrides) -> dict:
+        extra = {}
+        for k in ("txn", "dv", "schema", "constraints"):
+            v = overrides.get(k, m.get(k))
+            if v:
+                extra[k] = v
+        return extra
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """Reject a write whose rows violate any registered CHECK
+        constraint — evaluated as ONE aggregated pass over the incoming
+        batch (per-constraint violation counts, no rows to the driver).
+        NULL results count as violations, the conservative reading."""
+        cur = self.current_version()
+        if cur == 0:
+            return
+        cons = load_manifest(self.root, cur).get("constraints", {})
+        if not cons:
+            return
+        counts = df.agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.expr(sql).eqNullSafe(F.lit(True)), 0
+                    ).otherwise(1)
+                ).alias(name)
+                for name, sql in cons.items()
+            ]
+        ).collect()[0]
+        bad = {n: counts[n] for n in cons if counts[n]}
+        if bad:
+            raise ValueError(
+                "CHECK constraint violation(s), write rejected: "
+                + ", ".join(
+                    f"{n} ({cons[n]}): {c} row(s)"
+                    for n, c in bad.items()
+                )
+            )
 
     def restore(self, version: int) -> int:
         """RESTORE the table to a historical snapshot AS A NEW COMMIT

@@ -643,3 +643,45 @@ def test_shallow_clone_is_zero_copy_and_diverges(spark, tmp_path):
     # and source commits don't leak into the clone
     t.delete_where(F.col("o_orderkey") % 11 == 0)
     assert clone.read().count() == 564
+
+
+def test_check_constraints_enforced_on_every_write(spark, tmp_path):
+    import pytest
+
+    o, t = _dv_table(spark, tmp_path, "chk")
+    # adding a constraint the current data violates is rejected
+    with pytest.raises(ValueError, match="violated by"):
+        t.add_constraint("pricey", "o_totalprice > 100000")
+    t.add_constraint("key_range", "o_orderkey >= 0 AND o_orderkey < 10000")
+    t.add_constraint("price_pos", "o_totalprice > 0")
+    # a clean append passes; a violating one is rejected with counts
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(600, 649)).coalesce(1)
+    )
+    with pytest.raises(ValueError, match="key_range.*50 row"):
+        t.commit_append(
+            o.filter(F.col("o_orderkey").between(650, 699))
+            .withColumn("o_orderkey", F.col("o_orderkey") + 100_000)
+            .coalesce(1)
+        )
+    # NULL evaluations are conservative violations
+    with pytest.raises(ValueError, match="price_pos"):
+        t.commit_append(
+            o.filter(F.col("o_orderkey").between(650, 651))
+            .withColumn("o_totalprice", F.lit(None).cast("double"))
+            .coalesce(1)
+        )
+    # constraints survive unrelated commits and update paths
+    t.delete_where(F.col("o_orderkey") % 97 == 0)
+    with pytest.raises(ValueError, match="price_pos"):
+        t.update_where(
+            F.col("o_orderkey") == 3,
+            {"o_totalprice": F.lit(-1.0)},
+        )
+    # drop lifts the contract
+    t.drop_constraint("key_range")
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(650, 659))
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100_000)
+        .coalesce(1)
+    )
