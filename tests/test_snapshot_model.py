@@ -76,6 +76,14 @@ def test_random_interleaving_matches_model(spark, tmp_path, seed):
     def vacuum():
         t.vacuum(retain_versions=3)
 
+    def constraint():
+        # a true contract (keys are non-negative by construction): every
+        # later write pays the enforcement pass and must still succeed
+        try:
+            t.add_constraint("k_nonneg", "k >= 0")
+        except ValueError:
+            pass  # already registered on this walk
+
     def restore():
         # only versions inside the vacuum retention window (last 3)
         cur = t.current_version()
@@ -97,8 +105,8 @@ def test_random_interleaving_matches_model(spark, tmp_path, seed):
     assert _read_model(t, col) == model
     history[t.current_version()] = (dict(model), col)
     ops = [append, delete, update, rename, optimize, materialize,
-           vacuum, restore]
-    weights = [3, 2, 2, 1, 1, 1, 1, 1]
+           vacuum, restore, constraint]
+    weights = [3, 2, 2, 1, 1, 1, 1, 1, 1]
     for step in range(14):
         op = rng.choices(ops, weights=weights)[0]
         op()
