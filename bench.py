@@ -81,19 +81,20 @@ OPERATOR_OVERRIDES = {
 }
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+def _load_1m() -> float | None:
     try:  # machine-load context: co-tenant CPU shifts sub-second
         # queries ±10-15% (BENCH_NOTES.md variance study) — record the
         # 1-minute loadavg AT RUN START so cross-round deltas can be
         # read against it
         with open("/proc/loadavg") as f:
-            load_1m = float(f.read().split()[0])
+            return float(f.read().split()[0])
     except OSError:
-        load_1m = None
-    spark = get_spark("bench")
+        return None
 
+
+def run_suite(spark, sf_dir: str) -> dict[str, float]:
+    """Min-of-RUNS steady-state timing of every headline query at one
+    scale factor (shared by the gate-SF block and the sf1 block)."""
     names = [n for n in HEADLINE if n in REGISTRY]
     # warm-up: JVM + codegen + parquet footer caches + Python worker pool,
     # plus the lazily-checkpointed shingle frame the dedup queries share —
@@ -118,6 +119,37 @@ def main() -> None:
             materialize(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+    return timings
+
+
+def _sf1_dir() -> str | None:
+    """The derived sf1.0 dataset (tools/gen_sf1.py, gitignored): reuse it
+    if present, build it once if not (deterministic, seed 42); opt out
+    with SPARK_GRAFT_SF1=never. The sf1 block is the data-dominated
+    scale point — 10x the gate SF — recorded natively so the driver can
+    trend it round over round (VERDICT r5 directive #9)."""
+    if os.environ.get("SPARK_GRAFT_SF1", "").lower() == "never":
+        return None
+    d = os.path.join(REPO, ".bench", "sf1")
+    if not os.path.exists(os.path.join(d, "lineitem.parquet")):
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "gen_sf1.py"), d],
+            capture_output=True,
+        )
+        if r.returncode != 0:
+            return None
+    return d
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    load_1m = _load_1m()
+    spark = get_spark("bench")
+
+    timings = run_suite(spark, sf_dir)
 
     out = {
         "metric": "headline_queries_total_sec",
@@ -131,6 +163,17 @@ def main() -> None:
         # under min-of-N; see BENCH_NOTES.md (7-run idle-machine study)
         "notes": "variance study in BENCH_NOTES.md",
     }
+    sf1 = _sf1_dir()
+    if sf1 and float(sf) < 1.0:
+        t1_load = _load_1m()
+        t1 = run_suite(spark, sf1)
+        out["sf1"] = {
+            "value": round(sum(t1.values()), 3),
+            "unit": "sec",
+            "queries": t1,
+            "sf": 1.0,
+            "load_avg_1m_at_start": t1_load,
+        }
     print(json.dumps(out))
     spark.stop()
 

@@ -38,45 +38,49 @@ for _m in _MODULES:
     import_module(f"{__name__}.{_m}")
 
 # Registry iteration order is the order the grading driver checks queries
-# in; the driver verifies exactly the FIRST 50 entries per round. After
-# round 4 every registry query has at least one green driver row, so round
-# 5's window does two jobs: (a) the round-5 NEWCOMERS go first (they have
-# no driver evidence at all), and (b) the rest of the window rotates onto
-# the 42 queries whose newest driver evidence is ROUND 1 — the relational/
-# join/window/function core, three rounds of engine churn stale (VERDICT
-# r4 directive #1). Everything else keeps its order past position 50 for
-# future rotations.
+# in; the driver verifies exactly the FIRST 50 entries per round. Round
+# 6's window: (a) the SEVEN round-6 newcomers first (registry rows for
+# the previously pytest-only S34/S35/S36/S37/S38/T19 features plus
+# TIMESTAMP AS OF — none has driver evidence yet), then (b) 42 of the 50
+# queries whose newest driver evidence is ROUND 2 (the sql/udf/sketch/
+# skew/graph/q-series cohort — three rounds of engine churn stale,
+# VERDICT r5 directive #3). The 9 remaining r2-stale queries
+# (ev_dedup_first, ev_enrich_static, ev_session_window,
+# llm_global_shuffle, llm_token_counts, llm_train_val_split,
+# sink_scd1_merge, stats_table_sizing, win_distinct_count) lead round
+# 7's rotation, joined by join_range_left_rowlevel (10 total).
 _PRIORITY = [
-    # -- new in round 5 (never driver-sampled) ------------------------------
-    "src_deletion_vector", "sink_snapshot_update_mor", "src_schema_rename",
-    "llm_bpe_merges", "llm_bpe_encode", "src_dynamic_partition_pruning",
-    "join_aqe_skew", "src_snapshot_concurrent_writers",
-    # -- round-1-stale regression re-checks (42): newest evidence is r1 ----
-    # (q3/q5 are NOT re-listed here: both were re-verified in round 4 and
-    # are bench headliners, so the 8 newcomers take their two slots)
-    # TPC-H-shaped relational core
-    "q6_forecast_revenue",
-    "q10_returned_items", "q12_priority_shipping",
-    # projection / ETL typing
-    "p_change_schema", "p_filter_predicates", "etl_string_first_typing",
-    # join family
-    "join_left_outer", "join_right_outer", "join_full_outer",
-    "join_semi_exists", "join_anti_not_exists", "join_theta",
-    "join_cross", "join_range_events", "join_asof_events",
-    # aggregate family
-    "agg_stats", "agg_count_distinct", "agg_minmax_by", "agg_rollup",
-    "agg_cube", "agg_dedup_distinct", "agg_pivot",
-    # window / sort / set-op family
-    "win_rank_topk", "win_lag_lead", "win_running_frames",
-    "win_ntile_percent", "sort_limit_topk",
-    "setop_union", "setop_union_all_counts", "setop_intersect",
-    "setop_except",
-    # function suites
-    "fn_string", "fn_datetime", "fn_math", "fn_conditional", "fn_json",
-    "fn_unpivot", "fn_posexplode_map", "fn_map_entries",
-    "fn_fuzzy_levenshtein",
-    # streaming windows (r1-verified, engine-churn-sensitive)
-    "ev_tumbling_window", "ev_sliding_window",
+    # -- new in round 6 (never driver-sampled) ------------------------------
+    "src_restore", "src_shallow_clone", "src_nullcount_skipping",
+    "src_rowgroup_pruning", "src_check_constraints",
+    "src_stream_change_feed", "src_timestamp_as_of",
+    "sink_connector_clustered_write",
+    # -- round-2-stale regression re-checks (42) ---------------------------
+    # SQL suite (subqueries, recursive CTE, TPC-H rewrites)
+    "sql_volume_shipping", "sql_scalar_subquery",
+    "sql_correlated_subquery", "sql_exists_subquery", "sql_in_having",
+    "sql_or_of_ands", "sql_anti_scalar", "sql_promo_revenue",
+    "sql_recursive_cte", "sql_q21_waiting_suppliers",
+    # TPC-H relational core still at r2
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+    "q11_important_value", "q13_customer_orders_dist",
+    "q15_top_supplier", "q16_supplier_part_cnt", "q20_excess_shippers",
+    "q22_dormant_customers",
+    # UDF surface (row/pandas/grouped)
+    "udf_python_row", "udf_pandas_scalar", "udf_grouped_agg",
+    "udf_grouped_map",
+    # aggregate tail
+    "agg_approx_distinct", "agg_approx_quantiles", "agg_collect_set",
+    "agg_freq_items", "agg_linear_fit", "agg_median_mode",
+    # function-family tail
+    "fn_array", "fn_map_construct", "fn_regexp", "fn_variant",
+    # sketches / skew / graph
+    "sk_hll_union_distinct", "sk_bitmap_distinct",
+    "skew_salted_join", "skew_two_phase_agg",
+    "graph_pagerank", "graph_triangles",
+    # curation + range-join row-level
+    "cur_repetition_metrics", "cur_duplicated_spans",
+    "cur_chunk_windows",
 ]
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
 _ordered.update({n: q for n, q in REGISTRY.items() if n not in _ordered})

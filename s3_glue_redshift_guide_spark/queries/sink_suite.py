@@ -695,3 +695,84 @@ def sink_snapshot_update_mor(spark, sf_dir):
         {"o_totalprice": F.col("o_totalprice") + F.lit(1000.0)},
     )
     return t.read().select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "sink_connector_clustered_write",
+    oracle="""
+    WITH laid AS (
+      SELECT n_nationkey, n_name, n_regionkey FROM nation)
+    SELECT (SELECT CAST(count(DISTINCT n_regionkey) AS BIGINT) FROM laid)
+             AS n_files,
+           1 AS stats_tight, 1 AS pruned_to_one,
+           (SELECT CAST(count(*) AS BIGINT) FROM laid
+             WHERE n_regionkey = 2) AS n_rows_region2,
+           (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM laid
+             WHERE n_regionkey = 2) AS key_sum_region2
+    """,
+)
+def sink_connector_clustered_write(spark, sf_dir):
+    """Write-side CLUSTERING through the connector (the layout control a
+    large ingest needs on its FIRST write, not a separate OPTIMIZE pass
+    later): ``.option("splitBy", col)`` makes each task emit one file
+    PER DISTINCT VALUE of the column — here nation pre-repartitioned by
+    region lands as exactly one file per region, every file's banked
+    zone-map range for the split column collapses to a point
+    (``stats_tight``: min == max in every file's manifest stats), and a
+    region-equality read through the connector plans ONE partition
+    (``pruned_to_one``, via the reader's own pushFilters→partitions
+    planner). At 100 TB: ingest clustering is free at write time —
+    vectorized pyarrow batch splits, no extra shuffle beyond the
+    repartition the writer already does — where a post-hoc OPTIMIZE
+    rewrite costs a full pass over the data
+    (`sources/pyds.py::SnapshotDataWriter._split_batches`)."""
+    from pyspark.sql.datasource import EqualTo
+
+    from ..sources.pyds import (
+        SnapshotManifestReader,
+        register_snapshot_source,
+    )
+    from ..sources.snapshots import SnapshotTable, load_manifest
+
+    register_snapshot_source(spark)
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = tempfile.mkdtemp(prefix="spark_splitby_")
+    (
+        n.repartition("n_regionkey")
+        .write.format("pysnapshot")
+        .option("root", root)
+        .option("statsCols", "n_regionkey")
+        .option("splitBy", "n_regionkey")
+        .mode("append")
+        .save()
+    )
+    t = SnapshotTable(spark, root)
+    m = load_manifest(root, t.current_version())
+    tight = int(
+        all(
+            st.get("n_regionkey")
+            and st["n_regionkey"][0] == st["n_regionkey"][1]
+            for st in m["stats"].values()
+        )
+    )
+    r = SnapshotManifestReader({"root": root})
+    r.pushFilters([EqualTo(("n_regionkey",), 2)])
+    pruned = int(len(r.partitions()) == 1)
+    got = (
+        spark.read.format("pysnapshot")
+        .option("root", root)
+        .load()
+        .where("n_regionkey = 2")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_nationkey").cast("long").alias("s"),
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [(len(m["files"]), tight, pruned, got["n"], got["s"])],
+        "n_files bigint, stats_tight int, pruned_to_one int, "
+        "n_rows_region2 bigint, key_sum_region2 bigint",
+    )

@@ -1242,3 +1242,385 @@ def src_snapshot_concurrent_writers(spark, sf_dir):
         "conflict_raised int, final_version int, n_rows bigint, "
         "key_sum bigint",
     )
+
+
+# --------------------------- RESTORE as a commit (S34) -----------------
+@query(
+    "src_restore",
+    oracle="""
+    WITH v2 AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 600)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows_head,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum_head,
+           (SELECT CAST(count(*) AS BIGINT) FROM v2
+             WHERE o_orderkey % 5 <> 0) AS n_rows_at_v3,
+           4 AS head_version, 1 AS dv_cleared, 1 AS audit_readable
+    FROM v2
+    """,
+)
+def src_restore(spark, sf_dir):
+    """RESTORE to a historical snapshot AS A NEW COMMIT (Delta RESTORE,
+    ``sources/snapshots.py::restore``): v1+v2 appends, v3 = a deletion-
+    vector DELETE, then ``restore(2)`` publishes v4 carrying v2's exact
+    file list and (empty) dv map — the deleted rows come BACK at head,
+    the restore itself is a pure metadata publish (zero data movement,
+    O(1) at any table size), and BECAUSE it is a commit the pre-restore
+    state v3 stays readable (``audit_readable``) — restore is auditable
+    and revertible, never history rewriting. ``dv_cleared`` pins the
+    ADVICE-r5 sentinel fix: the restored manifest carries v2's metadata
+    verbatim instead of inheriting the current head's."""
+    from ..sources.snapshots import SnapshotTable, load_manifest
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, _tmp("restore"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 300).coalesce(1))
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(300, 599)).coalesce(1)
+    )
+    t.delete_where(F.col("o_orderkey") % 5 == 0)  # v3: DV commit
+    n_at_v3 = t.read(3).count()
+    t.restore(2)  # v4 = v2's content, as a new commit
+    head_v = t.current_version()
+    m = load_manifest(t.root, head_v)
+    agg = t.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("long").alias("s"),
+    ).collect()[0]
+    audit = int(t.read(3).count() == n_at_v3)  # v3 still serves
+    return spark.createDataFrame(
+        [
+            (
+                agg["n"],
+                agg["s"],
+                n_at_v3,
+                head_v,
+                int(not m.get("dv")),
+                audit,
+            )
+        ],
+        "n_rows_head bigint, key_sum_head bigint, n_rows_at_v3 bigint, "
+        "head_version int, dv_cleared int, audit_readable int",
+    )
+
+
+# ------------------------------ shallow CLONE (S35) --------------------
+@query(
+    "src_shallow_clone",
+    oracle="""
+    WITH src AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 400),
+         added AS (SELECT o_orderkey FROM orders
+                   WHERE o_orderkey BETWEEN 400 AND 599)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM src) AS src_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM src)
+             + (SELECT CAST(count(*) AS BIGINT) FROM added) AS clone_rows,
+           (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM src)
+             + (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM added)
+             AS clone_key_sum,
+           1 AS zero_copy, 1 AS source_isolated
+    """,
+)
+def src_shallow_clone(spark, sf_dir):
+    """SHALLOW CLONE (Delta CLONE, ``snapshots.py::clone_shallow``): the
+    clone's first manifest REFERENCES the source's current data files —
+    ``zero_copy`` asserts every clone-v1 file path is literally a source
+    file (O(metadata) fork regardless of table size). The clone then
+    diverges with its own append while the source stays untouched
+    (``source_isolated``): two tables, one set of immutable bytes, the
+    dev/test-fork workflow at 100 TB for the price of one manifest."""
+    from ..sources.snapshots import SnapshotTable, load_manifest
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, _tmp("clone_src"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 200).coalesce(1))
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(200, 399)).coalesce(1)
+    )
+    src_files = set(load_manifest(t.root, t.current_version())["files"])
+    clone = t.clone_shallow(_tmp("clone_dst"))
+    clone_v1_files = set(load_manifest(clone.root, 1)["files"])
+    zero_copy = int(clone_v1_files <= src_files)
+    clone.commit_append(
+        o.filter(F.col("o_orderkey").between(400, 599)).coalesce(1)
+    )
+    src_rows = t.read().count()
+    isolated = int(
+        set(load_manifest(t.root, t.current_version())["files"])
+        == src_files
+    )
+    agg = clone.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("long").alias("s"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(src_rows, agg["n"], agg["s"], zero_copy, isolated)],
+        "src_rows bigint, clone_rows bigint, clone_key_sum bigint, "
+        "zero_copy int, source_isolated int",
+    )
+
+
+# ------------------------- null-count data skipping (S36) --------------
+@query(
+    "src_nullcount_skipping",
+    oracle="""
+    WITH laid AS (
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN c_acctbal END AS neg_bal,
+             (c_acctbal < 0) AS is_neg
+      FROM customer WHERE c_custkey < 1500)
+    SELECT CAST(2 AS BIGINT) AS n_files,
+           CAST(1 AS BIGINT) AS files_for_isnull,
+           CAST(1 AS BIGINT) AS files_for_isnotnull,
+           (SELECT CAST(count(*) AS BIGINT) FROM laid
+             WHERE neg_bal IS NULL) AS n_null_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM laid
+             WHERE neg_bal IS NOT NULL) AS n_notnull_rows
+    """,
+)
+def src_nullcount_skipping(spark, sf_dir):
+    """NULL-COUNT data skipping (S36, the ``col#nulls`` stats the commit
+    banks next to min/max): the table lands as one file whose ``neg_bal``
+    is entirely NULL (non-negative balances) and one where it is never
+    NULL — ``IS NULL`` admits only the all-null file (a zero-null file
+    cannot match) and ``IS NOT NULL`` only the other, each proven by the
+    connector's own partition planner (``pyds.py::_null_admits``) BEFORE
+    any task is scheduled. min/max ranges cannot express this (an
+    all-null column has no min/max at all); at 100 TB the IS NULL audit
+    query touches the files that can answer it, not the table."""
+    from pyspark.sql.datasource import IsNotNull, IsNull
+
+    from ..sources.pyds import (
+        SnapshotManifestReader,
+        register_snapshot_source,
+    )
+    from ..sources.snapshots import SnapshotTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.col("c_acctbal")).alias(
+            "neg_bal"
+        ),
+        (F.col("c_acctbal") < 0).alias("is_neg"),
+    ).filter(F.col("c_custkey") < 1500)
+    t = SnapshotTable(spark, _tmp("nullskip"))
+    t.commit_append(
+        c.filter(~F.col("is_neg")).coalesce(1), stats_cols=["neg_bal"]
+    )
+    t.commit_append(
+        c.filter(F.col("is_neg")).coalesce(1), stats_cols=["neg_bal"]
+    )
+
+    def admitted(flt):
+        r = SnapshotManifestReader({"root": t.root})
+        r.pushFilters([flt])
+        return len(r.partitions())
+
+    register_snapshot_source(spark)
+    df = spark.read.format("pysnapshot").option("root", t.root).load()
+    return spark.createDataFrame(
+        [
+            (
+                t.file_count(),
+                admitted(IsNull(("neg_bal",))),
+                admitted(IsNotNull(("neg_bal",))),
+                df.where("neg_bal IS NULL").count(),
+                df.where("neg_bal IS NOT NULL").count(),
+            )
+        ],
+        "n_files bigint, files_for_isnull bigint, "
+        "files_for_isnotnull bigint, n_null_rows bigint, "
+        "n_notnull_rows bigint",
+    )
+
+
+# --------------------- row-group pruning in the connector (S37) --------
+@query(
+    "src_rowgroup_pruning",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS groups_total,
+           CAST(2 AS BIGINT) AS groups_selected,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey BETWEEN 250 AND 349
+    """,
+)
+def src_rowgroup_pruning(spark, sf_dir):
+    """ROW-GROUP pruning inside connector reads (S37, the skipping tier
+    BELOW manifest zone maps): one sorted 1000-key file written with
+    100-row groups (10 groups), a pushed ``BETWEEN 250 AND 349`` selects
+    exactly the two groups whose footer [min,max] ranges intersect (the
+    bound straddles one group boundary) — proven by
+    calling the selector (``pyds.py::_row_group_selection``) on the real
+    footer, then value-checked through the registered format (positions
+    stay FILE-absolute across pruned groups, so deletion vectors would
+    still mask correctly). A 1 GB file holds ~100 groups: this tier
+    turns a selective point read from a file scan into a handful of
+    column chunks."""
+    import pyarrow.parquet as pq
+
+    from ..sources.pyds import (
+        _row_group_selection,
+        register_snapshot_source,
+    )
+    from ..sources.snapshots import (
+        SnapshotTable,
+        _footer_stats_one,
+        load_manifest,
+    )
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .filter(F.col("o_orderkey") < 1250)
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+    t = SnapshotTable(spark, _tmp("rowgroup"))
+    # land the sorted rows as ONE file with 100-row groups (pyarrow
+    # write: Spark's writer doesn't expose tiny group sizes), then
+    # publish it through the ordinary manifest protocol
+    import pyarrow as pa
+
+    d = os.path.join(t.root, "data", uuid.uuid4().hex)
+    os.makedirs(d)
+    path = os.path.join(d, "part-0.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(o.toPandas()), path, row_group_size=100
+    )
+    from ..sources.snapshots import publish_version
+
+    publish_version(
+        t.root, [path], 0, {path: _footer_stats_one(path, ["o_orderkey"])}
+    )
+    md = pq.ParquetFile(path).metadata
+    selected = _row_group_selection(
+        md, {"o_orderkey": (250, 349)}, {"o_orderkey": ["o_orderkey"]}
+    )
+    register_snapshot_source(spark)
+    got = (
+        spark.read.format("pysnapshot")
+        .option("root", t.root)
+        .load()
+        .where("o_orderkey BETWEEN 250 AND 349")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("long").alias("s"),
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [(md.num_row_groups, len(selected), got["n"], got["s"])],
+        "groups_total bigint, groups_selected bigint, n_rows bigint, "
+        "key_sum bigint",
+    )
+
+
+# ----------------------------- CHECK constraints (S38) -----------------
+@query(
+    "src_check_constraints",
+    oracle="""
+    SELECT 1 AS existing_validated, 1 AS violation_rejected,
+           1 AS version_unchanged_on_reject, 1 AS constraint_survived,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey < 400
+    """,
+)
+def src_check_constraints(spark, sf_dir):
+    """CHECK constraints (S38, Delta's ``ADD CONSTRAINT``): registering
+    validates the CURRENT snapshot (one aggregated scan), after which the
+    constraint is a WRITER-SIDE contract enforced on every commit — the
+    violating append is rejected BEFORE any manifest publish (version
+    unchanged, no orphan files) while the clean append lands, and the
+    constraint SURVIVES the commit (``constraint_survived`` pins the
+    round-6 carry-through fix). Enforcement rides the write pass itself
+    as ``df.observe`` counters — one scan, not check-then-write twice —
+    so a 100 TB table never needs a repair scan to trust its invariants."""
+    from ..sources.snapshots import SnapshotTable, load_manifest
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, _tmp("check"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 200).coalesce(1))
+    t.add_constraint("key_nonneg", "o_orderkey >= 0")
+    existing_ok = 1
+    try:  # a constraint the snapshot violates must refuse to register
+        t.add_constraint("impossible", "o_orderkey < 0")
+        existing_ok = 0
+    except ValueError:
+        pass
+    v_before = t.current_version()
+    rejected = 0
+    try:
+        t.commit_append(
+            spark.range(3).select((-F.col("id") - 1).alias("o_orderkey"))
+        )
+    except ValueError:
+        rejected = 1
+    unchanged = int(t.current_version() == v_before)
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(200, 399)).coalesce(1)
+    )
+    survived = int(
+        load_manifest(t.root, t.current_version()).get("constraints")
+        == {"key_nonneg": "o_orderkey >= 0"}
+    )
+    agg = t.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("long").alias("s"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(existing_ok, rejected, unchanged, survived, agg["n"], agg["s"])],
+        "existing_validated int, violation_rejected int, "
+        "version_unchanged_on_reject int, constraint_survived int, "
+        "n_rows bigint, key_sum bigint",
+    )
+
+
+# ------------------------ TIMESTAMP AS OF time travel ------------------
+@query(
+    "src_timestamp_as_of",
+    oracle="""
+    WITH v2 AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 400)
+    SELECT 1 AS v_at_100, 2 AS v_at_250, 3 AS v_late,
+           CAST(count(*) AS BIGINT) AS n_rows_asof,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum_asof
+    FROM v2
+    """,
+)
+def src_timestamp_as_of(spark, sf_dir):
+    """TIMESTAMP AS OF time travel (Delta's second time-travel axis):
+    every manifest banks a commit timestamp at publish (injected here
+    via the table's pluggable clock — 100/200/300 — for a deterministic
+    oracle), and ``read(as_of_ts=250)`` resolves to the NEWEST version
+    committed at or before the timestamp (v2), a pure metadata walk
+    (``snapshots.py::version_as_of``). ``v_late`` pins the >=-head case;
+    a timestamp before the first commit raises (asserted in pytest).
+    This is the audit shape — "what did the table say yesterday 09:00" —
+    that version numbers alone cannot express."""
+    from ..sources.snapshots import SnapshotTable, version_as_of
+
+    ticks = iter([100.0, 200.0, 300.0])
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, _tmp("asof"), clock=lambda: next(ticks))
+    t.commit_append(o.filter(F.col("o_orderkey") < 200).coalesce(1))
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(200, 399)).coalesce(1)
+    )
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(400, 599)).coalesce(1)
+    )
+    agg = t.read(as_of_ts=250.0).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("long").alias("s"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                version_as_of(t.root, 100.0),
+                version_as_of(t.root, 250.0),
+                version_as_of(t.root, 10_000.0),
+                agg["n"],
+                agg["s"],
+            )
+        ],
+        "v_at_100 int, v_at_250 int, v_late int, n_rows_asof bigint, "
+        "key_sum_asof bigint",
+    )

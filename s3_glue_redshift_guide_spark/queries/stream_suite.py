@@ -199,3 +199,60 @@ def src_stream_datasource(spark, sf_dir):
         .load()
     )
     return _drain(stream, "pysnap")
+
+
+@query(
+    "src_stream_change_feed",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey < 200)
+    SELECT o_orderkey, price, 'insert' AS _change_type,
+           CAST(1 AS BIGINT) AS _commit_version
+    FROM base
+    UNION ALL
+    SELECT o_orderkey, price, 'delete', 2 FROM base
+    WHERE o_orderkey % 50 = 0
+    UNION ALL
+    SELECT o_orderkey, price, 'delete', 3 FROM base WHERE o_orderkey = 7
+    UNION ALL
+    SELECT o_orderkey, 0.00, 'insert', 3 FROM base WHERE o_orderkey = 7
+    """,
+)
+def src_stream_change_feed(spark, sf_dir):
+    """STREAMING change data feed through the registered connector (T19,
+    Delta's ``readChangeFeed`` stream shape): a real ``readStream`` over
+    the snapshot log where offsets are version numbers and each batch
+    emits ROW-LEVEL changes — v1's append arrives as inserts, v2's
+    deletion-vector DELETE as exactly the tombstoned pre-images (read
+    straight from the sidecar diff, never a table diff), and v3's
+    merge-on-read UPDATE as its delete/insert pair in one commit
+    (``pyds.py::SnapshotChangeFeedStreamReader``). Every partition is an
+    independent per-file executor read, so the feed costs O(churn) per
+    poll; availableNow drains the backlog and the memory sink must hold
+    the exact multiset the SQL replay predicts."""
+    from ..catalog import load_table
+    from ..sources.pyds import register_snapshot_source
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="spark_cdfstrm_"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 200).coalesce(1))
+    t.delete_where(F.col("o_orderkey") % 50 == 0)      # v2: DV delete
+    t.update_where(F.col("o_orderkey") == 7, {"price": F.lit(0.0)})
+    register_snapshot_source(spark)
+    stream = (
+        spark.readStream.format("pysnapshot")
+        .schema(
+            "o_orderkey bigint, price double, _change_type string, "
+            "_commit_version bigint"
+        )
+        .option("root", t.root)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    return _drain(stream, "cdf").select(
+        "o_orderkey", "price", "_change_type", "_commit_version"
+    )

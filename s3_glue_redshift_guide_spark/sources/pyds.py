@@ -63,9 +63,11 @@ from .snapshots import (
     CommitConflict,
     _footer_stats_one,
     _json_scalar_value,
+    extend_schema_map,
     latest_version,
     load_manifest,
     publish_version,
+    version_as_of,
     zone_prune,
 )
 
@@ -87,9 +89,18 @@ def _schema_maps(schema) -> tuple[list[str], dict]:
 
 
 def _resolve(options) -> dict:
-    """Manifest for the requested (or head) version — shared log-access
-    code with SnapshotTable."""
+    """Manifest for the requested version — by number (``version``), by
+    TIMESTAMP AS OF (``timestampAsOf``, epoch seconds — resolves to the
+    newest version committed at or before it, Delta semantics), or the
+    head. Shared log-access code with SnapshotTable."""
     root = options["root"]
+    ts = options.get("timestampasof")
+    if ts is not None:
+        if "version" in options:
+            raise ValueError(
+                "pysnapshot: pass version OR timestampAsOf, not both"
+            )
+        return load_manifest(root, version_as_of(root, float(ts)))
     v = int(options.get("version", latest_version(root)))
     return load_manifest(root, v)
 
@@ -108,13 +119,14 @@ def _prefix_upper(p: str) -> str | None:
 
 def _alias_map(schema_map) -> dict[str, list[str]]:
     """current name -> historical physical names, from the manifest's
-    field-id map (empty for tables that never renamed)."""
+    field-id map (empty for tables that never renamed). Tombstoned
+    (dropped) fields are excluded — their names must never resolve."""
     if not schema_map:
         return {}
     return {
         e["name"]: list(e.get("prior", []))
         for e in schema_map
-        if e.get("prior")
+        if e.get("prior") and not e.get("dropped")
     }
 
 
@@ -149,28 +161,45 @@ def _row_group_selection(md, bounds: dict, phys_of: dict) -> list[int]:
     bound — the SECOND skipping tier below manifest zone maps (a 1 GB
     file holds ~100 row groups; a selective predicate reads a handful).
     Same conservative semantics as ``zone_prune``: absent stats or
-    incomparable domains keep the group."""
+    incomparable domains keep the group.
+
+    ``phys_of`` maps each logical column to the LIST of physical alias
+    columns present in this file. A mixed-era file (written by
+    compaction after a rename) carries BOTH the old and new name, each
+    null for the other era's rows, and the logical value is their
+    coalesce — so a group is excluded on a bound only when EVERY
+    present alias's stats exclude it; excluding on the first alias
+    alone would drop groups whose matching values live under the other
+    name (silent lost rows)."""
     idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
     keep = []
     for rg in range(md.num_row_groups):
         skip = False
         for col, (lo, hi) in bounds.items():
-            phys = phys_of.get(col)
-            if phys is None or phys not in idx:
+            present = [p for p in phys_of.get(col) or [] if p in idx]
+            if not present:
                 continue
-            s = md.row_group(rg).column(idx[phys]).statistics
-            if s is None or not s.has_min_max:
-                continue
-            mn = _json_scalar_value(s.min)
-            mx = _json_scalar_value(s.max)
-            try:
-                if (hi is not None and mn > hi) or (
-                    lo is not None and mx < lo
-                ):
-                    skip = True
+            excluded = True
+            for phys in present:
+                s = md.row_group(rg).column(idx[phys]).statistics
+                if s is None or not s.has_min_max:
+                    excluded = False
                     break
-            except TypeError:
-                continue
+                mn = _json_scalar_value(s.min)
+                mx = _json_scalar_value(s.max)
+                try:
+                    if not (
+                        (hi is not None and mn > hi)
+                        or (lo is not None and mx < lo)
+                    ):
+                        excluded = False
+                        break
+                except TypeError:
+                    excluded = False
+                    break
+            if excluded:
+                skip = True
+                break
         if not skip:
             keep.append(rg)
     return keep
@@ -201,11 +230,19 @@ def _read_file(
     ``_commit_version``). Shared by the batch and streaming readers."""
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(path)
     have = set(pf.schema_arrow.names)
-    extra_consts = extra_consts or {}
+    # a caller-declared schema that omits a metadata const column (e.g.
+    # a CDF read that doesn't select _commit_timestamp) prunes it here —
+    # the emitted batch must match the declared read schema exactly
+    extra_consts = {
+        k: v
+        for k, v in (extra_consts or {}).items()
+        if columns is None or k in columns
+    }
     want = [
         c
         for c in (columns or list(pf.schema_arrow.names))
@@ -214,14 +251,18 @@ def _read_file(
     out_names = want + list(extra_consts)
     aliases = aliases or {}
 
-    def physical(c: str) -> str | None:
-        for n in (c, *aliases.get(c, [])):
-            if n in have:
-                return n
-        return None
+    # ALL physical alias columns present for each logical column, not
+    # just the first hit: a file written by compaction/materialize AFTER
+    # a rename physically carries both the old and the new name (each
+    # null for the other era's rows — the mergeSchema union), and the
+    # logical value is their COALESCE, mirroring _apply_schema_map.
+    # Resolving only the first present name would read NULL for every
+    # pre-rename row of such a file.
+    def physical(c: str) -> list[str]:
+        return [n for n in (c, *aliases.get(c, [])) if n in have]
 
     phys_of = {c: physical(c) for c in want}
-    present = sorted({p for p in phys_of.values() if p is not None})
+    present = sorted({p for ps in phys_of.values() for p in ps})
     deleted = _dv_positions(path, dv_dirs) if dv_dirs else None
 
     def align(col, name):
@@ -273,12 +314,17 @@ def _read_file(
                 nm: batch.column(i)
                 for i, nm in enumerate(batch.schema.names)
             }
-            arrays = [
-                align(by_name[phys_of[c]], c)
-                if phys_of[c] is not None
-                else pa.nulls(batch.num_rows, type=types.get(c))
-                for c in want
-            ]
+
+            def logical(c: str):
+                ps = phys_of[c]
+                if not ps:
+                    return pa.nulls(batch.num_rows, type=types.get(c))
+                col = align(by_name[ps[0]], c)
+                for p in ps[1:]:  # mixed-era file: coalesce the aliases
+                    col = pc.coalesce(col, align(by_name[p], c))
+                return col
+
+            arrays = [logical(c) for c in want]
             for name, (v, t) in extra_consts.items():
                 arrays.append(pa.array([v] * batch.num_rows, type=t))
             yield pa.RecordBatch.from_arrays(arrays, names=out_names)
@@ -382,13 +428,16 @@ class SnapshotManifestReader(DataSourceReader):
     # ------------------------------------------------------ partitions
     def partitions(self) -> list[InputPartition]:
         # a renamed column's stats are banked under the physical name
-        # each file was written with — spread every bound over the
-        # column's historical aliases so pre-rename files keep pruning
-        bounds: dict[str, tuple] = {}
-        for c, (lo, hi) in self.bounds.items():
-            for n in (c, *self.aliases.get(c, [])):
-                bounds[n] = (lo, hi)
-        keep = zone_prune(self.files, self.stats, bounds)
+        # each file was written with — hand zone_prune the alias GROUPS
+        # so a file is excluded only when every banked alias excludes
+        # (a mixed-era post-compaction file carries BOTH names; AND-ing
+        # independent per-alias bounds would misprune its rows)
+        keep = zone_prune(
+            self.files,
+            self.stats,
+            {c: (lo, hi) for c, (lo, hi) in self.bounds.items()},
+            self.aliases,
+        )
         if self.null_req:
             keep = [f for f in keep if self._null_admits(f)]
         return [
@@ -403,20 +452,37 @@ class SnapshotManifestReader(DataSourceReader):
         all-null file. Absent accounting = conservative keep. A file
         the query deletes rows from (deletion vectors) still admits —
         masking can only REMOVE rows, and a kept file is never wrong,
-        only potentially wasted."""
+        only potentially wasted.
+
+        Alias semantics (renamed columns): the logical value is the
+        COALESCE across alias columns, so the logical row is NULL only
+        when every alias is null. IS NULL excludes the file if ANY
+        banked alias has zero nulls (then no row can be all-alias-null);
+        IS NOT NULL excludes only if EVERY alias is banked all-null —
+        excluding on the first banked alias alone would prune mixed-era
+        files whose values live under the other name."""
         st = self.stats.get(f, {})
         for col, reqs in self.null_req.items():
-            entry = None
-            for n in (col, *self.aliases.get(col, [])):
-                entry = st.get(n + NULLS_SUFFIX)
-                if entry is not None:
-                    break
-            if entry is None:
+            entries = [
+                st[n + NULLS_SUFFIX]
+                for n in (col, *self.aliases.get(col, []))
+                if st.get(n + NULLS_SUFFIX) is not None
+            ]
+            if not entries:
                 continue
-            nulls, rows = entry
-            if "null" in reqs and nulls == 0:
+            if "null" in reqs and any(
+                nulls == 0 for nulls, _rows in entries
+            ):
                 return False
-            if "notnull" in reqs and rows > 0 and nulls == rows:
+            n_aliases = 1 + len(self.aliases.get(col, []))
+            if (
+                "notnull" in reqs
+                and len(entries) == n_aliases
+                and all(
+                    rows > 0 and nulls == rows
+                    for nulls, rows in entries
+                )
+            ):
                 return False
         return True
 
@@ -439,7 +505,73 @@ class SnapshotManifestReader(DataSourceReader):
         )
 
 
-class SnapshotStreamReader(DataSourceStreamReader):
+class _AdmissionControlMixin:
+    """``maxVersionsPerTrigger`` / ``maxFilesPerTrigger`` admission
+    control for the snapshot stream readers (Delta's admission
+    options): ``latestOffset`` advances at most N versions — or stops
+    before a batch's added-file count would exceed the file cap — past
+    the last planned offset, so a stream that starts on an EXISTING
+    table or recovers from a long outage drains the backlog in bounded
+    micro-batches instead of delivering the entire table as one epoch
+    (on a 100 TB table, one batch reading everything). Unset = head,
+    the previous behavior.
+
+    The reader tracks its own planning cursor (``initialOffset`` /
+    ``partitions`` / ``commit`` all advance it) because the Python
+    DataSource API's ``latestOffset`` takes no start offset. Honest
+    caveat: on a RESTART whose last batch already committed, the first
+    ``latestOffset`` fires before the engine reveals the checkpointed
+    position, so that one batch is uncapped; every subsequent batch is
+    capped. A fresh (no-checkpoint) start is capped from batch one."""
+
+    def _init_admission(self, options) -> None:
+        cap = options.get("maxversionspertrigger")
+        self._max_versions = int(cap) if cap is not None else None
+        fcap = options.get("maxfilespertrigger")
+        self._max_files = int(fcap) if fcap is not None else None
+        self._cursor: int | None = None
+
+    def _advance_cursor(self, version: int) -> None:
+        self._cursor = max(self._cursor or 0, version)
+
+    def initialOffset(self) -> dict:
+        self._cursor = 0
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        head = latest_version(self.root)
+        cur = self._cursor
+        if self._max_versions is not None and cur is not None:
+            head = min(head, cur + self._max_versions)
+        if self._max_files is not None and cur is not None and head > cur:
+            # ``maxFilesPerTrigger`` (Delta's unit): walk the version
+            # range and stop BEFORE the batch's added-file count would
+            # exceed the cap — always admitting at least one version so
+            # a single jumbo commit still drains. Metadata-only walk.
+            prev = (
+                set()
+                if cur == 0
+                else set(load_manifest(self.root, cur)["files"])
+            )
+            total, end = 0, cur
+            for v in range(cur + 1, head + 1):
+                curf = set(load_manifest(self.root, v)["files"])
+                added = len(curf - prev)
+                if end > cur and total + added > self._max_files:
+                    break
+                total += added
+                end = v
+                prev = curf
+            head = end
+        return {"version": head}
+
+    def commit(self, end: dict) -> None:
+        # the engine's checkpoint is the durable cursor; this only feeds
+        # the admission cap's local bookkeeping
+        self._advance_cursor(end["version"])
+
+
+class SnapshotStreamReader(_AdmissionControlMixin, DataSourceStreamReader):
     """The snapshot log as a STRUCTURED STREAMING SOURCE: offsets are
     version numbers, one micro-batch covers the versions committed since
     the last processed offset, and the rows of a batch are the files
@@ -464,6 +596,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
             str(options.get("skipchangecommits", "false")).lower()
             == "true"
         )
+        self._init_admission(options)
         self.columns = columns
         self.types = types
         # rename aliases from the head manifest (the map only grows, so
@@ -478,14 +611,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
         except Exception:
             self._aliases = {}
 
-    def initialOffset(self) -> dict:
-        return {"version": 0}
-
-    def latestOffset(self) -> dict:
-        return {"version": latest_version(self.root)}
-
     def partitions(self, start: dict, end: dict):
         a, b = start["version"], end["version"]
+        self._advance_cursor(b)
         if a == 0:
             prev, prev_dv = set(), {}
         else:
@@ -529,9 +657,6 @@ class SnapshotStreamReader(DataSourceStreamReader):
             getattr(self, "_aliases", {}),
         )
 
-    def commit(self, end: dict) -> None:
-        pass  # the engine's checkpoint is the cursor; nothing to clean
-
 
 class SnapshotCdfPartition(InputPartition):
     def __init__(
@@ -541,15 +666,19 @@ class SnapshotCdfPartition(InputPartition):
         version: int,
         dv_new: tuple[str, ...] = (),
         dv_old: tuple[str, ...] = (),
+        ts: float | None = None,  # the commit's banked timestamp
     ) -> None:
         self.path = path
         self.kind = kind
         self.version = version
         self.dv_new = dv_new
         self.dv_old = dv_old
+        self.ts = ts
 
 
-class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
+class SnapshotChangeFeedStreamReader(
+    _AdmissionControlMixin, DataSourceStreamReader
+):
     """The snapshot log as a STREAMING CHANGE DATA FEED (Delta's
     ``readChangeFeed`` stream): offsets are version numbers; each
     micro-batch emits ROW-LEVEL changes with ``_change_type`` and
@@ -571,6 +700,7 @@ class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
             str(options.get("skipchangecommits", "false")).lower()
             == "true"
         )
+        self._init_admission(options)
         self.columns = columns
         self.types = types
         try:
@@ -582,14 +712,9 @@ class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
         except Exception:
             self._aliases = {}
 
-    def initialOffset(self) -> dict:
-        return {"version": 0}
-
-    def latestOffset(self) -> dict:
-        return {"version": latest_version(self.root)}
-
     def partitions(self, start: dict, end: dict):
         a, b = start["version"], end["version"]
+        self._advance_cursor(b)
         if a == 0:
             prev, prev_dv = set(), {}
         else:
@@ -599,6 +724,7 @@ class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
         for v in range(a + 1, b + 1):
             m = load_manifest(self.root, v)
             cur, cur_dv = set(m["files"]), m["dv"]
+            ts = m.get("ts")
             removed = prev - cur
             if removed:
                 if not self.skip_change:
@@ -616,6 +742,7 @@ class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
                         SnapshotCdfPartition(
                             p, "insert", v,
                             dv_new=tuple(cur_dv.get(p, [])),
+                            ts=ts,
                         )
                     )
                 for p in sorted(cur & prev):
@@ -630,6 +757,7 @@ class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
                                 p, "delete", v,
                                 dv_new=tuple(new_dirs),
                                 dv_old=tuple(prev_dv.get(p, [])),
+                                ts=ts,
                             )
                         )
             prev, prev_dv = cur, cur_dv
@@ -640,9 +768,16 @@ class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
 
         if partition is None or not getattr(partition, "path", None):
             return
+        ts = getattr(partition, "ts", None)
         consts = {
             "_change_type": (partition.kind, pa.string()),
             "_commit_version": (partition.version, pa.int64()),
+            # the commit's banked wall-clock (epoch micros; None for
+            # manifests written before timestamps landed)
+            "_commit_timestamp": (
+                int(ts * 1_000_000) if ts is not None else None,
+                pa.timestamp("us"),
+            ),
         }
         if partition.kind == "insert":
             # rows visible at the add commit (minus any dv it carried)
@@ -671,9 +806,6 @@ class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
             extra_consts=consts,
         )
 
-    def commit(self, end: dict) -> None:
-        pass  # the engine's checkpoint is the cursor
-
 
 class SnapshotChangeFeedBatchReader(DataSourceReader):
     """Batch CDF through the connector (Delta's
@@ -688,7 +820,19 @@ class SnapshotChangeFeedBatchReader(DataSourceReader):
         self._inner = SnapshotChangeFeedStreamReader(
             options, columns, types
         )
-        self.start = int(options.get("startingversion", 0))
+        sts = options.get("startingtimestamp")
+        if sts is not None:
+            # changes committed AT OR AFTER the timestamp: the exclusive
+            # base is the newest version committed strictly before it
+            # (Delta's startingTimestamp semantics), a metadata walk
+            base = 0
+            for v in range(1, latest_version(root) + 1):
+                m = load_manifest(root, v)
+                if m.get("ts") is not None and m["ts"] < float(sts):
+                    base = v
+            self.start = base
+        else:
+            self.start = int(options.get("startingversion", 0))
         self.end = int(
             options.get("endingversion", latest_version(root))
         )
@@ -706,6 +850,24 @@ class SnapshotChangeFeedBatchReader(DataSourceReader):
 class SnapshotCommitMessage(WriterCommitMessage):
     path: str = ""
     stats: dict = field(default_factory=dict)
+    #: per-constraint violation counts tallied EXECUTOR-SIDE during the
+    #: write pass; the driver's commit() vetoes the manifest publish if
+    #: any are non-zero (files are invisible until publish, so veto =
+    #: unlink — writer-side CHECK enforcement with zero extra scans)
+    violations: dict = field(default_factory=dict)
+    #: multi-shard form ({path: footer_stats}) used by splitBy clustered
+    #: writes, where one task emits one file PER SPLIT VALUE; mutually
+    #: exclusive with ``path``
+    shards: dict = field(default_factory=dict)
+
+    def files(self) -> list[str]:
+        return ([self.path] if self.path else []) + sorted(self.shards)
+
+    def file_stats(self) -> dict:
+        out = dict(self.shards)
+        if self.path:
+            out[self.path] = self.stats
+        return out
 
 
 class SnapshotDataWriter(DataSourceArrowWriter):
@@ -736,11 +898,76 @@ class SnapshotDataWriter(DataSourceArrowWriter):
         self.stats_cols = [
             c for c in options.get("statscols", "").split(",") if c
         ]
+        #: write-side CLUSTERING: one output file PER DISTINCT VALUE of
+        #: this column per task — each file's zone-map range for the
+        #: split column collapses to a point, so manifest pruning on it
+        #: becomes exact (the connector-write analogue of partitionBy;
+        #: pre-sort/repartition the frame on the column upstream to
+        #: bound files at (tasks x values present per task))
+        self.split_by = options.get("splitby") or None
+        # schema can arrive as None on some engine paths (e.g. a
+        # streaming writer for an empty epoch); no columns to register
+        self.field_names = [
+            f.name for f in getattr(schema, "fields", None) or []
+        ]
         self.commit_dir = os.path.join(
             self.root, "data", uuid.uuid4().hex
         )
         # a table created purely through the connector needs its log dir
         os.makedirs(os.path.join(self.root, "_manifests"), exist_ok=True)
+        # CHECK constraints snapshotted at writer construction; write()
+        # tallies violations executor-side against exactly this set, and
+        # commit() re-checks the base manifest — a constraint added
+        # concurrently (unverifiable for rows already written) fails the
+        # commit instead of publishing unchecked rows.
+        base_v = latest_version(self.root)
+        self.constraints: dict[str, str] = (
+            dict(load_manifest(self.root, base_v).get("constraints", {}))
+            if base_v > 0
+            else {}
+        )
+
+    def _tally_violations(self, con, batch, viol: dict) -> None:
+        """Writer-side CHECK enforcement for the connector path: count
+        each constraint's violations VECTORIZED on the in-flight Arrow
+        batch with DuckDB (an embedded ANSI-SQL evaluator — there is no
+        JVM on this side of the Arrow writer protocol). NULL results
+        count as violations (``IS NOT TRUE``), matching SnapshotTable's
+        Spark-side posture; constraint expressions are the simple
+        ANSI-portable column-level boolean shape CHECK takes. An
+        expression the evaluator cannot run fails the WRITE —
+        conservative: never publish unchecked rows."""
+        import pyarrow as pa
+
+        con.register("__rows", pa.Table.from_batches([batch]))
+        for name, sql in self.constraints.items():
+            try:
+                n = con.execute(
+                    f"SELECT count(*) FROM __rows WHERE ({sql}) IS NOT TRUE"
+                ).fetchone()[0]
+            except Exception as e:
+                raise ValueError(
+                    f"CHECK constraint {name!r} ({sql}) is not "
+                    "evaluable on connector writes — drop it or use "
+                    "SnapshotTable.commit_append"
+                ) from e
+            viol[name] += n
+
+    def _split_batches(self, batch):
+        """splitBy fan-out of one Arrow batch: (key, sub-batch) per
+        distinct value of the split column (vectorized pyarrow filter,
+        no per-row Python). None groups under the "__null__" key."""
+        import pyarrow.compute as pc
+
+        col = batch.column(batch.schema.get_field_index(self.split_by))
+        for v in pc.unique(col):
+            mask = (
+                pc.is_null(col)
+                if not v.is_valid
+                else pc.equal(col, v)
+            )
+            key = "__null__" if not v.is_valid else str(v.as_py())
+            yield key, batch.filter(mask)
 
     def write(self, iterator) -> SnapshotCommitMessage | None:
         import os
@@ -749,35 +976,102 @@ class SnapshotDataWriter(DataSourceArrowWriter):
         import pyarrow.parquet as pq
 
         os.makedirs(self.commit_dir, exist_ok=True)
-        path = os.path.join(
-            self.commit_dir, f"part-{uuid.uuid4().hex}.parquet"
-        )
-        writer = None
-        for batch in iterator:
-            if writer is None:
-                writer = pq.ParquetWriter(path, batch.schema)
-            writer.write_batch(batch)
-        if writer is None:
+        writers: dict[str, tuple[str, object]] = {}
+
+        def sink(key: str, batch) -> None:
+            if key not in writers:
+                p = os.path.join(
+                    self.commit_dir,
+                    f"part-{uuid.uuid4().hex}.parquet",
+                )
+                writers[key] = (p, pq.ParquetWriter(p, batch.schema))
+            writers[key][1].write_batch(batch)
+
+        viol = {n: 0 for n in self.constraints}
+        con = None
+        if self.constraints:
+            import duckdb
+
+            con = duckdb.connect()
+        try:
+            for batch in iterator:
+                if self.split_by:
+                    for key, sub in self._split_batches(batch):
+                        sink(key, sub)
+                else:
+                    sink("", batch)
+                if con is not None:
+                    self._tally_violations(con, batch, viol)
+        finally:
+            if con is not None:
+                con.close()
+        if not writers:
             # empty task: no file. The Arrow writer protocol requires a
             # commit message object (None is rejected), so signal "no
             # file" with an empty path the commit step filters out.
             return SnapshotCommitMessage(path="", stats={})
-        writer.close()
-        stats = (
-            _footer_stats_one(path, self.stats_cols)
-            if self.stats_cols
-            else {}
+        shards: dict[str, dict] = {}
+        for p, w in writers.values():
+            w.close()
+            shards[p] = (
+                _footer_stats_one(p, self.stats_cols)
+                if self.stats_cols
+                else {}
+            )
+        return SnapshotCommitMessage(
+            path="",
+            stats={},
+            shards=shards,
+            violations={n: c for n, c in viol.items() if c},
         )
-        return SnapshotCommitMessage(path=path, stats=stats)
 
     # ------------------------------------------------- commit protocol
     def _commit_with_retry(self, messages, txn_update=None) -> None:
         """The one manifest-commit loop every connector write path uses:
-        optimistic-concurrency retry, txn map carried forward through
-        every commit, tracked-stat-column backfill, append/overwrite
-        base handling, and the empty-write no-op."""
-        files = sorted(m.path for m in messages if m and m.path)
-        stats = {m.path: m.stats for m in messages if m and m.path}
+        optimistic-concurrency retry, the FULL manifest metadata carried
+        forward through every commit — txn map, deletion vectors, the
+        field-id schema map (extended with any columns this write
+        introduces), and CHECK constraints — exactly mirroring
+        ``SnapshotTable._publish``; plus tracked-stat-column backfill,
+        append/overwrite base handling, the empty-write no-op, and the
+        constraint veto. Carrying only ``txn`` here was a reproduced
+        silent-wrong-answer bug: an append onto a table with deletion
+        vectors RESURRECTED the deleted rows (manifest dv reset),
+        reverted renames, and erased constraints."""
+        import os
+
+        files = sorted(p for m in messages if m for p in m.files())
+        stats: dict = {}
+        for m in messages:
+            if m:
+                stats.update(m.file_stats())
+
+        def reclaim():
+            for p in files:
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    pass
+
+        # constraint veto BEFORE any publish: the violation counts were
+        # tallied executor-side on the exact batches written; files are
+        # invisible until the manifest lands, so veto = unlink.
+        viol: dict[str, int] = {}
+        for msg in messages:
+            for n, c in (
+                getattr(msg, "violations", None) or {}
+            ).items():
+                viol[n] = viol.get(n, 0) + c
+        if viol:
+            reclaim()
+            raise ValueError(
+                "CHECK constraint violation(s), connector write "
+                "rejected: "
+                + ", ".join(
+                    f"{n} ({self.constraints.get(n)}): {c} row(s)"
+                    for n, c in sorted(viol.items())
+                )
+            )
         if not files and txn_update is None:
             return  # empty BATCH write: publish nothing (append of
             # nothing is a no-op; an empty batch overwrite keeps the
@@ -791,23 +1085,36 @@ class SnapshotDataWriter(DataSourceArrowWriter):
             base_files: list = []
             base_stats: dict = {}
             txn: dict = {}
+            base_dv: dict = {}
+            base_schema = None
+            base_cons: dict = {}
             if base_v > 0:
                 m = load_manifest(self.root, base_v)
                 base_stats, txn = m["stats"], dict(m.get("txn", {}))
+                base_dv = dict(m.get("dv", {}))
+                base_schema = m.get("schema")
+                base_cons = dict(m.get("constraints", {}))
                 if not self.overwrite:
                     base_files = m["files"]
                 if txn_update:
                     app, batch = txn_update
                     if txn.get(app) is not None and txn[app] >= batch:
                         # replayed epoch: already durable — reclaim dupes
-                        import os
-
-                        for p in files:
-                            try:
-                                os.unlink(p)
-                            except FileNotFoundError:
-                                pass
+                        reclaim()
                         return
+            # a constraint REGISTERED AFTER this writer snapshotted its
+            # set was never checked against the written rows — fail the
+            # commit rather than publish unverified data (the metadata
+            # analogue of a manifest conflict; the write retries
+            # cleanly with the new constraint in force)
+            unchecked = set(base_cons) - set(self.constraints)
+            if unchecked and files:
+                reclaim()
+                raise CommitConflict(
+                    f"constraints {sorted(unchecked)} were added "
+                    "concurrently with this write; rows were not "
+                    "checked against them — retry the write"
+                )
             # uniform stat schema: backfill columns the table already
             # tracks but this write's statsCols omitted (O(new files)
             # footer reads, same cost class as the write itself)
@@ -821,16 +1128,41 @@ class SnapshotDataWriter(DataSourceArrowWriter):
                     stats[p] = {**extra_stats, **stats.get(p, {})}
             if txn_update:
                 txn[txn_update[0]] = txn_update[1]
+            visible = base_files + files
+            # dv entries survive only for files still visible: append
+            # keeps every base file (tombstones stay live), overwrite
+            # replaces the file set (its dv map legitimately clears)
+            dv = {
+                f: v
+                for f, v in base_dv.items()
+                if f in set(visible) and v
+            }
+            try:
+                schema = extend_schema_map(
+                    base_schema, self.field_names
+                )
+            except ValueError:
+                reclaim()  # dropped-name reuse: files must not leak
+                raise
+            extra: dict = {}
+            if txn:
+                extra["txn"] = txn
+            if dv:
+                extra["dv"] = dv
+            if schema is not None:
+                extra["schema"] = schema
+            if base_cons:
+                extra["constraints"] = base_cons
             try:
                 publish_version(
                     self.root,
-                    base_files + files,
+                    visible,
                     base_v,
                     {
                         **(base_stats if not self.overwrite else {}),
                         **stats,
                     },
-                    extra={"txn": txn} if txn else None,
+                    extra=extra or None,
                 )
                 return
             except CommitConflict:
@@ -846,9 +1178,9 @@ class SnapshotDataWriter(DataSourceArrowWriter):
         import os
 
         for m in messages or []:
-            if m and m.path:
+            for p in m.files() if m else []:
                 try:
-                    os.unlink(m.path)
+                    os.unlink(p)
                 except FileNotFoundError:
                     pass
 
@@ -890,8 +1222,11 @@ class SnapshotStreamWriter(SnapshotDataWriter, DataSourceStreamArrowWriter):
 
 
 class SnapshotDataSource(DataSource):
-    """format("pysnapshot") — options: root (required), version
-    (default: head), statsCols, skipChangeCommits, txnAppId."""
+    """format("pysnapshot") — options: root (required), version |
+    timestampAsOf (default: head), statsCols, skipChangeCommits,
+    txnAppId, readChangeFeed, startingVersion | startingTimestamp /
+    endingVersion (batch CDF), and maxVersionsPerTrigger /
+    maxFilesPerTrigger (streaming admission control)."""
 
     @classmethod
     def name(cls) -> str:
@@ -912,7 +1247,11 @@ class SnapshotDataSource(DataSource):
         if not files:
             # empty snapshot (e.g. a complete-mode epoch that recomputed
             # to zero rows): schema from the newest PRIOR version that
-            # had files — the table's last known shape
+            # had files — the FULL file list, because additive evolution
+            # means later files carry columns the first file predates
+            # (sampling prior[0] alone used to lose them); the current
+            # version's field-id map still applies below, so renames and
+            # drops project correctly even on the zero-row shape
             root = self.options["root"]
             v = int(self.options.get("version", latest_version(root)))
             for pv in range(v - 1, 0, -1):
@@ -921,7 +1260,7 @@ class SnapshotDataSource(DataSource):
                 except Exception:
                     break
                 if prior:
-                    files = [prior[0]]
+                    files = list(prior)
                     break
         if not files:
             raise ValueError(
@@ -949,6 +1288,8 @@ class SnapshotDataSource(DataSource):
             # dropped field's physical bytes stop surfacing)
             fields = []
             for ent in smap:
+                if ent.get("dropped"):
+                    continue  # tombstoned field: bytes never surface
                 for n in (ent["name"], *ent.get("prior", [])):
                     if unified.get_field_index(n) >= 0:
                         fields.append(
@@ -966,6 +1307,7 @@ class SnapshotDataSource(DataSource):
                 + [
                     pa.field("_change_type", pa.string()),
                     pa.field("_commit_version", pa.int64()),
+                    pa.field("_commit_timestamp", pa.timestamp("us")),
                 ]
             )
         return from_arrow_schema(unified)

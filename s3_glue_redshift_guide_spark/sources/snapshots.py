@@ -162,6 +162,7 @@ def publish_version(
     base_version: int,
     stats: dict[str, dict[str, list]] | None = None,
     extra: dict | None = None,
+    ts: float | None = None,
 ) -> int:
     """Atomically publish version ``base_version + 1`` with optimistic
     concurrency: commits target the version ON TOP OF THE SNAPSHOT THE
@@ -172,7 +173,15 @@ def publish_version(
     equivalent is a conditional put (If-None-Match) on the manifest key,
     Delta's log protocol. Module-level so every log writer —
     ``SnapshotTable`` and the pysnapshot DataSourceWriter — shares one
-    commit protocol."""
+    commit protocol.
+
+    Every manifest banks a COMMIT TIMESTAMP (``ts``, epoch seconds;
+    injectable for deterministic tests) — the anchor for TIMESTAMP AS OF
+    time travel and the CDF ``_commit_timestamp`` column. Like Delta,
+    the timestamp is assigned by the writer at publish time, so it is
+    monotone per table only as far as writers' clocks are."""
+    import time
+
     v = base_version + 1
     path = os.path.join(root, "_manifests", f"v{v}.json")
     tmp = path + f".tmp.{uuid.uuid4().hex}"
@@ -182,6 +191,7 @@ def publish_version(
                 "version": v,
                 "files": files,
                 "stats": stats or {},
+                "ts": time.time() if ts is None else ts,
                 **(extra or {}),
             },
             f,
@@ -197,44 +207,140 @@ def publish_version(
     return v
 
 
+def extend_schema_map(sm, col_names) -> list[dict] | None:
+    """A commit that introduces columns while a field-id map exists
+    must register them (fresh ids) so later renames can track them.
+    Re-using a DROPPED field's name (or any historical name) is
+    rejected: the dropped field's physical bytes still live in
+    pre-drop files under exactly that name, so a new field bound to
+    it would RESURRECT the deleted data instead of reading NULLs
+    (Iceberg/Delta avoid this by assigning fresh physical names; this
+    format's physical name IS the df column name, so the safe move is
+    to refuse — same posture as rename_column). Module-level so the
+    SnapshotTable write paths and the pysnapshot connector's commit
+    share ONE implementation."""
+    if sm is None:
+        return None
+    sm = [dict(e) for e in sm]
+    live = {
+        n
+        for e in sm
+        if not e.get("dropped")
+        for n in (e["name"], *e.get("prior", []))
+    }
+    dead = {
+        n
+        for e in sm
+        if e.get("dropped")
+        for n in (e["name"], *e.get("prior", []))
+    }
+    next_id = max((e["id"] for e in sm), default=-1) + 1
+    for c in col_names:
+        if c in live:
+            continue
+        if c in dead:
+            raise ValueError(
+                f"column name {c!r} belonged to a DROPPED field; "
+                "re-using it would resurrect the dropped data from "
+                "pre-drop files — pick a new name"
+            )
+        sm.append({"id": next_id, "name": c, "prior": []})
+        next_id += 1
+    return sm
+
+
+def version_as_of(root: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution: the newest version whose banked
+    commit timestamp is <= ``ts`` (Delta's semantics). Pure metadata
+    walk over the retained manifests; raises if ``ts`` predates the
+    oldest retained commit (nothing existed / retention passed it)."""
+    best = 0
+    for v in range(1, latest_version(root) + 1):
+        try:
+            m = load_manifest(root, v)
+        except LogTruncated:
+            continue
+        mts = m.get("ts")
+        if mts is not None and mts <= ts:
+            best = v
+    if best == 0:
+        raise ValueError(
+            f"no snapshot committed at or before timestamp {ts!r} "
+            "(predates the table, or the retention window)"
+        )
+    return best
+
+
 def zone_prune(
     files: list[str],
     stats: dict[str, dict[str, list]],
     bounds: dict[str, tuple],
+    aliases: dict[str, list[str]] | None = None,
 ) -> list[str]:
     """Files whose banked [min, max] ranges could intersect EVERY bound
     in ``bounds`` ({col: (lo, hi)}, None = unbounded side). Absent stats
     are a conservative keep — pruning can waste a read, never lose a
-    row."""
+    row.
+
+    ``aliases`` maps a bound's CURRENT column name to its historical
+    physical names (field-id renames): the logical column's values in a
+    file are the union over the alias columns physically present there
+    (readers coalesce them), so a file is excluded on a bound only when
+    at least one alias has banked stats AND every alias WITH banked
+    stats excludes the range. Spreading the bound over aliases as
+    independent AND-ed bounds would wrongly prune mixed-era files
+    (post-compaction files physically carry BOTH names, each null for
+    the other era's rows) whenever one era's range misses."""
+    aliases = aliases or {}
     keep = []
     for f in files:
         st = stats.get(f, {})
         skip = False
         for col, (lo, hi) in bounds.items():
-            mm = st.get(col)
-            if mm is None:
+            names = [col, *aliases.get(col, [])]
+            banked = [st[n] for n in names if st.get(n) is not None]
+            if not banked:
                 continue
-            try:
-                if (hi is not None and mm[0] > hi) or (
-                    lo is not None and mm[1] < lo
-                ):
-                    skip = True
+            excluded = True
+            for mm in banked:
+                try:
+                    if not (
+                        (hi is not None and mm[0] > hi)
+                        or (lo is not None and mm[1] < lo)
+                    ):
+                        excluded = False
+                        break
+                except TypeError:
+                    # bound and banked stat live in incomparable domains
+                    # (e.g. a datetime literal vs an ISO-string stat a
+                    # caller failed to normalize): conservative keep —
+                    # pruning may waste a read, never lose a row.
+                    excluded = False
                     break
-            except TypeError:
-                # bound and banked stat live in incomparable domains
-                # (e.g. a datetime literal vs an ISO-string stat a caller
-                # failed to normalize): conservative keep — pruning may
-                # waste a read, never lose a row.
-                continue
+            if excluded:
+                skip = True
+                break
         if not skip:
             keep.append(f)
     return keep
 
 
+#: distinct "not passed" sentinel for _publish's metadata overrides:
+#: ``None`` is a MEANINGFUL value for the schema map (= table uses
+#: physical names) and restore/clone must be able to publish it
+#: explicitly instead of inheriting the base version's map
+_UNSET = object()
+
+
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(
+        self, spark: SparkSession, root: str, clock=None
+    ) -> None:
         self.spark = spark
         self.root = root
+        #: commit-timestamp source (epoch seconds); injectable so tests
+        #: and oracle-matched queries get deterministic TIMESTAMP AS OF
+        self.clock = clock
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
 
     # ------------------------------------------------------------ internals
@@ -249,11 +355,37 @@ class SnapshotTable:
         dir; returns the file paths. Distributed write — rows never cross
         the driver; only the resulting path list (metadata) does. EVERY
         data write passes through here, so registered CHECK constraints
-        are enforced at this choke point (one aggregated pass over the
-        incoming batch — Delta's writer-side contract)."""
-        self._enforce_constraints(df)
+        are enforced at this choke point (Delta's writer-side contract)
+        — via ``df.observe``: the per-constraint violation counters ride
+        the write pass itself (ONE scan, not check-then-write twice),
+        and because the files are invisible until the manifest publish,
+        a violating write aborts by unlinking the staged dir — same
+        atomicity, half the compute, and a nondeterministic ``df``
+        cannot pass the check yet write violating rows (the counters
+        observe the exact rows written)."""
+        cons = self._constraints()
+        obs = None
+        if cons:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df = df.observe(obs, *self._violation_counters(cons))
         d = os.path.join(self.root, "data", uuid.uuid4().hex)
         df.write.mode("errorifexists").parquet(d)
+        if obs is not None:
+            got = obs.get
+            bad = {n: got[n] for n in cons if got.get(n)}
+            if bad:
+                import shutil
+
+                shutil.rmtree(d, ignore_errors=True)
+                raise ValueError(
+                    "CHECK constraint violation(s), write rejected: "
+                    + ", ".join(
+                        f"{n} ({cons[n]}): {c} row(s)"
+                        for n, c in bad.items()
+                    )
+                )
         return sorted(
             os.path.join(d, f)
             for f in os.listdir(d)
@@ -299,27 +431,34 @@ class SnapshotTable:
         files: list[str],
         base_version: int,
         stats: dict[str, dict[str, list]] | None = None,
-        dv: dict[str, list[str]] | None = None,
-        schema_map: list[dict] | None = None,
+        dv=_UNSET,
+        schema_map=_UNSET,
+        constraints=_UNSET,
     ) -> int:
         # carry the txn map (streaming writers' appId -> batchId records),
-        # the deletion-vector map, and the field-id schema map forward
-        # through EVERY commit — replay detection, merge-on-read deletes,
-        # and renames must survive interleaved table commits (the Delta
-        # txn invariant, extended to the other two metadata families).
-        # DV entries survive only for files still visible (a rewritten
-        # file's deletes are materialized in its replacement).
+        # the deletion-vector map, the field-id schema map, and the CHECK
+        # constraints forward through EVERY commit — replay detection,
+        # merge-on-read deletes, renames, and writer contracts must
+        # survive interleaved table commits (the Delta txn invariant,
+        # extended to the other metadata families). DV entries survive
+        # only for files still visible (a rewritten file's deletes are
+        # materialized in its replacement). Overrides use the _UNSET
+        # sentinel, NOT None: None is a real value for the schema map
+        # ("physical names, no renames") that restore/clone must be able
+        # to publish explicitly instead of inheriting the base's map.
         base = (
             load_manifest(self.root, base_version)
             if base_version > 0
             else {"txn": {}, "dv": {}, "schema": None}
         )
         txn = base.get("txn", {})
-        if dv is None:
+        if dv is _UNSET or dv is None:
             dv = base.get("dv", {})
         dv = {f: v for f, v in dv.items() if f in set(files) and v}
-        if schema_map is None:
+        if schema_map is _UNSET:
             schema_map = base.get("schema")
+        if constraints is _UNSET:
+            constraints = base.get("constraints")
         extra: dict = {}
         if txn:
             extra["txn"] = txn
@@ -327,14 +466,15 @@ class SnapshotTable:
             extra["dv"] = dv
         if schema_map is not None:
             extra["schema"] = schema_map
-        if base.get("constraints"):
-            extra["constraints"] = base["constraints"]
+        if constraints:
+            extra["constraints"] = constraints
         return publish_version(
             self.root,
             files,
             base_version,
             stats,
             extra=extra or None,
+            ts=self.clock() if self.clock else None,
         )
 
     # --------------------------------------------- deletion-vector reads
@@ -344,14 +484,32 @@ class SnapshotTable:
     def _plain_path(col):
         return F.regexp_replace(col, "^file:(//)?", "")
 
+    #: sidecar bytes above which the DV anti-join stops hinting a
+    #: broadcast: point deletes (KBs) broadcast; a wide delete's
+    #: millions of positions shuffle-join instead of flooding executors
+    DV_BROADCAST_MAX_BYTES = 64 << 20
+
     def _dv_rows(self, dv: dict[str, list[str]]) -> DataFrame:
         """The (file, position) pairs of every sidecar in ``dv``, deduped
-        (re-deleting an already-deleted row must stay idempotent)."""
+        (re-deleting an already-deleted row must stay idempotent).
+        Broadcast-hinted only while the sidecars are point-delete sized
+        (one cheap metadata stat of the sidecar dirs decides)."""
         dirs = sorted({d for lst in dv.values() for d in lst})
-        return (
+        df = (
             self.spark.read.parquet(*dirs)
             .dropDuplicates(["__dv_file", "__dv_pos"])
         )
+        size = 0
+        for d in dirs:
+            try:
+                size += sum(
+                    os.path.getsize(os.path.join(d, f))
+                    for f in os.listdir(d)
+                )
+            except OSError:
+                size = self.DV_BROADCAST_MAX_BYTES + 1
+                break
+        return F.broadcast(df) if size <= self.DV_BROADCAST_MAX_BYTES else df
 
     def _masked_read(self, files: list[str], dv: dict) -> DataFrame:
         """mergeSchema read of ``files`` with deletion vectors applied:
@@ -373,7 +531,7 @@ class SnapshotTable:
         )
         return (
             df.join(
-                F.broadcast(dvr),
+                dvr,
                 (df["__fp"] == dvr["__dv_file"])
                 & (df["__pos"] == dvr["__dv_pos"]),
                 "left_anti",
@@ -397,6 +555,8 @@ class SnapshotTable:
         have = set(df.columns)
         cols = [F.col(k) for k in keep]
         for ent in schema_map:
+            if ent.get("dropped"):
+                continue  # tombstoned field: bytes stay, never surface
             names = [ent["name"], *ent.get("prior", [])]
             present = [n for n in names if n in have]
             if not present:
@@ -410,19 +570,7 @@ class SnapshotTable:
         return df.select(*cols)
 
     def _extend_schema_map(self, base_m: dict, df: DataFrame):
-        """A commit that introduces columns while a field-id map exists
-        must register them (fresh ids) so later renames can track them."""
-        sm = base_m.get("schema")
-        if sm is None:
-            return None
-        sm = [dict(e) for e in sm]
-        known = {n for e in sm for n in (e["name"], *e.get("prior", []))}
-        next_id = max((e["id"] for e in sm), default=-1) + 1
-        for c in df.columns:
-            if c not in known:
-                sm.append({"id": next_id, "name": c, "prior": []})
-                next_id += 1
-        return sm
+        return extend_schema_map(base_m.get("schema"), df.columns)
 
     # ------------------------------------------------------------- surface
     def current_version(self) -> int:
@@ -490,30 +638,44 @@ class SnapshotTable:
             schema_map=self._extend_schema_map(m, df),
         )
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        as_of_ts: float | None = None,
+    ) -> DataFrame:
         """Read a snapshot. ``mergeSchema`` is on: commits may add
         columns (additive evolution, the S5 contract — older files
         surface the new columns as NULL), and same-schema reads pay only
-        a footer union for it."""
+        a footer union for it. ``as_of_ts`` is TIMESTAMP AS OF time
+        travel: the newest version whose banked commit timestamp is
+        <= the given epoch-seconds value (Delta semantics; mutually
+        exclusive with ``version``)."""
+        if as_of_ts is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of_ts, not both")
+            version = version_as_of(self.root, as_of_ts)
         v = self.current_version() if version is None else version
         m = load_manifest(self.root, v)
         files = m["files"]
         if not files:
             # an EMPTY snapshot (e.g. a streaming complete-mode epoch
             # whose recomputed result was empty): zero rows, schema from
-            # the newest prior version that had files — the table's last
-            # known shape, exactly what a reader of "the current result"
-            # expects.
+            # the newest prior version that had files — projected
+            # through THIS version's field-id map, so the zero-row frame
+            # surfaces the current logical column names (not the prior
+            # files' physical names: post-rename those differ, and
+            # dropped columns must not resurface).
             for pv in range(v - 1, 0, -1):
                 try:
                     prior = self._load_manifest(pv)
                 except LogTruncated:
                     break
                 if prior:
-                    return (
+                    return self._apply_schema_map(
                         self.spark.read.option("mergeSchema", "true")
                         .parquet(*prior)
-                        .limit(0)
+                        .limit(0),
+                        m["schema"],
                     )
             raise ValueError(
                 f"snapshot version {v} is empty and no prior version "
@@ -589,7 +751,12 @@ class SnapshotTable:
         )
         matched = mapped.filter(predicate).select("__dv_file", "__dv_pos")
         dvdir = os.path.join(self.root, "deletes", _uuid.uuid4().hex)
-        matched.coalesce(1).write.mode("errorifexists").parquet(dvdir)
+        # NATURAL task parallelism for the sidecar write: a wide delete
+        # (50% selectivity) streams positions out of every scan task in
+        # parallel instead of funnelling millions of rows through one
+        # coalesced task; a point delete writes a few KB-sized shards —
+        # sidecar readers union the directory either way.
+        matched.write.mode("errorifexists").parquet(dvdir)
         affected = [
             r["__dv_file"]
             for r in self.spark.read.parquet(dvdir)
@@ -634,7 +801,7 @@ class SnapshotTable:
         )
         matched = mapped.filter(predicate)
         dvdir = os.path.join(self.root, "deletes", _uuid.uuid4().hex)
-        matched.select("__dv_file", "__dv_pos").coalesce(1).write.mode(
+        matched.select("__dv_file", "__dv_pos").write.mode(
             "errorifexists"
         ).parquet(dvdir)
         affected = [
@@ -646,7 +813,20 @@ class SnapshotTable:
         ]
         if not affected:
             return cur  # nothing matched
-        post = matched.drop("__dv_file", "__dv_pos").withColumns(
+        # Post-images derive from the WRITTEN SIDECAR, not from a second
+        # evaluation of the predicate: re-running ``matched`` for the
+        # insert half would let a nondeterministic predicate (sampling,
+        # rand()-derived) tombstone one row-set and insert post-images
+        # of a DIFFERENT one — a torn update. Joining the base rows back
+        # on the durable (file, pos) pairs pins both halves to the exact
+        # rows the sidecar committed; base files are immutable, so the
+        # re-scan is positionally identical. Broadcast only while the
+        # sidecar is point-delete sized (same gate as the read path).
+        sidecar = self._dv_rows({"_": [dvdir]})
+        pinned = mapped.join(
+            sidecar, ["__dv_file", "__dv_pos"], "left_semi"
+        )
+        post = pinned.drop("__dv_file", "__dv_pos").withColumns(
             assignments
         )
         new = self._write_files(post)
@@ -692,6 +872,29 @@ class SnapshotTable:
             {"id": i, "name": n, "prior": []} for i, n in enumerate(names)
         ]
 
+    def _reject_constrained(self, m: dict, col: str, op: str) -> None:
+        """Renaming/dropping a column a CHECK constraint references
+        would brick every subsequent write (the stored expression names
+        a column that no longer resolves) — reject up front, exactly as
+        the reference formats block schema changes under dependent
+        constraints. Reference detection is a word-boundary match on the
+        stored SQL text (constraints here are simple column-level
+        boolean expressions; a false positive merely asks the user to
+        drop/re-add the constraint around the schema change)."""
+        import re
+
+        pat = re.compile(rf"(?<![A-Za-z0-9_`]){re.escape(col)}(?![A-Za-z0-9_])")
+        hits = [
+            n
+            for n, sql in (m.get("constraints") or {}).items()
+            if pat.search(sql)
+        ]
+        if hits:
+            raise ValueError(
+                f"cannot {op} column {col!r}: referenced by CHECK "
+                f"constraint(s) {hits} — drop them first"
+            )
+
     def rename_column(self, old: str, new: str) -> int:
         """METADATA-ONLY column rename (Iceberg semantics, via field
         ids): zero data files touched; the field keeps its id, the old
@@ -699,11 +902,21 @@ class SnapshotTable:
         coalesces the historical names onto the new one — so files
         written before the rename read back under the new name, never as
         drop+add. Re-using a dropped/old name for a NEW column is
-        rejected: the coalesce mapping would conflate the two fields."""
+        rejected: the coalesce mapping would conflate the two fields.
+        Renaming a column referenced by a CHECK constraint is rejected
+        (the stored expression would stop resolving)."""
         cur = self.current_version()
         m = load_manifest(self.root, cur)
+        self._reject_constrained(m, old, "rename")
         sm = self._schema_map_for_edit(m)
-        ent = next((e for e in sm if e["name"] == old), None)
+        ent = next(
+            (
+                e
+                for e in sm
+                if e["name"] == old and not e.get("dropped")
+            ),
+            None,
+        )
         if ent is None:
             raise KeyError(f"no column named {old!r}")
         taken = {n for e in sm for n in (e["name"], *e.get("prior", []))}
@@ -716,14 +929,29 @@ class SnapshotTable:
         return self._publish(m["files"], cur, m["stats"], schema_map=sm)
 
     def drop_column(self, name: str) -> int:
-        """METADATA-ONLY column drop: the field leaves the id map, so
-        readers stop projecting it; bytes stay until files churn."""
+        """METADATA-ONLY column drop: the field is TOMBSTONED in the id
+        map (``dropped: true``), so readers stop projecting it; bytes
+        stay until files churn. The tombstone (not removal) is what
+        keeps the field's historical names reserved — a later commit
+        re-using the name would otherwise bind a NEW field to the OLD
+        physical bytes and resurrect deleted data (_extend_schema_map
+        rejects exactly that). Dropping a constrained column is
+        rejected."""
         cur = self.current_version()
         m = load_manifest(self.root, cur)
+        self._reject_constrained(m, name, "drop")
         sm = self._schema_map_for_edit(m)
-        if not any(e["name"] == name for e in sm):
+        ent = next(
+            (
+                e
+                for e in sm
+                if e["name"] == name and not e.get("dropped")
+            ),
+            None,
+        )
+        if ent is None:
             raise KeyError(f"no column named {name!r}")
-        sm = [e for e in sm if e["name"] != name]
+        ent["dropped"] = True
         return self._publish(m["files"], cur, m["stats"], schema_map=sm)
 
     def pruned_files(
@@ -740,15 +968,19 @@ class SnapshotTable:
         natively, dates/timestamps as ISO strings."""
         v = self.current_version() if version is None else version
         m = load_manifest(self.root, v)
-        # a renamed column's stats are banked under the physical name the
-        # file was written with — bound every historical alias, so pre-
-        # rename files keep pruning under the new logical name
-        names = [col]
+        # a renamed column's stats are banked under the physical name
+        # each file was written with — and a MIXED-ERA file (produced by
+        # compaction/materialize after a rename) physically carries BOTH
+        # names, so the bound must be alias-GROUPED (file excluded only
+        # when every banked alias excludes), not spread as independent
+        # AND-ed bounds, or post-OPTIMIZE files lose their pre-rename
+        # rows to mispruning. zone_prune owns that logic.
+        aliases = {}
         for ent in m["schema"] or []:
-            if ent["name"] == col:
-                names += ent.get("prior", [])
+            if ent["name"] == col and ent.get("prior"):
+                aliases[col] = list(ent["prior"])
         keep = zone_prune(
-            m["files"], m["stats"], {n: (lo, hi) for n in names}
+            m["files"], m["stats"], {col: (lo, hi)}, aliases
         )
         return keep, len(m["files"])
 
@@ -888,7 +1120,7 @@ class SnapshotTable:
                     dvr_a, ["__dv_file", "__dv_pos"], "left_anti"
                 )
             tombstoned = raw.join(
-                F.broadcast(dvr_b),
+                dvr_b,
                 (raw["__fp"] == dvr_b["__dv_file"])
                 & (raw["__pos"] == dvr_b["__dv_pos"]),
                 "left_semi",
@@ -1004,12 +1236,8 @@ class SnapshotTable:
                     f"{bad} existing row(s)"
                 )
         cons[name] = expr_sql
-        return publish_version(
-            self.root,
-            m["files"],
-            cur,
-            m["stats"],
-            extra=self._carry_extra(m, constraints=cons),
+        return self._publish(
+            m["files"], cur, m["stats"], constraints=cons
         )
 
     def drop_constraint(self, name: str) -> int:
@@ -1017,53 +1245,31 @@ class SnapshotTable:
         m = load_manifest(self.root, cur)
         cons = dict(m.get("constraints", {}))
         cons.pop(name, None)
-        return publish_version(
-            self.root,
-            m["files"],
-            cur,
-            m["stats"],
-            extra=self._carry_extra(m, constraints=cons),
+        return self._publish(
+            m["files"], cur, m["stats"], constraints=cons
         )
 
-    @staticmethod
-    def _carry_extra(m: dict, **overrides) -> dict:
-        extra = {}
-        for k in ("txn", "dv", "schema", "constraints"):
-            v = overrides.get(k, m.get(k))
-            if v:
-                extra[k] = v
-        return extra
-
-    def _enforce_constraints(self, df: DataFrame) -> None:
-        """Reject a write whose rows violate any registered CHECK
-        constraint — evaluated as ONE aggregated pass over the incoming
-        batch (per-constraint violation counts, no rows to the driver).
-        NULL results count as violations, the conservative reading."""
+    def _constraints(self) -> dict[str, str]:
+        """The head manifest's registered CHECK constraints."""
         cur = self.current_version()
         if cur == 0:
-            return
-        cons = load_manifest(self.root, cur).get("constraints", {})
-        if not cons:
-            return
-        counts = df.agg(
-            *[
-                F.sum(
-                    F.when(
-                        F.expr(sql).eqNullSafe(F.lit(True)), 0
-                    ).otherwise(1)
-                ).alias(name)
-                for name, sql in cons.items()
-            ]
-        ).collect()[0]
-        bad = {n: counts[n] for n in cons if counts[n]}
-        if bad:
-            raise ValueError(
-                "CHECK constraint violation(s), write rejected: "
-                + ", ".join(
-                    f"{n} ({cons[n]}): {c} row(s)"
-                    for n, c in bad.items()
-                )
-            )
+            return {}
+        return load_manifest(self.root, cur).get("constraints", {})
+
+    @staticmethod
+    def _violation_counters(cons: dict[str, str]) -> list:
+        """One violation-count aggregate per constraint (NULL results
+        count as violations, the conservative reading) — attached to the
+        write pass via ``df.observe`` so enforcement costs zero extra
+        scans."""
+        return [
+            F.sum(
+                F.when(
+                    F.expr(sql).eqNullSafe(F.lit(True)), 0
+                ).otherwise(1)
+            ).alias(name)
+            for name, sql in cons.items()
+        ]
 
     def restore(self, version: int) -> int:
         """RESTORE the table to a historical snapshot AS A NEW COMMIT
@@ -1072,14 +1278,21 @@ class SnapshotTable:
         a pure metadata publish (zero data movement, O(1) regardless of
         table size), and because it's a commit, the restore itself is
         auditable and revertible. Requires N inside the retention window
-        (a vacuumed version's files may be gone)."""
+        (a vacuumed version's files may be gone). The restored commit
+        carries version N's schema map VERBATIM — including the
+        ``schema=None`` of a version that predates the first rename
+        (the _UNSET sentinel exists so None publishes explicitly instead
+        of inheriting the current head's map, which would keep reading
+        the restored files under post-restore names). Constraints are
+        table properties, not data: the CURRENT head's constraint set is
+        kept, as Delta RESTORE does."""
         cur = self.current_version()
         m = load_manifest(self.root, version)
         return self._publish(
             m["files"],
             cur,
             m["stats"],
-            dv=m["dv"],
+            dv=dict(m["dv"]) or {},
             schema_map=m["schema"],
         )
 
@@ -1093,31 +1306,60 @@ class SnapshotTable:
         clone still references breaks the clone — production setups
         either retain accordingly or deep-clone hot tables."""
         m = load_manifest(self.root, self.current_version())
-        clone = SnapshotTable(self.spark, target_root)
+        clone = SnapshotTable(self.spark, target_root, clock=self.clock)
         if m["files"]:
+            # carry the FULL metadata families — dv, schema map, AND
+            # CHECK constraints (Delta CLONE copies table properties;
+            # silently shedding the writer contract would let the clone
+            # accept rows the source rejects)
             clone._publish(
                 m["files"],
                 0,
                 m["stats"],
-                dv=m["dv"],
+                dv=dict(m["dv"]),
                 schema_map=m["schema"],
+                constraints=m.get("constraints") or None,
             )
         return clone
 
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
+    def vacuum(
+        self,
+        retain_versions: int = 1,
+        retain_seconds: float | None = None,
+        now: float | None = None,
+    ) -> list[str]:
         """Garbage-collect data files unreachable from the newest
         ``retain_versions`` manifests (and drop the older manifests) —
         the VACUUM that makes rewrites reclaim space. Pure metadata walk:
         reachability = union of the retained manifests' file lists;
         everything else under data/ unlinks. Returns the deleted paths.
         Versions older than the retention window stop being readable, by
-        design — retention is the time-travel horizon."""
+        design — retention is the time-travel horizon.
+
+        ``retain_seconds`` (Delta's RETAIN n HOURS, via the banked
+        commit timestamps) EXTENDS the keep window: every version
+        committed at or after ``now - retain_seconds`` survives even if
+        it falls outside ``retain_versions`` — the two retention axes
+        compose as a union, so neither can shrink what the other
+        promised. ``now`` is injectable for deterministic tests."""
         import shutil
+        import time as _time
 
         cur = self.current_version()
-        keep_versions = [
-            v for v in range(max(1, cur - retain_versions + 1), cur + 1)
-        ]
+        lo = max(1, cur - retain_versions + 1)
+        if retain_seconds is not None:
+            if now is None:
+                now = self.clock() if self.clock else _time.time()
+            horizon = now - retain_seconds
+            for v in range(1, cur + 1):
+                try:
+                    ts = load_manifest(self.root, v).get("ts")
+                except LogTruncated:
+                    continue
+                if ts is not None and ts >= horizon:
+                    lo = min(lo, v)
+                    break
+        keep_versions = [v for v in range(lo, cur + 1)]
         reachable: set[str] = set()
         reachable_dv: set[str] = set()
         for v in keep_versions:

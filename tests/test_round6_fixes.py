@@ -1,0 +1,551 @@
+"""Round-6 regression tests: the connector commit path carries the FULL
+manifest metadata (dv / schema map / constraints), alias-coalesced reads
+after rename + compaction, dropped-name tombstones, constraint-aware
+schema edits, single-pass CHECK enforcement, pinned update_where,
+distributed DV sidecars, commit timestamps (TIMESTAMP AS OF), and
+streaming admission control."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_glue_redshift_guide_spark.sources.pyds import (
+    SnapshotStreamReader,
+    register_snapshot_source,
+)
+from s3_glue_redshift_guide_spark.sources.snapshots import (
+    SnapshotTable,
+    load_manifest,
+    version_as_of,
+    zone_prune,
+)
+
+
+def _tmp(pfx):
+    return tempfile.mkdtemp(prefix=f"r6_{pfx}_")
+
+
+def _kv(spark, n=100, start=0):
+    return spark.range(start, start + n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+# ------------------------------------------------------------------ #
+# 1. connector commit path: metadata families survive connector writes
+# ------------------------------------------------------------------ #
+
+def test_connector_append_preserves_deletion_vectors(spark):
+    """The reproduced wrong-answer bug: delete 10 of 100 rows via DV,
+    then append 5 rows THROUGH THE CONNECTOR — the deleted rows must
+    stay deleted (95 + 5 = 100 visible, never 105)."""
+    register_snapshot_source(spark)
+    t = SnapshotTable(spark, _tmp("dvkeep"))
+    t.commit_append(_kv(spark, 100))
+    t.delete_where(F.col("k") < 10)
+    assert t.read().count() == 90
+    _kv(spark, 5, start=1000).write.format("pysnapshot").option(
+        "root", t.root
+    ).mode("append").save()
+    m = load_manifest(t.root, t.current_version())
+    assert m.get("dv"), "connector append dropped the dv map"
+    assert t.read().count() == 95
+    assert (
+        spark.read.format("pysnapshot").option("root", t.root).load()
+        .count()
+        == 95
+    )
+
+
+def test_connector_append_preserves_schema_map(spark):
+    register_snapshot_source(spark)
+    t = SnapshotTable(spark, _tmp("smkeep"))
+    t.commit_append(_kv(spark, 50))
+    t.rename_column("v", "val")
+    assert t.read().columns == ["k", "val"]
+    # connector append writes the CURRENT logical names
+    spark.range(50, 60).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+    ).write.format("pysnapshot").option("root", t.root).mode(
+        "append"
+    ).save()
+    m = load_manifest(t.root, t.current_version())
+    assert m.get("schema"), "connector append dropped the schema map"
+    df = t.read()
+    assert df.columns == ["k", "val"]
+    assert df.count() == 60
+    assert df.filter(F.col("val").isNull()).count() == 0
+    # connector read agrees
+    cdf = spark.read.format("pysnapshot").option("root", t.root).load()
+    assert sorted(cdf.columns) == ["k", "val"]
+    assert cdf.where("val IS NULL").count() == 0
+
+
+def test_connector_write_enforces_and_preserves_constraints(spark):
+    register_snapshot_source(spark)
+    t = SnapshotTable(spark, _tmp("conskeep"))
+    t.commit_append(_kv(spark, 20))
+    t.add_constraint("k_nonneg", "k >= 0")
+    v_before = t.current_version()
+    # violating connector write: rejected BEFORE any manifest publish
+    bad = spark.range(5).select(
+        (F.col("id") - 10).alias("k"), F.col("id").alias("v")
+    )
+    with pytest.raises(Exception, match="k_nonneg"):
+        bad.write.format("pysnapshot").option("root", t.root).mode(
+            "append"
+        ).save()
+    assert t.current_version() == v_before
+    assert t.read().count() == 20
+    # clean write lands and the constraint SURVIVES the commit
+    _kv(spark, 5, start=500).write.format("pysnapshot").option(
+        "root", t.root
+    ).mode("append").save()
+    m = load_manifest(t.root, t.current_version())
+    assert m.get("constraints") == {"k_nonneg": "k >= 0"}
+    assert t.read().count() == 25
+    # and the table-side writer still enforces it afterwards
+    with pytest.raises(ValueError, match="k_nonneg"):
+        t.commit_append(
+            spark.range(1).select(
+                F.lit(-5).alias("k"), F.lit(0).cast("long").alias("v")
+            )
+        )
+
+
+def test_connector_overwrite_clears_dv_legitimately(spark):
+    register_snapshot_source(spark)
+    t = SnapshotTable(spark, _tmp("dvow"))
+    t.commit_append(_kv(spark, 40))
+    t.delete_where(F.col("k") < 5)
+    _kv(spark, 10).write.format("pysnapshot").option(
+        "root", t.root
+    ).mode("overwrite").save()
+    m = load_manifest(t.root, t.current_version())
+    assert not m.get("dv")
+    assert t.read().count() == 10
+
+
+# ------------------------------------------------------------------ #
+# 2. mixed-era files after rename + OPTIMIZE (ADVICE high)
+# ------------------------------------------------------------------ #
+
+def _mixed_era_table(spark):
+    """rename, append under the new name, then compact pre+post files
+    into MIXED files that physically carry BOTH column names."""
+    t = SnapshotTable(spark, _tmp("mixed"))
+    t.commit_append(_kv(spark, 100).coalesce(1), stats_cols=["v"])
+    t.rename_column("v", "val")
+    spark.range(100, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+    ).coalesce(1).write.format("pysnapshot").option(
+        "root", t.root
+    ).option("statsCols", "val").mode("append").save()
+    res = t.optimize_small_files(
+        small_threshold=1 << 30, target_bytes=1 << 30
+    )
+    assert res["n_files_after"] == 1
+    return t
+
+
+def test_connector_read_coalesces_aliases_in_mixed_files(spark):
+    register_snapshot_source(spark)
+    t = _mixed_era_table(spark)
+    df = spark.read.format("pysnapshot").option("root", t.root).load()
+    assert df.count() == 200
+    # pre-rename rows must carry their values, not NULL
+    assert df.where("val IS NULL").count() == 0
+    assert df.agg(F.sum("val")).collect()[0][0] == sum(
+        2 * i for i in range(200)
+    )
+
+
+def test_rowgroup_and_zone_pruning_keep_old_era_values(spark):
+    """A pushed bound whose matches live ONLY under the old physical
+    name must still surface them from a mixed-era file."""
+    register_snapshot_source(spark)
+    t = _mixed_era_table(spark)
+    # v==val in [0, 50): exclusively pre-rename rows
+    got = (
+        spark.read.format("pysnapshot").option("root", t.root).load()
+        .where("val < 50")
+        .count()
+    )
+    assert got == 25  # val = 2k for k in 0..24
+
+
+def test_zone_prune_alias_groups():
+    stats = {
+        "old_only.parquet": {"v": [0, 10]},
+        "new_only.parquet": {"val": [100, 200]},
+        "mixed.parquet": {"v": [0, 10], "val": [100, 200]},
+        "none.parquet": {},
+    }
+    files = list(stats)
+    aliases = {"val": ["v"]}
+    # bound hits only the OLD era: mixed must be KEPT (its matches live
+    # under the old name), new_only prunes, old_only keeps
+    keep = zone_prune(files, stats, {"val": (0, 5)}, aliases)
+    assert "mixed.parquet" in keep
+    assert "old_only.parquet" in keep
+    assert "new_only.parquet" not in keep
+    assert "none.parquet" in keep  # absent stats: conservative keep
+    # bound outside BOTH eras: mixed prunes too
+    keep2 = zone_prune(files, stats, {"val": (500, 600)}, aliases)
+    assert keep2 == ["none.parquet"]
+
+
+# ------------------------------------------------------------------ #
+# 3. dropped-name tombstones
+# ------------------------------------------------------------------ #
+
+def test_dropped_column_name_cannot_be_reused(spark):
+    t = SnapshotTable(spark, _tmp("tomb"))
+    t.commit_append(_kv(spark, 30))
+    t.drop_column("v")
+    assert t.read().columns == ["k"]
+    with pytest.raises(ValueError, match="DROPPED"):
+        t.commit_append(_kv(spark, 5, start=100))  # re-adds "v"
+    # and through the connector too
+    register_snapshot_source(spark)
+    with pytest.raises(Exception, match="DROPPED|dropped"):
+        _kv(spark, 5, start=100).write.format("pysnapshot").option(
+            "root", t.root
+        ).mode("append").save()
+    # a genuinely new name is fine
+    v = t.commit_append(
+        spark.range(5).select(
+            (F.col("id") + 200).alias("k"), F.col("id").alias("w")
+        )
+    )
+    assert set(t.read(v).columns) == {"k", "w"}
+
+
+def test_rename_drop_of_constrained_column_rejected(spark):
+    t = SnapshotTable(spark, _tmp("consref"))
+    t.commit_append(_kv(spark, 10))
+    t.add_constraint("v_pos", "v >= 0")
+    with pytest.raises(ValueError, match="v_pos"):
+        t.rename_column("v", "value")
+    with pytest.raises(ValueError, match="v_pos"):
+        t.drop_column("v")
+    # unconstrained column still renames
+    t.rename_column("k", "key")
+    assert t.read().columns == ["key", "v"]
+
+
+def test_empty_snapshot_read_uses_logical_names(spark):
+    t = SnapshotTable(spark, _tmp("emptysm"))
+    t.commit_append(_kv(spark, 10))
+    t.rename_column("v", "val")
+    t.commit_rewrite(t.read().limit(0))  # empty head
+    df = t.read()
+    assert df.count() == 0
+    assert df.columns == ["k", "val"]
+
+
+# ------------------------------------------------------------------ #
+# 4. single-pass constraint enforcement
+# ------------------------------------------------------------------ #
+
+def test_constraint_enforcement_is_single_pass(spark):
+    t = SnapshotTable(spark, _tmp("onepass"))
+    t.commit_append(_kv(spark, 10))
+    t.add_constraint("k_nonneg", "k >= 0")
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def tick(x):
+        acc.add(1)
+        return x
+
+    df = spark.range(100, 200).select(
+        tick(F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    t.commit_append(df)
+    # observe-based enforcement rides the write pass: each row computes
+    # ONCE (the old check-then-write evaluated the frame twice)
+    assert acc.value == 100
+
+
+def test_constraint_violation_rejected_pre_publish_no_orphans(spark):
+    t = SnapshotTable(spark, _tmp("veto"))
+    t.commit_append(_kv(spark, 10))
+    t.add_constraint("k_nonneg", "k >= 0")
+    v_before = t.current_version()
+    data_root = os.path.join(t.root, "data")
+    dirs_before = set(os.listdir(data_root))
+    with pytest.raises(ValueError, match="k_nonneg"):
+        t.commit_append(
+            spark.range(5).select(
+                (F.col("id") - 100).alias("k"), F.col("id").alias("v")
+            )
+        )
+    assert t.current_version() == v_before
+    # the staged commit dir was reclaimed — no orphan shards
+    assert set(os.listdir(data_root)) == dirs_before
+
+
+# ------------------------------------------------------------------ #
+# 5. update_where pinned against nondeterministic predicates
+# ------------------------------------------------------------------ #
+
+def test_update_where_nondeterministic_predicate_not_torn(spark):
+    t = SnapshotTable(spark, _tmp("pin"))
+    t.commit_append(_kv(spark, 200).repartition(4))
+    # rand() re-evaluates differently per pass; post-images derive from
+    # the WRITTEN sidecar, so the delete and insert halves must agree
+    t.update_where(F.rand() < 0.5, {"v": F.col("v") + 100000})
+    df = t.read()
+    assert df.count() == 200
+    assert df.select("k").distinct().count() == 200
+    # every row is either untouched (v = 2k) or updated (v = 2k + 1e5)
+    bad = df.filter(
+        (F.col("v") != F.col("k") * 2)
+        & (F.col("v") != F.col("k") * 2 + 100000)
+    )
+    assert bad.count() == 0
+
+
+def test_wide_delete_sidecar_is_distributed(spark):
+    t = SnapshotTable(spark, _tmp("widedv"))
+    t.commit_append(_kv(spark, 4000).repartition(8))
+    t.delete_where(F.col("k") % 2 == 0)  # 50% selectivity
+    m = load_manifest(t.root, t.current_version())
+    dirs = {d for lst in m["dv"].values() for d in lst}
+    assert len(dirs) == 1
+    shards = [
+        f for f in os.listdir(next(iter(dirs))) if f.endswith(".parquet")
+    ]
+    assert len(shards) > 1, "sidecar write funnelled through one task"
+    assert t.read().count() == 2000
+
+
+# ------------------------------------------------------------------ #
+# 6. commit timestamps + TIMESTAMP AS OF
+# ------------------------------------------------------------------ #
+
+def test_timestamp_as_of_with_injected_clock(spark):
+    ticks = iter([100.0, 200.0, 300.0])
+    t = SnapshotTable(spark, _tmp("asof"), clock=lambda: next(ticks))
+    t.commit_append(_kv(spark, 10))
+    t.commit_append(_kv(spark, 10, start=10))
+    t.commit_append(_kv(spark, 10, start=20))
+    assert version_as_of(t.root, 100.0) == 1
+    assert version_as_of(t.root, 250.0) == 2
+    assert version_as_of(t.root, 1e9) == 3
+    assert t.read(as_of_ts=250.0).count() == 20
+    with pytest.raises(ValueError):
+        version_as_of(t.root, 50.0)
+    with pytest.raises(ValueError):
+        t.read(version=1, as_of_ts=100.0)
+
+
+def test_batch_cdf_carries_commit_timestamp(spark):
+    register_snapshot_source(spark)
+    ticks = iter([10.0, 20.0])
+    t = SnapshotTable(spark, _tmp("cdfts"), clock=lambda: next(ticks))
+    t.commit_append(_kv(spark, 5))
+    t.delete_where(F.col("k") == 0)
+    df = (
+        spark.read.format("pysnapshot")
+        .option("root", t.root)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    rows = {
+        (r["_change_type"], r["_commit_version"]): r["_commit_timestamp"]
+        for r in df.select(
+            "_change_type", "_commit_version", "_commit_timestamp"
+        )
+        .distinct()
+        .collect()
+    }
+    assert rows[("insert", 1)].timestamp() == 10.0
+    assert rows[("delete", 2)].timestamp() == 20.0
+
+
+# ------------------------------------------------------------------ #
+# 7. streaming admission control (maxVersionsPerTrigger)
+# ------------------------------------------------------------------ #
+
+def test_admission_control_caps_backlog(spark):
+    t = SnapshotTable(spark, _tmp("admit"))
+    for i in range(3):
+        t.commit_append(_kv(spark, 10, start=i * 10).coalesce(1))
+    r = SnapshotStreamReader(
+        {"root": t.root, "maxversionspertrigger": "1"}, None, {}
+    )
+    # engine protocol: initialOffset → (latestOffset → partitions →
+    # commit)* — a 3-version backlog drains in THREE capped batches
+    start = r.initialOffset()
+    seen = []
+    for _ in range(3):
+        end = r.latestOffset()
+        parts = r.partitions(start, end)
+        r.commit(end)
+        seen.append((end["version"], len(parts)))
+        start = end
+    assert [v for v, _ in seen] == [1, 2, 3]
+    assert all(n == 1 for _, n in seen)
+    # caught up: the next poll stays at head
+    assert r.latestOffset() == {"version": 3}
+    # uncapped reader still delivers everything at once
+    r2 = SnapshotStreamReader({"root": t.root}, None, {})
+    r2.initialOffset()
+    assert r2.latestOffset() == {"version": 3}
+
+
+def test_restore_to_pre_rename_version_clears_schema_map(spark):
+    t = SnapshotTable(spark, _tmp("restore_sm"))
+    t.commit_append(_kv(spark, 10))
+    t.rename_column("v", "val")
+    assert t.read().columns == ["k", "val"]
+    t.restore(1)
+    m = load_manifest(t.root, t.current_version())
+    assert m.get("schema") is None
+    assert t.read().columns == ["k", "v"]  # restored-era names
+
+
+def test_clone_carries_constraints(spark):
+    t = SnapshotTable(spark, _tmp("clone_src"))
+    t.commit_append(_kv(spark, 10))
+    t.add_constraint("k_nonneg", "k >= 0")
+    c = t.clone_shallow(_tmp("clone_dst"))
+    m = load_manifest(c.root, c.current_version())
+    assert m.get("constraints") == {"k_nonneg": "k >= 0"}
+    with pytest.raises(ValueError, match="k_nonneg"):
+        c.commit_append(
+            spark.range(1).select(
+                F.lit(-1).alias("k"), F.lit(0).cast("long").alias("v")
+            )
+        )
+
+
+# ------------------------------------------------------------------ #
+# 8. timestampAsOf / startingTimestamp / maxFilesPerTrigger options
+# ------------------------------------------------------------------ #
+
+def test_connector_timestamp_as_of_option(spark):
+    register_snapshot_source(spark)
+    ticks = iter([100.0, 200.0, 300.0])
+    t = SnapshotTable(spark, _tmp("tsopt"), clock=lambda: next(ticks))
+    for i in range(3):
+        t.commit_append(_kv(spark, 10, start=i * 10).coalesce(1))
+    got = (
+        spark.read.format("pysnapshot")
+        .option("root", t.root)
+        .option("timestampAsOf", "250")
+        .load()
+        .count()
+    )
+    assert got == 20
+    with pytest.raises(Exception, match="not both"):
+        spark.read.format("pysnapshot").option("root", t.root).option(
+            "timestampAsOf", "250"
+        ).option("version", "1").load().count()
+
+
+def test_batch_cdf_starting_timestamp(spark):
+    register_snapshot_source(spark)
+    ticks = iter([100.0, 200.0, 300.0])
+    t = SnapshotTable(spark, _tmp("cdfsts"), clock=lambda: next(ticks))
+    for i in range(3):
+        t.commit_append(_kv(spark, 10, start=i * 10).coalesce(1))
+    df = (
+        spark.read.format("pysnapshot")
+        .option("root", t.root)
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", "150")
+        .load()
+    )
+    # base = newest version strictly before ts=150 (v1): changes are
+    # v2 + v3's inserts only
+    assert df.count() == 20
+    assert df.agg(F.min("_commit_version")).collect()[0][0] == 2
+
+
+def test_max_files_per_trigger_caps_batches(spark):
+    t = SnapshotTable(spark, _tmp("fcap"))
+    # v1 adds 2 files, v2 adds 2 files, v3 adds 2 files
+    for i in range(3):
+        t.commit_append(_kv(spark, 20, start=i * 20).repartition(2))
+    r = SnapshotStreamReader(
+        {"root": t.root, "maxfilespertrigger": "3"}, None, {}
+    )
+    start = r.initialOffset()
+    ends = []
+    for _ in range(3):
+        end = r.latestOffset()
+        if end == start:
+            break
+        r.partitions(start, end)
+        r.commit(end)
+        ends.append(end["version"])
+        start = end
+    # 2 files fit under cap 3, adding the next version's 2 would
+    # exceed it: batches land at versions [1, 2, 3]
+    assert ends == [1, 2, 3]
+
+
+# ------------------------------------------------------------------ #
+# 9. splitBy clustered connector writes
+# ------------------------------------------------------------------ #
+
+def test_splitby_write_one_file_per_value_and_nulls(spark):
+    register_snapshot_source(spark)
+    t_root = _tmp("splitby")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 != 0, F.col("id") % 3).alias("g"),
+    )
+    (
+        df.repartition("g")
+        .write.format("pysnapshot")
+        .option("root", t_root)
+        .option("splitBy", "g")
+        .option("statsCols", "g")
+        .mode("append")
+        .save()
+    )
+    t = SnapshotTable(spark, t_root)
+    m = load_manifest(t_root, t.current_version())
+    # one file per split value per task that saw it: values {1, 2, NULL}
+    assert len(m["files"]) >= 3
+    # every non-null file is single-valued (point-collapsed zone map)
+    for st in m["stats"].values():
+        mm = st.get("g")
+        if mm is not None:
+            assert mm[0] == mm[1]
+    back = spark.read.format("pysnapshot").option("root", t_root).load()
+    assert back.count() == 100
+    assert back.where("g IS NULL").count() == 34  # ids 0,3,...,99
+    # constraint enforcement still composes with splitBy
+    t.add_constraint("k_nonneg", "k >= 0")
+    with pytest.raises(Exception, match="k_nonneg"):
+        spark.range(1).select(
+            F.lit(-1).cast("long").alias("k"), F.lit(1).cast("long").alias("g")
+        ).write.format("pysnapshot").option("root", t_root).option(
+            "splitBy", "g"
+        ).mode("append").save()
+
+
+def test_vacuum_time_retention_extends_window(spark):
+    ticks = iter([100.0, 200.0, 300.0, 400.0])
+    t = SnapshotTable(spark, _tmp("vacts"), clock=lambda: next(ticks))
+    for i in range(4):
+        t.commit_append(_kv(spark, 5, start=i * 5).coalesce(1))
+    # version-only retention would keep just v4; the time axis keeps
+    # every version committed at ts >= 350-200=150 → v2..v4 survive
+    deleted = t.vacuum(retain_versions=1, retain_seconds=200, now=350.0)
+    assert t.read(2).count() == 10  # v2 still readable
+    assert t.read(4).count() == 20
+    with pytest.raises(Exception):
+        t.read(1).count()  # v1's manifest is gone (outside both axes)
+    # append-only history: every data file is still reachable from the
+    # retained manifests, so no data is deleted — only old manifests
+    assert deleted == []
