@@ -92,9 +92,17 @@ def _load_1m() -> float | None:
         return None
 
 
-def run_suite(spark, sf_dir: str) -> dict[str, float]:
-    """Min-of-RUNS steady-state timing of every headline query at one
-    scale factor (shared by the gate-SF block and the sf1 block)."""
+def run_suite(
+    spark, sf_dir: str, runs: int | None = None, warm: bool = True
+) -> dict[str, float]:
+    """Min-of-``runs`` steady-state timing of every headline query at
+    one scale factor (shared by the gate-SF block and the sf1 block).
+    ``warm=False`` skips the per-query discarded warm pass — used by the
+    sf1 block, whose generated classes were already C2-compiled by the
+    gate-SF block, to keep the whole bench inside the driver's time
+    budget."""
+    if runs is None:
+        runs = RUNS
     names = [n for n in HEADLINE if n in REGISTRY]
     # warm-up: JVM + codegen + parquet footer caches + Python worker pool,
     # plus the lazily-checkpointed shingle frame the dedup queries share —
@@ -112,9 +120,10 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         # one discarded warm run per query: C2 compiles the query's own
         # generated classes there, so the timed runs are steady-state
         # (first-execution JIT was the dominant run-to-run variance)
-        materialize(fn(spark, sf_dir))
+        if warm:
+            materialize(fn(spark, sf_dir))
         best = float("inf")
-        for _ in range(RUNS):
+        for _ in range(runs):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
@@ -165,12 +174,21 @@ def main() -> None:
     }
     sf1 = _sf1_dir()
     if sf1 and float(sf) < 1.0:
+        # one warm pass + one timed pass: the sf1 block exists to show
+        # the DATA-SCALING trend (10x rows -> how much wall?), and the
+        # warm pass is load-bearing — each sf1 plan compiles its own
+        # generated classes, and first-execution JIT swamps the signal
+        # (no-warm single-pass showed agg_rollup at 25 s vs ~1.6 s
+        # steady). One timed run keeps the whole bench inside the
+        # driver's time budget alongside the gate-SF block.
+        sf1_runs = int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "1"))
         t1_load = _load_1m()
-        t1 = run_suite(spark, sf1)
+        t1 = run_suite(spark, sf1, runs=sf1_runs, warm=True)
         out["sf1"] = {
             "value": round(sum(t1.values()), 3),
             "unit": "sec",
             "queries": t1,
+            "runs_per_query": sf1_runs,
             "sf": 1.0,
             "load_avg_1m_at_start": t1_load,
         }

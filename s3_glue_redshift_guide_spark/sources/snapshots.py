@@ -603,18 +603,42 @@ class SnapshotTable:
     def commit_append(
         self, df: DataFrame, stats_cols: list[str] | None = None
     ) -> int:
-        cur = self.current_version()
-        m = (
-            load_manifest(self.root, cur)
-            if cur > 0
-            else {"files": [], "schema": None}
-        )
-        new = self._write_files(df)
-        return self._publish(
-            m["files"] + new,
-            cur,
-            self._merged_stats(cur, new, stats_cols),
-            schema_map=self._extend_schema_map(m, df),
+        """Append with AUTOMATIC CONFLICT RESOLUTION (Delta's semantics:
+        two appends never truly conflict): on ``CommitConflict`` the
+        files written once are re-published on top of the new head —
+        data is never rewritten, only the manifest retries. The one
+        genuine conflict is a CHECK constraint registered concurrently
+        (this batch was validated against the OLD set); that still
+        raises, mirroring the connector's posture."""
+        new: list[str] | None = None
+        cons_checked = set(self._constraints())
+        for _ in range(5):
+            cur = self.current_version()
+            m = (
+                load_manifest(self.root, cur)
+                if cur > 0
+                else {"files": [], "schema": None}
+            )
+            unchecked = set(m.get("constraints", {})) - cons_checked
+            if new is not None and unchecked:
+                raise CommitConflict(
+                    f"constraints {sorted(unchecked)} were added "
+                    "concurrently with this append; rows were not "
+                    "checked against them — retry the write"
+                )
+            if new is None:
+                new = self._write_files(df)
+            try:
+                return self._publish(
+                    m["files"] + new,
+                    cur,
+                    self._merged_stats(cur, new, stats_cols),
+                    schema_map=self._extend_schema_map(m, df),
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            "5 consecutive manifest conflicts — giving up"
         )
 
     def commit_rewrite(
@@ -1192,6 +1216,45 @@ class SnapshotTable:
             "n_files_after": self.file_count(v),
             "version": v,
         }
+
+    def read_change_feed(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Delta-CDF-shaped PER-COMMIT change feed at the table level:
+        one ``read_changes(v-1, v)`` leg per version in the range,
+        annotated with ``_commit_version`` and ``_commit_timestamp`` —
+        unlike the endpoint diff (``read_changes``), intermediate churn
+        is attributed to the commit that caused it rather than
+        cancelling out, which is what an audit/debezium-style consumer
+        needs. Cost is the sum of per-commit churns, still O(changed
+        files) per commit and never O(table); columns union by name
+        across versions (additive evolution surfaces later columns as
+        NULL in earlier commits' rows)."""
+        if to_version is None:
+            to_version = self.current_version()
+        out: DataFrame | None = None
+        for v in range(from_version + 1, to_version + 1):
+            ts = load_manifest(self.root, v).get("ts")
+            ch = self.read_changes(v - 1, v).withColumns(
+                {
+                    "_commit_version": F.lit(v).cast("long"),
+                    "_commit_timestamp": (
+                        F.timestamp_seconds(F.lit(ts))
+                        if ts is not None
+                        else F.lit(None).cast("timestamp")
+                    ),
+                }
+            )
+            out = (
+                ch
+                if out is None
+                else out.unionByName(ch, allowMissingColumns=True)
+            )
+        if out is None:
+            raise ValueError(
+                f"empty version range ({from_version}, {to_version}]"
+            )
+        return out
 
     def changes_since(
         self, cursor: int

@@ -549,3 +549,63 @@ def test_vacuum_time_retention_extends_window(spark):
     # append-only history: every data file is still reachable from the
     # retained manifests, so no data is deleted — only old manifests
     assert deleted == []
+
+
+# ------------------------------------------------------------------ #
+# 10. per-commit table-level CDF + append auto-retry
+# ------------------------------------------------------------------ #
+
+def test_read_change_feed_per_commit_annotation(spark):
+    ticks = iter([10.0, 20.0, 30.0])
+    t = SnapshotTable(spark, _tmp("tblcdf"), clock=lambda: next(ticks))
+    t.commit_append(_kv(spark, 5).coalesce(1))            # v1
+    t.commit_append(_kv(spark, 5, start=5).coalesce(1))   # v2
+    t.delete_where(F.col("k") == 0)                       # v3 (DV)
+    feed = t.read_change_feed(0)
+    rows = [
+        (r["_change_type"], r["_commit_version"],
+         r["_commit_timestamp"].timestamp())
+        for r in feed.select(
+            "_change_type", "_commit_version", "_commit_timestamp"
+        ).collect()
+    ]
+    assert rows.count(("insert", 1, 10.0)) == 5
+    assert rows.count(("insert", 2, 20.0)) == 5
+    assert rows.count(("delete", 3, 30.0)) == 1
+    # endpoint diff would cancel nothing here, but attribution differs:
+    # the per-commit feed carries version numbers the endpoint cannot
+    assert feed.count() == 11
+    # bounded slice: only v2's commit
+    assert t.read_change_feed(1, 2).count() == 5
+
+
+def test_commit_append_auto_retries_on_conflict(spark):
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        publish_version,
+    )
+
+    t = SnapshotTable(spark, _tmp("autoretry"))
+    t.commit_append(_kv(spark, 5).coalesce(1))  # v1
+
+    # sabotage: when the append goes to publish, v2 already exists —
+    # simulate by pre-publishing v2 from a racing writer between the
+    # append's read and its publish via a current_version hook
+    orig = SnapshotTable.current_version
+    fired = {"done": False}
+
+    def racing(self):
+        v = orig(self)
+        if not fired["done"] and v == 1:
+            fired["done"] = True
+            m = load_manifest(self.root, 1)
+            publish_version(self.root, m["files"], 1, m["stats"])
+        return v
+
+    try:
+        SnapshotTable.current_version = racing
+        v = t.commit_append(_kv(spark, 5, start=5).coalesce(1))
+    finally:
+        SnapshotTable.current_version = orig
+    # the append retried on top of the interloper's v2 and landed v3
+    assert v == 3
+    assert t.read().count() == 10

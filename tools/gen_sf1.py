@@ -58,23 +58,28 @@ LANG_P = [0.412, 0.147, 0.147, 0.147, 0.147]
 
 
 def shift_union(con: duckdb.DuckDBPyConnection, table: str, out: str) -> None:
+    """One key-shifted copy PER FILE, written into a ``{table}.parquet``
+    DIRECTORY (Spark reads it transparently): a single 10x fact file
+    would cap scan parallelism at size/maxPartitionBytes (~2 tasks for
+    lineitem) — a pure layout artifact no real multi-file table has, and
+    it distorts the sf1 scaling trend the bench block exists to show."""
     cols = [
         r[0]
         for r in con.sql(
             f"DESCRIBE SELECT * FROM '{SRC}/{table}.parquet'"
         ).fetchall()
     ]
-    selects = []
+    d = f"{out}/{table}.parquet"
+    os.makedirs(d, exist_ok=True)
     for i in range(COPIES):
         proj = ", ".join(
             f"{c} + {i * STRIDE[c]} AS {c}" if c in STRIDE else c
             for c in cols
         )
-        selects.append(f"SELECT {proj} FROM '{SRC}/{table}.parquet'")
-    con.sql(
-        f"COPY ({' UNION ALL '.join(selects)}) TO '{out}/{table}.parquet'"
-        " (FORMAT PARQUET)"
-    )
+        con.sql(
+            f"COPY (SELECT {proj} FROM '{SRC}/{table}.parquet') TO"
+            f" '{d}/part-{i:02d}.parquet' (FORMAT PARQUET)"
+        )
 
 
 def gen_documents(out: str, n: int = 50_000, seed: int = 42) -> None:
@@ -141,7 +146,12 @@ def main() -> None:
     gen_embeddings(out)
     for t in ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"):
-        n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+        pat = (
+            f"{out}/{t}.parquet/*.parquet"
+            if os.path.isdir(f"{out}/{t}.parquet")
+            else f"{out}/{t}.parquet"
+        )
+        n = con.sql(f"SELECT count(*) FROM '{pat}'").fetchone()[0]
         print(t, n)
 
 
