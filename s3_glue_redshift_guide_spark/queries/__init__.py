@@ -54,8 +54,8 @@ _PRIORITY = [
     "src_restore", "src_shallow_clone", "src_nullcount_skipping",
     "src_rowgroup_pruning", "src_check_constraints",
     "src_stream_change_feed", "src_timestamp_as_of",
-    "sink_connector_clustered_write",
-    # -- round-2-stale regression re-checks (42) ---------------------------
+    "sink_connector_clustered_write", "sink_snapshot_merge_mor",
+    # -- round-2-stale regression re-checks (41) ---------------------------
     # SQL suite (subqueries, recursive CTE, TPC-H rewrites)
     "sql_volume_shipping", "sql_scalar_subquery",
     "sql_correlated_subquery", "sql_exists_subquery", "sql_in_having",
@@ -78,9 +78,8 @@ _PRIORITY = [
     "sk_hll_union_distinct", "sk_bitmap_distinct",
     "skew_salted_join", "skew_two_phase_agg",
     "graph_pagerank", "graph_triangles",
-    # curation + range-join row-level
+    # curation
     "cur_repetition_metrics", "cur_duplicated_spans",
-    "cur_chunk_windows",
 ]
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
 _ordered.update({n: q for n, q in REGISTRY.items() if n not in _ordered})

@@ -776,3 +776,66 @@ def sink_connector_clustered_write(spark, sf_dir):
         "n_files bigint, stats_tight int, pruned_to_one int, "
         "n_rows_region2 bigint, key_sum_region2 bigint",
     )
+
+
+@query(
+    "sink_snapshot_merge_mor",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey < 400),
+    s AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) - 500
+               AS price_cents
+      FROM orders WHERE o_orderkey BETWEEN 200 AND 599)
+    SELECT o_orderkey, price_cents FROM t
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+    UNION ALL
+    SELECT t.o_orderkey, s.price_cents FROM t JOIN s USING (o_orderkey)
+    WHERE t.o_orderkey % 10 <> 0
+    UNION ALL
+    SELECT o_orderkey, price_cents FROM s
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t)
+    """,
+)
+def sink_snapshot_merge_mor(spark, sf_dir):
+    """Three-branch MERGE INTO as ONE merge-on-read commit (Delta's
+    MERGE executed with deletion vectors, `snapshots.py::merge_mor`):
+    matched rows divisible by 10 DELETE, other matched rows UPDATE to
+    the source's discounted price (integer cents — double rounding
+    tie-breaks diverge between engines), unmatched source rows INSERT — all
+    three branches land in a single atomic manifest (tombstone sidecar
+    + post-image/insert files), so a reader sees the whole merge or
+    none of it, and the pre-merge snapshot remains readable (time
+    travel = the audit trail). Cost is O(matched + inserted rows);
+    copy-on-write MERGE would rewrite every FILE containing a match —
+    at 100 TB the difference between KBs of sidecar and rewriting the
+    table. The oracle reconstructs the exact post-merge multiset with
+    anti/inner/anti joins."""
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="spark_mmor_"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    t.commit_append(
+        o.filter(F.col("o_orderkey") < 400)
+        .select("o_orderkey", cents.alias("price_cents"))
+        .coalesce(1)
+    )
+    src = (
+        o.filter(F.col("o_orderkey").between(200, 599))
+        .select(
+            "o_orderkey", (cents - 500).alias("price_cents")
+        )
+    )
+    t.merge_mor(
+        src,
+        on=["o_orderkey"],
+        when_matched_update={
+            "price_cents": F.col("__src_price_cents")
+        },
+        when_matched_delete=F.col("o_orderkey") % 10 == 0,
+    )
+    return t.read()

@@ -110,6 +110,32 @@ def _footer_stats_one(path: str, cols: list[str]) -> dict[str, list]:
     return st
 
 
+#: Format protocol this library can read/write (the Delta protocol
+#: versioning idea): manifests record the MINIMUM reader/writer version
+#: their features require, and ``load_manifest`` refuses tables whose
+#: requirement exceeds what this reader supports — an old reader fails
+#: LOUDLY instead of silently mis-reading a table whose deletion
+#: vectors or field-id renames it doesn't understand.
+SUPPORTED_READER_VERSION = 2
+SUPPORTED_WRITER_VERSION = 2
+
+
+def _required_reader_version(extra: dict | None) -> int:
+    """Reader version a manifest's features demand: deletion vectors
+    and field-id schema maps change READ results (ignoring them loses
+    or resurrects rows / misnames columns) → 2; plain file lists → 1.
+    txn / constraints / stats are writer-side concerns — readers that
+    ignore them still read correct rows."""
+    if extra and (extra.get("dv") or extra.get("schema") is not None):
+        return 2
+    return 1
+
+
+class ProtocolError(Exception):
+    """The table's manifest requires a newer reader than this library —
+    upgrade instead of mis-reading (Delta's protocol check)."""
+
+
 class CommitConflict(Exception):
     """Another writer published this version first — re-read the table
     state and retry (optimistic concurrency, the Delta log protocol)."""
@@ -150,6 +176,13 @@ def load_manifest(root: str, version: int) -> dict:
             f"version {version} predates the retention window "
             f"(manifest {path} vacuumed) — re-bootstrap from head"
         ) from None
+    proto = m.get("protocol") or {}
+    if proto.get("reader", 1) > SUPPORTED_READER_VERSION:
+        raise ProtocolError(
+            f"manifest v{version} requires reader version "
+            f"{proto['reader']}; this library supports "
+            f"{SUPPORTED_READER_VERSION} — upgrade before reading"
+        )
     m.setdefault("stats", {})
     m.setdefault("dv", {})      # data file -> [deletion-vector sidecars]
     m.setdefault("schema", None)  # field-id map (None = physical names)
@@ -192,6 +225,10 @@ def publish_version(
                 "files": files,
                 "stats": stats or {},
                 "ts": time.time() if ts is None else ts,
+                "protocol": {
+                    "reader": _required_reader_version(extra),
+                    "writer": SUPPORTED_WRITER_VERSION,
+                },
                 **(extra or {}),
             },
             f,
@@ -863,6 +900,177 @@ class SnapshotTable:
             self._merged_stats(cur, new, None),
             dv=dv,
             schema_map=self._extend_schema_map(m, post),
+        )
+
+    def merge_mor(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched_update: dict | None = None,
+        when_matched_delete=None,
+        insert_not_matched: bool = True,
+    ) -> int:
+        """Three-branch MERGE INTO as ONE merge-on-read commit (the
+        Delta MERGE shape, executed with deletion vectors instead of
+        file rewrites):
+
+        * matched target rows hitting ``when_matched_delete`` (a boolean
+          Column over target columns + ``__src_<col>`` source columns)
+          are tombstoned;
+        * other matched rows — all of them when no condition is given —
+          take ``when_matched_update`` assignments ({target_col: Column
+          expression, same namespace}) as post-images;
+        * matched rows hitting neither clause stay untouched (no
+          tombstone, no rewrite — Delta's semantics);
+        * unmatched source rows insert when ``insert_not_matched``.
+
+        All three branches publish in a SINGLE atomic manifest (sidecar
+        + post-image/insert files), so a reader sees the whole merge or
+        none of it. Cost is O(matched rows + inserts) — copy-on-write
+        MERGE rewrites every FILE containing a match. A source with
+        duplicate join keys against one target row is rejected (the
+        Delta multiple-matches error): the merge would be ambiguous.
+        Post-images/tombstones derive from the WRITTEN sidecar, the same
+        recompute-divergence pinning as ``update_where``."""
+        import uuid as _uuid
+
+        cur = self.current_version()
+        m = load_manifest(self.root, cur)
+        src = source
+        for c in src.columns:
+            src = src.withColumnRenamed(c, f"__src_{c}")
+        key_cond = [
+            F.col(k) == F.col(f"__src_{k}") for k in on
+        ]
+        if not m["files"]:
+            if insert_not_matched:
+                ins = source
+                new = self._write_files(ins)
+                return self._publish(
+                    new, cur, self._merged_stats(cur, new, None)
+                )
+            return cur
+        visible = self._masked_read(m["files"], m["dv"])
+        tagged = visible.withColumns(
+            {
+                "__dv_file": self._plain_path(
+                    F.col("_metadata.file_path")
+                ),
+                "__dv_pos": F.col("_metadata.row_index"),
+            }
+        )
+        mapped = self._apply_schema_map(
+            tagged, m["schema"], keep=("__dv_file", "__dv_pos")
+        )
+        # ambiguity guard: >1 source row per join key is an error IF any
+        # target row carries that key (Delta's multiple-matches error)
+        dup_keys = (
+            src.groupBy(*[F.col(f"__src_{k}") for k in on])
+            .count()
+            .filter(F.col("count") > 1)
+            .drop("count")
+        )
+        ambiguous = (
+            mapped.join(
+                dup_keys,
+                [
+                    mapped[k].eqNullSafe(dup_keys[f"__src_{k}"])
+                    for k in on
+                ],
+                "left_semi",
+            ).limit(1).count()
+        )
+        if ambiguous:
+            raise ValueError(
+                "merge_mor: multiple source rows match a single "
+                "target row on " + str(on) + " — deduplicate the "
+                "source first (the merge would be ambiguous)"
+            )
+        joined = mapped.join(src, key_cond, "inner")
+        del_cond = (
+            when_matched_delete.eqNullSafe(F.lit(True))
+            if when_matched_delete is not None
+            else F.lit(False)
+        )
+        upd_cond = (
+            F.lit(True)
+            if when_matched_update is not None
+            else F.lit(False)
+        )
+        touched = joined.filter(del_cond | upd_cond)
+        dvdir = os.path.join(self.root, "deletes", _uuid.uuid4().hex)
+        touched.select("__dv_file", "__dv_pos").write.mode(
+            "errorifexists"
+        ).parquet(dvdir)
+        affected = [
+            r["__dv_file"]
+            for r in self.spark.read.parquet(dvdir)
+            .select("__dv_file")
+            .distinct()
+            .collect()
+        ]
+        target_cols = [
+            c for c in mapped.columns
+            if c not in ("__dv_file", "__dv_pos")
+        ]
+        # post-images: pinned to the written sidecar, source values
+        # re-attached by key (deterministic: keys are the join identity)
+        post = None
+        if when_matched_update is not None:
+            sidecar = self._dv_rows({"_": [dvdir]})
+            pinned = joined.join(
+                sidecar, ["__dv_file", "__dv_pos"], "left_semi"
+            )
+            post = (
+                pinned.filter(~del_cond)
+                .withColumns(when_matched_update)
+                .select(*target_cols)
+            )
+        inserts = None
+        if insert_not_matched:
+            unmatched = src.join(
+                mapped.select(*on), key_cond, "left_anti"
+            )
+            inserts = unmatched.select(
+                *[
+                    F.col(f"__src_{c}").alias(c)
+                    for c in source.columns
+                ]
+            )
+        to_write = None
+        for part in (post, inserts):
+            if part is None:
+                continue
+            to_write = (
+                part
+                if to_write is None
+                else to_write.unionByName(
+                    part, allowMissingColumns=True
+                )
+            )
+        if not affected and (
+            to_write is None or to_write.limit(1).count() == 0
+        ):
+            return cur  # nothing matched, nothing to insert
+        dv = {f: list(v) for f, v in m["dv"].items()}
+        for f in affected:
+            dv.setdefault(f, []).append(dvdir)
+        new = (
+            self._write_files(to_write)
+            if to_write is not None
+            else []
+        )
+        sm = (
+            self._extend_schema_map(m, to_write)
+            if to_write is not None
+            else _UNSET
+        )
+        return self._publish(
+            m["files"] + new,
+            cur,
+            self._merged_stats(cur, new, None),
+            dv=dv,
+            schema_map=sm,
         )
 
     def materialize_deletes(self) -> int:

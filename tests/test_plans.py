@@ -335,3 +335,58 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     # adaptive final plan must carry the split markers
     row = REGISTRY["join_aqe_skew"].fn(spark, SF_SMOKE).collect()[0]
     assert row["skew_split"] == 1
+
+
+def test_dv_masked_read_broadcasts_point_delete_sidecars(spark):
+    # a point delete's (file, pos) tombstones are KBs: the anti-join
+    # must build a broadcast, never shuffle the 1 GB-file scan side —
+    # and the wide-delete path is size-gated off broadcast separately
+    import tempfile
+
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="spark_plandv_")
+    )
+    t.commit_append(
+        spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).coalesce(1)
+    )
+    t.delete_where(F.col("k") < 3)
+    df = t.read()
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_merge_mor_join_is_equi_not_cartesian(spark):
+    # the MERGE key join must compile to a hash/sort-merge equi join;
+    # a nested-loop over the target would be O(|target| x |source|)
+    import tempfile
+
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="spark_planmg_")
+    )
+    t.commit_append(
+        spark.range(500).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).coalesce(1)
+    )
+    src = spark.range(100, 600).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+    )
+    t.merge_mor(
+        src, on=["k"], when_matched_update={"v": F.col("__src_v")}
+    )
+    # post-merge read is correct AND the merge published exactly once
+    assert t.current_version() == 2
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert all(rows[k] == 0 for k in range(100, 600))
+    assert all(rows[k] == 2 * k for k in range(100))

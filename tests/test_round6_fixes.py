@@ -609,3 +609,75 @@ def test_commit_append_auto_retries_on_conflict(spark):
     # the append retried on top of the interloper's v2 and landed v3
     assert v == 3
     assert t.read().count() == 10
+
+
+# ------------------------------------------------------------------ #
+# 11. merge-on-read MERGE INTO + protocol versioning
+# ------------------------------------------------------------------ #
+
+def test_merge_mor_three_branches_one_commit(spark):
+    t = SnapshotTable(spark, _tmp("merge"))
+    t.commit_append(_kv(spark, 10).coalesce(1))  # k 0..9, v=2k
+    v_before = t.current_version()
+    # source: keys 5..14; delete k<7, update the rest matched, insert new
+    src = spark.range(5, 15).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("v")
+    )
+    v = t.merge_mor(
+        src,
+        on=["k"],
+        when_matched_update={"v": F.col("__src_v")},
+        when_matched_delete=F.col("k") < 7,
+    )
+    assert v == v_before + 1  # ONE atomic commit
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    # 0..4 untouched, 5/6 deleted, 7..9 updated to 100k, 10..14 inserted
+    assert set(rows) == set(range(5)) | set(range(7, 15))
+    assert all(rows[k] == 2 * k for k in range(5))
+    assert all(rows[k] == 100 * k for k in range(7, 15))
+    # history intact: pre-merge version still shows 10 rows
+    assert t.read(v_before).count() == 10
+
+
+def test_merge_mor_unconditional_update_and_insert_only(spark):
+    t = SnapshotTable(spark, _tmp("merge2"))
+    t.commit_append(_kv(spark, 5).coalesce(1))
+    # matched rows with NO clauses stay untouched; inserts still land
+    src = spark.range(3, 8).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+    )
+    t.merge_mor(src, on=["k"])  # insert-only merge
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert set(rows) == set(range(8))
+    assert all(rows[k] == 2 * k for k in range(3, 5))  # untouched
+    assert all(rows[k] == 0 for k in range(5, 8))      # inserted
+
+
+def test_merge_mor_rejects_ambiguous_source(spark):
+    t = SnapshotTable(spark, _tmp("merge3"))
+    t.commit_append(_kv(spark, 5).coalesce(1))
+    dup = spark.createDataFrame(
+        [(2, 10), (2, 20)], "k long, v long"
+    )
+    with pytest.raises(ValueError, match="multiple source rows"):
+        t.merge_mor(
+            dup, on=["k"], when_matched_update={"v": F.col("__src_v")}
+        )
+
+
+def test_protocol_versioning_guards_old_readers(spark, monkeypatch):
+    import s3_glue_redshift_guide_spark.sources.snapshots as snap
+
+    t = SnapshotTable(spark, _tmp("proto"))
+    t.commit_append(_kv(spark, 5).coalesce(1))
+    m = load_manifest(t.root, 1)
+    assert m["protocol"] == {"reader": 1, "writer": 2}
+    t.delete_where(F.col("k") == 0)  # DV commit → reader 2 required
+    m2 = load_manifest(t.root, 2)
+    assert m2["protocol"]["reader"] == 2
+    # a downlevel reader must refuse, not silently resurrect rows
+    monkeypatch.setattr(snap, "SUPPORTED_READER_VERSION", 1)
+    with pytest.raises(snap.ProtocolError, match="reader version 2"):
+        load_manifest(t.root, 2)
+    # v1 (plain files) still readable by the old reader
+    assert load_manifest(t.root, 1)["version"] == 1
