@@ -55,7 +55,8 @@ _PRIORITY = [
     "src_rowgroup_pruning", "src_check_constraints",
     "src_stream_change_feed", "src_timestamp_as_of",
     "sink_connector_clustered_write", "sink_snapshot_merge_mor",
-    # -- round-2-stale regression re-checks (41) ---------------------------
+    "llm_canonical_selection",
+    # -- round-2-stale regression re-checks (40) ---------------------------
     # SQL suite (subqueries, recursive CTE, TPC-H rewrites)
     "sql_volume_shipping", "sql_scalar_subquery",
     "sql_correlated_subquery", "sql_exists_subquery", "sql_in_having",
@@ -77,7 +78,7 @@ _PRIORITY = [
     # sketches / skew / graph
     "sk_hll_union_distinct", "sk_bitmap_distinct",
     "skew_salted_join", "skew_two_phase_agg",
-    "graph_pagerank", "graph_triangles",
+    "graph_pagerank",
     # curation
     "cur_repetition_metrics", "cur_duplicated_spans",
 ]

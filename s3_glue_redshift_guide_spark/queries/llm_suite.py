@@ -1949,3 +1949,78 @@ def llm_bpe_encode(spark, sf_dir):
         .alias("bpe_tokens"),
         F.lit(_BPE_K).cast("int").alias("n_merges"),
     )
+
+
+@query(
+    "llm_canonical_selection",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLE_EX},
+    {_SQL_CAPPED_PAIRS},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(a, b) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS vertex, min(b) AS component FROM reach GROUP BY a),
+    scored AS (
+      SELECT d.doc_id,
+             coalesce(c.component, d.doc_id) AS component,
+             len(string_split(d.text, ' ')) AS n_words
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.vertex)
+    SELECT doc_id, component,
+           CASE WHEN row_number() OVER (
+                  PARTITION BY component
+                  ORDER BY n_words DESC, doc_id) = 1
+                THEN 1 ELSE 0 END AS keep
+    FROM scored
+    """,
+)
+def llm_canonical_selection(spark, sf_dir):
+    """CANONICAL-DOCUMENT selection — the step that ENDS a near-dup
+    pipeline in production: near-dup pairs (capped inverted-index
+    Jaccard) → connected components (pointer-doubling label
+    propagation, no driver-side graph) → keep exactly ONE doc per
+    cluster, the longest (ties to the smallest id), singletons keep
+    themselves. Dropping all-but-canonical is what training-data dedup
+    actually ships — pair lists and cluster ids are intermediates. At
+    100 TB every stage stays bounded: the pair join meets docs only in
+    shared-shingle buckets, components run O(log diameter) join rounds
+    carrying (vertex, label) scalars, and the final argmax is one
+    window pass partitioned by cluster — documents themselves never
+    shuffle (only ids, labels, and word counts). Oracle: recursive-CTE
+    transitive closure + the same window, value-exact."""
+    from ..llm.components import connected_components
+    from ..llm.dedup import jaccard_pairs
+
+    from pyspark.sql import Window
+
+    pairs = jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.2,
+        max_shingle_freq=JACCARD_MAX_SHINGLE_FREQ,
+        shingle_sets=_shingle_sets(spark, sf_dir),
+    )
+    comp = connected_components(pairs)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_words")
+    )
+    scored = docs.join(
+        comp, docs["doc_id"] == comp["vertex"], "left"
+    ).select(
+        docs["doc_id"],
+        F.coalesce(comp["component"], docs["doc_id"]).alias(
+            "component"
+        ),
+        "n_words",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_words"), F.asc("doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "component",
+        F.when(F.row_number().over(w) == 1, 1)
+        .otherwise(0)
+        .alias("keep"),
+    )

@@ -1253,7 +1253,8 @@ def src_snapshot_concurrent_writers(spark, sf_dir):
            CAST(sum(o_orderkey) AS BIGINT) AS key_sum_head,
            (SELECT CAST(count(*) AS BIGINT) FROM v2
              WHERE o_orderkey % 5 <> 0) AS n_rows_at_v3,
-           4 AS head_version, 1 AS dv_cleared, 1 AS audit_readable
+           4 AS head_version, 1 AS dv_cleared, 1 AS audit_readable,
+           2 AS proto_reader_v3, 1 AS proto_reader_head
     FROM v2
     """,
 )
@@ -1286,6 +1287,11 @@ def src_restore(spark, sf_dir):
         F.sum("o_orderkey").cast("long").alias("s"),
     ).collect()[0]
     audit = int(t.read(3).count() == n_at_v3)  # v3 still serves
+    # protocol versioning rides along: the DV commit (v3) demands
+    # reader 2, the restored plain-file head only reader 1 — downlevel
+    # readers refuse exactly the versions whose features they'd misread
+    proto_v3 = load_manifest(t.root, 3)["protocol"]["reader"]
+    proto_head = m["protocol"]["reader"]
     return spark.createDataFrame(
         [
             (
@@ -1295,10 +1301,13 @@ def src_restore(spark, sf_dir):
                 head_v,
                 int(not m.get("dv")),
                 audit,
+                proto_v3,
+                proto_head,
             )
         ],
         "n_rows_head bigint, key_sum_head bigint, n_rows_at_v3 bigint, "
-        "head_version int, dv_cleared int, audit_readable int",
+        "head_version int, dv_cleared int, audit_readable int, "
+        "proto_reader_v3 int, proto_reader_head int",
     )
 
 
@@ -1581,7 +1590,8 @@ def src_check_constraints(spark, sf_dir):
     WITH v2 AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 400)
     SELECT 1 AS v_at_100, 2 AS v_at_250, 3 AS v_late,
            CAST(count(*) AS BIGINT) AS n_rows_asof,
-           CAST(sum(o_orderkey) AS BIGINT) AS key_sum_asof
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum_asof,
+           CAST(count(*) AS BIGINT) AS connector_asof_rows
     FROM v2
     """,
 )
@@ -1592,7 +1602,9 @@ def src_timestamp_as_of(spark, sf_dir):
     oracle), and ``read(as_of_ts=250)`` resolves to the NEWEST version
     committed at or before the timestamp (v2), a pure metadata walk
     (``snapshots.py::version_as_of``). ``v_late`` pins the >=-head case;
-    a timestamp before the first commit raises (asserted in pytest).
+    a timestamp before the first commit raises (asserted in pytest);
+    the registered connector resolves the same instant via
+    ``.option("timestampAsOf", ...)`` (``connector_asof_rows``).
     This is the audit shape — "what did the table say yesterday 09:00" —
     that version numbers alone cannot express."""
     from ..sources.snapshots import SnapshotTable, version_as_of
@@ -1611,6 +1623,17 @@ def src_timestamp_as_of(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("o_orderkey").cast("long").alias("s"),
     ).collect()[0]
+    # the registered format resolves the same timestamp identically
+    from ..sources.pyds import register_snapshot_source
+
+    register_snapshot_source(spark)
+    conn_rows = (
+        spark.read.format("pysnapshot")
+        .option("root", t.root)
+        .option("timestampAsOf", "250")
+        .load()
+        .count()
+    )
     return spark.createDataFrame(
         [
             (
@@ -1619,8 +1642,9 @@ def src_timestamp_as_of(spark, sf_dir):
                 version_as_of(t.root, 10_000.0),
                 agg["n"],
                 agg["s"],
+                conn_rows,
             )
         ],
         "v_at_100 int, v_at_250 int, v_late int, n_rows_asof bigint, "
-        "key_sum_asof bigint",
+        "key_sum_asof bigint, connector_asof_rows bigint",
     )

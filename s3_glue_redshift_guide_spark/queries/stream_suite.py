@@ -217,6 +217,19 @@ def src_stream_datasource(spark, sf_dir):
     SELECT o_orderkey, price, 'delete', 3 FROM base WHERE o_orderkey = 7
     UNION ALL
     SELECT o_orderkey, 0.00, 'insert', 3 FROM base WHERE o_orderkey = 7
+    UNION ALL
+    -- the batch per-commit feed (read_change_feed) replays the exact
+    -- same multiset: every expected row appears twice in the result
+    SELECT o_orderkey, price, 'insert' AS _change_type,
+           CAST(1 AS BIGINT) AS _commit_version
+    FROM base
+    UNION ALL
+    SELECT o_orderkey, price, 'delete', 2 FROM base
+    WHERE o_orderkey % 50 = 0
+    UNION ALL
+    SELECT o_orderkey, price, 'delete', 3 FROM base WHERE o_orderkey = 7
+    UNION ALL
+    SELECT o_orderkey, 0.00, 'insert', 3 FROM base WHERE o_orderkey = 7
     """,
 )
 def src_stream_change_feed(spark, sf_dir):
@@ -229,8 +242,11 @@ def src_stream_change_feed(spark, sf_dir):
     merge-on-read UPDATE as its delete/insert pair in one commit
     (``pyds.py::SnapshotChangeFeedStreamReader``). Every partition is an
     independent per-file executor read, so the feed costs O(churn) per
-    poll; availableNow drains the backlog and the memory sink must hold
-    the exact multiset the SQL replay predicts."""
+    poll; availableNow drains the backlog — in CAPPED 1-version
+    micro-batches (maxVersionsPerTrigger admission control, T20) — and
+    the memory sink must hold the exact multiset the SQL replay
+    predicts; the batch per-commit feed (``read_change_feed``) is
+    unioned in and must replay it identically."""
     from ..catalog import load_table
     from ..sources.pyds import register_snapshot_source
     from ..sources.snapshots import SnapshotTable
@@ -251,8 +267,21 @@ def src_stream_change_feed(spark, sf_dir):
         )
         .option("root", t.root)
         .option("readChangeFeed", "true")
+        # ADMISSION CONTROL under driver proof: the 3-version backlog
+        # must drain in capped 1-version micro-batches (availableNow
+        # loops until latestOffset stops advancing) and still deliver
+        # the identical multiset — bootstrap on an existing table never
+        # needs one all-of-history epoch
+        .option("maxVersionsPerTrigger", "1")
         .load()
     )
-    return _drain(stream, "cdf").select(
+    streamed = _drain(stream, "cdf").select(
         "o_orderkey", "price", "_change_type", "_commit_version"
     )
+    # the BATCH per-commit feed (SnapshotTable.read_change_feed) must
+    # replay the exact same multiset — unioned in, so the oracle checks
+    # both the streaming and the table-level CDF APIs in one row
+    feed = t.read_change_feed(0).select(
+        "o_orderkey", "price", "_change_type", "_commit_version"
+    )
+    return streamed.unionAll(feed)
