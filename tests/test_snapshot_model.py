@@ -1,7 +1,8 @@
 """Model-based randomized interleaving test of the snapshot table: a
 seeded random walk over every mutating operation the table supports —
-append, deletion-vector DELETE, merge-on-read UPDATE, metadata-only
-rename, OPTIMIZE compaction, DV materialization, VACUUM — validated
+append, deletion-vector DELETE, merge-on-read UPDATE, three-branch
+merge-on-read MERGE, metadata-only rename, RESTORE, OPTIMIZE
+compaction, DV materialization, VACUUM, CHECK constraints — validated
 after EVERY step against an exact in-memory model. This is the
 systematic interaction check the per-operation tests can't give:
 deletes over renamed columns, compaction folding tombstones while
@@ -84,6 +85,35 @@ def test_random_interleaving_matches_model(spark, tmp_path, seed):
         except ValueError:
             pass  # already registered on this walk
 
+    def merge():
+        # three-branch MERGE: matched keys k%6==r update to src values
+        # (+1000), except k%17==rdel which DELETE; fresh keys INSERT —
+        # all in one commit, interleaved with every other operation
+        nonlocal next_key
+        r, rdel = rng.randrange(6), rng.randrange(17)
+        matched = {
+            k: v + 1000.0 for k, v in model.items() if k % 6 == r
+        }
+        n_new = rng.randrange(5, 15)
+        fresh = {k: k * 1.5 for k in range(next_key, next_key + n_new)}
+        next_key += n_new
+        src = spark.createDataFrame(
+            list({**matched, **fresh}.items()),
+            f"k bigint, {col} double",
+        )
+        t.merge_mor(
+            src,
+            on=["k"],
+            when_matched_update={col: F.col(f"__src_{col}")},
+            when_matched_delete=F.col("k") % 17 == rdel,
+        )
+        for k, v in matched.items():
+            if k % 17 == rdel:
+                del model[k]
+            else:
+                model[k] = v
+        model.update(fresh)
+
     def restore():
         # only versions inside the vacuum retention window (last 3)
         cur = t.current_version()
@@ -105,9 +135,9 @@ def test_random_interleaving_matches_model(spark, tmp_path, seed):
     assert _read_model(t, col) == model
     history[t.current_version()] = (dict(model), col)
     ops = [append, delete, update, rename, optimize, materialize,
-           vacuum, restore, constraint]
-    weights = [3, 2, 2, 1, 1, 1, 1, 1, 1]
-    for step in range(14):
+           vacuum, restore, constraint, merge]
+    weights = [3, 2, 2, 1, 1, 1, 1, 1, 1, 2]
+    for step in range(16):
         op = rng.choices(ops, weights=weights)[0]
         op()
         v = t.current_version()

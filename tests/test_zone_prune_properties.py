@@ -110,3 +110,59 @@ def test_json_scalar_value_is_json_storable_and_order_preserving(v):
     # compare the same before and after normalization
     w = v  # compare against itself plus a perturbed twin when ordered
     assert _json_scalar_value(w) == out
+
+
+# ---------------------------------------------------------------- #
+# alias-group soundness (round 6): a renamed column's logical values
+# in a file are the COALESCE across its alias columns, so exclusion is
+# sound only when EVERY alias that holds values excludes the bounds.
+# The model below materializes actual per-alias row values, derives
+# banked stats exactly the way the commit path does (min/max of the
+# non-null values per physical column), and asserts zone_prune never
+# drops a file containing a matching logical value.
+# ---------------------------------------------------------------- #
+
+@st.composite
+def aliased_file(draw):
+    """Rows for one file: each row holds its value under the OLD name,
+    the NEW name, or (mixed rows can't happen per row) — era semantics:
+    exactly one alias is non-null per row. Returns (rows, stats)."""
+    n = draw(st.integers(1, 6))
+    rows = [
+        (draw(ints), draw(st.booleans()))  # (value, under_new_name)
+        for _ in range(n)
+    ]
+    new_vals = [v for v, is_new in rows if is_new]
+    old_vals = [v for v, is_new in rows if not is_new]
+    st_map = {}
+    if new_vals:
+        st_map["val"] = [min(new_vals), max(new_vals)]
+    if old_vals:
+        st_map["v"] = [min(old_vals), max(old_vals)]
+    # logical values = coalesce(val, v) = the value each row carries
+    return [v for v, _ in rows], st_map
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    files=st.lists(aliased_file(), min_size=1, max_size=6),
+    lo=st.one_of(ints, st.none()),
+    hi=st.one_of(ints, st.none()),
+)
+def test_alias_group_zone_prune_never_loses_matching_rows(files, lo, hi):
+    names = [f"f{i}" for i in range(len(files))]
+    banked = {n: stats for n, (_, stats) in zip(names, files)}
+    logical = {n: vals for n, (vals, _) in zip(names, files)}
+    keep = set(
+        zone_prune(names, banked, {"val": (lo, hi)}, {"val": ["v"]})
+    )
+    for n in names:
+        has_match = any(
+            (lo is None or v >= lo) and (hi is None or v <= hi)
+            for v in logical[n]
+        )
+        if has_match:
+            assert n in keep, (
+                f"{n} holds a matching logical value but was pruned: "
+                f"stats={banked[n]} bounds=({lo}, {hi})"
+            )
