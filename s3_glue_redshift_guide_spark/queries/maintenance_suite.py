@@ -232,3 +232,99 @@ def rollup_quantile_state(spark, sf_dir):
         hist_quantile_expr(h, LO, HI, NB, 0.5).alias("p50_est"),
         hist_quantile_expr(h, LO, HI, NB, 0.95).alias("p95_est"),
     )
+
+
+@query(
+    "rollup_mv_change_feed",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS flag, l_orderkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem WHERE l_orderkey < 6000
+    ), world AS (
+      SELECT flag,
+             CASE WHEN l_orderkey % 17 = 0 THEN cents + 100
+                  ELSE cents END AS cents
+      FROM base WHERE l_orderkey % 13 <> 0
+    )
+    SELECT flag, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           1 AS matches_recompute
+    FROM world GROUP BY flag
+    """,
+)
+def rollup_mv_change_feed(spark, sf_dir):
+    """Change-feed materialized view (X16): a GROUP BY aggregate over a
+    snapshot table maintained INCREMENTALLY with RETRACTION semantics —
+    the source's change feed reports every mutation as an insert/delete
+    multiset, so a refresh folds +row / -row partials per group, which
+    handles what insert-only rollup (X10) cannot: a deletion-vector
+    DELETE retracts its rows, a merge-on-read UPDATE arrives as its
+    delete/insert pair, and a fully-retracted group VANISHES (hidden
+    row-count measure). Refresh cost is O(churned files since the
+    cursor), never O(table) — the cursor publishes atomically with the
+    refreshed state via the state table's txn action, so crash-replay
+    can neither double-apply nor skip. Sums run in integer cents
+    (exact-additive; float sums are rejected — a + x - x drifts).
+    The final MV must equal a from-scratch recompute (the defining
+    correctness property; also asserted in-query as a fact)."""
+    from ..operators.mv import ChangeFeedMaterializedView
+    from ..sources.snapshots import SnapshotTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    src = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="mvq_src_")
+    )
+    mv = ChangeFeedMaterializedView(
+        spark,
+        src,
+        tempfile.mkdtemp(prefix="mvq_state_"),
+        keys=["flag"],
+        measures={"n_rows": ("count",), "sum_cents": ("sum", "cents")},
+    )
+    src.commit_append(
+        li.filter(F.col("l_orderkey") < 3000).coalesce(1)
+    )
+    mv.refresh()  # cursor -> v1 (insert-only fold)
+    src.commit_append(
+        li.filter(F.col("l_orderkey").between(3000, 5999)).coalesce(1)
+    )
+    src.delete_where(F.col("l_orderkey") % 13 == 0)
+    mv.refresh()  # folds append + DV delete in one O(churn) pass
+    src.update_where(
+        F.col("l_orderkey") % 17 == 0,
+        {"cents": (F.col("cents") + 100).cast("bigint")},
+    )
+    mv.refresh()  # MOR update = delete/insert pair
+    out = mv.read().drop("l_orderkey", "k")
+    recompute = (
+        src.read()
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+    matches = int(
+        out.select("flag", "n_rows", "sum_cents")
+        .exceptAll(recompute)
+        .union(
+            recompute.exceptAll(
+                out.select("flag", "n_rows", "sum_cents")
+            )
+        )
+        .count()
+        == 0
+    )
+    return out.select(
+        "flag",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.lit(matches).alias("matches_recompute"),
+    )

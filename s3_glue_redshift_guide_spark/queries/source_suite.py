@@ -1648,3 +1648,178 @@ def src_timestamp_as_of(spark, sf_dir):
         "v_at_100 int, v_at_250 int, v_late int, n_rows_asof bigint, "
         "key_sum_asof bigint, connector_asof_rows bigint",
     )
+
+
+# ------------------------- GENERATED columns ---------------------------
+@query(
+    "src_generated_columns",
+    oracle="""
+    SELECT 1 AS computed_on_omit, 1 AS validated_on_supply,
+           1 AS disagreement_rejected, 1 AS survives_commits,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey * 2) AS BIGINT) AS gen_sum
+    FROM orders WHERE o_orderkey < 400
+    """,
+)
+def src_generated_columns(spark, sf_dir):
+    """GENERATED columns (S43, Delta's ``GENERATED ALWAYS AS``): the
+    manifest registers ``key2x = o_orderkey * 2`` and EVERY write honors
+    it — a batch omitting the column gets it computed on the write pass,
+    a batch supplying it is validated ``IS NOT DISTINCT FROM`` the
+    expression on the SAME single ``df.observe`` pass as CHECK counters
+    (zero extra scans), and a disagreeing batch is vetoed BEFORE any
+    manifest publish (version unchanged, no orphan files). The
+    expression survives every commit, so a 100 TB table's derived
+    column needs no repair scan to stay trustworthy — it is a writer
+    contract, like Delta's, not a materialized view."""
+    from ..sources.snapshots import SnapshotTable, load_manifest
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, _tmp("gencol"))
+    t.add_generated_column("key2x", "o_orderkey * 2")
+    # batch 1 omits the generated column -> computed on the write
+    t.commit_append(o.filter(F.col("o_orderkey") < 200).coalesce(1))
+    computed = int(
+        t.read().filter(
+            F.col("key2x") != F.col("o_orderkey") * 2
+        ).count()
+        == 0
+        and "key2x" in t.read().columns
+    )
+    # batch 2 supplies agreeing values -> validated, lands
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(200, 399))
+        .withColumn("key2x", F.col("o_orderkey") * 2)
+        .coalesce(1)
+    )
+    validated = 1
+    # batch 3 supplies DISAGREEING values -> vetoed pre-publish
+    v_before = t.current_version()
+    rejected = 0
+    try:
+        t.commit_append(
+            o.filter(F.col("o_orderkey").between(400, 420)).withColumn(
+                "key2x", F.lit(0).cast("long")
+            )
+        )
+    except ValueError:
+        rejected = int(t.current_version() == v_before)
+    survives = int(
+        load_manifest(t.root, t.current_version()).get("generated")
+        == {"key2x": "o_orderkey * 2"}
+    )
+    agg = t.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("key2x").cast("long").alias("s"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(computed, validated, rejected, survives, agg["n"], agg["s"])],
+        "computed_on_omit int, validated_on_supply int, "
+        "disagreement_rejected int, survives_commits int, "
+        "n_rows bigint, gen_sum bigint",
+    )
+
+
+# --------------------- metadata-only aggregates ------------------------
+@query(
+    "src_metadata_only_agg",
+    oracle="""
+    WITH base AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 600)
+    SELECT CAST(count(*) AS BIGINT) AS n_pre_delete,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           (SELECT CAST(count(*) AS BIGINT) FROM base
+             WHERE o_orderkey % 7 <> 0) AS n_post_delete,
+           1 AS minmax_refused_under_dv
+    FROM base
+    """,
+)
+def src_metadata_only_agg(spark, sf_dir):
+    """Metadata-only aggregates (S44, Delta's metadata-only query
+    optimization): ``COUNT(*)`` is answered from the LOG — banked
+    per-file ``[null_count, num_rows]`` stats summed, deletion-vector
+    tombstones subtracted exactly from the point-delete-sized sidecars
+    — and ``MIN/MAX`` from the banked zone maps, with an honest
+    ``None`` (fall back to a scan) whenever the log cannot be EXACT:
+    here the post-delete min/max refuses because a tombstoned row may
+    hold the extreme. On a 100 TB table this turns the most common
+    dashboard queries into O(files) metadata walks with ZERO data-page
+    reads; files missing stats cost one footer read each, fanned out
+    as a Spark job past the distributed threshold."""
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, _tmp("metaagg"))
+    t.commit_append(
+        o.filter(F.col("o_orderkey") < 300).coalesce(2),
+        stats_cols=["o_orderkey"],
+    )
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(300, 599)).coalesce(1)
+    )
+    n_pre = t.metadata_count()
+    mm = t.metadata_min_max("o_orderkey")
+    t.delete_where(F.col("o_orderkey") % 7 == 0)
+    n_post = t.metadata_count()
+    refused = int(t.metadata_min_max("o_orderkey") is None)
+    return spark.createDataFrame(
+        [(n_pre, mm[0], mm[1], n_post, refused)],
+        "n_pre_delete bigint, min_key bigint, max_key bigint, "
+        "n_post_delete bigint, minmax_refused_under_dv int",
+    )
+
+
+# ------------------------- bloom file index ----------------------------
+@query(
+    "src_bloom_index",
+    oracle="""
+    SELECT 4 AS total_files, 4 AS zone_candidates, 1 AS bloom_files,
+           0 AS absent_value_rows,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey
+    FROM orders WHERE o_orderkey = 442
+    """,
+)
+def src_bloom_index(spark, sf_dir):
+    """Per-file Bloom filter index (S45, Delta's bloom filter index):
+    four files whose key ranges FULLY INTERLEAVE (key % 4 sharding —
+    every file's [min, max] spans the whole domain, so zone maps keep
+    all four), then ``add_bloom_index`` + a point lookup: the bloom
+    probes prune to exactly the ONE file that can hold the key, and an
+    absent key reads zero rows. At 100 TB this is the difference
+    between scanning every file of a uuid-keyed table and scanning one:
+    build cost is one column read per file fanned out as a Spark job,
+    probe cost is one KB-scale sidecar read per zone-surviving file,
+    and false negatives are impossible (shared canonical value
+    encoding) while false positives only waste a read. The index
+    auto-extends to every appended/rewritten file."""
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    base = o.filter(F.col("o_orderkey") < 800)
+    t = SnapshotTable(spark, _tmp("bloomq"))
+    for s in range(4):
+        t.commit_append(
+            base.filter(F.col("o_orderkey") % 4 == s).coalesce(1),
+            stats_cols=["o_orderkey"],
+        )
+    t.add_bloom_index("o_orderkey", fpp=0.001)
+    files, zone_n, total = t.point_lookup_files("o_orderkey", 442)
+    absent = t.read_where_eq("o_orderkey", 9_999_999).count()
+    row = t.read_where_eq("o_orderkey", 442).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                total,
+                zone_n,
+                len(files),
+                absent,
+                row["o_orderkey"],
+                row["o_custkey"],
+            )
+        ],
+        "total_files int, zone_candidates int, bloom_files int, "
+        "absent_value_rows bigint, o_orderkey bigint, o_custkey bigint",
+    )

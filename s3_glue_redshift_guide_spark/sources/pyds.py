@@ -921,10 +921,19 @@ class SnapshotDataWriter(DataSourceArrowWriter):
         # concurrently (unverifiable for rows already written) fails the
         # commit instead of publishing unchecked rows.
         base_v = latest_version(self.root)
-        self.constraints: dict[str, str] = (
-            dict(load_manifest(self.root, base_v).get("constraints", {}))
-            if base_v > 0
-            else {}
+        base_m = (
+            load_manifest(self.root, base_v) if base_v > 0 else {}
+        )
+        self.constraints: dict[str, str] = dict(
+            base_m.get("constraints", {})
+        )
+        # GENERATED columns through the connector are VALIDATE-ONLY:
+        # batches must supply them (checked `<=> (expr)` alongside the
+        # CHECK counters); computing them here would let DuckDB's result
+        # dtype diverge from the Spark-side writer's. SnapshotTable
+        # writes compute omitted generated columns.
+        self.generated: dict[str, str] = dict(
+            base_m.get("generated", {})
         )
 
     def _tally_violations(self, con, batch, viol: dict) -> None:
@@ -940,7 +949,7 @@ class SnapshotDataWriter(DataSourceArrowWriter):
         import pyarrow as pa
 
         con.register("__rows", pa.Table.from_batches([batch]))
-        for name, sql in self.constraints.items():
+        for name, sql in self._checks(batch.schema.names).items():
             try:
                 n = con.execute(
                     f"SELECT count(*) FROM __rows WHERE ({sql}) IS NOT TRUE"
@@ -951,7 +960,25 @@ class SnapshotDataWriter(DataSourceArrowWriter):
                     "evaluable on connector writes — drop it or use "
                     "SnapshotTable.commit_append"
                 ) from e
-            viol[name] += n
+            viol[name] = viol.get(name, 0) + n
+
+    def _checks(self, batch_cols) -> dict[str, str]:
+        """CHECK constraints plus generated-column agreement checks for
+        one batch's schema; a batch OMITTING a generated column is
+        rejected outright (the connector validates, never computes)."""
+        checks = dict(self.constraints)
+        for name, expr in self.generated.items():
+            if name not in batch_cols:
+                raise ValueError(
+                    f"generated column {name!r} is missing from the "
+                    "connector write — supply it (it is validated "
+                    f"against ({expr})) or write via "
+                    "SnapshotTable.commit_append, which computes it"
+                )
+            checks[f"__gen_{name}"] = (
+                f"{name} IS NOT DISTINCT FROM ({expr})"
+            )
+        return checks
 
     def _split_batches(self, batch):
         """splitBy fan-out of one Arrow batch: (key, sub-batch) per
@@ -987,9 +1014,9 @@ class SnapshotDataWriter(DataSourceArrowWriter):
                 writers[key] = (p, pq.ParquetWriter(p, batch.schema))
             writers[key][1].write_batch(batch)
 
-        viol = {n: 0 for n in self.constraints}
+        viol: dict[str, int] = {}
         con = None
-        if self.constraints:
+        if self.constraints or self.generated:
             import duckdb
 
             con = duckdb.connect()
@@ -1064,11 +1091,17 @@ class SnapshotDataWriter(DataSourceArrowWriter):
                 viol[n] = viol.get(n, 0) + c
         if viol:
             reclaim()
+
+            def _expr(n: str) -> str | None:
+                if n.startswith("__gen_"):
+                    return self.generated.get(n[len("__gen_"):])
+                return self.constraints.get(n)
+
             raise ValueError(
                 "CHECK constraint violation(s), connector write "
                 "rejected: "
                 + ", ".join(
-                    f"{n} ({self.constraints.get(n)}): {c} row(s)"
+                    f"{n} ({_expr(n)}): {c} row(s)"
                     for n, c in sorted(viol.items())
                 )
             )
@@ -1088,12 +1121,14 @@ class SnapshotDataWriter(DataSourceArrowWriter):
             base_dv: dict = {}
             base_schema = None
             base_cons: dict = {}
+            base_gen: dict = {}
             if base_v > 0:
                 m = load_manifest(self.root, base_v)
                 base_stats, txn = m["stats"], dict(m.get("txn", {}))
                 base_dv = dict(m.get("dv", {}))
                 base_schema = m.get("schema")
                 base_cons = dict(m.get("constraints", {}))
+                base_gen = dict(m.get("generated", {}))
                 if not self.overwrite:
                     base_files = m["files"]
                 if txn_update:
@@ -1107,7 +1142,9 @@ class SnapshotDataWriter(DataSourceArrowWriter):
             # commit rather than publish unverified data (the metadata
             # analogue of a manifest conflict; the write retries
             # cleanly with the new constraint in force)
-            unchecked = set(base_cons) - set(self.constraints)
+            unchecked = (set(base_cons) - set(self.constraints)) | (
+                set(base_gen) - set(self.generated)
+            )
             if unchecked and files:
                 reclaim()
                 raise CommitConflict(
@@ -1153,6 +1190,8 @@ class SnapshotDataWriter(DataSourceArrowWriter):
                 extra["schema"] = schema
             if base_cons:
                 extra["constraints"] = base_cons
+            if base_gen:
+                extra["generated"] = base_gen
             try:
                 publish_version(
                     self.root,

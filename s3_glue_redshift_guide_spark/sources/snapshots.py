@@ -110,6 +110,132 @@ def _footer_stats_one(path: str, cols: list[str]) -> dict[str, list]:
     return st
 
 
+def _footer_num_rows(path: str) -> int:
+    """One file's row count from its parquet footer — module-level so
+    the distributed metadata_count path can ship it to executors."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+# ------------------------------------------------- bloom file index --
+# Per-file Bloom filters (Delta's bloom filter index): point lookups on
+# HIGH-CARDINALITY columns whose values interleave across files — the
+# case where zone maps prune nothing because every file's [min, max]
+# spans the whole domain. A bloom answers "definitely absent" per file;
+# false positives waste one file read, false negatives are impossible
+# as long as the write path and the read path encode values identically
+# (_bloom_encode is that single shared encoding).
+
+def _bloom_encode(value) -> bytes:
+    """Canonical byte encoding shared by bloom build and bloom probe —
+    the no-false-negatives invariant lives here. Collisions across
+    types (int 5 vs str "5") only add false positives, never lose
+    rows."""
+    if isinstance(value, bytes):
+        return value
+    if isinstance(value, bool):
+        return b"t" if value else b"f"
+    if isinstance(value, float) and value.is_integer():
+        value = int(value)  # parquet int/float domain drift is benign
+    return str(value).encode("utf-8")
+
+
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """Optimal (bits, hashes) for ``n`` values at false-positive rate
+    ``fpp`` — the standard Bloom sizing formulas."""
+    import math
+
+    n = max(1, n)
+    m = max(8, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_positions(value, m: int, k: int):
+    """k bit positions via double hashing of one sha256 — deterministic
+    across Python versions and executors (no PYTHONHASHSEED exposure)."""
+    import hashlib
+
+    d = hashlib.sha256(_bloom_encode(value)).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:16], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_build_one(
+    path: str, names: list[str], fpp: float, index_dir: str
+) -> tuple[str, str]:
+    """Build one data file's bloom sidecar for one logical column
+    (``names`` = its physical alias group; rows coalesce across the
+    aliases present). Module-level and self-contained so the build fans
+    out as a Spark job over the file list — each task reads ONE column
+    of ONE file (columnar projection, never the whole row) and writes a
+    KB-scale sidecar. Returns (data_file, sidecar_path)."""
+    import base64
+    import hashlib
+    import json as _json
+    import os as _os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    present = [n for n in names if n in pf.schema_arrow.names]
+    values: list = []
+    if present:
+        cols = pf.read(columns=present)
+        lists = [cols.column(n).to_pylist() for n in present]
+        for row in zip(*lists):
+            v = next((x for x in row if x is not None), None)
+            if v is not None:
+                values.append(v)
+    m, k = _bloom_params(len(values), fpp)
+    bits = np.zeros(m, dtype=bool)
+    for v in values:
+        bits[_bloom_positions(v, m, k)] = True
+    payload = {
+        "col": names[0],
+        "aliases": names,
+        "m": m,
+        "k": k,
+        "b64": base64.b64encode(np.packbits(bits).tobytes()).decode(),
+    }
+    sidecar = _os.path.join(
+        index_dir,
+        hashlib.sha256(
+            f"{path}|{names[0]}".encode()
+        ).hexdigest()[:24]
+        + ".bloom.json",
+    )
+    tmp = sidecar + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(payload, f)
+    _os.replace(tmp, sidecar)
+    return path, sidecar
+
+
+def _bloom_might_contain(sidecar: str, value) -> bool:
+    """Probe one sidecar; any read problem = conservative True (a
+    bloom may waste a read, never lose a row)."""
+    import base64
+    import json as _json
+
+    import numpy as np
+
+    try:
+        with open(sidecar) as f:
+            p = _json.load(f)
+        bits = np.unpackbits(
+            np.frombuffer(base64.b64decode(p["b64"]), dtype=np.uint8)
+        )[: p["m"]]
+        return all(
+            bits[i] for i in _bloom_positions(value, p["m"], p["k"])
+        )
+    except Exception:
+        return True
+
+
 #: Format protocol this library can read/write (the Delta protocol
 #: versioning idea): manifests record the MINIMUM reader/writer version
 #: their features require, and ``load_manifest`` refuses tables whose
@@ -400,7 +526,21 @@ class SnapshotTable:
         atomicity, half the compute, and a nondeterministic ``df``
         cannot pass the check yet write violating rows (the counters
         observe the exact rows written)."""
-        cons = self._constraints()
+        cons = dict(self._constraints())
+        # GENERATED columns: compute the ones the batch omits (the
+        # writer-convenience half of Delta's GENERATED ALWAYS AS), and
+        # validate the ones it supplies exactly like CHECK constraints
+        # (`col <=> (expr)` counters on the same observe pass) — a
+        # caller can never commit a value that disagrees with the
+        # generation expression.
+        gens = self._generated()
+        for name, expr in gens.items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+            else:
+                cons[f"__gen_{name}"] = (
+                    f"{name} IS NOT DISTINCT FROM ({expr})"
+                )
         obs = None
         if cons:
             from pyspark.sql import Observation
@@ -471,6 +611,10 @@ class SnapshotTable:
         dv=_UNSET,
         schema_map=_UNSET,
         constraints=_UNSET,
+        generated=_UNSET,
+        bloom_cols=_UNSET,
+        blooms=_UNSET,
+        txn_update: dict | None = None,
     ) -> int:
         # carry the txn map (streaming writers' appId -> batchId records),
         # the deletion-vector map, the field-id schema map, and the CHECK
@@ -489,6 +633,13 @@ class SnapshotTable:
             else {"txn": {}, "dv": {}, "schema": None}
         )
         txn = base.get("txn", {})
+        if txn_update:
+            # Delta's idempotent-writer txn action, exposed to batch
+            # commits: an application-level (appId -> watermark) record
+            # publishes ATOMICALLY with the data it describes — the MV
+            # refresh cursor, for one, can never run ahead of or behind
+            # its own state commit.
+            txn = {**txn, **txn_update}
         if dv is _UNSET or dv is None:
             dv = base.get("dv", {})
         dv = {f: v for f, v in dv.items() if f in set(files) and v}
@@ -505,6 +656,25 @@ class SnapshotTable:
             extra["schema"] = schema_map
         if constraints:
             extra["constraints"] = constraints
+        if generated is _UNSET:
+            generated = base.get("generated")
+        if generated:
+            extra["generated"] = generated
+        # bloom index: registered columns carry like constraints; the
+        # per-file sidecar pointers carry like dv — immutable files keep
+        # their blooms, vanished files drop theirs (a rewritten file's
+        # replacement reads unconditionally until re-indexed)
+        if bloom_cols is _UNSET:
+            bloom_cols = base.get("bloom_cols")
+        if bloom_cols:
+            extra["bloom_cols"] = bloom_cols
+        if blooms is _UNSET:
+            blooms = base.get("blooms", {})
+        blooms = {
+            f: v for f, v in (blooms or {}).items() if f in set(files)
+        }
+        if blooms:
+            extra["blooms"] = blooms
         return publish_version(
             self.root,
             files,
@@ -665,12 +835,20 @@ class SnapshotTable:
                 )
             if new is None:
                 new = self._write_files(df)
+            # registered bloom indexes extend to the new files (built
+            # once; re-merged against the fresh head on each retry)
+            blooms = (
+                self._extend_blooms(m, new)
+                if m.get("bloom_cols")
+                else _UNSET
+            )
             try:
                 return self._publish(
                     m["files"] + new,
                     cur,
                     self._merged_stats(cur, new, stats_cols),
                     schema_map=self._extend_schema_map(m, df),
+                    blooms=blooms,
                 )
             except CommitConflict:
                 continue
@@ -679,11 +857,16 @@ class SnapshotTable:
         )
 
     def commit_rewrite(
-        self, df: DataFrame, stats_cols: list[str] | None = None
+        self,
+        df: DataFrame,
+        stats_cols: list[str] | None = None,
+        txn_update: dict | None = None,
     ) -> int:
         """Replace the visible file set (compaction / OPTIMIZE): readers
         of older versions keep their files; the new version sees only the
-        rewritten layout."""
+        rewritten layout. ``txn_update`` publishes application-level
+        (appId -> watermark) records atomically with the rewrite (the
+        Delta txn action — e.g. the MV refresh cursor)."""
         cur = self.current_version()
         m = (
             load_manifest(self.root, cur)
@@ -697,7 +880,22 @@ class SnapshotTable:
             cur,
             {f: stats.get(f, {}) for f in new},
             schema_map=self._extend_schema_map(m, df),
+            blooms=(
+                self._extend_blooms(m, new)
+                if m.get("bloom_cols")
+                else _UNSET
+            ),
+            txn_update=txn_update,
         )
+
+    def txn_watermark(self, app_id: str):
+        """The newest banked watermark for ``app_id`` (None if never
+        committed) — the read half of the idempotent-writer txn
+        action."""
+        cur = self.current_version()
+        if cur == 0:
+            return None
+        return load_manifest(self.root, cur).get("txn", {}).get(app_id)
 
     def read(
         self,
@@ -1126,6 +1324,17 @@ class SnapshotTable:
                 f"cannot {op} column {col!r}: referenced by CHECK "
                 f"constraint(s) {hits} — drop them first"
             )
+        gen_hits = [
+            n
+            for n, sql in (m.get("generated") or {}).items()
+            if n == col or pat.search(sql)
+        ]
+        if gen_hits:
+            raise ValueError(
+                f"cannot {op} column {col!r}: it is (or is referenced "
+                f"by) generated column(s) {gen_hits} — drop the "
+                "generation expression first"
+            )
 
     def rename_column(self, old: str, new: str) -> int:
         """METADATA-ONLY column rename (Iceberg semantics, via field
@@ -1520,12 +1729,348 @@ class SnapshotTable:
             m["files"], cur, m["stats"], constraints=cons
         )
 
+    # --------------------------------------- generated columns ----
+    def add_generated_column(self, name: str, expr_sql: str) -> int:
+        """Register a GENERATED column (Delta's ``GENERATED ALWAYS
+        AS``): ``name`` is derived from ``expr_sql`` on EVERY write —
+        computed when the incoming batch omits it, validated
+        (``<=>``-exact, on the same single observe pass as CHECK
+        constraints) when it supplies it. Registration requires the
+        current snapshot to already agree: either the column doesn't
+        exist yet AND the table is empty (new-table shape), or every
+        existing row satisfies ``name <=> expr`` — otherwise historical
+        rows would violate the contract the moment it's registered."""
+        cur = self.current_version()
+        m = (
+            load_manifest(self.root, cur)
+            if cur > 0
+            else {"files": [], "stats": {}}
+        )
+        gens = dict(m.get("generated", {}))
+        if name in gens:
+            raise ValueError(
+                f"generated column {name!r} already registered"
+            )
+        if m["files"]:
+            snap = self.read()
+            if name not in snap.columns:
+                raise ValueError(
+                    f"column {name!r} does not exist in the non-empty "
+                    "snapshot; generated columns on existing tables "
+                    "must already be materialized"
+                )
+            bad = snap.filter(
+                ~F.col(name).eqNullSafe(F.expr(expr_sql))
+            ).count()
+            if bad:
+                raise ValueError(
+                    f"generated column {name!r} ({expr_sql}) disagrees "
+                    f"with {bad} existing row(s)"
+                )
+        return self._publish(
+            m["files"],
+            cur,
+            m["stats"],
+            generated={**gens, name: expr_sql},
+        )
+
+    def drop_generated_column_expr(self, name: str) -> int:
+        """Unregister the generation expression (the column itself
+        stays an ordinary column — Delta behaves the same)."""
+        cur = self.current_version()
+        m = (
+            load_manifest(self.root, cur)
+            if cur > 0
+            else {"files": [], "stats": {}}
+        )
+        gens = dict(m.get("generated", {}))
+        gens.pop(name, None)
+        return self._publish(
+            m["files"], cur, m["stats"], generated=gens
+        )
+
+    # ----------------------------------- metadata-only aggregates ----
+    def metadata_count(self, version: int | None = None) -> int:
+        """``COUNT(*)`` answered from the LOG, never the data pages
+        (Delta's metadata-only query optimization): per-file row counts
+        come from the banked ``#nulls`` stats ``[null_count, num_rows]``
+        pairs; a file with no banked stats costs ONE parquet footer read
+        (O(KB), fanned out as a Spark job past
+        ``DISTRIBUTED_STATS_THRESHOLD`` files so a 100k-file table never
+        serializes footer reads through the driver). Deletion vectors
+        subtract exactly: tombstone sidecars hold scalar (file, pos)
+        rows — point-delete sized by design — deduped and filtered to
+        still-visible files, so re-deletes and rewritten files never
+        double-count. On a 100 TB table this is O(files) metadata,
+        not a 100 TB scan."""
+        import pyarrow.parquet as pq
+
+        m = load_manifest(self.root, version or self.current_version())
+        total = 0
+        unbanked: list[str] = []
+        for f in m["files"]:
+            st = m["stats"].get(f) or {}
+            nr = next(
+                (
+                    v[1]
+                    for k, v in st.items()
+                    if k.endswith(NULLS_SUFFIX) and v is not None
+                ),
+                None,
+            )
+            if nr is None:
+                unbanked.append(f)
+            else:
+                total += nr
+        if len(unbanked) >= self.DISTRIBUTED_STATS_THRESHOLD:
+            sc = self.spark.sparkContext
+            total += (
+                sc.parallelize(unbanked, max(1, len(unbanked) // 16))
+                .map(_footer_num_rows)
+                .sum()
+            )
+        else:
+            for f in unbanked:
+                total += pq.ParquetFile(f).metadata.num_rows
+        if m["dv"]:
+            import pyarrow.dataset as pds
+
+            visible = set(m["dv"])  # _publish filtered to visible files
+            pairs: set[tuple] = set()
+            for d in sorted({d for lst in m["dv"].values() for d in lst}):
+                t = pds.dataset(d, format="parquet").to_table(
+                    columns=["__dv_file", "__dv_pos"]
+                )
+                for fc, pc in zip(
+                    t.column("__dv_file").to_pylist(),
+                    t.column("__dv_pos").to_pylist(),
+                ):
+                    if fc in visible:
+                        pairs.add((fc, pc))
+            total -= len(pairs)
+        return total
+
+    def metadata_min_max(
+        self, col: str, version: int | None = None
+    ):
+        """``MIN(col), MAX(col)`` from banked zone maps — or ``None``
+        when the log cannot answer EXACTLY, in which case the caller
+        falls back to a real scan. Refuses (a) tables with live deletion
+        vectors (a tombstoned row may hold the extreme — sharpening
+        would require per-DV re-stat, which is a scan) and (b) any file
+        whose stats are absent for every physical alias of ``col``
+        unless that file is provably all-null or physically lacks the
+        column (pre-add-column era files read back NULL, which min/max
+        ignore — SQL semantics). Alias groups follow field-id renames:
+        a value's stats live under whichever era's physical name wrote
+        the file, and post-compaction files carry BOTH names.
+        ``(None, None)`` = answerable and NULL (no non-null values) —
+        distinct from unanswerable ``None``."""
+        import pyarrow.parquet as pq
+
+        m = load_manifest(self.root, version or self.current_version())
+        if m["dv"]:
+            return None
+        names = [col]
+        if m["schema"]:
+            ent = next(
+                (
+                    e
+                    for e in m["schema"]
+                    if e["name"] == col and not e.get("dropped")
+                ),
+                None,
+            )
+            if ent is None:
+                raise ValueError(f"unknown column {col!r}")
+            names = [ent["name"], *ent.get("prior", [])]
+        mins: list = []
+        maxs: list = []
+        for f in m["files"]:
+            st = dict(m["stats"].get(f) or {})
+            if any(
+                n not in st and n + NULLS_SUFFIX not in st for n in names
+            ):
+                st.update(_footer_stats_one(f, names))
+            present: set | None = None  # physical columns, lazily read
+            for n in names:
+                mm = st.get(n)
+                if mm is not None:
+                    mins.append(mm[0])
+                    maxs.append(mm[1])
+                    continue
+                nn = st.get(n + NULLS_SUFFIX)
+                if nn is not None and nn[0] == nn[1]:
+                    continue  # provably all-null in this file
+                if present is None:
+                    md = pq.ParquetFile(f).metadata
+                    present = {
+                        md.schema.column(i).path
+                        for i in range(md.num_columns)
+                    }
+                if n in present:
+                    return None  # present, not all-null, no stats
+        if not mins:
+            return (None, None)
+        return (min(mins), max(maxs))
+
+    # ------------------------------------------- bloom file index ----
+    def _bloom_aliases(self, m: dict, col: str) -> list[str]:
+        """``col``'s physical alias group ([current, *prior]) for bloom
+        build/probe — pre-rename files hold the values under an old
+        physical name and the bloom must cover them."""
+        for ent in m.get("schema") or []:
+            if ent["name"] == col and not ent.get("dropped"):
+                return [col, *ent.get("prior", [])]
+        return [col]
+
+    def _extend_blooms(
+        self, m: dict, candidate_files: list[str]
+    ) -> dict:
+        """Blooms for every registered bloom column over every candidate
+        file that lacks one. Fans out as a Spark job past the
+        distributed threshold — each task reads ONE column of ONE file
+        and writes a KB-scale sidecar; only (file, sidecar) pairs return
+        to the driver. O(new files) per commit, exactly like footer
+        stats."""
+        bloom_cols: dict = m.get("bloom_cols") or {}
+        blooms = {f: dict(v) for f, v in (m.get("blooms") or {}).items()}
+        if not bloom_cols:
+            return blooms
+        index_dir = os.path.join(self.root, "_indexes")
+        os.makedirs(index_dir, exist_ok=True)
+        work: list[tuple] = []
+        for col, fpp in bloom_cols.items():
+            names = self._bloom_aliases(m, col)
+            for f in candidate_files:
+                if col not in blooms.get(f, {}):
+                    work.append((f, names, float(fpp), col))
+        if not work:
+            return blooms
+        if len(work) >= self.DISTRIBUTED_STATS_THRESHOLD:
+            sc = self.spark.sparkContext
+            built = (
+                sc.parallelize(work, max(1, len(work) // 16))
+                .map(
+                    lambda w: (
+                        w[3],
+                        _bloom_build_one(w[0], w[1], w[2], index_dir),
+                    )
+                )
+                .collect()
+            )
+        else:
+            built = [
+                (col, _bloom_build_one(f, names, fpp, index_dir))
+                for f, names, fpp, col in work
+            ]
+        for col, (f, sidecar) in built:
+            blooms.setdefault(f, {})[col] = sidecar
+        return blooms
+
+    def add_bloom_index(self, col: str, fpp: float = 0.01) -> int:
+        """Register a per-file Bloom filter index on ``col`` (Delta's
+        bloom filter index): builds sidecars for every VISIBLE file now
+        (distributed, one column read per file) and every future
+        append/rewrite extends the index to its new files
+        automatically. The index serves point lookups on
+        high-cardinality columns whose values interleave across files —
+        where zone maps prune nothing because every file's [min, max]
+        spans the domain. Files without a bloom (e.g. merge-on-read
+        post-images, until the next OPTIMIZE) are conservatively read:
+        a bloom may waste a read, never lose a row."""
+        cur = self.current_version()
+        m = (
+            load_manifest(self.root, cur)
+            if cur > 0
+            else {"files": [], "stats": {}}
+        )
+        bloom_cols = dict(m.get("bloom_cols") or {})
+        if col in bloom_cols:
+            raise ValueError(f"bloom index on {col!r} already exists")
+        bloom_cols[col] = fpp
+        m2 = {**m, "bloom_cols": bloom_cols}
+        blooms = self._extend_blooms(m2, m["files"])
+        return self._publish(
+            m["files"],
+            cur,
+            m["stats"],
+            bloom_cols=bloom_cols,
+            blooms=blooms,
+        )
+
+    def drop_bloom_index(self, col: str) -> int:
+        """Unregister ``col``'s bloom index; sidecar files are left for
+        VACUUM (they are invisible once unreferenced)."""
+        cur = self.current_version()
+        m = load_manifest(self.root, cur)
+        bloom_cols = dict(m.get("bloom_cols") or {})
+        bloom_cols.pop(col, None)
+        blooms = {
+            f: {c: s for c, s in v.items() if c != col}
+            for f, v in (m.get("blooms") or {}).items()
+        }
+        blooms = {f: v for f, v in blooms.items() if v}
+        return self._publish(
+            m["files"],
+            cur,
+            m["stats"],
+            bloom_cols=bloom_cols,
+            blooms=blooms,
+        )
+
+    def point_lookup_files(
+        self, col: str, value, version: int | None = None
+    ) -> tuple[list[str], int, int]:
+        """File planning for ``col == value``: zone maps first (free,
+        from the log), then bloom probes over the surviving candidates
+        (one KB-scale sidecar read each — only candidates pay it).
+        Returns (files to read, zone-map survivors, total files)."""
+        v = self.current_version() if version is None else version
+        m = load_manifest(self.root, v)
+        zone_keep, total = self.pruned_files(col, value, value, v)
+        if col not in (m.get("bloom_cols") or {}):
+            return zone_keep, len(zone_keep), total
+        blooms = m.get("blooms") or {}
+        keep = [
+            f
+            for f in zone_keep
+            if (sc := (blooms.get(f) or {}).get(col)) is None
+            or _bloom_might_contain(sc, value)
+        ]
+        return keep, len(zone_keep), total
+
+    def read_where_eq(
+        self, col: str, value, version: int | None = None
+    ) -> DataFrame:
+        """Point lookup: zone + bloom file pruning, deletion vectors and
+        the field-id map applied, and the residual equality filter kept
+        on top (blooms prune files, not rows — and false positives must
+        not surface)."""
+        files, _, _ = self.point_lookup_files(col, value, version)
+        if not files:
+            return self.read(version).limit(0).filter(
+                F.col(col) == F.lit(value)
+            )
+        v = self.current_version() if version is None else version
+        m = load_manifest(self.root, v)
+        return self._apply_schema_map(
+            self._masked_read(files, m["dv"]), m["schema"]
+        ).filter(F.col(col) == F.lit(value))
+
     def _constraints(self) -> dict[str, str]:
         """The head manifest's registered CHECK constraints."""
         cur = self.current_version()
         if cur == 0:
             return {}
         return load_manifest(self.root, cur).get("constraints", {})
+
+    def _generated(self) -> dict[str, str]:
+        """The head manifest's generated-column expressions."""
+        cur = self.current_version()
+        if cur == 0:
+            return {}
+        return load_manifest(self.root, cur).get("generated", {})
 
     @staticmethod
     def _violation_counters(cons: dict[str, str]) -> list:
@@ -1590,6 +2135,7 @@ class SnapshotTable:
                 dv=dict(m["dv"]),
                 schema_map=m["schema"],
                 constraints=m.get("constraints") or None,
+                generated=m.get("generated") or None,
             )
         return clone
 

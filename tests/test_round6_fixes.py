@@ -681,3 +681,373 @@ def test_protocol_versioning_guards_old_readers(spark, monkeypatch):
         load_manifest(t.root, 2)
     # v1 (plain files) still readable by the old reader
     assert load_manifest(t.root, 1)["version"] == 1
+
+
+# ------------------------------------------------------------------ #
+# 12. generated columns (GENERATED ALWAYS AS)
+# ------------------------------------------------------------------ #
+
+def test_generated_column_computed_and_validated(spark):
+    t = SnapshotTable(spark, _tmp("gen"))
+    t.add_generated_column("v2x", "v * 2")  # registered on empty table
+    t.commit_append(_kv(spark, 10).coalesce(1))  # batch omits v2x
+    df = t.read()
+    assert "v2x" in df.columns
+    assert df.filter(F.col("v2x") != F.col("v") * 2).count() == 0
+    # a batch SUPPLYING the column must agree, exactly
+    good = spark.range(10, 15).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") * 4).alias("v2x"),
+    )
+    t.commit_append(good)
+    assert t.read().count() == 15
+    bad = spark.range(20, 22).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.lit(0).cast("long").alias("v2x"),
+    )
+    with pytest.raises(ValueError, match="__gen_v2x"):
+        t.commit_append(bad)
+    assert t.read().count() == 15
+    # survives unrelated commits; rename/drop of involved cols rejected
+    m = load_manifest(t.root, t.current_version())
+    assert m["generated"] == {"v2x": "v * 2"}
+    with pytest.raises(ValueError, match="generated"):
+        t.rename_column("v", "value")
+    with pytest.raises(ValueError, match="generated"):
+        t.drop_column("v2x")
+    # dropping the expression frees the column and the rename
+    t.drop_generated_column_expr("v2x")
+    t.rename_column("v", "value")
+
+
+def test_generated_column_registration_validates_snapshot(spark):
+    t = SnapshotTable(spark, _tmp("genreg"))
+    t.commit_append(_kv(spark, 5).coalesce(1))
+    with pytest.raises(ValueError, match="does not exist"):
+        t.add_generated_column("v2x", "v * 2")
+    with pytest.raises(ValueError, match="disagrees"):
+        t.add_generated_column("v", "k * 3")  # v = 2k, not 3k
+    t.add_generated_column("v", "k * 2")  # exact: v really is 2k
+    with pytest.raises(ValueError, match="__gen_v"):
+        t.commit_append(
+            spark.range(100, 101).select(
+                F.col("id").alias("k"), F.lit(7).cast("long").alias("v")
+            )
+        )
+
+
+def test_connector_validates_generated_columns(spark):
+    register_snapshot_source(spark)
+    t = SnapshotTable(spark, _tmp("gencon"))
+    t.add_generated_column("v2x", "v * 2")
+    t.commit_append(_kv(spark, 5).coalesce(1))
+    # connector write supplying an agreeing column: lands, metadata kept
+    spark.range(5, 8).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") * 4).alias("v2x"),
+    ).write.format("pysnapshot").option("root", t.root).mode(
+        "append"
+    ).save()
+    m = load_manifest(t.root, t.current_version())
+    assert m["generated"] == {"v2x": "v * 2"}
+    assert t.read().count() == 8
+    # disagreeing values: vetoed before publish
+    v_before = t.current_version()
+    with pytest.raises(Exception, match="__gen_v2x"):
+        spark.range(8, 9).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("v"),
+            F.lit(1).cast("long").alias("v2x"),
+        ).write.format("pysnapshot").option("root", t.root).mode(
+            "append"
+        ).save()
+    assert t.current_version() == v_before
+    # omitting the column entirely: refused with guidance
+    with pytest.raises(Exception, match="missing from the"):
+        _kv(spark, 2, start=50).write.format("pysnapshot").option(
+            "root", t.root
+        ).mode("append").save()
+    assert t.read().count() == 8
+
+
+def test_clone_carries_generated_columns(spark):
+    t = SnapshotTable(spark, _tmp("genclone"))
+    t.add_generated_column("v2x", "v * 2")
+    t.commit_append(_kv(spark, 4).coalesce(1))
+    c = t.clone_shallow(_tmp("genclone_dst"))
+    m = load_manifest(c.root, c.current_version())
+    assert m["generated"] == {"v2x": "v * 2"}
+    c.commit_append(_kv(spark, 2, start=10).coalesce(1))
+    df = c.read()
+    assert df.filter(F.col("v2x") != F.col("v") * 2).count() == 0
+
+
+# ------------------------------------------------------------------ #
+# 13. metadata-only aggregates (COUNT / MIN / MAX from the log)
+# ------------------------------------------------------------------ #
+
+def test_metadata_count_banked_footer_and_dv(spark):
+    t = SnapshotTable(spark, _tmp("metacnt"))
+    # commit 1: stats banked (the zero-footer-read path)
+    t.commit_append(_kv(spark, 100).coalesce(1), stats_cols=["k"])
+    assert t.metadata_count() == 100
+    # commit 2: #nulls stats now carried for new files too
+    t.commit_append(_kv(spark, 50, start=100).coalesce(2))
+    assert t.metadata_count() == 150
+    # DV delete subtracts exactly; re-delete stays idempotent
+    t.delete_where(F.col("k") < 10)
+    assert t.metadata_count() == 140
+    t.delete_where(F.col("k") < 20)
+    assert t.metadata_count() == 130
+    assert t.read().count() == 130
+    # historical version still answers pre-delete
+    assert t.metadata_count(version=2) == 150
+    # materialized deletes: DV gone, count unchanged
+    t.materialize_deletes()
+    assert t.metadata_count() == 130
+
+
+def test_metadata_count_footer_fallback_without_stats(spark):
+    t = SnapshotTable(spark, _tmp("metacnt_nostat"))
+    t.commit_append(_kv(spark, 42).coalesce(3))  # no stats_cols at all
+    m = load_manifest(t.root, 1)
+    assert all(not st for st in m["stats"].values())
+    assert t.metadata_count() == 42
+
+
+def test_metadata_min_max_exact_and_refusals(spark):
+    t = SnapshotTable(spark, _tmp("metamm"))
+    t.commit_append(_kv(spark, 100).coalesce(2), stats_cols=["k", "v"])
+    t.commit_append(_kv(spark, 50, start=200).coalesce(1))
+    assert t.metadata_min_max("k") == (0, 249)
+    assert t.metadata_min_max("v") == (0, 498)
+    # live DVs: refuse (a tombstoned row may hold the extreme)
+    t.delete_where(F.col("k") >= 240)
+    assert t.metadata_min_max("k") is None
+    # materialize → answerable again, with the new true max
+    t.materialize_deletes()
+    assert t.metadata_min_max("k") == (0, 239)
+
+
+def test_metadata_min_max_alias_groups_after_rename(spark):
+    t = SnapshotTable(spark, _tmp("metamm_ren"))
+    t.commit_append(_kv(spark, 10).coalesce(1), stats_cols=["v"])
+    t.rename_column("v", "val")
+    # post-rename files physically carry the NEW name
+    t.commit_append(
+        spark.range(100, 110).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+        ).coalesce(1)
+    )
+    # old files' stats live under "v", new under "val" — union of eras
+    assert t.metadata_min_max("val") == (0, 218)
+    with pytest.raises(ValueError, match="unknown column"):
+        t.metadata_min_max("v")
+
+
+def test_metadata_min_max_all_null_and_empty(spark):
+    t = SnapshotTable(spark, _tmp("metamm_null"))
+    df = spark.range(5).select(
+        F.col("id").alias("k"),
+        F.lit(None).cast("long").alias("v"),
+    )
+    t.commit_append(df.coalesce(1), stats_cols=["k", "v"])
+    # answerable and NULL (no non-null values anywhere)
+    assert t.metadata_min_max("v") == (None, None)
+    assert t.metadata_min_max("k") == (0, 4)
+    # a later file with real values lifts it
+    t.commit_append(_kv(spark, 3, start=50).coalesce(1))
+    assert t.metadata_min_max("v") == (100, 104)
+
+
+# ------------------------------------------------------------------ #
+# 14. per-file Bloom filter index (point lookups past zone maps)
+# ------------------------------------------------------------------ #
+
+def _interleaved(spark, lo, hi, shard, nshards):
+    """Rows whose k values interleave across shards: every shard spans
+    the full [lo, hi) domain, so zone maps cannot prune any file."""
+    return (
+        spark.range(lo, hi)
+        .filter(F.col("id") % nshards == shard)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    )
+
+
+def test_bloom_index_prunes_where_zone_maps_cannot(spark):
+    t = SnapshotTable(spark, _tmp("bloom"))
+    for s in range(4):
+        t.commit_append(
+            _interleaved(spark, 0, 4000, s, 4).coalesce(1),
+            stats_cols=["k"],
+        )
+    # zone maps: all 4 files span [s, ~4000) — no pruning possible
+    zk, total = t.pruned_files("k", 42, 42)
+    assert total == 4 and len(zk) == 4
+    t.add_bloom_index("k", fpp=0.001)
+    files, zone_n, total = t.point_lookup_files("k", 42)
+    assert zone_n == 4 and total == 4
+    assert len(files) == 1  # the one shard that holds 42 (42 % 4 == 2)
+    rows = t.read_where_eq("k", 42).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(42, 84)]
+    # absent value: usually zero files, always zero rows
+    assert t.read_where_eq("k", 999_999).count() == 0
+
+
+def test_bloom_index_extends_on_append_and_survives_commits(spark):
+    t = SnapshotTable(spark, _tmp("bloomext"))
+    t.add_bloom_index("k")  # registered on empty table
+    for s in range(3):
+        t.commit_append(
+            _interleaved(spark, 0, 3000, s, 3).coalesce(1),
+            stats_cols=["k"],
+        )
+    m = load_manifest(t.root, t.current_version())
+    assert len(m["blooms"]) == 3  # every appended file auto-indexed
+    assert all("k" in v for v in m["blooms"].values())
+    files, _, total = t.point_lookup_files("k", 100)
+    assert total == 3 and len(files) == 1
+    assert t.read_where_eq("k", 100).count() == 1
+    # rewrite: replacement files re-indexed, old pointers dropped
+    t.commit_rewrite(t.read().repartition(2), stats_cols=["k"])
+    m = load_manifest(t.root, t.current_version())
+    assert set(m["blooms"]) == set(m["files"])
+    assert t.read_where_eq("k", 100).count() == 1
+
+
+def test_bloom_index_conservative_without_sidecar(spark):
+    """Files that a write path didn't index (MOR post-images) are READ,
+    never pruned — blooms waste reads, never lose rows."""
+    t = SnapshotTable(spark, _tmp("bloomcons"))
+    t.commit_append(_kv(spark, 100).coalesce(1), stats_cols=["k"])
+    t.add_bloom_index("k")
+    t.update_where(F.col("k") == 7, {"v": F.lit(777).cast("bigint")})
+    # the post-image file has no bloom -> still found
+    rows = t.read_where_eq("k", 7).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(7, 777)]
+    assert t.read_where_eq("k", 8).count() == 1
+
+
+def test_bloom_index_follows_rename_aliases(spark):
+    t = SnapshotTable(spark, _tmp("bloomren"))
+    t.commit_append(_kv(spark, 50).coalesce(1), stats_cols=["k"])
+    t.rename_column("k", "key")
+    t.add_bloom_index("key")  # pre-rename file: values under "k"
+    t.commit_append(
+        spark.range(100, 150).select(
+            F.col("id").alias("key"), (F.col("id") * 2).alias("v")
+        ).coalesce(1)
+    )
+    assert t.read_where_eq("key", 10).count() == 1  # old-era value
+    assert t.read_where_eq("key", 120).count() == 1  # new-era value
+    files, _, total = t.point_lookup_files("key", 10)
+    assert total == 2 and len(files) == 1  # bloom separates the eras
+
+
+# ------------------------------------------------------------------ #
+# 15. change-feed materialized view (retractable incremental MV)
+# ------------------------------------------------------------------ #
+
+def _mv_pair(spark, name):
+    from s3_glue_redshift_guide_spark.operators.mv import (
+        ChangeFeedMaterializedView,
+    )
+
+    src = SnapshotTable(spark, _tmp(f"{name}_src"))
+    mv = ChangeFeedMaterializedView(
+        spark,
+        src,
+        _tmp(f"{name}_mv"),
+        keys=["g"],
+        measures={"n": ("count",), "s": ("sum", "v")},
+    )
+    return src, mv
+
+
+def _gkv(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        (F.col("id") % 3).alias("g"),
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+    )
+
+
+def _recompute(src):
+    return {
+        (r["g"], r["n"], r["s"])
+        for r in src.read()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+
+
+def _mv_rows(mv):
+    return {(r["g"], r["n"], r["s"]) for r in mv.read().collect()}
+
+
+def test_mv_insert_delete_update_matches_recompute(spark):
+    src, mv = _mv_pair(spark, "mv1")
+    src.commit_append(_gkv(spark, 0, 60).coalesce(1))
+    assert mv.refresh() == 1
+    assert _mv_rows(mv) == _recompute(src)
+    # second batch + DV delete, one refresh folds both commits
+    src.commit_append(_gkv(spark, 60, 90).coalesce(1))
+    src.delete_where(F.col("k") % 7 == 0)
+    assert mv.refresh() == 3
+    assert _mv_rows(mv) == _recompute(src)
+    # merge-on-read UPDATE arrives as its delete/insert pair
+    src.update_where(F.col("k") == 5, {"v": F.lit(99999).cast("bigint")})
+    mv.refresh()
+    assert _mv_rows(mv) == _recompute(src)
+
+
+def test_mv_fully_retracted_group_vanishes(spark):
+    src, mv = _mv_pair(spark, "mv2")
+    src.commit_append(_gkv(spark, 0, 30).coalesce(1))
+    mv.refresh()
+    assert len(_mv_rows(mv)) == 3
+    src.delete_where(F.col("g") == 1)
+    mv.refresh()
+    rows = _mv_rows(mv)
+    assert {r[0] for r in rows} == {0, 2}
+    assert rows == _recompute(src)
+
+
+def test_mv_cursor_is_atomic_and_idempotent(spark):
+    src, mv = _mv_pair(spark, "mv3")
+    src.commit_append(_gkv(spark, 0, 30).coalesce(1))
+    v = mv.refresh()
+    assert mv.last_refreshed_version() == v == src.current_version()
+    state_v = mv.state.current_version()
+    # no source movement: refresh is a no-op, no new state commit
+    assert mv.refresh() == v
+    assert mv.state.current_version() == state_v
+    assert _mv_rows(mv) == _recompute(src)
+
+
+def test_mv_rejects_unretractable_specs(spark):
+    from s3_glue_redshift_guide_spark.operators.mv import (
+        ChangeFeedMaterializedView,
+    )
+
+    src = SnapshotTable(spark, _tmp("mv4_src"))
+    with pytest.raises(ValueError, match="retractable"):
+        ChangeFeedMaterializedView(
+            spark, src, _tmp("mv4"), ["g"], {"m": ("min", "v")}
+        )
+    # double sums drift under retraction: rejected at refresh
+    mv = ChangeFeedMaterializedView(
+        spark, src, _tmp("mv4b"), ["g"],
+        {"s": ("sum", "dv")},
+    )
+    src.commit_append(
+        _gkv(spark, 0, 10).withColumn(
+            "dv", F.col("v").cast("double")
+        ).coalesce(1)
+    )
+    with pytest.raises(ValueError, match="floating point"):
+        mv.refresh()
