@@ -2024,3 +2024,140 @@ def llm_canonical_selection(spark, sf_dir):
         .otherwise(0)
         .alias("keep"),
     )
+
+
+# ------------------- DSIR importance resampling (R23) ------------------
+_DSIR_B = 512  # hashed feature buckets (the paper's 10k, scaled to SF)
+_DSIR_K = 50   # selection size
+
+
+@query(
+    "llm_dsir_resample",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS l
+      FROM documents),
+    grams AS (
+      SELECT doc_id, lang, unnest(l) AS g FROM docs
+      UNION ALL
+      SELECT doc_id, lang, p[1] || ' ' || p[2] AS g
+      FROM (SELECT doc_id, lang,
+                   unnest(list_zip(l[1:length(l)-1], l[2:length(l)])) AS p
+            FROM docs WHERE length(l) >= 2)),
+    fb AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+               % {_DSIR_B} AS b
+      FROM grams),
+    raw AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+    tgt AS (SELECT b, count(*) AS ct FROM fb WHERE lang = 'en'
+            GROUP BY b),
+    tots AS (SELECT count(*) AS nr,
+                    count(*) FILTER (WHERE lang = 'en') AS nt
+             FROM fb),
+    model AS (
+      SELECT r.b,
+             log10((COALESCE(t.ct, 0) + 1.0) / (tots.nt + {_DSIR_B}))
+           - log10((r.cr + 1.0) / (tots.nr + {_DSIR_B})) AS ratio
+      FROM raw r LEFT JOIN tgt t ON r.b = t.b CROSS JOIN tots),
+    perdoc AS (
+      SELECT doc_id, b, count(*) AS nb FROM fb GROUP BY doc_id, b)
+    SELECT p.doc_id,
+           CAST(sum(p.nb) AS BIGINT) AS n_grams,
+           round(sum(p.nb * m.ratio), 4) AS logw
+    FROM perdoc p JOIN model m ON p.b = m.b
+    GROUP BY p.doc_id
+    ORDER BY logw DESC, p.doc_id
+    LIMIT {_DSIR_K}
+    """,
+)
+def llm_dsir_resample(spark, sf_dir):
+    """DSIR-style data selection via importance resampling (R23; Xie et
+    al. 2023, public): score every raw document by how much more likely
+    its HASHED n-gram features are under a TARGET-domain bag-of-ngrams
+    model (here ``lang = 'en'``) than under the raw-corpus model, then
+    keep the top-k — the standard recipe for skewing a crawl toward a
+    quality/domain target without training a classifier.
+
+    Feature hashing bounds the vocabulary at B=512 buckets regardless
+    of corpus size (uni+bigrams, portable md5 bucket hash), so both
+    models are B-row aggregates — broadcastable scalars at ANY corpus
+    scale — and the per-doc score is one bucket-key join + one doc-key
+    aggregation: corpus touched twice, all shuffles carry (doc, bucket)
+    scalar rows, selection is TakeOrderedAndProject. Add-1 smoothing
+    keeps unseen buckets finite; the weight rounds to 4 decimals so
+    partial-sum order can't leak last-ulp noise across engines
+    (deterministic doc_id tiebreak)."""
+    B, K = _DSIR_B, _DSIR_K
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    l = F.col("l")
+    pairs = F.zip_with(
+        F.slice(l, F.lit(1), F.size(l) - 1),
+        F.slice(l, F.lit(2), F.size(l) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = F.concat(
+        l,
+        F.when(F.size(l) >= 2, pairs).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    fb = (
+        d.select("doc_id", "lang", toks.alias("l"))
+        .select("doc_id", "lang", F.explode(grams).alias("g"))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10)
+                .cast("bigint")
+                % B
+            ).alias("b"),
+        )
+    )
+    raw = fb.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        fb.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tots = fb.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("nt"),
+    )
+    model = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log10(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("nt") + F.lit(B))
+                )
+                - F.log10(
+                    (F.col("cr") + F.lit(1.0)) / (F.col("nr") + F.lit(B))
+                )
+            ).alias("ratio"),
+        )
+    )
+    perdoc = fb.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    return (
+        perdoc.join(model, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("nb").cast("bigint").alias("n_grams"),
+            F.round(F.sum(F.col("nb") * F.col("ratio")), 4).alias(
+                "logw"
+            ),
+        )
+        .orderBy(F.col("logw").desc(), "doc_id")
+        .limit(K)
+    )

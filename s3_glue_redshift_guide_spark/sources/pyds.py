@@ -61,6 +61,7 @@ from pyspark.sql.datasource import (
 from .snapshots import (
     NULLS_SUFFIX,
     CommitConflict,
+    _bloom_might_contain,
     _footer_stats_one,
     _json_scalar_value,
     extend_schema_map,
@@ -343,6 +344,10 @@ class SnapshotManifestReader(DataSourceReader):
         self.aliases = _alias_map(m.get("schema"))
         self.bounds: dict[str, list] = {}
         self.null_req: dict[str, set] = {}  # col -> {"null","notnull"}
+        # bloom file index: registered cols + per-file sidecar pointers
+        self.bloom_cols: dict = m.get("bloom_cols") or {}
+        self.blooms: dict = m.get("blooms") or {}
+        self.eq_probes: dict[str, list] = {}  # col -> pushed literals
 
     # ------------------------------------------------- filter pushdown
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -357,11 +362,13 @@ class SnapshotManifestReader(DataSourceReader):
             col = attr[0] if attr and len(attr) == 1 else None
             if isinstance(f, EqualTo):
                 self._narrow(col, f.value, f.value)
+                self._probe(col, f.value)
             elif isinstance(f, EqualNullSafe):
                 # <=> NULL matches only nulls — zone maps carry no null
                 # counts, so only the non-null case narrows
                 if f.value is not None:
                     self._narrow(col, f.value, f.value)
+                    self._probe(col, f.value)
             elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                 self._narrow(col, f.value, None)
             elif isinstance(f, (LessThan, LessThanOrEqual)):
@@ -394,6 +401,13 @@ class SnapshotManifestReader(DataSourceReader):
                 if col:
                     self.null_req.setdefault(col, set()).add("notnull")
         return iter(filters)
+
+    def _probe(self, col: str | None, value) -> None:
+        """Bank an equality literal for bloom probing (indexed columns
+        only; the sidecar's kind gate keeps cross-domain probes from
+        pruning)."""
+        if col and value is not None and col in self.bloom_cols:
+            self.eq_probes.setdefault(col, []).append(value)
 
     def _narrow(self, col: str | None, lo, hi) -> None:
         """Tighten the pruning bounds for ``col``. Filter literals arrive
@@ -440,10 +454,27 @@ class SnapshotManifestReader(DataSourceReader):
         )
         if self.null_req:
             keep = [f for f in keep if self._null_admits(f)]
+        if self.eq_probes:
+            # bloom file index: one KB-scale sidecar probe per surviving
+            # file per pushed equality — a "definitely absent" verdict
+            # skips the file entirely (no task scheduled); files without
+            # a sidecar for the column are conservatively read
+            keep = [f for f in keep if self._bloom_admits(f)]
         return [
             SnapshotFilePartition(p, tuple(self.dv.get(p, [])))
             for p in keep
         ]
+
+    def _bloom_admits(self, f: str) -> bool:
+        percol = self.blooms.get(f) or {}
+        for col, vals in self.eq_probes.items():
+            sc = percol.get(col)
+            if sc is None:
+                continue
+            for v in vals:
+                if not _bloom_might_contain(sc, v):
+                    return False
+        return True
 
     def _null_admits(self, f: str) -> bool:
         """Null-count data skipping (the banked ``col#nulls`` =

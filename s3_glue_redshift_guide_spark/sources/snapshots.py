@@ -127,17 +127,28 @@ def _footer_num_rows(path: str) -> int:
 # as long as the write path and the read path encode values identically
 # (_bloom_encode is that single shared encoding).
 
+def _bloom_canonical(value):
+    """Canonical Python value shared by bloom build and probe: integral
+    floats collapse to int (parquet int/float domain drift). The
+    CANONICAL TYPE NAME is also banked per sidecar so a probe in a
+    different value domain (e.g. an int literal against a Decimal
+    column, where str() forms differ) degrades to a conservative keep
+    instead of a false negative."""
+    if isinstance(value, float) and value.is_integer():
+        return int(value)
+    return value
+
+
 def _bloom_encode(value) -> bytes:
     """Canonical byte encoding shared by bloom build and bloom probe —
     the no-false-negatives invariant lives here. Collisions across
     types (int 5 vs str "5") only add false positives, never lose
     rows."""
+    value = _bloom_canonical(value)
     if isinstance(value, bytes):
         return value
     if isinstance(value, bool):
         return b"t" if value else b"f"
-    if isinstance(value, float) and value.is_integer():
-        value = int(value)  # parquet int/float domain drift is benign
     return str(value).encode("utf-8")
 
 
@@ -192,13 +203,16 @@ def _bloom_build_one(
                 values.append(v)
     m, k = _bloom_params(len(values), fpp)
     bits = np.zeros(m, dtype=bool)
+    kinds: set[str] = set()
     for v in values:
         bits[_bloom_positions(v, m, k)] = True
+        kinds.add(type(_bloom_canonical(v)).__name__)
     payload = {
         "col": names[0],
         "aliases": names,
         "m": m,
         "k": k,
+        "kinds": sorted(kinds),
         "b64": base64.b64encode(np.packbits(bits).tobytes()).decode(),
     }
     sidecar = _os.path.join(
@@ -226,6 +240,12 @@ def _bloom_might_contain(sidecar: str, value) -> bool:
     try:
         with open(sidecar) as f:
             p = _json.load(f)
+        kinds = p.get("kinds")
+        if (
+            kinds
+            and type(_bloom_canonical(value)).__name__ not in kinds
+        ):
+            return True  # cross-domain probe: cannot trust "absent"
         bits = np.unpackbits(
             np.frombuffer(base64.b64decode(p["b64"]), dtype=np.uint8)
         )[: p["m"]]
@@ -2179,10 +2199,16 @@ class SnapshotTable:
         keep_versions = [v for v in range(lo, cur + 1)]
         reachable: set[str] = set()
         reachable_dv: set[str] = set()
+        reachable_bloom: set[str] = set()
         for v in keep_versions:
             m = load_manifest(self.root, v)
             reachable |= set(m["files"])
             reachable_dv |= {d for lst in m["dv"].values() for d in lst}
+            reachable_bloom |= {
+                s
+                for percol in (m.get("blooms") or {}).values()
+                for s in percol.values()
+            }
         deleted: list[str] = []
         data_root = os.path.join(self.root, "data")
         for d in os.listdir(data_root) if os.path.isdir(data_root) else []:
@@ -2200,6 +2226,18 @@ class SnapshotTable:
                 if full not in reachable_dv:
                     shutil.rmtree(full, ignore_errors=True)
                     deleted.append(full)
+        # bloom index sidecars unreferenced from the window (dropped
+        # indexes, rewritten files)
+        idx_root = os.path.join(self.root, "_indexes")
+        if os.path.isdir(idx_root):
+            for f in os.listdir(idx_root):
+                p = os.path.join(idx_root, f)
+                if (
+                    f.endswith(".bloom.json")
+                    and p not in reachable_bloom
+                ):
+                    os.unlink(p)
+                    deleted.append(p)
         for v in range(1, keep_versions[0]):
             try:
                 os.unlink(self._manifest_path(v))

@@ -1051,3 +1051,76 @@ def test_mv_rejects_unretractable_specs(spark):
     )
     with pytest.raises(ValueError, match="floating point"):
         mv.refresh()
+
+
+def test_vacuum_reclaims_orphan_bloom_sidecars(spark):
+    t = SnapshotTable(spark, _tmp("bloomvac"))
+    t.commit_append(_kv(spark, 100).coalesce(2), stats_cols=["k"])
+    t.add_bloom_index("k")
+    idx = os.path.join(t.root, "_indexes")
+    n0 = len(os.listdir(idx))
+    assert n0 == 2
+    # rewrite: old files' sidecars become unreferenced at the head
+    t.commit_rewrite(t.read().repartition(3), stats_cols=["k"])
+    assert len(os.listdir(idx)) == 5
+    deleted = t.vacuum(retain_versions=1)
+    assert len(os.listdir(idx)) == 3  # head files keep theirs
+    assert sum(p.endswith(".bloom.json") for p in deleted) == 2
+    assert t.read_where_eq("k", 10).count() == 1
+    # dropping the index orphans the rest on the next vacuum
+    t.drop_bloom_index("k")
+    t.vacuum(retain_versions=1)
+    assert len(os.listdir(idx)) == 0
+
+
+def test_connector_prunes_partitions_with_bloom(spark):
+    register_snapshot_source(spark)
+    t = SnapshotTable(spark, _tmp("bloomconn"))
+    for s in range(4):
+        t.commit_append(
+            _interleaved(spark, 0, 4000, s, 4).coalesce(1),
+            stats_cols=["k"],
+        )
+    t.add_bloom_index("k", fpp=0.001)
+    df = (
+        spark.read.format("pysnapshot")
+        .option("root", t.root)
+        .load()
+        .filter(F.col("k") == 42)
+    )
+    rows = df.collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(42, 84)]
+    # the scan planned exactly ONE partition (bloom-pruned): assert via
+    # the planner directly — the runtime plan string doesn't expose
+    # Python DataSource partition counts
+    from pyspark.sql.datasource import EqualTo
+
+    from s3_glue_redshift_guide_spark.sources.pyds import (
+        SnapshotManifestReader,
+    )
+
+    sb = SnapshotManifestReader({"root": t.root})
+    sb.pushFilters([EqualTo(("k",), 42)])
+    assert len(sb.partitions()) == 1
+    sb2 = SnapshotManifestReader({"root": t.root})
+    sb2.pushFilters([])
+    assert len(sb2.partitions()) == 4
+
+
+def test_bloom_probe_kind_gate_is_conservative(spark):
+    """A probe in a different value domain than the column (int vs the
+    banked str kind) must KEEP the file — never a false negative."""
+    t = SnapshotTable(spark, _tmp("bloomkind"))
+    t.commit_append(
+        spark.range(100).select(
+            F.col("id").cast("string").alias("s"),
+            F.col("id").alias("v"),
+        ).coalesce(1),
+        stats_cols=["s"],
+    )
+    t.add_bloom_index("s")
+    files, _, _ = t.point_lookup_files("s", 42)  # int probe, str column
+    assert len(files) == 1  # kept despite the bloom
+    # the native-domain probe prunes the absent value
+    files2, _, _ = t.point_lookup_files("s", "no-such-value")
+    assert files2 == []
