@@ -84,3 +84,98 @@ def stats_table_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(est <= _HASH, "shuffle_hash")
         .otherwise("sort_merge"),
     )
+
+
+# ------------------ snapshot-size join advisor (C2) --------------------
+@query(
+    "stats_join_advisor",
+    oracle="""
+    WITH f AS (SELECT o_orderkey, o_custkey % 25 AS nkey
+               FROM orders WHERE o_orderkey < 4000)
+    SELECT 1 AS default_plan_shuffles, 1 AS advised_broadcast,
+           1 AS plan_flipped_to_broadcast, 1 AS bigbig_advised_shuffle,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(f.o_orderkey * (n.n_nationkey + 1)) AS BIGINT)
+             AS checksum
+    FROM f JOIN nation n ON f.nkey = n.n_nationkey
+    """,
+)
+def stats_join_advisor(spark, sf_dir):
+    """Size-statistics join advisor (C2): a DataFrame read through a
+    Python DataSource reports NO sizeInBytes to Catalyst, so the
+    auto-broadcast decision can never fire — the 25-row dimension below
+    SORT-MERGE-joins the fact by default (``default_plan_shuffles``
+    pins the gap at runtime). ``advise_join`` reinstates the decision
+    from the snapshot log (visible-file byte sizes, an O(files)
+    metadata stat walk, mirroring the session's own
+    autoBroadcastJoinThreshold), and ``smart_join`` applies it: the
+    executed plan flips to BroadcastHashJoin with identical results.
+    Oversized and unknown-size (vanished-file) tables advise shuffle —
+    an undercount would green-light broadcasting a huge side, the one
+    direction the advisor must never err."""
+    import tempfile as _tf
+
+    from ..operators.advisor import advise_join, smart_join
+    from ..sources.pyds import register_snapshot_source
+    from ..sources.snapshots import SnapshotTable
+
+    register_snapshot_source(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_custkey") % 25).alias("nkey")
+    ).filter(F.col("o_orderkey") < 4000)
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    fact_t = SnapshotTable(spark, _tf.mkdtemp(prefix="advq_fact_"))
+    fact_t.commit_append(o.coalesce(2))
+    dim_t = SnapshotTable(spark, _tf.mkdtemp(prefix="advq_dim_"))
+    dim_t.commit_append(n.coalesce(1))
+    fact = (
+        spark.read.format("pysnapshot")
+        .option("root", fact_t.root)
+        .load()
+    )
+    dim = (
+        spark.read.format("pysnapshot")
+        .option("root", dim_t.root)
+        .load()
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    cond = fact["nkey"] == dim["n_nationkey"]
+    default_shuffles = int(
+        "BroadcastHashJoin" not in plan(fact.join(dim, cond))
+    )
+    adv = advise_join(spark, fact_t.root, dim_t.root)
+    advised = int(adv["strategy"] == "broadcast_right")
+    j = smart_join(fact, dim, cond, adv)
+    flipped = int("BroadcastHashJoin" in plan(j))
+    bigbig = int(
+        advise_join(spark, fact_t.root, fact_t.root, threshold=100)[
+            "strategy"
+        ]
+        == "shuffle"
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.col("o_orderkey") * (F.col("n_nationkey") + 1)
+        ).cast("long").alias("s"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                default_shuffles,
+                advised,
+                flipped,
+                bigbig,
+                agg["n"],
+                agg["s"],
+            )
+        ],
+        "default_plan_shuffles int, advised_broadcast int, "
+        "plan_flipped_to_broadcast int, bigbig_advised_shuffle int, "
+        "n_rows bigint, checksum bigint",
+    )
