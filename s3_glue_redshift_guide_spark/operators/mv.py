@@ -118,15 +118,10 @@ class ChangeFeedMaterializedView:
     def last_refreshed_version(self) -> int:
         return int(self.state.txn_watermark(self.CURSOR_APP) or 0)
 
-    def refresh(self) -> int:
-        """Fold every source commit since the last refresh into the
-        state; returns the source version now reflected. No-op (no new
-        state commit) when the source hasn't moved."""
-        last = self.last_refreshed_version()
-        head = self.source.current_version()
-        if head == last:
-            return last
-        changes = self.source.read_changes(last, head)
+    def _fold(self, changes: DataFrame, new_cursor: int) -> None:
+        """Fold one change multiset into the state and publish the new
+        cursor IN THE SAME manifest (crash-atomic, replay-impossible).
+        Shared by batch refresh and the streaming epoch fold."""
         self._check_sum_dtypes(changes)
         delta = changes.groupBy(*self.keys).agg(*self._delta_aggs())
         prior = (
@@ -142,12 +137,69 @@ class ChangeFeedMaterializedView:
             .agg(*self._merge_aggs())
         )
         merged = merged.filter(F.col("__mv_rows") > 0)
-        # the cursor rides the SAME manifest publish as the new state:
-        # crash-atomic, replay-impossible
         self.state.commit_rewrite(
-            merged, txn_update={self.CURSOR_APP: head}
+            merged, txn_update={self.CURSOR_APP: int(new_cursor)}
         )
+
+    def refresh(self) -> int:
+        """Fold every source commit since the last refresh into the
+        state; returns the source version now reflected. No-op (no new
+        state commit) when the source hasn't moved."""
+        last = self.last_refreshed_version()
+        head = self.source.current_version()
+        if head == last:
+            return last
+        self._fold(self.source.read_changes(last, head), head)
         return head
+
+    def refresh_stream(
+        self,
+        checkpoint: str,
+        processing_time: str | None = None,
+        available_now: bool = False,
+    ):
+        """ALWAYS-ON maintenance: the connector's change-data-feed
+        STREAM (``readChangeFeed``) feeds each micro-batch's change
+        multiset through the same ±sign fold via ``foreachBatch``.
+        Exactly-once across restarts and mixed batch/stream use without
+        trusting the sink: every epoch first drops rows with
+        ``_commit_version <= cursor`` (a restarted stream redelivers
+        its last epoch, and a stream started on an already-refreshed MV
+        bootstraps from version 0), then publishes the surviving max
+        version as the cursor ATOMICALLY with the folded state. At
+        100 TB each epoch's cost is the epoch's churn — admission
+        control (``maxVersionsPerTrigger``) bounds it — and the merge
+        shuffle stays group-scale."""
+        from ..sources.pyds import register_snapshot_source
+
+        register_snapshot_source(self.spark)
+
+        def fold_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+            cur = self.last_refreshed_version()
+            fresh = batch_df.filter(
+                F.col("_commit_version") > F.lit(cur)
+            ).localCheckpoint(eager=True)
+            hi = fresh.agg(F.max("_commit_version")).collect()[0][0]
+            if hi is None:
+                return  # fully-redelivered or empty epoch
+            self._fold(fresh.drop("_commit_version"), hi)
+
+        stream = (
+            self.spark.readStream.format("pysnapshot")
+            .option("root", self.source.root)
+            .option("readChangeFeed", "true")
+            .load()
+        )
+        writer = (
+            stream.writeStream.foreachBatch(fold_epoch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time is not None:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
 
     def read(self) -> DataFrame:
         """The maintained aggregate (hidden bookkeeping column

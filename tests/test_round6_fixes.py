@@ -1124,3 +1124,39 @@ def test_bloom_probe_kind_gate_is_conservative(spark):
     # the native-domain probe prunes the absent value
     files2, _, _ = t.point_lookup_files("s", "no-such-value")
     assert files2 == []
+
+
+def test_mv_refresh_stream_exactly_once(spark):
+    """Always-on MV maintenance over the connector's CDF STREAM: each
+    epoch folds through the same retraction aggregation, the cursor
+    guard drops redelivered/already-applied versions, and restarts can
+    neither double-apply nor skip."""
+    src, mv = _mv_pair(spark, "mvs")
+    src.commit_append(_gkv(spark, 0, 30).coalesce(1))
+    src.delete_where(F.col("k") % 5 == 0)
+    src.commit_append(_gkv(spark, 30, 45).coalesce(1))
+    ck = _tmp("mvs_ck")
+    q = mv.refresh_stream(checkpoint=ck, available_now=True)
+    q.awaitTermination()
+    assert _mv_rows(mv) == _recompute(src)
+    cursor1 = mv.last_refreshed_version()
+    assert cursor1 == src.current_version()
+    # more churn -> a RESTARTED stream (same checkpoint) folds only it
+    src.update_where(F.col("k") == 31, {"v": F.lit(7).cast("bigint")})
+    src.delete_where(F.col("g") == 2)
+    q2 = mv.refresh_stream(checkpoint=ck, available_now=True)
+    q2.awaitTermination()
+    assert _mv_rows(mv) == _recompute(src)
+    # idle restart: cursor and state version both unchanged
+    sv = mv.state.current_version()
+    q3 = mv.refresh_stream(checkpoint=ck, available_now=True)
+    q3.awaitTermination()
+    assert mv.state.current_version() == sv
+    # mixed use: batch refresh() first, then a FRESH-checkpoint stream
+    # (bootstraps from version 0) must not double-apply old versions
+    src.commit_append(_gkv(spark, 100, 110).coalesce(1))
+    mv.refresh()
+    src.commit_append(_gkv(spark, 110, 120).coalesce(1))
+    q4 = mv.refresh_stream(checkpoint=_tmp("mvs_ck2"), available_now=True)
+    q4.awaitTermination()
+    assert _mv_rows(mv) == _recompute(src)
