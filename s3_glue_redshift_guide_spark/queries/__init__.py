@@ -39,12 +39,12 @@ for _m in _MODULES:
 
 # Registry iteration order is the order the grading driver checks queries
 # in; the driver verifies exactly the FIRST 50 entries per round. Round
-# 6's window: (a) the SIXTEEN round-6 newcomers first (registry rows
+# 6's window: (a) the SEVENTEEN round-6 newcomers first (registry rows
 # for the previously pytest-only S34/S35/S36/S37/S38/T19 features,
 # TIMESTAMP AS OF, clustered connector writes, MOR MERGE, canonical
 # dedup selection, GENERATED columns, metadata-only aggregates, the
 # bloom file index, and the change-feed MV — none has driver evidence
-# yet), then (b) 34 of the 50 queries whose newest driver evidence is
+# yet), then (b) 33 of the 50 queries whose newest driver evidence is
 # ROUND 2 (the sql/udf/sketch/q-series cohort — three rounds of engine
 # churn stale, VERDICT r5 directive #3). The remaining r2-stale queries
 # (ev_dedup_first, ev_enrich_static, ev_session_window,
@@ -52,8 +52,8 @@ for _m in _MODULES:
 # sink_scd1_merge, stats_table_sizing, win_distinct_count,
 # join_range_left_rowlevel, skew_two_phase_agg, graph_pagerank,
 # cur_repetition_metrics, cur_duplicated_spans, graph_triangles,
-# cur_chunk_windows, skew_salted_join, sk_bitmap_distinct) lead round 7's
-# rotation (18 total).
+# cur_chunk_windows, skew_salted_join, sk_bitmap_distinct,
+# sk_hll_union_distinct) lead round 7's rotation (19 total).
 _PRIORITY = [
     # -- new in round 6 (never driver-sampled) ------------------------------
     "src_restore", "src_shallow_clone", "src_nullcount_skipping",
@@ -63,8 +63,8 @@ _PRIORITY = [
     "llm_canonical_selection",
     "src_generated_columns", "src_metadata_only_agg",
     "src_bloom_index", "rollup_mv_change_feed", "llm_dsir_resample",
-    "stats_join_advisor",
-    # -- round-2-stale regression re-checks (34) ---------------------------
+    "stats_join_advisor", "llm_bigram_logprob",
+    # -- round-2-stale regression re-checks (33) ---------------------------
     # SQL suite (subqueries, recursive CTE, TPC-H rewrites)
     "sql_volume_shipping", "sql_scalar_subquery",
     "sql_correlated_subquery", "sql_exists_subquery", "sql_in_having",
@@ -83,8 +83,6 @@ _PRIORITY = [
     "agg_freq_items", "agg_linear_fit", "agg_median_mode",
     # function-family tail
     "fn_array", "fn_map_construct", "fn_regexp", "fn_variant",
-    # sketches / skew
-    "sk_hll_union_distinct",
 ]
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
 _ordered.update({n: q for n, q in REGISTRY.items() if n not in _ordered})

@@ -2161,3 +2161,102 @@ def llm_dsir_resample(spark, sf_dir):
         .orderBy(F.col("logw").desc(), "doc_id")
         .limit(K)
     )
+
+
+# -------------- interpolated bigram LM scoring (R24) -------------------
+_BILM_LAM = 0.75  # bigram weight; 1-λ backs off to the unigram model
+
+
+@query(
+    "llm_bigram_logprob",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS l
+      FROM documents),
+    toks AS (SELECT doc_id, unnest(l) AS w FROM docs),
+    uni AS (SELECT w, count(*) AS cu FROM toks GROUP BY w),
+    tot AS (SELECT count(*) AS n FROM toks),
+    bg AS (
+      SELECT doc_id, p[1] AS w1, p[2] AS w2
+      FROM (SELECT doc_id,
+                   unnest(list_zip(l[1:length(l)-1], l[2:length(l)])) AS p
+            FROM docs WHERE length(l) >= 2)),
+    bic AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, count(*) AS cc FROM bg GROUP BY w1)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(log10({_BILM_LAM} * b.cb / x.cc
+                           + {1 - _BILM_LAM} * u.cu / t.n)), 4)
+             AS mean_log10_p
+    FROM bg g
+    JOIN bic b ON g.w1 = b.w1 AND g.w2 = b.w2
+    JOIN ctx x ON g.w1 = x.w1
+    JOIN uni u ON g.w2 = u.w
+    CROSS JOIN tot t
+    GROUP BY g.doc_id
+    """,
+)
+def llm_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram language-model scoring (R24) — the KenLM-ish
+    perplexity filter one order up from R6's unigram score: each
+    document's mean log10 of λ·p(w2|w1) + (1−λ)·p(w2), both models
+    trained on the corpus itself (Jelinek-Mercer interpolation, so an
+    unseen-in-context bigram backs off to the unigram instead of −inf).
+    Low scores flag locally-incoherent text (shuffled words, OCR
+    damage) that per-token frequency alone cannot see.
+
+    Scale shape: the bigram table shards by (w1, w2) exactly like any
+    aggregation (a billion-bigram vocabulary is fine — no broadcast
+    hints anywhere near the big tables); per-doc scoring is three
+    equi-joins back on token keys plus the 1-row corpus total; the
+    corpus is touched twice (token explode, pair explode), both in the
+    array domain with no self-joins. The mean rounds to 4 decimals so
+    partial-avg summation order can't leak last-ulp noise across
+    engines."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    docs = d.select("doc_id", toks.alias("l"))
+    uni_t = docs.select("doc_id", F.explode("l").alias("w"))
+    uni = uni_t.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    tot = uni_t.agg(F.count(F.lit(1)).alias("n"))
+    l = F.col("l")
+    pairs = F.arrays_zip(
+        F.slice(l, F.lit(1), F.size(l) - 1).alias("w1"),
+        F.slice(l, F.lit(2), F.size(l) - 1).alias("w2"),
+    )
+    bg = (
+        docs.filter(F.size("l") >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+        )
+    )
+    bic = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cc"))
+    return (
+        bg.join(bic, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uni, F.col("w2") == F.col("w"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log10(
+                        F.lit(_BILM_LAM) * F.col("cb") / F.col("cc")
+                        + F.lit(1 - _BILM_LAM)
+                        * F.col("cu")
+                        / F.col("n")
+                    )
+                ),
+                4,
+            ).alias("mean_log10_p"),
+        )
+    )
