@@ -144,13 +144,39 @@ class ChangeFeedMaterializedView:
     def refresh(self) -> int:
         """Fold every source commit since the last refresh into the
         state; returns the source version now reflected. No-op (no new
-        state commit) when the source hasn't moved."""
+        state commit) when the source hasn't moved. If VACUUM truncated
+        the log past the cursor (``LogTruncated``), the incremental
+        deltas are unrecoverable by definition — the refresh falls back
+        to a FULL REBUILD from the head snapshot (the one unavoidable
+        O(table) case, exactly Delta's re-bootstrap contract for CDF
+        consumers whose cursor left the retention window)."""
+        from ..sources.snapshots import LogTruncated
+
         last = self.last_refreshed_version()
         head = self.source.current_version()
         if head == last:
             return last
-        self._fold(self.source.read_changes(last, head), head)
+        try:
+            changes = self.source.read_changes(last, head)
+        except LogTruncated:
+            snap = self.source.read(head).withColumn(
+                "_change_type", F.lit("insert")
+            )
+            self._rebuild(snap, head)
+            return head
+        self._fold(changes, head)
         return head
+
+    def _rebuild(self, inserts: DataFrame, cursor: int) -> None:
+        """Full recompute path: fold ``inserts`` as if the state were
+        empty (bypassing the stored partials)."""
+        self._check_sum_dtypes(inserts)
+        merged = inserts.groupBy(*self.keys).agg(
+            *self._delta_aggs()
+        ).filter(F.col("__mv_rows") > 0)
+        self.state.commit_rewrite(
+            merged, txn_update={self.CURSOR_APP: int(cursor)}
+        )
 
     def refresh_stream(
         self,

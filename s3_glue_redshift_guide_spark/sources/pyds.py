@@ -791,6 +791,24 @@ class SnapshotChangeFeedStreamReader(
                                 ts=ts,
                             )
                         )
+                    # tombstones REMOVED while the file stays (RESTORE
+                    # to a pre-delete version): those positions are
+                    # visible again — emit them as inserts, or CDF
+                    # consumers silently lose the resurrected rows
+                    gone_dirs = [
+                        d
+                        for d in prev_dv.get(p, [])
+                        if d not in set(cur_dv.get(p, []))
+                    ]
+                    if gone_dirs:
+                        out.append(
+                            SnapshotCdfPartition(
+                                p, "resurrect", v,
+                                dv_new=tuple(gone_dirs),
+                                dv_old=tuple(cur_dv.get(p, [])),
+                                ts=ts,
+                            )
+                        )
             prev, prev_dv = cur, cur_dv
         return out
 
@@ -801,7 +819,12 @@ class SnapshotChangeFeedStreamReader(
             return
         ts = getattr(partition, "ts", None)
         consts = {
-            "_change_type": (partition.kind, pa.string()),
+            "_change_type": (
+                "insert"
+                if partition.kind == "resurrect"
+                else partition.kind,
+                pa.string(),
+            ),
             "_commit_version": (partition.version, pa.int64()),
             # the commit's banked wall-clock (epoch micros; None for
             # manifests written before timestamps landed)
@@ -821,8 +844,10 @@ class SnapshotChangeFeedStreamReader(
                 extra_consts=consts,
             )
             return
-        # delete leg: EXACTLY the newly tombstoned positions — the
-        # sidecar diff, never a table diff
+        # delete leg: EXACTLY the newly tombstoned positions; the
+        # resurrect leg is its mirror (positions whose sidecars were
+        # dropped, minus any still tombstoned) — both are sidecar
+        # diffs, never table diffs
         new_pos = _dv_positions(partition.path, partition.dv_new)
         if partition.dv_old:
             new_pos -= _dv_positions(partition.path, partition.dv_old)

@@ -1507,13 +1507,25 @@ class SnapshotTable:
             for f in a & b
             if set(mb["dv"].get(f, [])) - set(ma["dv"].get(f, []))
         )
+        # the symmetric leg: tombstones REMOVED in between (RESTORE to a
+        # pre-delete version keeps the file but drops its sidecars) —
+        # those positions are visible again and must surface as inserts,
+        # or a CDF consumer (an incremental MV, a downstream sync)
+        # silently loses the resurrected rows
+        shared_shrunk = sorted(
+            f
+            for f in a & b
+            if set(ma["dv"].get(f, [])) - set(mb["dv"].get(f, []))
+        )
         # Align all legs to the union schema of the TOUCHED files only
         # (one mergeSchema footer union over O(churn) files) — deriving it
         # from the full to-version snapshot would cost O(table) footer
         # reads per poll. Rows come exclusively from touched files, so
         # their union schema is complete for every returned row; a column
         # that exists only in untouched files cannot appear in a change.
-        touched = added + removed + shared_grown
+        touched = sorted(
+            {*added, *removed, *shared_grown, *shared_shrunk}
+        )
         if not touched:
             template = sorted(b) or sorted(a)
             if not template:  # both versions empty: no rows, no columns
@@ -1590,6 +1602,40 @@ class SnapshotTable:
                 align(
                     self._apply_schema_map(tombstoned, smap)
                 ).withColumn("_change_type", F.lit("delete"))
+            )
+        if shared_shrunk:
+            raw = self.spark.read.option("mergeSchema", "true").parquet(
+                *shared_shrunk
+            )
+            raw = raw.withColumns(
+                {
+                    "__fp": self._plain_path(F.col("_metadata.file_path")),
+                    "__pos": F.col("_metadata.row_index"),
+                }
+            )
+            dvr_a = self._dv_rows(
+                {f: ma["dv"][f] for f in shared_shrunk}
+            )
+            later_dv = {
+                f: mb["dv"][f] for f in shared_shrunk if mb["dv"].get(f)
+            }
+            if later_dv:
+                # still tombstoned at the to-version: not resurrected
+                dvr_a = dvr_a.join(
+                    self._dv_rows(later_dv),
+                    ["__dv_file", "__dv_pos"],
+                    "left_anti",
+                )
+            resurrected = raw.join(
+                dvr_a,
+                (raw["__fp"] == dvr_a["__dv_file"])
+                & (raw["__pos"] == dvr_a["__dv_pos"]),
+                "left_semi",
+            ).drop("__fp", "__pos")
+            changes = changes.unionAll(
+                align(
+                    self._apply_schema_map(resurrected, smap)
+                ).withColumn("_change_type", F.lit("insert"))
             )
         return changes
 

@@ -1160,3 +1160,82 @@ def test_mv_refresh_stream_exactly_once(spark):
     q4 = mv.refresh_stream(checkpoint=_tmp("mvs_ck2"), available_now=True)
     q4.awaitTermination()
     assert _mv_rows(mv) == _recompute(src)
+
+
+def test_mv_tracks_source_through_restore(spark):
+    """RESTORE publishes the rewind as a new commit, so its CDF legs
+    retract the rolled-back rows — the MV follows without special
+    cases."""
+    src, mv = _mv_pair(spark, "mvres")
+    src.commit_append(_gkv(spark, 0, 30).coalesce(1))
+    mv.refresh()
+    src.commit_append(_gkv(spark, 30, 60).coalesce(1))
+    src.delete_where(F.col("k") < 5)
+    mv.refresh()
+    assert _mv_rows(mv) == _recompute(src)
+    src.restore(1)  # back to the first 30 rows, as version 4
+    mv.refresh()
+    assert _mv_rows(mv) == _recompute(src)
+    assert mv.last_refreshed_version() == src.current_version()
+
+
+def test_mv_rebuilds_after_log_truncation(spark):
+    src, mv = _mv_pair(spark, "mvtrunc")
+    src.commit_append(_gkv(spark, 0, 30).coalesce(1))
+    mv.refresh()
+    src.commit_append(_gkv(spark, 30, 60).coalesce(1))
+    src.delete_where(F.col("k") % 7 == 0)
+    src.commit_append(_gkv(spark, 60, 75).coalesce(1))
+    # retention drops every manifest the cursor would need
+    src.vacuum(retain_versions=1)
+    v = mv.refresh()  # falls back to the full rebuild, not an error
+    assert v == src.current_version()
+    assert _mv_rows(mv) == _recompute(src)
+    # and incremental refresh resumes afterwards
+    src.commit_append(_gkv(spark, 100, 110).coalesce(1))
+    mv.refresh()
+    assert _mv_rows(mv) == _recompute(src)
+
+
+def test_cdf_stream_emits_resurrected_rows_after_restore(spark):
+    """A RESTORE that only drops deletion-vector sidecars (same file
+    set) must surface the resurrected positions as INSERTS in the CDF
+    stream — previously it emitted nothing for such commits."""
+    import uuid as _uuid
+
+    register_snapshot_source(spark)
+    t = SnapshotTable(spark, _tmp("cdfres"))
+    t.commit_append(_kv(spark, 20).coalesce(1))      # v1
+    t.delete_where(F.col("k") < 5)                    # v2: DV delete
+    t.restore(1)                                      # v3: sidecars gone
+    assert t.read().count() == 20
+    stream = (
+        spark.readStream.format("pysnapshot")
+        .schema(
+            "k bigint, v bigint, _change_type string, "
+            "_commit_version bigint"
+        )
+        .option("root", t.root)
+        .option("readChangeFeed", "true")
+        .load()
+        .select("k", "v", "_change_type", "_commit_version")
+    )
+    name = f"cdfres_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", _tmp("cdfres_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    v3 = [(r["k"], r["_change_type"]) for r in rows
+          if r["_commit_version"] == 3]
+    assert sorted(v3) == [(k, "insert") for k in range(5)]
+    # the whole feed: 20 v1 inserts, 5 v2 deletes, 5 v3 inserts
+    from collections import Counter
+
+    c = Counter((r["_commit_version"], r["_change_type"]) for r in rows)
+    assert c == {(1, "insert"): 20, (2, "delete"): 5, (3, "insert"): 5}
