@@ -166,3 +166,98 @@ def test_alias_group_zone_prune_never_loses_matching_rows(files, lo, hi):
                 f"{n} holds a matching logical value but was pruned: "
                 f"stats={banked[n]} bounds=({lo}, {hi})"
             )
+
+
+# ---------------------------------------------------------------------
+# bloom filter core: NO FALSE NEGATIVES, ever — a value that was built
+# into a file's bloom must always probe "might contain"; kind-mismatched
+# probes must degrade to a conservative keep. Pure functions, no Spark.
+# ---------------------------------------------------------------------
+import json
+import os
+import tempfile
+
+from s3_glue_redshift_guide_spark.sources.snapshots import (
+    _bloom_canonical,
+    _bloom_might_contain,
+    _bloom_params,
+    _bloom_positions,
+)
+
+bloom_values = st.one_of(
+    st.integers(-(10**12), 10**12),
+    st.text(max_size=40),
+    st.booleans(),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+)
+
+
+def _build_sidecar(values, fpp):
+    """Replicates _bloom_build_one's payload from an in-memory value
+    list (the build path's parquet read is exercised in the Spark
+    tests; the INVARIANT under test is the shared hash/encode core)."""
+    import base64
+
+    import numpy as np
+
+    m, k = _bloom_params(len(values), fpp)
+    bits = np.zeros(m, dtype=bool)
+    kinds = set()
+    for v in values:
+        bits[_bloom_positions(v, m, k)] = True
+        kinds.add(type(_bloom_canonical(v)).__name__)
+    payload = {
+        "m": m,
+        "k": k,
+        "kinds": sorted(kinds),
+        "b64": base64.b64encode(np.packbits(bits).tobytes()).decode(),
+    }
+    fd, path = tempfile.mkstemp(suffix=".bloom.json")
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload, f)
+    return path
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    values=st.lists(bloom_values, min_size=1, max_size=50),
+    fpp=st.sampled_from([0.3, 0.01, 0.001]),
+)
+def test_bloom_never_false_negative(values, fpp):
+    path = _build_sidecar(values, fpp)
+    try:
+        for v in values:
+            assert _bloom_might_contain(path, v), (v, values)
+    finally:
+        os.unlink(path)
+
+
+@settings(max_examples=100, deadline=None)
+@given(values=st.lists(st.integers(0, 10**9), min_size=1, max_size=30))
+def test_bloom_kind_gate_conservative(values):
+    """Probing an int-built bloom with any Decimal must KEEP (True):
+    the str() encodings of equal numbers can differ across domains, so
+    a definite 'absent' verdict is not trustworthy."""
+    from decimal import Decimal
+
+    path = _build_sidecar(values, 0.001)
+    try:
+        for v in values[:5]:
+            assert _bloom_might_contain(path, Decimal(v) / 10)
+    finally:
+        os.unlink(path)
+
+
+@settings(max_examples=200, deadline=None)
+@given(v=bloom_values)
+def test_bloom_canonical_is_idempotent_and_probe_stable(v):
+    """canonical(canonical(x)) == canonical(x), and integral floats
+    probe identically to their int form (the one cross-type identity
+    the encoder promises)."""
+    c = _bloom_canonical(v)
+    assert _bloom_canonical(c) == c
+    if isinstance(v, float) and v.is_integer():
+        m, k = _bloom_params(8, 0.01)
+        assert _bloom_positions(v, m, k) == _bloom_positions(
+            int(v), m, k
+        )
