@@ -36,6 +36,13 @@ def test_random_interleaving_matches_model(spark, tmp_path, seed):
     next_key = 0
     renames = 0
     last_version = 0
+    bloomed = False
+    # half the seeds run the ENTIRE walk with a generated column in
+    # force: every append/update/merge/restore write computes or
+    # validates k3 = k*3 alongside whatever else the step does
+    gencol = seed % 2 == 0
+    if gencol:
+        t.add_generated_column("k3", "k * 3")
 
     def append():
         nonlocal next_key
@@ -76,6 +83,14 @@ def test_random_interleaving_matches_model(spark, tmp_path, seed):
 
     def vacuum():
         t.vacuum(retain_versions=3)
+
+    def bloom():
+        nonlocal bloomed
+        try:
+            t.add_bloom_index("k", fpp=0.01)
+        except ValueError:
+            pass  # already indexed on this walk
+        bloomed = True
 
     def constraint():
         # a true contract (keys are non-negative by construction): every
@@ -135,8 +150,8 @@ def test_random_interleaving_matches_model(spark, tmp_path, seed):
     assert _read_model(t, col) == model
     history[t.current_version()] = (dict(model), col)
     ops = [append, delete, update, rename, optimize, materialize,
-           vacuum, restore, constraint, merge]
-    weights = [3, 2, 2, 1, 1, 1, 1, 1, 1, 2]
+           vacuum, restore, constraint, merge, bloom]
+    weights = [3, 2, 2, 1, 1, 1, 1, 1, 1, 2, 1]
     for step in range(16):
         op = rng.choices(ops, weights=weights)[0]
         op()
@@ -149,3 +164,23 @@ def test_random_interleaving_matches_model(spark, tmp_path, seed):
             f"diverged ({len(got)} vs {len(model)} rows)"
         )
         history[v] = (dict(model), col)
+        if gencol:
+            # the generated contract holds through EVERY interleaving
+            assert (
+                t.read().filter(
+                    ~F.col("k3").eqNullSafe(F.col("k") * 3)
+                ).count()
+                == 0
+            ), f"seed={seed} step={step}: generated column violated"
+        if bloomed and model:
+            # bloom point lookups agree with the model after any mix of
+            # rename/optimize/restore/vacuum (false negatives = lost
+            # rows; unindexed or restored files must read conservative)
+            k_in = rng.choice(sorted(model))
+            rows = t.read_where_eq("k", k_in).select("k", col).collect()
+            assert [(r["k"], r[col]) for r in rows] == [
+                (k_in, model[k_in])
+            ], f"seed={seed} step={step}: bloom lookup lost a row"
+            assert (
+                t.read_where_eq("k", next_key + 1_000_000).count() == 0
+            )
