@@ -992,6 +992,14 @@ class SnapshotTable:
             cur,
             {f: stats.get(f, {}) for f in visible},
             schema_map=self._extend_schema_map(m, df),
+            # kept files inherit their bloom pointers via the base
+            # carry; replacement files are indexed here so a surgical
+            # rewrite doesn't degrade point lookups to full keeps
+            blooms=(
+                self._extend_blooms(m, new)
+                if m.get("bloom_cols")
+                else _UNSET
+            ),
         )
 
     # ------------------------------------- merge-on-read DELETE (DVs) --
@@ -2202,6 +2210,12 @@ class SnapshotTable:
                 schema_map=m["schema"],
                 constraints=m.get("constraints") or None,
                 generated=m.get("generated") or None,
+                # the bloom index borrows the source's sidecars exactly
+                # like the data files; a source VACUUM collecting them
+                # degrades the clone's probes to conservative keeps
+                # (same caveat, never a wrong answer)
+                bloom_cols=m.get("bloom_cols") or None,
+                blooms=dict(m.get("blooms") or {}),
             )
         return clone
 

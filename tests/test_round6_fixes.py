@@ -1239,3 +1239,54 @@ def test_cdf_stream_emits_resurrected_rows_after_restore(spark):
 
     c = Counter((r["_commit_version"], r["_change_type"]) for r in rows)
     assert c == {(1, "insert"): 20, (2, "delete"): 5, (3, "insert"): 5}
+
+
+def test_bloom_survives_commit_replace_and_clone(spark):
+    t = SnapshotTable(spark, _tmp("bloomcr"))
+    for s in range(3):
+        t.commit_append(
+            _interleaved(spark, 0, 3000, s, 3).coalesce(1),
+            stats_cols=["k"],
+        )
+    t.add_bloom_index("k", fpp=0.001)
+    m = load_manifest(t.root, t.current_version())
+    victim = sorted(m["files"])[0]
+    # surgical rewrite: replacement file gets indexed, kept files keep
+    # their pointers
+    repl = spark.read.parquet(victim)
+    t.commit_replace([victim], repl.coalesce(1))
+    m2 = load_manifest(t.root, t.current_version())
+    assert set(m2["blooms"]) == set(m2["files"])
+    files, _, total = t.point_lookup_files("k", 100)
+    assert total == 3 and len(files) == 1
+    # shallow clone borrows index sidecars like data files
+    c = t.clone_shallow(_tmp("bloomcr_dst"))
+    mc = load_manifest(c.root, c.current_version())
+    assert mc.get("bloom_cols") == {"k": 0.001}
+    assert set(mc["blooms"]) == set(mc["files"])
+    cf, _, ctot = c.point_lookup_files("k", 100)
+    assert ctot == 3 and len(cf) == 1
+    assert c.read_where_eq("k", 100).count() == 1
+    # clone appends keep extending the borrowed index
+    c.commit_append(_interleaved(spark, 3000, 3300, 0, 1).coalesce(1))
+    mc2 = load_manifest(c.root, c.current_version())
+    assert set(mc2["blooms"]) == set(mc2["files"])
+
+
+def test_per_commit_feed_reports_restore_resurrections(spark):
+    """read_change_feed (per-commit batch CDF) must show a restore's
+    resurrected rows as inserts at the restore version."""
+    t = SnapshotTable(spark, _tmp("feedres"))
+    t.commit_append(_kv(spark, 20).coalesce(1))   # v1
+    t.delete_where(F.col("k") < 5)                 # v2
+    t.restore(1)                                   # v3
+    feed = t.read_change_feed(0).select(
+        "k", "_change_type", "_commit_version"
+    ).collect()
+    from collections import Counter
+
+    c = Counter((r["_commit_version"], r["_change_type"]) for r in feed)
+    assert c == {(1, "insert"): 20, (2, "delete"): 5, (3, "insert"): 5}
+    assert sorted(
+        r["k"] for r in feed if r["_commit_version"] == 3
+    ) == list(range(5))
