@@ -1248,6 +1248,11 @@ class SnapshotDataWriter(DataSourceArrowWriter):
                 extra["constraints"] = base_cons
             if base_gen:
                 extra["generated"] = base_gen
+            extra["op"] = (
+                "STREAMING "
+                if isinstance(self, SnapshotStreamWriter)
+                else ""
+            ) + ("OVERWRITE" if self.overwrite else "WRITE")
             try:
                 publish_version(
                     self.root,

@@ -635,6 +635,7 @@ class SnapshotTable:
         bloom_cols=_UNSET,
         blooms=_UNSET,
         txn_update: dict | None = None,
+        op: str | None = None,
     ) -> int:
         # carry the txn map (streaming writers' appId -> batchId records),
         # the deletion-vector map, the field-id schema map, and the CHECK
@@ -695,6 +696,11 @@ class SnapshotTable:
         }
         if blooms:
             extra["blooms"] = blooms
+        if op:
+            # operation label for DESCRIBE HISTORY — audit metadata
+            # only, never read-path semantics (old manifests without it
+            # report "UNKNOWN")
+            extra["op"] = op
         return publish_version(
             self.root,
             files,
@@ -828,7 +834,10 @@ class SnapshotTable:
         return merged
 
     def commit_append(
-        self, df: DataFrame, stats_cols: list[str] | None = None
+        self,
+        df: DataFrame,
+        stats_cols: list[str] | None = None,
+        op: str = "APPEND",
     ) -> int:
         """Append with AUTOMATIC CONFLICT RESOLUTION (Delta's semantics:
         two appends never truly conflict): on ``CommitConflict`` the
@@ -869,6 +878,7 @@ class SnapshotTable:
                     self._merged_stats(cur, new, stats_cols),
                     schema_map=self._extend_schema_map(m, df),
                     blooms=blooms,
+                    op=op,
                 )
             except CommitConflict:
                 continue
@@ -881,6 +891,7 @@ class SnapshotTable:
         df: DataFrame,
         stats_cols: list[str] | None = None,
         txn_update: dict | None = None,
+        op: str = "REWRITE",
     ) -> int:
         """Replace the visible file set (compaction / OPTIMIZE): readers
         of older versions keep their files; the new version sees only the
@@ -906,6 +917,7 @@ class SnapshotTable:
                 else _UNSET
             ),
             txn_update=txn_update,
+            op=op,
         )
 
     def txn_watermark(self, app_id: str):
@@ -968,7 +980,9 @@ class SnapshotTable:
         v = self.current_version() if version is None else version
         return len(self._load_manifest(v))
 
-    def commit_replace(self, remove: list[str], df: DataFrame) -> int:
+    def commit_replace(
+        self, remove: list[str], df: DataFrame, op: str = "REPLACE"
+    ) -> int:
         """Surgical rewrite: drop ``remove`` from the visible set, add
         ``df``'s files. The DELETE/UPDATE primitive of every lakehouse
         format: untouched files keep their identity (no data movement, no
@@ -1000,6 +1014,7 @@ class SnapshotTable:
                 if m.get("bloom_cols")
                 else _UNSET
             ),
+            op=op,
         )
 
     # ------------------------------------- merge-on-read DELETE (DVs) --
@@ -1056,7 +1071,9 @@ class SnapshotTable:
         dv = {f: list(v) for f, v in m["dv"].items()}
         for f in affected:
             dv.setdefault(f, []).append(dvdir)
-        return self._publish(m["files"], cur, m["stats"], dv=dv)
+        return self._publish(
+            m["files"], cur, m["stats"], dv=dv, op="DELETE"
+        )
 
     def update_where(self, predicate, assignments: dict) -> int:
         """UPDATE as ONE merge-on-read commit: matched rows are
@@ -1126,6 +1143,7 @@ class SnapshotTable:
             self._merged_stats(cur, new, None),
             dv=dv,
             schema_map=self._extend_schema_map(m, post),
+            op="UPDATE",
         )
 
     def merge_mor(
@@ -1173,7 +1191,10 @@ class SnapshotTable:
                 ins = source
                 new = self._write_files(ins)
                 return self._publish(
-                    new, cur, self._merged_stats(cur, new, None)
+                    new,
+                    cur,
+                    self._merged_stats(cur, new, None),
+                    op="MERGE",
                 )
             return cur
         visible = self._masked_read(m["files"], m["dv"])
@@ -1297,6 +1318,7 @@ class SnapshotTable:
             self._merged_stats(cur, new, None),
             dv=dv,
             schema_map=sm,
+            op="MERGE",
         )
 
     def materialize_deletes(self) -> int:
@@ -1311,7 +1333,9 @@ class SnapshotTable:
         if not dv_files:
             return cur
         packed = self._masked_read(dv_files, m["dv"])
-        return self.commit_replace(dv_files, packed)
+        return self.commit_replace(
+            dv_files, packed, op="MATERIALIZE DELETES"
+        )
 
     # --------------------------------- rename/drop schema evolution ----
     def _schema_map_for_edit(self, m: dict) -> list[dict]:
@@ -1395,7 +1419,10 @@ class SnapshotTable:
             )
         ent.setdefault("prior", []).insert(0, old)
         ent["name"] = new
-        return self._publish(m["files"], cur, m["stats"], schema_map=sm)
+        return self._publish(
+            m["files"], cur, m["stats"], schema_map=sm,
+            op="RENAME COLUMN",
+        )
 
     def drop_column(self, name: str) -> int:
         """METADATA-ONLY column drop: the field is TOMBSTONED in the id
@@ -1421,7 +1448,10 @@ class SnapshotTable:
         if ent is None:
             raise KeyError(f"no column named {name!r}")
         ent["dropped"] = True
-        return self._publish(m["files"], cur, m["stats"], schema_map=sm)
+        return self._publish(
+            m["files"], cur, m["stats"], schema_map=sm,
+            op="DROP COLUMN",
+        )
 
     def pruned_files(
         self, col: str, lo, hi, version: int | None = None
@@ -1700,7 +1730,7 @@ class SnapshotTable:
             )
         else:
             packed = packed.coalesce(n_bins)
-        v = self.commit_replace(small, packed)
+        v = self.commit_replace(small, packed, op="OPTIMIZE")
         return {
             "n_files_before": len(files),
             "n_small": len(small),
@@ -1791,7 +1821,8 @@ class SnapshotTable:
                 )
         cons[name] = expr_sql
         return self._publish(
-            m["files"], cur, m["stats"], constraints=cons
+            m["files"], cur, m["stats"], constraints=cons,
+            op="ADD CONSTRAINT",
         )
 
     def drop_constraint(self, name: str) -> int:
@@ -1800,7 +1831,8 @@ class SnapshotTable:
         cons = dict(m.get("constraints", {}))
         cons.pop(name, None)
         return self._publish(
-            m["files"], cur, m["stats"], constraints=cons
+            m["files"], cur, m["stats"], constraints=cons,
+            op="DROP CONSTRAINT",
         )
 
     # --------------------------------------- generated columns ----
@@ -1846,6 +1878,7 @@ class SnapshotTable:
             cur,
             m["stats"],
             generated={**gens, name: expr_sql},
+            op="ADD GENERATED COLUMN",
         )
 
     def drop_generated_column_expr(self, name: str) -> int:
@@ -1860,7 +1893,8 @@ class SnapshotTable:
         gens = dict(m.get("generated", {}))
         gens.pop(name, None)
         return self._publish(
-            m["files"], cur, m["stats"], generated=gens
+            m["files"], cur, m["stats"], generated=gens,
+            op="DROP GENERATED COLUMN",
         )
 
     # ----------------------------------- metadata-only aggregates ----
@@ -2071,6 +2105,7 @@ class SnapshotTable:
             m["stats"],
             bloom_cols=bloom_cols,
             blooms=blooms,
+            op="ADD BLOOM INDEX",
         )
 
     def drop_bloom_index(self, col: str) -> int:
@@ -2091,6 +2126,7 @@ class SnapshotTable:
             m["stats"],
             bloom_cols=bloom_cols,
             blooms=blooms,
+            op="DROP BLOOM INDEX",
         )
 
     def point_lookup_files(
@@ -2184,6 +2220,7 @@ class SnapshotTable:
             m["stats"],
             dv=dict(m["dv"]) or {},
             schema_map=m["schema"],
+            op="RESTORE",
         )
 
     def clone_shallow(self, target_root: str) -> "SnapshotTable":
@@ -2216,8 +2253,48 @@ class SnapshotTable:
                 # (same caveat, never a wrong answer)
                 bloom_cols=m.get("bloom_cols") or None,
                 blooms=dict(m.get("blooms") or {}),
+                op="CLONE",
             )
         return clone
+
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY (Delta's audit view): one row per readable
+        version, newest first — version, commit timestamp, the
+        OPERATION label the write path banked (``APPEND`` / ``DELETE``
+        / ``MERGE`` / ``OPTIMIZE`` / ``RESTORE`` / ``STREAMING WRITE``
+        / ... ; manifests written before labels landed report
+        ``UNKNOWN``), file counts, and the files added/removed vs the
+        previous readable version. A pure metadata walk — O(retained
+        versions) manifest reads, zero data access at any table size.
+        Versions vacuumed past the retention window are simply absent
+        (the audit horizon IS the retention window)."""
+        rows = []
+        prev_files: set[str] = set()
+        readable: list[tuple[int, dict]] = []
+        for v in range(1, self.current_version() + 1):
+            try:
+                readable.append((v, load_manifest(self.root, v)))
+            except LogTruncated:
+                continue
+        for v, m in readable:
+            cur = set(m["files"])
+            rows.append(
+                (
+                    v,
+                    float(m["ts"]) if m.get("ts") is not None else None,
+                    m.get("op") or "UNKNOWN",
+                    len(cur),
+                    len(cur - prev_files),
+                    len(prev_files - cur),
+                    sum(1 for dv in m["dv"].values() if dv),
+                )
+            )
+            prev_files = cur
+        return self.spark.createDataFrame(
+            list(reversed(rows)),
+            "version int, timestamp double, operation string, "
+            "n_files int, n_added int, n_removed int, n_dv_files int",
+        )
 
     def vacuum(
         self,

@@ -1290,3 +1290,53 @@ def test_per_commit_feed_reports_restore_resurrections(spark):
     assert sorted(
         r["k"] for r in feed if r["_commit_version"] == 3
     ) == list(range(5))
+
+
+# ------------------------------------------------------------------ #
+# 16. DESCRIBE HISTORY (operation-labeled audit view)
+# ------------------------------------------------------------------ #
+
+def test_history_labels_every_operation(spark):
+    ticks = iter(float(i) for i in range(1, 100))
+    t = SnapshotTable(spark, _tmp("hist"), clock=lambda: next(ticks))
+    t.commit_append(_kv(spark, 50).coalesce(2), stats_cols=["k"])
+    t.delete_where(F.col("k") < 5)
+    t.update_where(F.col("k") == 10, {"v": F.lit(0).cast("bigint")})
+    t.rename_column("v", "val")
+    t.add_constraint("k_nonneg", "k >= 0")
+    t.add_bloom_index("k")
+    t.materialize_deletes()
+    t.restore(2)
+    h = {r["version"]: r for r in t.history().collect()}
+    ops = {v: r["operation"] for v, r in h.items()}
+    assert ops == {
+        1: "APPEND", 2: "DELETE", 3: "UPDATE", 4: "RENAME COLUMN",
+        5: "ADD CONSTRAINT", 6: "ADD BLOOM INDEX",
+        7: "MATERIALIZE DELETES", 8: "RESTORE",
+    }
+    # newest first; injected clock surfaces; file/dv accounting sane
+    versions = [r["version"] for r in t.history().collect()]
+    assert versions == sorted(versions, reverse=True)
+    assert h[1]["timestamp"] == 1.0 and h[1]["n_added"] == 2
+    assert h[2]["n_dv_files"] >= 1 and h[2]["n_added"] == 0
+    assert h[7]["n_removed"] >= 1  # materialize rewrote DV'd files
+    # connector writes label themselves too
+    register_snapshot_source(spark)
+    _kv(spark, 3, start=500).selectExpr(
+        "k", "v as val"
+    ).write.format("pysnapshot").option("root", t.root).mode(
+        "append"
+    ).save()
+    ops2 = {
+        r["version"]: r["operation"] for r in t.history().collect()
+    }
+    assert ops2[t.current_version()] == "WRITE"
+
+
+def test_history_respects_vacuum_horizon(spark):
+    t = SnapshotTable(spark, _tmp("histvac"))
+    for i in range(4):
+        t.commit_append(_kv(spark, 5, start=i * 10).coalesce(1))
+    t.vacuum(retain_versions=2)
+    versions = [r["version"] for r in t.history().collect()]
+    assert versions == [4, 3]
