@@ -174,14 +174,17 @@ def main() -> None:
     }
     sf1 = _sf1_dir()
     if sf1 and float(sf) < 1.0:
-        # one warm pass + one timed pass: the sf1 block exists to show
-        # the DATA-SCALING trend (10x rows -> how much wall?), and the
-        # warm pass is load-bearing — each sf1 plan compiles its own
+        # one warm pass + min-of-2 timed passes: the sf1 block exists to
+        # show the DATA-SCALING trend (10x rows -> how much wall?), and
+        # the warm pass is load-bearing — each sf1 plan compiles its own
         # generated classes, and first-execution JIT swamps the signal
         # (no-warm single-pass showed agg_rollup at 25 s vs ~1.6 s
-        # steady). One timed run keeps the whole bench inside the
-        # driver's time budget alongside the gate-SF block.
-        sf1_runs = int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "1"))
+        # steady). Two timed runs (not one): a full GC or co-tenant CPU
+        # burst landing inside a single timed pass once recorded q1 at
+        # 18 s where its steady state is 1.4 s — min-of-2 bounds that
+        # tail at ~20 s of extra bench wall, still inside the driver's
+        # time budget alongside the gate-SF block.
+        sf1_runs = int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "2"))
         t1_load = _load_1m()
         t1 = run_suite(spark, sf1, runs=sf1_runs, warm=True)
         out["sf1"] = {

@@ -53,7 +53,11 @@ for _m in _MODULES:
 # join_range_left_rowlevel, skew_two_phase_agg, graph_pagerank,
 # cur_repetition_metrics, cur_duplicated_spans, graph_triangles,
 # cur_chunk_windows, skew_salted_join, sk_bitmap_distinct,
-# sk_hll_union_distinct) lead round 7's rotation (19 total).
+# sk_hll_union_distinct) lead round 7's rotation, together with the
+# two displaced function-tail re-checks (fn_regexp, fn_variant) —
+# 21 total. The late-round-6 newcomers src_table_history and
+# src_vacuum_retention took their window slots (the window invariant:
+# never-driver-sampled queries always sit inside the first 50).
 _PRIORITY = [
     # -- new in round 6 (never driver-sampled) ------------------------------
     "src_restore", "src_shallow_clone", "src_nullcount_skipping",
@@ -64,6 +68,7 @@ _PRIORITY = [
     "src_generated_columns", "src_metadata_only_agg",
     "src_bloom_index", "rollup_mv_change_feed", "llm_dsir_resample",
     "stats_join_advisor", "llm_bigram_logprob",
+    "src_table_history", "src_vacuum_retention",
     # -- round-2-stale regression re-checks (33) ---------------------------
     # SQL suite (subqueries, recursive CTE, TPC-H rewrites)
     "sql_volume_shipping", "sql_scalar_subquery",
@@ -81,8 +86,9 @@ _PRIORITY = [
     # aggregate tail
     "agg_approx_distinct", "agg_approx_quantiles", "agg_collect_set",
     "agg_freq_items", "agg_linear_fit", "agg_median_mode",
-    # function-family tail
-    "fn_array", "fn_map_construct", "fn_regexp", "fn_variant",
+    # function-family tail (fn_regexp / fn_variant displaced to r7 by
+    # the late-round newcomers src_table_history / src_vacuum_retention)
+    "fn_array", "fn_map_construct",
 ]
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
 _ordered.update({n: q for n, q in REGISTRY.items() if n not in _ordered})

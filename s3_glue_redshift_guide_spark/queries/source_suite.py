@@ -1823,3 +1823,143 @@ def src_bloom_index(spark, sf_dir):
         "total_files int, zone_candidates int, bloom_files int, "
         "absent_value_rows bigint, o_orderkey bigint, o_custkey bigint",
     )
+
+
+# ------------------------- DESCRIBE HISTORY (S46) ----------------------
+@query(
+    "src_table_history",
+    oracle="""
+    SELECT 'WRITE|RESTORE|MATERIALIZE DELETES|UPDATE|DELETE|APPEND'
+             AS ops_newest_first,
+           6 AS n_versions, 1 AS ts_v1, 2 AS added_v1, 2 AS dv_files_v2,
+           2 AS removed_v4,
+           CAST(count(*) + 5 AS BIGINT) AS head_rows
+    FROM orders WHERE o_orderkey < 300
+    """,
+)
+def src_table_history(spark, sf_dir):
+    """DESCRIBE HISTORY (Delta's audit view, ``SnapshotTable.history``):
+    every write path stamps its manifest with an OPERATION label at
+    publish — append, DV delete, merge-on-read update, materialize,
+    restore, and a write through the registered connector land as
+    APPEND / DELETE / UPDATE / MATERIALIZE DELETES / RESTORE / WRITE —
+    and ``history()`` walks the retained manifests newest-first with
+    the banked commit timestamp (injected clock 1..N here for a
+    deterministic oracle), file add/remove deltas vs the previous
+    readable version, and live-DV file counts. A pure metadata walk:
+    O(retained versions) manifest reads and ZERO data access at any
+    table size, so the audit question ("who rewrote the table and
+    when") costs the same at 100 TB as at 100 rows. ``removed_v4``
+    pins the accounting: materialize rewrote exactly the two DV'd
+    files; ``head_rows`` ties the audit view to real reads — restore
+    resurrected v1's rows and the connector appended 5 more."""
+    from ..sources.pyds import register_snapshot_source
+    from ..sources.snapshots import SnapshotTable
+
+    ticks = iter(float(i) for i in range(1, 100))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, _tmp("hist"), clock=lambda: next(ticks))
+    t.commit_append(
+        o.filter(F.col("o_orderkey") < 300)
+        .repartitionByRange(2, "o_orderkey")  # exactly two data files
+    )
+    t.delete_where(F.col("o_orderkey") % 5 == 0)          # v2: DV delete
+    t.update_where(                                       # v3: MOR update
+        F.col("o_orderkey") == 7, {"o_orderkey": F.lit(7).cast("bigint")}
+    )
+    t.materialize_deletes()                               # v4: fold DVs
+    t.restore(1)                                          # v5: undo it all
+    register_snapshot_source(spark)
+    spark.createDataFrame(                                # v6: connector
+        [(1000 + i,) for i in range(5)], "o_orderkey bigint"
+    ).write.format("pysnapshot").option("root", t.root).mode(
+        "append"
+    ).save()
+    h = {r["version"]: r for r in t.history().collect()}
+    ops = "|".join(
+        r["operation"] for r in sorted(
+            h.values(), key=lambda r: -r["version"]
+        )
+    )
+    return spark.createDataFrame(
+        [
+            (
+                ops,
+                len(h),
+                int(h[1]["timestamp"]),
+                h[1]["n_added"],
+                h[2]["n_dv_files"],
+                h[4]["n_removed"],
+                t.read().count(),
+            )
+        ],
+        "ops_newest_first string, n_versions int, ts_v1 int, "
+        "added_v1 int, dv_files_v2 int, removed_v4 int, head_rows bigint",
+    )
+
+
+# --------------------- timed VACUUM retention (S21+) -------------------
+@query(
+    "src_vacuum_retention",
+    oracle="""
+    WITH a AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 300),
+         b AS (SELECT o_orderkey FROM orders
+               WHERE o_orderkey BETWEEN 300 AND 499)
+    SELECT 1 AS n_deleted, 1 AS v1_unreadable,
+           (SELECT CAST(count(*) AS BIGINT) FROM a) AS v2_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM a)
+             + (SELECT CAST(count(*) AS BIGINT) FROM b) AS head_rows,
+           (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM a)
+             + (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM b)
+             AS head_sum
+    """,
+)
+def src_vacuum_retention(spark, sf_dir):
+    """Time-based VACUUM retention (Delta's ``RETAIN n HOURS``, riding
+    the banked commit timestamps): v1 appends file A at ts=10, v2
+    REWRITES it into a compacted file at ts=20 (A becomes unreachable
+    from every later version), v3 appends B at ts=30. ``vacuum(
+    retain_versions=1, retain_seconds=25, now=40)`` composes the two
+    retention axes AS A UNION — the version axis alone would keep only
+    v3, but the time horizon (40-25=15) protects every version
+    committed at or after it, so v2 SURVIVES (``v2_rows`` re-reads it
+    after the vacuum) while v1 falls off (``v1_unreadable``: the
+    manifest is gone, reads raise) and exactly A's one orphaned file
+    unlinks (``n_deleted``). Neither axis can shrink what the other
+    promised — the operational contract that lets a 100 TB table pin
+    "48 h of time travel" regardless of how bursty its commit rate is,
+    with the whole decision a pure metadata walk (reachability = union
+    of retained manifests' file lists; zero data reads)."""
+    from ..sources.snapshots import LogTruncated, SnapshotTable
+
+    ticks = iter([10.0, 20.0, 30.0])
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, _tmp("vacret"), clock=lambda: next(ticks))
+    t.commit_append(o.filter(F.col("o_orderkey") < 300).coalesce(1))
+    t.commit_rewrite(t.read().coalesce(1))                # v2: compact
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(300, 499)).coalesce(1)
+    )
+    deleted = t.vacuum(retain_versions=1, retain_seconds=25.0, now=40.0)
+    try:
+        t.read(1).count()
+        v1_unreadable = 0
+    except LogTruncated:
+        v1_unreadable = 1
+    agg = t.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("long").alias("s"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                len(deleted),
+                v1_unreadable,
+                t.read(2).count(),
+                agg["n"],
+                agg["s"],
+            )
+        ],
+        "n_deleted int, v1_unreadable int, v2_rows bigint, "
+        "head_rows bigint, head_sum bigint",
+    )
