@@ -1133,6 +1133,19 @@ class SnapshotTable:
         post = pinned.drop("__dv_file", "__dv_pos").withColumns(
             assignments
         )
+        # GENERATED columns an assignment didn't explicitly set are
+        # DROPPED from the post-image so the write path recomputes them
+        # from the updated inputs (Delta's UPDATE semantics) — keeping
+        # the stale value would trip the writer-side `<=>` validation
+        # and reject a legitimate update. An assignment that targets the
+        # generated column itself stays, and is validated as usual.
+        regen = [
+            g
+            for g in self._generated()
+            if g in post.columns and g not in assignments
+        ]
+        if regen:
+            post = post.drop(*regen)
         new = self._write_files(post)
         dv = {f: list(v) for f, v in m["dv"].items()}
         for f in affected:
@@ -1268,10 +1281,19 @@ class SnapshotTable:
             pinned = joined.join(
                 sidecar, ["__dv_file", "__dv_pos"], "left_semi"
             )
+            # GENERATED columns the update clause didn't explicitly
+            # assign are dropped so the write path recomputes them from
+            # the updated inputs (same recompute rule as update_where);
+            # explicitly-assigned ones stay and are `<=>`-validated.
+            regen = {
+                g
+                for g in self._generated()
+                if g in target_cols and g not in when_matched_update
+            }
             post = (
                 pinned.filter(~del_cond)
                 .withColumns(when_matched_update)
-                .select(*target_cols)
+                .select(*[c for c in target_cols if c not in regen])
             )
         inserts = None
         if insert_not_matched:
@@ -1284,32 +1306,47 @@ class SnapshotTable:
                     for c in source.columns
                 ]
             )
-        to_write = None
-        for part in (post, inserts):
-            if part is None:
-                continue
-            to_write = (
-                part
-                if to_write is None
-                else to_write.unionByName(
-                    part, allowMissingColumns=True
-                )
-            )
-        if not affected and (
-            to_write is None or to_write.limit(1).count() == 0
-        ):
+            # align to the target's logical schema: target columns the
+            # source omits surface as typed NULLs (the pre-merge rows'
+            # types, not string-inferred) — EXCEPT generated columns,
+            # which stay absent so the write path computes them from
+            # the aligned inputs instead of validating a NULL
+            gens_all = self._generated()
+            for f in mapped.schema.fields:
+                if f.name in ("__dv_file", "__dv_pos"):
+                    continue
+                if (
+                    f.name not in inserts.columns
+                    and f.name not in gens_all
+                ):
+                    inserts = inserts.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
+        # The update and insert branches write SEPARATELY: after the
+        # generated-column drop their column sets can differ (post
+        # recomputes a gen column the source happens to supply, or vice
+        # versa), and a unioned write would surface NULLs for the
+        # missing side and fail the writer-side validation. Each branch
+        # passes through the same `_write_files` choke point, both file
+        # lists land in the one atomic manifest.
+        parts = [
+            p
+            for p in (post, inserts)
+            if p is not None and p.limit(1).count() > 0
+        ]
+        if not affected and not parts:
             return cur  # nothing matched, nothing to insert
         dv = {f: list(v) for f, v in m["dv"].items()}
         for f in affected:
             dv.setdefault(f, []).append(dvdir)
-        new = (
-            self._write_files(to_write)
-            if to_write is not None
-            else []
-        )
+        new: list[str] = []
+        for p in parts:
+            new += self._write_files(p)
+        # only the insert branch can extend the schema (post-images
+        # project a subset of the existing target columns)
         sm = (
-            self._extend_schema_map(m, to_write)
-            if to_write is not None
+            self._extend_schema_map(m, inserts)
+            if inserts is not None and any(p is inserts for p in parts)
             else _UNSET
         )
         return self._publish(

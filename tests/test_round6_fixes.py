@@ -1340,3 +1340,76 @@ def test_history_respects_vacuum_horizon(spark):
     t.vacuum(retain_versions=2)
     versions = [r["version"] for r in t.history().collect()]
     assert versions == [4, 3]
+
+
+# ------------------------------------------------------------------ #
+# 17. GENERATED columns x MOR writes: recompute, don't reject
+# ------------------------------------------------------------------ #
+
+def _gen_table(spark, prefix):
+    t = SnapshotTable(spark, _tmp(prefix))
+    t.commit_append(
+        spark.createDataFrame(
+            [(i, i * 10, i * 20) for i in range(10)],
+            "k bigint, v bigint, v2x bigint",
+        )
+    )
+    t.add_generated_column("v2x", "v * 2")
+    return t
+
+
+def test_update_where_recomputes_generated_columns(spark):
+    """An UPDATE whose assignment changes a generation INPUT must land
+    with the generated column recomputed (Delta's semantics) — before
+    the fix the stale post-image value tripped the writer-side <=>
+    validation and the update was rejected outright."""
+    t = _gen_table(spark, "genupd")
+    t.update_where(F.col("k") == 3, {"v": F.lit(999).cast("bigint")})
+    row = t.read().filter("k = 3").collect()[0]
+    assert (row["v"], row["v2x"]) == (999, 1998)
+    # untouched rows keep their original (already-consistent) values
+    other = t.read().filter("k = 4").collect()[0]
+    assert (other["v"], other["v2x"]) == (40, 80)
+
+
+def test_update_where_validates_explicit_generated_assignment(spark):
+    """Assigning the generated column ITSELF stays validated: a
+    consistent explicit pair lands, an inconsistent one is rejected."""
+    t = _gen_table(spark, "genexp")
+    t.update_where(
+        F.col("k") == 2,
+        {"v": F.lit(50).cast("bigint"),
+         "v2x": F.lit(100).cast("bigint")},
+    )
+    assert t.read().filter("k = 2").collect()[0]["v2x"] == 100
+    with pytest.raises(ValueError, match="constraint violation"):
+        t.update_where(
+            F.col("k") == 2,
+            {"v": F.lit(7).cast("bigint"),
+             "v2x": F.lit(999).cast("bigint")},
+        )
+
+
+def test_merge_mor_recomputes_generated_columns(spark):
+    """MERGE with update+insert branches on a generated-column table:
+    updated rows recompute from the new inputs, inserted rows (source
+    omits the column) compute it fresh — and the two branches write
+    separately so neither surfaces NULLs into the other's validation."""
+    t = _gen_table(spark, "genmrg")
+    src = spark.createDataFrame(
+        [(3, 111), (77, 222)], "k bigint, nv bigint"
+    )
+    t.merge_mor(
+        src.select("k", "nv"),
+        on=["k"],
+        when_matched_update={"v": F.col("__src_nv")},
+    )
+    got = {
+        r["k"]: (r["v"], r["v2x"])
+        for r in t.read().filter("k in (3, 77)").collect()
+    }
+    assert got[3] == (111, 222)
+    # unmatched source row inserted; nv rides along as a new column,
+    # v/v2x generated-null-free: v absent from source -> NULL v, and
+    # the generated column computes from it (NULL * 2 = NULL)
+    assert 77 in got
