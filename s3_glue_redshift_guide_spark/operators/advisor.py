@@ -116,3 +116,40 @@ def smart_join(
     if advice["strategy"] == "broadcast_left":
         return F.broadcast(left).join(right, on, how)
     return left.join(right, on, how)
+
+
+def estimate_equi_join_rows(
+    spark: SparkSession,
+    left_root: str,
+    right_root: str,
+    key: str,
+) -> dict:
+    """Classic CBO equi-join cardinality from ANALYZE statistics:
+    ``|L| * |R| / max(ndv_L(key), ndv_R(key))`` — the independence/
+    containment estimate every cost-based optimizer starts from. Row
+    counts come from the metadata-only COUNT(*) (banked per-file stats
+    minus exact DV tombstones) and NDVs from the banked HLL sketches —
+    the whole estimate is a METADATA walk, zero data reads, so planning
+    a 100 TB join costs the same as planning a 100 MB one. Honest
+    refusal: any missing input (un-analyzed files, stat-less commits)
+    yields ``estimated_rows=None`` — a fabricated cardinality is worse
+    than none, because downstream decisions (broadcast, shuffle
+    partition sizing) amplify it."""
+    from ..sources.snapshots import SnapshotTable
+
+    lt = SnapshotTable(spark, left_root)
+    rt = SnapshotTable(spark, right_root)
+    nl = lt.metadata_count()
+    nr = rt.metadata_count()
+    dl = lt.table_ndv(key)
+    dr = rt.table_ndv(key)
+    est = None
+    if None not in (nl, nr, dl, dr) and max(dl, dr) > 0:
+        est = int(nl * nr // max(dl, dr))
+    return {
+        "left_rows": nl,
+        "right_rows": nr,
+        "left_ndv": dl,
+        "right_ndv": dr,
+        "estimated_rows": est,
+    }

@@ -1963,3 +1963,233 @@ def src_vacuum_retention(spark, sf_dir):
         "n_deleted int, v1_unreadable int, v2_rows bigint, "
         "head_rows bigint, head_sum bigint",
     )
+
+
+# ---------------- table-level partition spec (S47) ---------------------
+@query(
+    "src_partition_spec",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, o_orderstatus FROM orders
+               WHERE o_orderkey < 300),
+         b AS (SELECT o_orderkey, o_orderstatus FROM orders
+               WHERE o_orderkey BETWEEN 300 AND 599)
+    SELECT CAST(1 + (SELECT count(DISTINCT o_orderstatus) FROM b)
+                AS INT) AS total_files,
+           CAST(1 + (SELECT CASE WHEN EXISTS (SELECT 1 FROM b
+                     WHERE o_orderstatus = 'O') THEN 1 ELSE 0 END)
+                AS INT) AS pruned_for_o,
+           1 AS old_file_untouched,
+           (SELECT CAST(count(*) AS BIGINT) FROM
+             (SELECT * FROM a UNION ALL SELECT * FROM b)
+             WHERE o_orderstatus = 'O') AS rows_o,
+           (SELECT CAST(count(*) AS BIGINT) FROM a)
+             + (SELECT CAST(count(*) AS BIGINT) FROM b) AS head_rows,
+           (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM
+             (SELECT * FROM a UNION ALL SELECT * FROM b)
+             WHERE o_orderstatus = 'O') AS key_sum_o
+    """,
+)
+def src_partition_spec(spark, sf_dir):
+    """TABLE-LEVEL partition spec with PARTITION EVOLUTION (Iceberg's
+    identity partitioning, ``SnapshotTable.set_partition_spec``): batch
+    A lands BEFORE the spec (one unpartitioned file), the spec on
+    ``o_orderstatus`` is then a metadata-only commit, and batch B lands
+    clustered — one file per live status value under ``__part_`` path
+    segments, source columns RETAINED in the files so every read path
+    sees ordinary parquet. ``pruned_for_o`` pins the manifest-level
+    pruning contract: an equality read touches B's one matching file
+    plus the pre-spec file KEPT CONSERVATIVELY (no banked value can
+    only mean 'must read', never 'skip') — and ``old_file_untouched``
+    pins evolution's selling point: changing the spec rewrote ZERO
+    existing files, the operation that forces a full rewrite on
+    Hive-partitioned layouts. At 100 TB the prune decision is an
+    O(files) path-string walk with zero file opens, and the layout cost
+    rides the writes that were happening anyway."""
+    from ..sources.snapshots import SnapshotTable, load_manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    t = SnapshotTable(spark, _tmp("pspec"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 300).coalesce(1))
+    a_files = set(load_manifest(t.root, 1)["files"])
+    t.set_partition_spec(["o_orderstatus"])
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(300, 599))
+    )
+    head = load_manifest(t.root, t.current_version())
+    old_untouched = int(a_files <= set(head["files"]))
+    pruned = t.partition_pruned_files({"o_orderstatus": "O"})
+    got = t.read_partition({"o_orderstatus": "O"}).filter(
+        F.col("o_orderstatus") == "O"
+    )
+    agg = got.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("long").alias("s"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                len(head["files"]),
+                len(pruned),
+                old_untouched,
+                agg["n"],
+                t.read().count(),
+                agg["s"],
+            )
+        ],
+        "total_files int, pruned_for_o int, old_file_untouched int, "
+        "rows_o bigint, head_rows bigint, key_sum_o bigint",
+    )
+
+
+# ----------------------- row tracking (S48) ----------------------------
+@query(
+    "src_row_tracking",
+    oracle="""
+    WITH a AS (SELECT o_orderkey,
+                      row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+               FROM orders WHERE o_orderkey < 300),
+         b AS (SELECT o_orderkey,
+                      (SELECT count(*) FROM a)
+                      + row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+               FROM orders WHERE o_orderkey BETWEEN 300 AND 599),
+         u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+         live AS (SELECT * FROM u WHERE o_orderkey % 7 <> 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT rid) AS BIGINT) AS n_ids,
+           CAST(sum(rid) AS BIGINT) AS id_sum,
+           CAST(max(rid) AS BIGINT) AS id_max,
+           (SELECT CAST(rid AS BIGINT) FROM live
+            WHERE o_orderkey = 333) AS updated_rid,
+           (SELECT CAST(count(*) AS BIGINT) FROM live
+            WHERE o_orderkey = 333) AS n_updated
+    FROM live
+    """,
+)
+def src_row_tracking(spark, sf_dir):
+    """ROW TRACKING (Delta's row IDs, ``enable_row_tracking``): every
+    row gets a PERMANENT 64-bit id — fresh files derive ids from a
+    manifest-banked ``[base_row_id, num_rows]`` range (zero storage:
+    base + row position), and files REWRITTEN by OPTIMIZE /
+    materialize / MOR UPDATE carry their rows' original ids as a
+    physical ``__row_id`` column (bytes only in churned files, hidden
+    from every plain read). This query drives the full preservation
+    gauntlet — two appends, a modulo DV delete, a compacting OPTIMIZE,
+    then an UPDATE — and checks the surviving id SET and the updated
+    row's identity against the oracle's purely positional replay: any
+    drift in assignment or preservation breaks ``id_sum`` exactly. At
+    100 TB the id plumbing is metadata-scale — a broadcast of O(files)
+    (path, base) rows resolves ids for fresh files, and only rewritten
+    rows ever pay id bytes."""
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    t = SnapshotTable(spark, _tmp("rowtrack"))
+    t.enable_row_tracking()
+    t.commit_append(o.filter(F.col("o_orderkey") < 300).coalesce(1))
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(300, 599)).coalesce(1)
+    )
+    t.delete_where(F.col("o_orderkey") % 7 == 0)
+    t.optimize_small_files(10**9, 10**9)       # preserving rewrite
+    t.update_where(
+        F.col("o_orderkey") == 333,
+        {"o_orderstatus": F.lit("U")},
+    )
+    ids = t.read_with_row_ids()
+    return ids.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("_row_id").alias("n_ids"),
+        F.sum("_row_id").cast("long").alias("id_sum"),
+        F.max("_row_id").cast("long").alias("id_max"),
+        F.max(
+            F.when(F.col("o_orderkey") == 333, F.col("_row_id"))
+        ).cast("long").alias("updated_rid"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "U", 1).otherwise(0)
+        ).cast("long").alias("n_updated"),
+    )
+
+
+# ------------- ANALYZE / NDV column statistics (C3) ---------------------
+@query(
+    "stats_ndv_estimate",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_custkey AS custkey FROM orders
+               WHERE o_orderkey < 2000),
+         c AS (SELECT c_custkey AS custkey FROM customer)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM o) AS left_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS right_rows,
+           (SELECT CAST(count(DISTINCT custkey) AS BIGINT) FROM o)
+               AS ndv_l_exact,
+           (SELECT CAST(count(DISTINCT custkey) AS BIGINT) FROM c)
+               AS ndv_r_exact,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM o JOIN c USING (custkey)) AS join_rows,
+           true AS ndv_l_in_tol,
+           true AS ndv_r_in_tol,
+           true AS est_in_tol
+    """,
+)
+def stats_ndv_estimate(spark, sf_dir):
+    """ANALYZE column statistics (AWS Glue column statistics / Redshift
+    ANALYZE): ``analyze_columns`` banks a MERGEABLE Datasketches HLL
+    sketch per (file, column) in run-scoped sidecars — table NDV is a
+    union of O(files) KB-scale sketch rows with ZERO data reads, and a
+    re-run after new commits sketches only the uncovered files. The
+    estimator then prices the equi-join the classic CBO way:
+    ``|L|*|R| / max(ndv)`` — here the FK shape makes the estimate land
+    on the true join size, and the derived-fact oracle checks the HLL
+    estimates against exact distinct counts within the sketch's
+    advertised error (2^12 registers, ~1.6% RSE; 5 pct gate). At 100 TB
+    the whole planning walk — row counts from banked stats, NDVs from
+    sketch unions — touches metadata only."""
+    from ..operators.advisor import estimate_equi_join_rows
+    from ..sources.snapshots import SnapshotTable
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", F.col("o_custkey").alias("custkey"))
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    lt = SnapshotTable(spark, _tmp("ndvl"))
+    rt = SnapshotTable(spark, _tmp("ndvr"))
+    lt.commit_append(o)
+    rt.commit_append(c)
+    lt.analyze_columns(["custkey"])
+    rt.analyze_columns(["custkey"])
+    adv = estimate_equi_join_rows(spark, lt.root, rt.root, "custkey")
+    exact_l = o.select("custkey").distinct().count()
+    exact_r = c.select("custkey").distinct().count()
+    join_rows = o.join(c, "custkey").count()
+
+    def in_tol(est, exact, tol):
+        return (
+            est is not None
+            and exact > 0
+            and abs(est - exact) <= tol * exact
+        )
+
+    return spark.createDataFrame(
+        [
+            (
+                adv["left_rows"],
+                adv["right_rows"],
+                exact_l,
+                exact_r,
+                join_rows,
+                in_tol(adv["left_ndv"], exact_l, 0.05),
+                in_tol(adv["right_ndv"], exact_r, 0.05),
+                in_tol(adv["estimated_rows"], join_rows, 0.10),
+            )
+        ],
+        "left_rows bigint, right_rows bigint, ndv_l_exact bigint, "
+        "ndv_r_exact bigint, join_rows bigint, ndv_l_in_tol boolean, "
+        "ndv_r_in_tol boolean, est_in_tol boolean",
+    )

@@ -63,10 +63,13 @@ from .snapshots import (
     CommitConflict,
     _bloom_might_contain,
     _footer_stats_one,
+    _footer_num_rows,
     _json_scalar_value,
+    encode_partition_value,
     extend_schema_map,
     latest_version,
     load_manifest,
+    partition_values_from_path,
     publish_version,
     version_as_of,
     zone_prune,
@@ -348,6 +351,10 @@ class SnapshotManifestReader(DataSourceReader):
         self.bloom_cols: dict = m.get("bloom_cols") or {}
         self.blooms: dict = m.get("blooms") or {}
         self.eq_probes: dict[str, list] = {}  # col -> pushed literals
+        # partition-spec pruning: pushed equality literals in the PATH
+        # domain, compared against each file's __part_ segments at
+        # planning time — an O(files) string walk, zero file opens
+        self.part_eq: dict[str, list] = {}  # col -> encoded literals
 
     # ------------------------------------------------- filter pushdown
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -405,9 +412,14 @@ class SnapshotManifestReader(DataSourceReader):
     def _probe(self, col: str | None, value) -> None:
         """Bank an equality literal for bloom probing (indexed columns
         only; the sidecar's kind gate keeps cross-domain probes from
-        pruning)."""
+        pruning) and for partition-path pruning (any column — files
+        without a banked segment for it are kept conservatively)."""
         if col and value is not None and col in self.bloom_cols:
             self.eq_probes.setdefault(col, []).append(value)
+        if col and value is not None:
+            enc = encode_partition_value(value)
+            if enc is not None:
+                self.part_eq.setdefault(col, []).append(enc)
 
     def _narrow(self, col: str | None, lo, hi) -> None:
         """Tighten the pruning bounds for ``col``. Filter literals arrive
@@ -454,6 +466,15 @@ class SnapshotManifestReader(DataSourceReader):
         )
         if self.null_req:
             keep = [f for f in keep if self._null_admits(f)]
+        if self.part_eq:
+            # partition-spec pruning: a file whose __part_ path segment
+            # banks a DIFFERENT value for a pushed equality provably
+            # holds no matching row (identity partitioning — the
+            # segment IS the column value for every row in the file);
+            # segment-less files (pre-spec layout, connector writes)
+            # are kept conservatively. Runs before bloom probing: path
+            # string checks are free, sidecar probes cost a read.
+            keep = [f for f in keep if self._partition_admits(f)]
         if self.eq_probes:
             # bloom file index: one KB-scale sidecar probe per surviving
             # file per pushed equality — a "definitely absent" verdict
@@ -464,6 +485,24 @@ class SnapshotManifestReader(DataSourceReader):
             SnapshotFilePartition(p, tuple(self.dv.get(p, [])))
             for p in keep
         ]
+
+    def _partition_admits(self, f: str) -> bool:
+        pv = partition_values_from_path(f)
+        if not pv:
+            return True
+        for col, literals in self.part_eq.items():
+            if col in pv:
+                if any(pv[col] != v for v in literals):
+                    return False
+            else:
+                # alias-aware: a historical name's segment is the same
+                # field's value (names are never reused — tombstoned)
+                for alias in self.aliases.get(col, []):
+                    if alias in pv and any(
+                        pv[alias] != v for v in literals
+                    ):
+                        return False
+        return True
 
     def _bloom_admits(self, f: str) -> bool:
         percol = self.blooms.get(f) or {}
@@ -991,6 +1030,20 @@ class SnapshotDataWriter(DataSourceArrowWriter):
         self.generated: dict[str, str] = dict(
             base_m.get("generated", {})
         )
+        # Partition-spec'd tables refuse connector writes outright:
+        # this writer's shards carry no __part_ path segments, so a
+        # write would silently violate the table's layout contract
+        # (reads would stay CORRECT — pruning keeps segment-less files
+        # conservatively — but Delta/Iceberg reject spec-violating
+        # writers, and so do we). Write through
+        # SnapshotTable.commit_append or drop the spec first.
+        if base_m.get("partition_spec"):
+            raise ValueError(
+                "table has a partition spec "
+                f"{base_m['partition_spec']}; the pysnapshot connector "
+                "writer does not produce partitioned layouts — use "
+                "SnapshotTable.commit_append or set_partition_spec([])"
+            )
 
     def _tally_violations(self, con, batch, viol: dict) -> None:
         """Writer-side CHECK enforcement for the connector path: count
@@ -1178,6 +1231,12 @@ class SnapshotDataWriter(DataSourceArrowWriter):
             base_schema = None
             base_cons: dict = {}
             base_gen: dict = {}
+            base_bloom_cols: dict = {}
+            base_blooms: dict = {}
+            base_spec: list = []
+            base_track = False
+            base_rids: dict = {}
+            base_wm = 0
             if base_v > 0:
                 m = load_manifest(self.root, base_v)
                 base_stats, txn = m["stats"], dict(m.get("txn", {}))
@@ -1185,6 +1244,12 @@ class SnapshotDataWriter(DataSourceArrowWriter):
                 base_schema = m.get("schema")
                 base_cons = dict(m.get("constraints", {}))
                 base_gen = dict(m.get("generated", {}))
+                base_bloom_cols = dict(m.get("bloom_cols") or {})
+                base_blooms = dict(m.get("blooms") or {})
+                base_spec = list(m.get("partition_spec") or [])
+                base_track = bool(m.get("row_tracking"))
+                base_rids = dict(m.get("row_ids") or {})
+                base_wm = int(m.get("row_id_watermark", 0))
                 if not self.overwrite:
                     base_files = m["files"]
                 if txn_update:
@@ -1207,6 +1272,17 @@ class SnapshotDataWriter(DataSourceArrowWriter):
                     f"constraints {sorted(unchecked)} were added "
                     "concurrently with this write; rows were not "
                     "checked against them — retry the write"
+                )
+            # a partition spec registered concurrently makes this
+            # writer's unpartitioned shards spec-violating — same
+            # fail-the-commit treatment (construction-time specs were
+            # already refused outright)
+            if base_v > 0 and m.get("partition_spec") and files:
+                reclaim()
+                raise CommitConflict(
+                    "a partition spec was registered concurrently "
+                    "with this write; the connector writer does not "
+                    "produce partitioned layouts"
                 )
             # uniform stat schema: backfill columns the table already
             # tracks but this write's statsCols omitted (O(new files)
@@ -1248,6 +1324,50 @@ class SnapshotDataWriter(DataSourceArrowWriter):
                 extra["constraints"] = base_cons
             if base_gen:
                 extra["generated"] = base_gen
+            # the remaining metadata families carry exactly as
+            # SnapshotTable._publish carries them — dropping ANY of
+            # them through a connector commit is the r5 resurrect-bug
+            # shape. Bloom sidecars survive for still-visible files
+            # (this writer's new files simply lack sidecars = read
+            # conservatively until the next table-side extension);
+            if base_bloom_cols:
+                extra["bloom_cols"] = base_bloom_cols
+                blooms = {
+                    f: v
+                    for f, v in base_blooms.items()
+                    if f in set(visible)
+                }
+                if blooms:
+                    extra["blooms"] = blooms
+            # the partition spec carries (reachable only for an EMPTY
+            # commit — a streaming epoch with zero rows; non-empty
+            # writes onto spec'd tables were refused above);
+            if base_spec:
+                extra["partition_spec"] = base_spec
+            # ANALYZE sketches carry verbatim (this commit's new files
+            # are simply uncovered until the next analyze run — the
+            # estimate path refuses rather than undercounts);
+            if base_v > 0 and m.get("ndv"):
+                extra["ndv"] = m["ndv"]
+            # and row tracking assigns this commit's new files their
+            # [base_row_id, num_rows] ranges (footer row counts, the
+            # same cost class as the stats backfill above)
+            if base_track:
+                extra["row_tracking"] = True
+                rid = {
+                    f: v
+                    for f, v in base_rids.items()
+                    if f in set(visible)
+                }
+                wm = base_wm
+                for b, n in rid.values():
+                    wm = max(wm, int(b) + int(n))
+                for f in sorted(set(visible) - set(rid)):
+                    n = _footer_num_rows(f)
+                    rid[f] = [wm, n]
+                    wm += n
+                extra["row_ids"] = rid
+                extra["row_id_watermark"] = wm
             extra["op"] = (
                 "STREAMING "
                 if isinstance(self, SnapshotStreamWriter)
@@ -1379,8 +1499,16 @@ class SnapshotDataSource(DataSource):
             )
         # every field nullable: a column added by evolution is NULL in
         # pre-evolution files even if its own writer marked it required
-        # (e.g. a literal column) — same posture as Spark's mergeSchema
-        unified = pa.schema([f.with_nullable(True) for f in unified])
+        # (e.g. a literal column) — same posture as Spark's mergeSchema.
+        # The physical row-tracking column a preserving rewrite
+        # materializes is internal: never part of the logical schema.
+        unified = pa.schema(
+            [
+                f.with_nullable(True)
+                for f in unified
+                if f.name != "__row_id"
+            ]
+        )
         smap = m.get("schema")
         if smap:
             # field-id map: project the physical union onto the CURRENT

@@ -508,6 +508,45 @@ def zone_prune(
     return keep
 
 
+def partition_values_from_path(path: str) -> dict:
+    """The partition tuple a file path encodes: ``{col: value}`` parsed
+    from its ``__part_<col>=<value>`` segments (url-decoded; Hive's null
+    sentinel maps to None). Files written before a spec (or through the
+    connector) have no segments and parse to {} — the conservative
+    'must read' signal. Shared by ``SnapshotTable.partition_pruned_files``
+    and the pysnapshot connector's planning-time pruning."""
+    from urllib.parse import unquote
+
+    out: dict = {}
+    for seg in path.split(os.sep):
+        if seg.startswith("__part_") and "=" in seg:
+            k, _, v = seg.partition("=")
+            v = unquote(v)
+            out[k[len("__part_"):]] = (
+                None if v == "__HIVE_DEFAULT_PARTITION__" else v
+            )
+    return out
+
+
+def encode_partition_value(val) -> str | None:
+    """A predicate literal rendered in the path domain ``partition
+    _values_from_path`` parses back — one shared encoding so build and
+    probe can never disagree (the partition-spec analogue of the bloom
+    index's canonical value encoding)."""
+    if val is None:
+        return None
+    if isinstance(val, bool):  # Spark renders true/false
+        return "true" if val else "false"
+    return str(val)
+
+
+#: physical column name carrying a row's PERMANENT id through rewrites
+#: (row tracking): files rewritten by OPTIMIZE/materialize carry it as
+#: real parquet bytes; freshly appended files derive ids from their
+#: manifest-banked [base_row_id, num_rows] range instead. Hidden from
+#: every user-facing read; surfaced as ``_row_id`` on request.
+ROW_ID_COL = "__row_id"
+
 #: distinct "not passed" sentinel for _publish's metadata overrides:
 #: ``None`` is a MEANINGFUL value for the schema map (= table uses
 #: physical names) and restore/clone must be able to publish it
@@ -533,9 +572,13 @@ class SnapshotTable:
     def _load_manifest(self, version: int) -> list[str]:
         return load_manifest(self.root, version)["files"]
 
-    def _write_files(self, df: DataFrame) -> list[str]:
+    def _write_files(self, df: DataFrame, order_within=None) -> list[str]:
         """Write ``df`` as immutable parquet files under a fresh commit
-        dir; returns the file paths. Distributed write — rows never cross
+        dir; returns the file paths. ``order_within`` (Column
+        expressions) sorts rows inside each task after the partition-
+        spec repartition — zero effect on WHICH file a row lands in,
+        only on row order within it (zone-map/row-group locality).
+        Distributed write — rows never cross
         the driver; only the resulting path list (metadata) does. EVERY
         data write passes through here, so registered CHECK constraints
         are enforced at this choke point (Delta's writer-side contract)
@@ -568,7 +611,43 @@ class SnapshotTable:
             obs = Observation()
             df = df.observe(obs, *self._violation_counters(cons))
         d = os.path.join(self.root, "data", uuid.uuid4().hex)
-        df.write.mode("errorifexists").parquet(d)
+        spec = self._partition_spec()
+        if spec:
+            missing = [c for c in spec if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"partition spec {spec} columns missing from the "
+                    f"write batch: {missing}"
+                )
+            # identity partitioning with the source columns RETAINED in
+            # the data files (Iceberg's shape): the layout rides
+            # duplicated __part_<col> path columns, so every read path
+            # (DV positions, schema maps, the connector's per-file Arrow
+            # reads) sees ordinary parquet. Pre-shuffling on the spec
+            # keys puts each partition value in one task, so the write
+            # lands ONE file per live partition value instead of
+            # tasks x values shards.
+            df = df.withColumns(
+                {f"__part_{c}": F.col(c) for c in spec}
+            ).repartition(*[F.col(c) for c in spec])
+            if order_within is not None:
+                # the partition columns LEAD the sort: the file writer
+                # requires rows grouped by partition value and would
+                # otherwise insert its own partition-only sort,
+                # discarding the requested order
+                df = df.sortWithinPartitions(
+                    *[F.col(f"__part_{c}") for c in spec],
+                    *order_within,
+                )
+            (
+                df.write.mode("errorifexists")
+                .partitionBy(*[f"__part_{c}" for c in spec])
+                .parquet(d)
+            )
+        else:
+            if order_within is not None:
+                df = df.sortWithinPartitions(*order_within)
+            df.write.mode("errorifexists").parquet(d)
         if obs is not None:
             got = obs.get
             bad = {n: got[n] for n in cons if got.get(n)}
@@ -584,8 +663,9 @@ class SnapshotTable:
                     )
                 )
         return sorted(
-            os.path.join(d, f)
-            for f in os.listdir(d)
+            os.path.join(root, f)
+            for root, _dirs, fs in os.walk(d)
+            for f in fs
             if f.endswith(".parquet")
         )
 
@@ -636,6 +716,10 @@ class SnapshotTable:
         blooms=_UNSET,
         txn_update: dict | None = None,
         op: str | None = None,
+        partition_spec=_UNSET,
+        row_tracking=_UNSET,
+        row_ids_seed: dict | None = None,
+        ndv=_UNSET,
     ) -> int:
         # carry the txn map (streaming writers' appId -> batchId records),
         # the deletion-vector map, the field-id schema map, and the CHECK
@@ -701,6 +785,55 @@ class SnapshotTable:
             # only, never read-path semantics (old manifests without it
             # report "UNKNOWN")
             extra["op"] = op
+        # partition spec: a TABLE-LEVEL layout contract like constraints
+        # — carried through every commit; per-file partition tuples are
+        # never banked here because the file PATHS encode them (parsed
+        # on demand), so spec evolution needs no manifest rewrite
+        if partition_spec is _UNSET:
+            partition_spec = base.get("partition_spec")
+        if partition_spec:
+            extra["partition_spec"] = list(partition_spec)
+        # ANALYZE sketches: registered cols + sidecar pointers carry
+        # like constraints (sidecar rows for vanished files are simply
+        # ignored at estimate time; coverage re-checks per read)
+        if ndv is _UNSET:
+            ndv = base.get("ndv")
+        if ndv:
+            extra["ndv"] = ndv
+        # row tracking (Delta's row IDs): once enabled, every visible
+        # file owns a [base_row_id, num_rows] range banked here — a
+        # row's PERMANENT id is base + its position, unless the file
+        # physically carries __row_id (a rewrite preserving older ids).
+        # Assignment happens at this single choke point, so every write
+        # path (append, replace, merge, connector catch-up via a later
+        # table commit) gets ids without knowing about them; the footer
+        # row-count reads are O(new files), the same cost class as the
+        # stats merge that already rides each commit.
+        if row_tracking is _UNSET:
+            row_tracking = base.get("row_tracking")
+        if row_tracking:
+            extra["row_tracking"] = True
+            fset = set(files)
+            # ``row_ids_seed`` lets RESTORE/CLONE re-publish a target
+            # manifest's original ranges (a restored file must keep the
+            # ids it had, not draw fresh ones)
+            carried = {
+                **(base.get("row_ids") or {}),
+                **(row_ids_seed or {}),
+            }
+            rid = {f: v for f, v in carried.items() if f in fset}
+            # watermark only ever grows: at least the base's, and past
+            # every carried range (seeded ranges may come from a branch
+            # the base never saw)
+            wm = int(base.get("row_id_watermark", 0))
+            for b, n in rid.values():
+                wm = max(wm, int(b) + int(n))
+            for f in sorted(fset - set(rid)):
+                n = _footer_num_rows(f)
+                rid[f] = [wm, n]
+                wm += n
+            extra["row_ids"] = rid
+            extra["row_id_watermark"] = wm
         return publish_version(
             self.root,
             files,
@@ -744,32 +877,39 @@ class SnapshotTable:
                 break
         return F.broadcast(df) if size <= self.DV_BROADCAST_MAX_BYTES else df
 
-    def _masked_read(self, files: list[str], dv: dict) -> DataFrame:
+    def _masked_read(
+        self, files: list[str], dv: dict, keep_provenance: bool = False
+    ) -> DataFrame:
         """mergeSchema read of ``files`` with deletion vectors applied:
         each row's (file, row_index) provenance — free metadata columns,
         no widening of the parquet scan — anti-joins the BROADCAST dv
         rowset. DVs are the POINT-delete path (GDPR rows, late
         corrections), so the broadcast is KBs; bulk deletes belong to
-        ``commit_replace``, which rewrites instead of tombstoning."""
+        ``commit_replace``, which rewrites instead of tombstoning.
+        ``keep_provenance`` keeps the ``__fp``/``__pos`` columns (and a
+        physically-present ``__row_id``) for callers that need row
+        identity — the default HIDES the row-tracking column from
+        user-facing reads."""
         relevant = {f: dv[f] for f in files if dv.get(f)}
         df = self.spark.read.option("mergeSchema", "true").parquet(*files)
-        if not relevant:
-            return df
-        dvr = self._dv_rows(relevant)
-        df = df.withColumns(
-            {
-                "__fp": self._plain_path(F.col("_metadata.file_path")),
-                "__pos": F.col("_metadata.row_index"),
-            }
-        )
-        return (
-            df.join(
+        if keep_provenance or relevant:
+            df = df.withColumns(
+                {
+                    "__fp": self._plain_path(F.col("_metadata.file_path")),
+                    "__pos": F.col("_metadata.row_index"),
+                }
+            )
+        if relevant:
+            dvr = self._dv_rows(relevant)
+            df = df.join(
                 dvr,
                 (df["__fp"] == dvr["__dv_file"])
                 & (df["__pos"] == dvr["__dv_pos"]),
                 "left_anti",
-            ).drop("__fp", "__pos")
-        )
+            )
+        if not keep_provenance:
+            df = df.drop("__fp", "__pos", ROW_ID_COL)
+        return df
 
     # ------------------------------------------- field-id schema mapping
     @staticmethod
@@ -782,8 +922,12 @@ class SnapshotTable:
         one — never both non-null for a row), alias to the current name,
         and exclude physically-present columns whose field was dropped.
         ``keep`` columns (e.g. row provenance) pass through in front.
-        No-op for tables that never renamed/dropped (schema_map None)."""
+        No-op for tables that never renamed/dropped (schema_map None) —
+        except the physical row-tracking column, which never surfaces
+        unless explicitly kept."""
         if not schema_map:
+            if ROW_ID_COL in df.columns and ROW_ID_COL not in keep:
+                df = df.drop(ROW_ID_COL)
             return df
         have = set(df.columns)
         cols = [F.col(k) for k in keep]
@@ -803,7 +947,12 @@ class SnapshotTable:
         return df.select(*cols)
 
     def _extend_schema_map(self, base_m: dict, df: DataFrame):
-        return extend_schema_map(base_m.get("schema"), df.columns)
+        # internal physical columns (the row-tracking __row_id a
+        # preserving rewrite materializes) are never logical fields
+        return extend_schema_map(
+            base_m.get("schema"),
+            [c for c in df.columns if not c.startswith("__")],
+        )
 
     # ------------------------------------------------------------- surface
     def current_version(self) -> int:
@@ -848,6 +997,7 @@ class SnapshotTable:
         raises, mirroring the connector's posture."""
         new: list[str] | None = None
         cons_checked = set(self._constraints())
+        spec_at_write = self._partition_spec()
         for _ in range(5):
             cur = self.current_version()
             m = (
@@ -861,6 +1011,25 @@ class SnapshotTable:
                     f"constraints {sorted(unchecked)} were added "
                     "concurrently with this append; rows were not "
                     "checked against them — retry the write"
+                )
+            # a partition spec registered/changed concurrently means
+            # these staged files were laid out under the WRONG spec —
+            # publishing them would violate the layout contract (reads
+            # stay correct via conservative pruning, but one file per
+            # partition value is the whole point). A spec DROPPED
+            # concurrently is harmless: extra __part_ segments are
+            # truthful and prune fine.
+            head_spec = m.get("partition_spec") or []
+            if (
+                new is not None
+                and head_spec
+                and head_spec != spec_at_write
+            ):
+                raise CommitConflict(
+                    f"partition spec {head_spec} was registered "
+                    "concurrently with this append; the staged files "
+                    f"were laid out under {spec_at_write or 'no spec'} "
+                    "— retry the write"
                 )
             if new is None:
                 new = self._write_files(df)
@@ -981,7 +1150,11 @@ class SnapshotTable:
         return len(self._load_manifest(v))
 
     def commit_replace(
-        self, remove: list[str], df: DataFrame, op: str = "REPLACE"
+        self,
+        remove: list[str],
+        df: DataFrame,
+        op: str = "REPLACE",
+        order_within=None,
     ) -> int:
         """Surgical rewrite: drop ``remove`` from the visible set, add
         ``df``'s files. The DELETE/UPDATE primitive of every lakehouse
@@ -989,7 +1162,10 @@ class SnapshotTable:
         cache/pruning-stats invalidation); only the files that actually
         contain affected rows are rewritten. Readers of older versions
         still see the removed files — they are unreferenced, not
-        deleted."""
+        deleted. ``order_within`` (Column expressions) requests a
+        write-time sort inside each output file — how OPTIMIZE ZORDER
+        keeps curve locality on a partition-spec'd table, where the
+        layout repartition would otherwise scramble the z-sort."""
         gone = set(remove)
         cur = self.current_version()
         m = (
@@ -998,7 +1174,7 @@ class SnapshotTable:
             else {"files": [], "schema": None}
         )
         keep = [f for f in m["files"] if f not in gone]
-        new = self._write_files(df)
+        new = self._write_files(df, order_within=order_within)
         stats = self._merged_stats(cur, new, None)
         visible = keep + new
         return self._publish(
@@ -1091,7 +1267,14 @@ class SnapshotTable:
         m = load_manifest(self.root, cur)
         if not m["files"]:
             return cur
-        visible = self._masked_read(m["files"], m["dv"])
+        track = bool(m.get("row_tracking"))
+        visible = self._masked_read(
+            m["files"], m["dv"], keep_provenance=track
+        )
+        if track:
+            # keep only the physical __row_id; the (file, pos) pair is
+            # re-derived below under the __dv_ names this path uses
+            visible = visible.drop("__fp", "__pos")
         tagged = visible.withColumns(
             {
                 "__dv_file": self._plain_path(
@@ -1100,9 +1283,12 @@ class SnapshotTable:
                 "__dv_pos": F.col("_metadata.row_index"),
             }
         )
-        mapped = self._apply_schema_map(
-            tagged, m["schema"], keep=("__dv_file", "__dv_pos")
+        keep = ("__dv_file", "__dv_pos") + (
+            (ROW_ID_COL,)
+            if track and ROW_ID_COL in tagged.columns
+            else ()
         )
+        mapped = self._apply_schema_map(tagged, m["schema"], keep=keep)
         matched = mapped.filter(predicate)
         dvdir = os.path.join(self.root, "deletes", _uuid.uuid4().hex)
         matched.select("__dv_file", "__dv_pos").write.mode(
@@ -1130,6 +1316,28 @@ class SnapshotTable:
         pinned = mapped.join(
             sidecar, ["__dv_file", "__dv_pos"], "left_semi"
         )
+        if track:
+            # row tracking: the post-image KEEPS the pre-image's
+            # permanent id (physical __row_id if an earlier rewrite
+            # materialized one, else the file's banked base + position)
+            # — an UPDATE changes a row's values, not its identity
+            bases = self._row_id_bases(m).withColumnRenamed(
+                "__fp", "__dv_file"
+            )
+            pinned = pinned.join(
+                F.broadcast(bases), "__dv_file", "left"
+            )
+            fresh = (
+                F.col("__rid_base") + F.col("__dv_pos")
+            ).cast("long")
+            idc = (
+                F.coalesce(F.col(ROW_ID_COL).cast("long"), fresh)
+                if ROW_ID_COL in pinned.columns
+                else fresh
+            )
+            pinned = pinned.withColumn(ROW_ID_COL, idc).drop(
+                "__rid_base"
+            )
         post = pinned.drop("__dv_file", "__dv_pos").withColumns(
             assignments
         )
@@ -1210,7 +1418,12 @@ class SnapshotTable:
                     op="MERGE",
                 )
             return cur
-        visible = self._masked_read(m["files"], m["dv"])
+        track = bool(m.get("row_tracking"))
+        visible = self._masked_read(
+            m["files"], m["dv"], keep_provenance=track
+        )
+        if track:
+            visible = visible.drop("__fp", "__pos")
         tagged = visible.withColumns(
             {
                 "__dv_file": self._plain_path(
@@ -1219,9 +1432,12 @@ class SnapshotTable:
                 "__dv_pos": F.col("_metadata.row_index"),
             }
         )
-        mapped = self._apply_schema_map(
-            tagged, m["schema"], keep=("__dv_file", "__dv_pos")
+        keep = ("__dv_file", "__dv_pos") + (
+            (ROW_ID_COL,)
+            if track and ROW_ID_COL in tagged.columns
+            else ()
         )
+        mapped = self._apply_schema_map(tagged, m["schema"], keep=keep)
         # ambiguity guard: >1 source row per join key is an error IF any
         # target row carries that key (Delta's multiple-matches error)
         dup_keys = (
@@ -1271,7 +1487,7 @@ class SnapshotTable:
         ]
         target_cols = [
             c for c in mapped.columns
-            if c not in ("__dv_file", "__dv_pos")
+            if c not in ("__dv_file", "__dv_pos", ROW_ID_COL)
         ]
         # post-images: pinned to the written sidecar, source values
         # re-attached by key (deterministic: keys are the join identity)
@@ -1290,10 +1506,29 @@ class SnapshotTable:
                 for g in self._generated()
                 if g in target_cols and g not in when_matched_update
             }
+            pre = pinned.filter(~del_cond)
+            out_cols = [c for c in target_cols if c not in regen]
+            if track:
+                # row tracking: the post-image keeps the pre-image's
+                # permanent id (an UPDATE branch changes values, not
+                # identity — same rule as update_where)
+                bases = self._row_id_bases(m).withColumnRenamed(
+                    "__fp", "__dv_file"
+                )
+                pre = pre.join(F.broadcast(bases), "__dv_file", "left")
+                fresh = (
+                    F.col("__rid_base") + F.col("__dv_pos")
+                ).cast("long")
+                idc = (
+                    F.coalesce(F.col(ROW_ID_COL).cast("long"), fresh)
+                    if ROW_ID_COL in pre.columns
+                    else fresh
+                )
+                pre = pre.withColumn(ROW_ID_COL, idc)
+                out_cols = out_cols + [ROW_ID_COL]
             post = (
-                pinned.filter(~del_cond)
-                .withColumns(when_matched_update)
-                .select(*[c for c in target_cols if c not in regen])
+                pre.withColumns(when_matched_update)
+                .select(*out_cols)
             )
         inserts = None
         if insert_not_matched:
@@ -1313,8 +1548,8 @@ class SnapshotTable:
             # the aligned inputs instead of validating a NULL
             gens_all = self._generated()
             for f in mapped.schema.fields:
-                if f.name in ("__dv_file", "__dv_pos"):
-                    continue
+                if f.name in ("__dv_file", "__dv_pos", ROW_ID_COL):
+                    continue  # inserts draw FRESH ids from their range
                 if (
                     f.name not in inserts.columns
                     and f.name not in gens_all
@@ -1369,7 +1604,19 @@ class SnapshotTable:
         dv_files = sorted(f for f in m["dv"] if m["dv"][f])
         if not dv_files:
             return cur
-        packed = self._masked_read(dv_files, m["dv"])
+        if m.get("row_tracking"):
+            # PRESERVING rewrite: the surviving rows keep their
+            # permanent ids, materialized as the physical __row_id
+            # column in the replacement files
+            packed = self._attach_row_ids(
+                self._masked_read(
+                    dv_files, m["dv"], keep_provenance=True
+                ),
+                m,
+                ROW_ID_COL,
+            )
+        else:
+            packed = self._masked_read(dv_files, m["dv"])
         return self.commit_replace(
             dv_files, packed, op="MATERIALIZE DELETES"
         )
@@ -1423,6 +1670,16 @@ class SnapshotTable:
                 f"cannot {op} column {col!r}: it is (or is referenced "
                 f"by) generated column(s) {gen_hits} — drop the "
                 "generation expression first"
+            )
+        # the partition spec stores LOGICAL column names (it is applied
+        # to incoming DataFrames, which carry logical names) — renaming
+        # or dropping a spec column would make every subsequent write
+        # raise "spec columns missing". Same posture as constraints:
+        # evolve the spec first (set_partition_spec), then the schema.
+        if col in (m.get("partition_spec") or []):
+            raise ValueError(
+                f"cannot {op} column {col!r}: it is a partition-spec "
+                "column — change the spec first (set_partition_spec)"
             )
 
     def rename_column(self, old: str, new: str) -> int:
@@ -1755,8 +2012,48 @@ class SnapshotTable:
         n_bins = max(1, math.ceil(sum(sizes[f] for f in small) / target_bytes))
         # DV-masked: compaction MATERIALIZES the compacted files'
         # deletion vectors (their dv entries drop with the files)
-        packed = self._masked_read(small, m["dv"])
-        if z_cols is not None:
+        if m.get("row_tracking"):
+            # preserving rewrite: compacted rows keep their permanent
+            # ids as the physical __row_id column
+            packed = self._attach_row_ids(
+                self._masked_read(small, m["dv"], keep_provenance=True),
+                m,
+                ROW_ID_COL,
+            )
+        else:
+            packed = self._masked_read(small, m["dv"])
+        order_within = None
+        spec = self._partition_spec()
+        if z_cols is not None and spec:
+            # partition spec + ZORDER (Delta's recommended layout:
+            # partition by a coarse column, z-cluster within): the spec
+            # repartition in _write_files decides WHICH file a row
+            # lands in, so pre-bucketing by curve range would be undone
+            # — instead the Morton key rides as a WRITE-TIME sort
+            # inside each partition file (literal-bound normalization:
+            # the min/max scalars collect once, 4 values, then the key
+            # is a pure codegen'd expression).
+            from ..operators.zorder import normalize_to_bits, z_value
+
+            a, b = z_cols
+            lim = packed.agg(
+                F.min(a).cast("bigint"),
+                F.max(a).cast("bigint"),
+                F.min(b).cast("bigint"),
+                F.max(b).cast("bigint"),
+            ).collect()[0]
+            if lim[0] is not None and lim[2] is not None:
+                order_within = [
+                    z_value(
+                        normalize_to_bits(
+                            F.col(a), F.lit(lim[0]), F.lit(lim[1])
+                        ),
+                        normalize_to_bits(
+                            F.col(b), F.lit(lim[2]), F.lit(lim[3])
+                        ),
+                    )
+                ]
+        elif z_cols is not None:
             from ..operators.zorder import z_order_key
 
             packed = (
@@ -1767,7 +2064,9 @@ class SnapshotTable:
             )
         else:
             packed = packed.coalesce(n_bins)
-        v = self.commit_replace(small, packed, op="OPTIMIZE")
+        v = self.commit_replace(
+            small, packed, op="OPTIMIZE", order_within=order_within
+        )
         return {
             "n_files_before": len(files),
             "n_small": len(small),
@@ -1870,6 +2169,205 @@ class SnapshotTable:
         return self._publish(
             m["files"], cur, m["stats"], constraints=cons,
             op="DROP CONSTRAINT",
+        )
+
+    # --------------------------------------------- partition spec ----
+    #: partition columns are restricted to types whose path encoding
+    #: round-trips exactly — string/integral/boolean/date. Floats and
+    #: timestamps don't (locale/precision rendering), and a mis-parsed
+    #: partition value would mis-prune.
+    _PARTITIONABLE = ("string", "tinyint", "smallint", "int", "bigint",
+                      "boolean", "date")
+
+    def _partition_spec(self) -> list[str]:
+        """The head manifest's partition spec (identity columns)."""
+        cur = self.current_version()
+        if cur == 0:
+            return []
+        return load_manifest(self.root, cur).get("partition_spec") or []
+
+    def set_partition_spec(self, cols: list[str]) -> int:
+        """Register (or change — PARTITION EVOLUTION, Iceberg's shape) a
+        table-level identity partition spec: every subsequent write
+        clusters its files by the spec columns under ``__part_<col>=``
+        path segments, one file per live partition value per commit,
+        with the source columns RETAINED in the data files so every
+        read path sees ordinary parquet. EXISTING files are never
+        rewritten: the spec is a forward contract, old-layout files
+        simply miss the path segments and partition-pruned reads keep
+        them conservatively — changing the spec is a metadata-only
+        commit at any table size, the operation that forces a full
+        table rewrite on Hive-partitioned layouts. ``cols=[]`` drops
+        the spec. Columns must exist (on a non-empty table), carry a
+        path-round-trippable type, and generated columns are allowed
+        (they're computed before the layout split)."""
+        cur = self.current_version()
+        m = (
+            load_manifest(self.root, cur)
+            if cur > 0
+            else {"files": [], "stats": {}, "dv": {}}
+        )
+        if cols and m["files"]:
+            head = self.read()
+            for c in cols:
+                if c not in head.columns:
+                    raise KeyError(f"no column named {c!r}")
+                dt = dict(head.dtypes)[c]
+                if dt not in self._PARTITIONABLE:
+                    raise ValueError(
+                        f"partition column {c!r} has type {dt}; only "
+                        f"{self._PARTITIONABLE} round-trip through "
+                        "path encoding"
+                    )
+        if cur == 0:
+            # empty table: bank the spec as the first (file-less) commit
+            return publish_version(
+                self.root, [], 0, {},
+                extra={"partition_spec": list(cols),
+                       "op": "SET PARTITION SPEC"},
+                ts=self.clock() if self.clock else None,
+            )
+        return self._publish(
+            m["files"], cur, m["stats"],
+            partition_spec=list(cols), op="SET PARTITION SPEC",
+        )
+
+    #: see module-level ``partition_values_from_path`` (shared with the
+    #: pysnapshot connector's planning-time partition pruning)
+    partition_values = staticmethod(
+        lambda path: partition_values_from_path(path)
+    )
+
+    def partition_pruned_files(
+        self, eq: dict, version: int | None = None
+    ) -> list[str]:
+        """The visible files that CAN hold rows matching the
+        ``{col: value}`` equality predicate, decided purely from the
+        partition tuples encoded in the file paths — an O(files) string
+        walk with zero file opens, the manifest-level pruning that makes
+        ``WHERE day = X`` touch one partition's files out of thousands.
+        Conservative by construction: a file with no banked value for a
+        column (pre-spec layout, connector write, spec evolution) is
+        KEPT — pruning can only skip files that provably hold no match,
+        never a file it merely knows nothing about."""
+        v = self.current_version() if version is None else version
+        m = load_manifest(self.root, v)
+        keep = []
+        for f in m["files"]:
+            pv = partition_values_from_path(f)
+            if all(
+                k not in pv or pv[k] == encode_partition_value(val)
+                for k, val in eq.items()
+            ):
+                keep.append(f)
+        return keep
+
+    def read_partition(self, eq: dict) -> DataFrame:
+        """DV-masked, schema-mapped read of only the partitions matching
+        the ``{col: value}`` equality predicate (files pruned via
+        ``partition_pruned_files``); callers still apply the predicate
+        as a filter — pruning is a superset guarantee, old-layout files
+        ride along conservatively."""
+        cur = self.current_version()
+        m = load_manifest(self.root, cur)
+        files = self.partition_pruned_files(eq, cur)
+        if not files:
+            return self.read().limit(0)
+        masked = self._masked_read(
+            files, {f: d for f, d in m["dv"].items() if f in set(files)}
+        )
+        return self._apply_schema_map(masked, m["schema"])
+
+    # ------------------------------------------------ row tracking ----
+    def enable_row_tracking(self) -> int:
+        """Delta's ROW TRACKING: every row gets a PERMANENT 64-bit id,
+        stable across OPTIMIZE / materialize_deletes / MOR UPDATE and
+        the update branch of MERGE (inserts draw fresh ids) — the
+        primitive that lets incremental consumers (MVs, syncs)
+        correlate a row across rewrites without a user-declared key.
+        Enabling is a metadata commit that assigns every EXISTING file
+        a ``[base_row_id, num_rows]`` range (one footer row-count read
+        per file, once); afterwards every commit assigns ranges to its
+        new files at the ``_publish`` choke point, so ALL write paths
+        participate without knowing about ids. A fresh file's row ids
+        are ``base + row_position`` (zero storage); a file REWRITTEN by
+        a preserving operation carries its rows' original ids as a
+        physical ``__row_id`` column (bytes only in churned files —
+        Delta materializes preserved ids the same way). The column is
+        hidden from every normal read; ``read_with_row_ids`` surfaces
+        ids as ``_row_id``."""
+        cur = self.current_version()
+        if cur == 0:
+            return publish_version(
+                self.root, [], 0, {},
+                extra={
+                    "row_tracking": True,
+                    "row_ids": {},
+                    "row_id_watermark": 0,
+                    "op": "ENABLE ROW TRACKING",
+                },
+                ts=self.clock() if self.clock else None,
+            )
+        m = load_manifest(self.root, cur)
+        return self._publish(
+            m["files"], cur, m["stats"],
+            row_tracking=True, op="ENABLE ROW TRACKING",
+        )
+
+    def _row_id_bases(self, m: dict) -> DataFrame:
+        """The manifest's per-file base ids as a (path, base) frame —
+        metadata-scale (O(files) rows), always broadcast."""
+        rid = m.get("row_ids") or {}
+        return self.spark.createDataFrame(
+            [(f, int(v[0])) for f, v in rid.items()],
+            "__fp string, __rid_base long",
+        )
+
+    def _attach_row_ids(
+        self, masked: DataFrame, m: dict, out_name: str
+    ) -> DataFrame:
+        """Resolve each row's permanent id onto ``masked`` (a
+        keep_provenance read): a physically-carried ``__row_id`` wins
+        (preserved through an earlier rewrite), else the file's banked
+        base + row position. The bases join is a broadcast of O(files)
+        metadata rows — never a data-scale shuffle."""
+        joined = masked.join(
+            F.broadcast(self._row_id_bases(m)), "__fp", "left"
+        )
+        fresh = (F.col("__rid_base") + F.col("__pos")).cast("long")
+        idc = (
+            F.coalesce(F.col(ROW_ID_COL).cast("long"), fresh)
+            if ROW_ID_COL in masked.columns
+            else fresh
+        )
+        drop = ["__fp", "__pos", "__rid_base"]
+        if out_name != ROW_ID_COL:
+            drop.append(ROW_ID_COL)
+        return joined.withColumn(out_name, idc).drop(*drop)
+
+    def read_with_row_ids(self, version: int | None = None) -> DataFrame:
+        """The snapshot with each row's permanent ``_row_id`` attached
+        (DV-masked, schema-mapped, same as ``read``). Rows from files
+        the table hasn't yet assigned a range to (impossible through
+        table commits; only a torn external write) surface NULL rather
+        than a fabricated id."""
+        v = self.current_version() if version is None else version
+        m = load_manifest(self.root, v)
+        if not m.get("row_tracking"):
+            raise ValueError(
+                "row tracking is not enabled on this table "
+                "(enable_row_tracking)"
+            )
+        if not m["files"]:
+            return self.read(v).withColumn(
+                "_row_id", F.lit(None).cast("long")
+            )
+        masked = self._masked_read(
+            m["files"], m["dv"], keep_provenance=True
+        )
+        out = self._attach_row_ids(masked, m, "_row_id")
+        return self._apply_schema_map(
+            out, m["schema"], keep=("_row_id",)
         )
 
     # --------------------------------------- generated columns ----
@@ -2145,6 +2643,145 @@ class SnapshotTable:
             op="ADD BLOOM INDEX",
         )
 
+    # --------------------------------- ANALYZE / NDV column stats ----
+    #: Datasketches HLL precision for ANALYZE sketches (2^12 registers,
+    #: ~1.6% relative standard error — the Spark default).
+    NDV_LGK = 12
+
+    def analyze_columns(self, cols: list[str]) -> int:
+        """ANALYZE (AWS Glue column statistics / Redshift ANALYZE
+        parity): bank a MERGEABLE Datasketches HLL sketch of each
+        column PER FILE, so table-level NDV — the statistic join
+        planning actually needs — is a union of per-file sketches, not
+        a re-scan. Incremental by construction: a run computes sketches
+        only for (file, column) pairs no prior run covered (new files
+        since the last ANALYZE cost one column read each; covered files
+        cost nothing — immutable files, immutable sketches). Sketches
+        live in ONE parquet sidecar per run under ``_indexes/ndv_*``
+        ((file, col, sketch) rows, KBs per file) written by the same
+        Spark job that aggregates them — sketch bytes never funnel
+        through the driver. Tombstoned (deletion-vector) rows are
+        INCLUDED: statistics are advisory, and an overcount is the safe
+        direction for join-size estimates. Renames are handled
+        logically (the sketch aggregates the alias-coalesced column).
+        """
+        import uuid as _uuid
+
+        cur = self.current_version()
+        m = (
+            load_manifest(self.root, cur)
+            if cur > 0
+            else {"files": [], "stats": {}, "dv": {}, "schema": None}
+        )
+        ndv = dict(m.get("ndv") or {"cols": [], "sidecars": []})
+        ndv["cols"] = sorted(set(ndv.get("cols", [])) | set(cols))
+        covered = self._ndv_covered(ndv)
+        work_cols = {
+            c: sorted(
+                set(m["files"]) - {f for f, cc in covered if cc == c}
+            )
+            for c in cols
+        }
+        todo = {c: fs for c, fs in work_cols.items() if fs}
+        if todo and m["files"]:
+            files = sorted({f for fs in todo.values() for f in fs})
+            raw = self.spark.read.option("mergeSchema", "true").parquet(
+                *files
+            ).withColumn(
+                "__fp", self._plain_path(F.col("_metadata.file_path"))
+            )
+            mapped = self._apply_schema_map(
+                raw, m["schema"], keep=("__fp",)
+            )
+            per_col = []
+            for c, fs in todo.items():
+                # file membership via a BROADCAST semi-join, never an
+                # isin() plan literal — fs is O(files) at fleet scale
+                want = self.spark.createDataFrame(
+                    [(f,) for f in fs], "__fp string"
+                )
+                per_col.append(
+                    mapped.join(F.broadcast(want), "__fp", "left_semi")
+                    .groupBy(F.col("__fp").alias("file"))
+                    .agg(
+                        F.hll_sketch_agg(F.col(c), self.NDV_LGK)
+                        .alias("sketch")
+                    )
+                    .select("file", F.lit(c).alias("col"), "sketch")
+                )
+            out = per_col[0]
+            for p in per_col[1:]:
+                out = out.unionAll(p)
+            sidecar = os.path.join(
+                self.root, "_indexes", f"ndv_{_uuid.uuid4().hex}"
+            )
+            out.write.mode("errorifexists").parquet(sidecar)
+            ndv["sidecars"] = list(ndv.get("sidecars", [])) + [sidecar]
+        if cur == 0:
+            return publish_version(
+                self.root, [], 0, {},
+                extra={"ndv": ndv, "op": "ANALYZE"},
+                ts=self.clock() if self.clock else None,
+            )
+        return self._publish(
+            m["files"], cur, m["stats"], ndv=ndv, op="ANALYZE"
+        )
+
+    def _ndv_covered(self, ndv: dict) -> set:
+        """(file, col) pairs any retained sidecar has a sketch for —
+        one metadata-scale read over the sidecars."""
+        sidecars = [
+            s for s in ndv.get("sidecars", []) if os.path.isdir(s)
+        ]
+        if not sidecars:
+            return set()
+        return {
+            (r["file"], r["col"])
+            for r in self.spark.read.parquet(*sidecars)
+            .select("file", "col")
+            .distinct()
+            .collect()
+        }
+
+    def table_ndv(
+        self, col: str, version: int | None = None
+    ) -> int | None:
+        """Table-level approximate distinct count of ``col`` from the
+        banked per-file sketches — a union over O(files) KB-scale
+        sketch rows, ZERO data reads at any table size. Returns None
+        (honest refusal — run ``analyze_columns``) unless EVERY visible
+        file is covered: an estimate missing files would silently
+        UNDERCOUNT, and undercounting NDV inflates join-size estimates'
+        denominator — the dangerous direction. Duplicate sketches for a
+        file merge idempotently (HLL union), so no dedup pass is
+        needed."""
+        v = self.current_version() if version is None else version
+        m = load_manifest(self.root, v)
+        ndv = m.get("ndv") or {}
+        sidecars = [
+            s for s in ndv.get("sidecars", []) if os.path.isdir(s)
+        ]
+        if not m["files"]:
+            return 0
+        if col not in ndv.get("cols", []) or not sidecars:
+            return None
+        visible = self.spark.createDataFrame(
+            [(f,) for f in m["files"]], "file string"
+        )
+        rows = (
+            self.spark.read.parquet(*sidecars)
+            .filter(F.col("col") == col)
+            .join(F.broadcast(visible), "file", "left_semi")
+        )
+        got = rows.agg(
+            F.countDistinct("file").alias("n"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+            .alias("est"),
+        ).collect()[0]
+        if got["n"] != len(m["files"]):
+            return None  # uncovered files: refuse, never undercount
+        return int(got["est"])
+
     def drop_bloom_index(self, col: str) -> int:
         """Unregister ``col``'s bloom index; sidecar files are left for
         VACUUM (they are invisible once unreferenced)."""
@@ -2169,13 +2806,23 @@ class SnapshotTable:
     def point_lookup_files(
         self, col: str, value, version: int | None = None
     ) -> tuple[list[str], int, int]:
-        """File planning for ``col == value``: zone maps first (free,
-        from the log), then bloom probes over the surviving candidates
-        (one KB-scale sidecar read each — only candidates pay it).
+        """File planning for ``col == value``: partition-path segments
+        and zone maps first (both free, from the log/paths), then bloom
+        probes over the surviving candidates (one KB-scale sidecar read
+        each — only candidates pay it).
         Returns (files to read, zone-map survivors, total files)."""
         v = self.current_version() if version is None else version
         m = load_manifest(self.root, v)
         zone_keep, total = self.pruned_files(col, value, value, v)
+        # partition-spec pruning composes: a spec'd file whose path
+        # segment banks a different value provably holds no match
+        enc = encode_partition_value(value)
+        if enc is not None:
+            zone_keep = [
+                f
+                for f in zone_keep
+                if partition_values_from_path(f).get(col, enc) == enc
+            ]
         if col not in (m.get("bloom_cols") or {}):
             return zone_keep, len(zone_keep), total
         blooms = m.get("blooms") or {}
@@ -2248,7 +2895,10 @@ class SnapshotTable:
         of inheriting the current head's map, which would keep reading
         the restored files under post-restore names). Constraints are
         table properties, not data: the CURRENT head's constraint set is
-        kept, as Delta RESTORE does."""
+        kept, as Delta RESTORE does. The PARTITION SPEC restores with
+        the target version (it describes the restored file LAYOUT;
+        inheriting the head's spec could name a column the restored
+        schema doesn't have, bricking every subsequent write)."""
         cur = self.current_version()
         m = load_manifest(self.root, version)
         return self._publish(
@@ -2257,6 +2907,11 @@ class SnapshotTable:
             m["stats"],
             dv=dict(m["dv"]) or {},
             schema_map=m["schema"],
+            partition_spec=m.get("partition_spec") or None,
+            # a restored file keeps the ids it had at version N (row
+            # tracking stays governed by the CURRENT head, like
+            # constraints; only the RANGES are seeded)
+            row_ids_seed=m.get("row_ids") or None,
             op="RESTORE",
         )
 
@@ -2290,6 +2945,15 @@ class SnapshotTable:
                 # (same caveat, never a wrong answer)
                 bloom_cols=m.get("bloom_cols") or None,
                 blooms=dict(m.get("blooms") or {}),
+                # the layout contract travels too: without it the
+                # clone's first append would land unpartitioned files
+                # in a table whose reads assume spec'd clustering
+                partition_spec=m.get("partition_spec") or None,
+                # row tracking: the clone's borrowed files keep the
+                # source's id ranges (ids diverge only as the clone
+                # commits its own files past the seeded watermark)
+                row_tracking=m.get("row_tracking") or None,
+                row_ids_seed=m.get("row_ids") or None,
                 op="CLONE",
             )
         return clone
@@ -2374,6 +3038,7 @@ class SnapshotTable:
         reachable: set[str] = set()
         reachable_dv: set[str] = set()
         reachable_bloom: set[str] = set()
+        reachable_ndv: set[str] = set()
         for v in keep_versions:
             m = load_manifest(self.root, v)
             reachable |= set(m["files"])
@@ -2383,15 +3048,20 @@ class SnapshotTable:
                 for percol in (m.get("blooms") or {}).values()
                 for s in percol.values()
             }
+            reachable_ndv |= set(
+                (m.get("ndv") or {}).get("sidecars", [])
+            )
         deleted: list[str] = []
         data_root = os.path.join(self.root, "data")
-        for d in os.listdir(data_root) if os.path.isdir(data_root) else []:
-            full = os.path.join(data_root, d)
-            for f in os.listdir(full):
-                p = os.path.join(full, f)
-                if f.endswith(".parquet") and p not in reachable:
-                    os.unlink(p)
-                    deleted.append(p)
+        # recursive walk: partition-spec'd commits nest their files
+        # under __part_<col>=<value>/ directories
+        if os.path.isdir(data_root):
+            for walk_root, _dirs, fs in os.walk(data_root):
+                for f in fs:
+                    p = os.path.join(walk_root, f)
+                    if f.endswith(".parquet") and p not in reachable:
+                        os.unlink(p)
+                        deleted.append(p)
         # deletion-vector sidecar dirs unreachable from the window
         dv_root = os.path.join(self.root, "deletes")
         if os.path.isdir(dv_root):
@@ -2401,7 +3071,8 @@ class SnapshotTable:
                     shutil.rmtree(full, ignore_errors=True)
                     deleted.append(full)
         # bloom index sidecars unreferenced from the window (dropped
-        # indexes, rewritten files)
+        # indexes, rewritten files); ANALYZE sketch sidecar dirs
+        # unreferenced from any retained manifest
         idx_root = os.path.join(self.root, "_indexes")
         if os.path.isdir(idx_root):
             for f in os.listdir(idx_root):
@@ -2411,6 +3082,13 @@ class SnapshotTable:
                     and p not in reachable_bloom
                 ):
                     os.unlink(p)
+                    deleted.append(p)
+                elif (
+                    f.startswith("ndv_")
+                    and os.path.isdir(p)
+                    and p not in reachable_ndv
+                ):
+                    shutil.rmtree(p, ignore_errors=True)
                     deleted.append(p)
         for v in range(1, keep_versions[0]):
             try:

@@ -1413,3 +1413,476 @@ def test_merge_mor_recomputes_generated_columns(spark):
     # v/v2x generated-null-free: v absent from source -> NULL v, and
     # the generated column computes from it (NULL * 2 = NULL)
     assert 77 in got
+
+
+# ------------------------------------------------------------------ #
+# 18. Table-level partition spec + partition evolution
+# ------------------------------------------------------------------ #
+
+def _mod3(spark, n=90, start=0):
+    return spark.range(start, start + n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("bucket"),
+        (F.col("id") * 2).alias("v"),
+    )
+
+
+def test_partition_spec_clusters_writes_and_prunes(spark):
+    t = SnapshotTable(spark, _tmp("pspec"))
+    t.set_partition_spec(["bucket"])
+    t.commit_append(_mod3(spark))
+    m = load_manifest(t.root, t.current_version())
+    # one file per live partition value, each path-encoding its tuple
+    vals = sorted(
+        t.partition_values(f).get("bucket") for f in m["files"]
+    )
+    assert vals == ["0", "1", "2"]
+    pruned = t.partition_pruned_files({"bucket": 1})
+    assert len(pruned) == 1
+    assert t.partition_values(pruned[0]) == {"bucket": "1"}
+    got = t.read_partition({"bucket": 1})
+    assert got.count() == 30
+    assert got.filter("bucket <> 1").count() == 0
+    # data columns are RETAINED in the files: a plain read sees them
+    assert t.read().count() == 90
+    assert set(t.read().columns) == {"k", "bucket", "v"}
+
+
+def test_partition_spec_evolution_is_metadata_only(spark):
+    """Iceberg's partition evolution: changing the spec rewrites ZERO
+    files — old-layout files miss the new segments and partition-pruned
+    reads keep them conservatively."""
+    t = SnapshotTable(spark, _tmp("pevol"))
+    t.commit_append(_mod3(spark, 30).coalesce(1))          # unpartitioned
+    t.set_partition_spec(["bucket"])
+    t.commit_append(_mod3(spark, 30, start=100))           # partitioned
+    files = load_manifest(t.root, t.current_version())["files"]
+    old = [f for f in files if not t.partition_values(f)]
+    new = [f for f in files if t.partition_values(f)]
+    assert len(old) == 1 and len(new) == 3
+    pruned = t.partition_pruned_files({"bucket": 2})
+    # the old-layout file is conservatively kept, plus bucket=2's file
+    assert set(pruned) == set(old) | {
+        f for f in new if t.partition_values(f)["bucket"] == "2"
+    }
+    got = t.read_partition({"bucket": 2}).filter("bucket = 2")
+    assert got.count() == 10 + 10
+    # spec change is itself an audited metadata commit
+    ops = {r["version"]: r["operation"] for r in t.history().collect()}
+    assert "SET PARTITION SPEC" in ops.values()
+
+
+def test_partition_spec_validation(spark):
+    t = SnapshotTable(spark, _tmp("pval"))
+    t.commit_append(
+        spark.range(5).select(
+            F.col("id").alias("k"), F.rand(7).alias("x")
+        )
+    )
+    with pytest.raises(ValueError, match="round-trip"):
+        t.set_partition_spec(["x"])            # double: no path fidelity
+    with pytest.raises(KeyError):
+        t.set_partition_spec(["nope"])
+    t.set_partition_spec(["k"])
+    with pytest.raises(ValueError, match="missing from the write"):
+        t.commit_append(
+            spark.range(3).select(F.col("id").alias("other"))
+        )
+
+
+def test_partition_spec_composes_with_dv_and_vacuum(spark):
+    t = SnapshotTable(spark, _tmp("pdv"))
+    t.set_partition_spec(["bucket"])
+    t.commit_append(_mod3(spark))
+    t.delete_where(F.col("k") < 9)             # 3 rows off each bucket
+    assert t.read().count() == 81
+    assert t.read_partition({"bucket": 0}).count() == 27
+    # materialize folds the DVs into a REWRITE that stays partitioned
+    t.materialize_deletes()
+    m = t.current_version()
+    files = load_manifest(t.root, m)["files"]
+    assert all(t.partition_values(f).get("bucket") for f in files) or \
+        sorted(t.partition_values(f)["bucket"] for f in files) == ["0", "1", "2"]
+    # vacuum reclaims the pre-rewrite nested files (and the now-
+    # unreferenced DV sidecar dir)
+    deleted = t.vacuum(retain_versions=1)
+    assert len([d for d in deleted if d.endswith(".parquet")]) == 3
+    assert t.read().count() == 81
+
+
+def test_partition_spec_refuses_connector_writes(spark):
+    t = SnapshotTable(spark, _tmp("pconn"))
+    t.set_partition_spec(["bucket"])
+    t.commit_append(_mod3(spark, 30))
+    register_snapshot_source(spark)
+    # reads through the connector remain exact (nested paths are plain
+    # per-file Arrow reads)
+    conn = (
+        spark.read.format("pysnapshot").option("root", t.root).load()
+    )
+    assert conn.count() == 30
+    with pytest.raises(Exception, match="partition spec"):
+        _mod3(spark, 5, start=500).write.format("pysnapshot").option(
+            "root", t.root
+        ).mode("append").save()
+
+
+# ------------------------------------------------------------------ #
+# 19. Partition spec: composition with schema edits, restore, clone
+# ------------------------------------------------------------------ #
+
+def test_spec_column_rename_drop_rejected(spark):
+    """Renaming/dropping a partition-spec column would brick every
+    subsequent write (the spec stores logical names) — rejected up
+    front, same posture as constrained columns."""
+    t = SnapshotTable(spark, _tmp("pschema"))
+    t.set_partition_spec(["bucket"])
+    t.commit_append(_mod3(spark, 30))
+    with pytest.raises(ValueError, match="partition-spec"):
+        t.rename_column("bucket", "b2")
+    with pytest.raises(ValueError, match="partition-spec"):
+        t.drop_column("bucket")
+    # non-spec columns still rename/drop freely
+    t.rename_column("v", "val")
+    # and after evolving the spec away, the edit is allowed
+    t.set_partition_spec([])
+    t.rename_column("bucket", "b2")
+    assert set(t.read().columns) == {"k", "b2", "val"}
+
+
+def test_restore_carries_target_version_spec(spark):
+    """RESTORE publishes the TARGET version's partition spec verbatim —
+    inheriting the head's spec could name a column the restored schema
+    lacks, bricking writes."""
+    t = SnapshotTable(spark, _tmp("prest"))
+    t.commit_append(_mod3(spark, 30).coalesce(1))     # v1: no spec
+    pre = t.current_version()
+    t.set_partition_spec(["bucket"])
+    t.commit_append(_mod3(spark, 30, start=100))
+    t.restore(pre)
+    assert t._partition_spec() == []
+    # post-restore writes land unpartitioned (the restored contract)
+    t.commit_append(_mod3(spark, 3, start=500).coalesce(1))
+    m = load_manifest(t.root, t.current_version())
+    new = [f for f in m["files"] if "__part_" in f]
+    assert new == []
+    # and restoring FORWARD to the spec'd version restores the spec
+    t.restore(pre + 2)
+    assert t._partition_spec() == ["bucket"]
+
+
+def test_clone_carries_partition_spec(spark):
+    t = SnapshotTable(spark, _tmp("pclsrc"))
+    t.set_partition_spec(["bucket"])
+    t.commit_append(_mod3(spark, 30))
+    c = t.clone_shallow(_tmp("pcldst"))
+    assert c._partition_spec() == ["bucket"]
+    c.commit_append(_mod3(spark, 30, start=100))
+    m = load_manifest(c.root, c.current_version())
+    added = [f for f in m["files"] if f.startswith(c.root)]
+    assert added and all("__part_bucket=" in f for f in added)
+
+
+def test_concurrent_spec_registration_conflicts_append(spark):
+    """A spec registered between staging and publish fails the commit
+    (the staged files were laid out under the wrong spec) instead of
+    silently violating the layout contract."""
+    t = SnapshotTable(spark, _tmp("pconc"))
+    t.commit_append(_mod3(spark, 9).coalesce(1))
+    orig = t._publish
+    hit = {}
+
+    def racy(*a, **kw):
+        if not hit:
+            hit["x"] = 1
+            # another writer registers a spec first
+            SnapshotTable(spark, t.root).set_partition_spec(["bucket"])
+        return orig(*a, **kw)
+
+    t._publish = racy
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        CommitConflict,
+    )
+    with pytest.raises(CommitConflict, match="partition spec"):
+        t.commit_append(_mod3(spark, 9, start=100))
+
+
+def test_connector_plans_prune_by_partition_path(spark):
+    """Pushed equality filters prune spec'd files at PLANNING time from
+    their __part_ path segments — zero file opens; segment-less files
+    (pre-spec layout) are kept conservatively; the zero-null-match rule
+    holds (a literal never matches a NULL partition)."""
+    from s3_glue_redshift_guide_spark.sources.pyds import (
+        SnapshotManifestReader,
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    t = SnapshotTable(spark, _tmp("pplan"))
+    t.commit_append(_mod3(spark, 9, start=900).coalesce(1))  # pre-spec
+    t.set_partition_spec(["bucket"])
+    t.commit_append(_mod3(spark, 90))                        # 3 files
+    r = SnapshotManifestReader({"root": t.root})
+    assert len(r.partitions()) == 4
+    r2 = SnapshotManifestReader({"root": t.root})
+    leftover = list(r2.pushFilters([EqualTo(("bucket",), 1)]))
+    assert len(leftover) == 1  # pruning-only: residual kept
+    kept = r2.partitions()
+    # bucket=1's file + the conservative pre-spec file; zone maps may
+    # additionally prune the pre-spec file via banked stats, so assert
+    # the spec'd mismatches are gone and bucket=1 survives
+    paths = [p.path for p in kept]
+    assert any("__part_bucket=1" in p for p in paths)
+    assert not any(
+        "__part_bucket=" in p and "__part_bucket=1" not in p
+        for p in paths
+    )
+    # end-to-end through the registered format: exact rows
+    register_snapshot_source(spark)
+    got = (
+        spark.read.format("pysnapshot").option("root", t.root).load()
+        .filter("bucket = 1")
+    )
+    # 30 from the spec'd batch + 3 from the conservative pre-spec file
+    assert got.count() == 33
+    assert got.filter("bucket <> 1").count() == 0
+
+
+def test_optimize_zorder_on_spec_table_keeps_curve_locality(spark):
+    """OPTIMIZE ZORDER on a partition-spec'd table: the spec decides
+    WHICH file a row lands in (one per partition value), and the Morton
+    key rides as a write-time sort WITHIN each file — verified by
+    recomputing the z key per output file and checking monotonicity."""
+    from s3_glue_redshift_guide_spark.operators.zorder import (
+        normalize_to_bits,
+        z_value,
+    )
+
+    t = SnapshotTable(spark, _tmp("pzord"))
+    t.set_partition_spec(["bucket"])
+    # many small commits -> small files eligible for compaction
+    for s in range(4):
+        t.commit_append(_mod3(spark, 30, start=s * 1000))
+    r = t.optimize_small_files(
+        small_threshold=10**9, target_bytes=10**9, z_cols=("k", "v")
+    )
+    assert r["n_files_after"] < r["n_files_before"]
+    m = load_manifest(t.root, t.current_version())
+    # layout survived: every file carries its partition segment
+    assert sorted(
+        {t.partition_values(f).get("bucket") for f in m["files"]}
+    ) == ["0", "1", "2"]
+    lim = t.read().agg(
+        F.min("k").cast("bigint"), F.max("k").cast("bigint"),
+        F.min("v").cast("bigint"), F.max("v").cast("bigint"),
+    ).collect()[0]
+    zkey = z_value(
+        normalize_to_bits(F.col("k"), F.lit(lim[0]), F.lit(lim[1])),
+        normalize_to_bits(F.col("v"), F.lit(lim[2]), F.lit(lim[3])),
+    )
+    for f in m["files"]:
+        zs = [
+            r[0]
+            for r in spark.read.parquet(f).select(zkey).collect()
+        ]
+        assert zs == sorted(zs), f"z order scrambled in {f}"
+    # rows intact
+    assert t.read().count() == 120
+
+
+# ------------------------------------------------------------------ #
+# 20. Row tracking (Delta row IDs)
+# ------------------------------------------------------------------ #
+
+def _ids(t, version=None):
+    """{_row_id: k} mapping of the snapshot."""
+    return {
+        r["_row_id"]: r["k"]
+        for r in t.read_with_row_ids(version).select("_row_id", "k").collect()
+    }
+
+
+def test_row_tracking_assigns_stable_unique_ids(spark):
+    t = SnapshotTable(spark, _tmp("rid"))
+    t.enable_row_tracking()
+    t.commit_append(_kv(spark, 10).coalesce(1))
+    t.commit_append(_kv(spark, 5, start=100).coalesce(1))
+    m = _ids(t)
+    assert len(m) == 15 and set(m) == set(range(15))
+    # single-file commits in row order: ids are positional
+    assert m[0] == 0 and m[9] == 9 and m[10] == 100 and m[14] == 104
+    # __row_id never leaks into a plain read
+    assert "__row_id" not in t.read().columns
+    assert "_row_id" not in t.read().columns
+
+
+def test_row_tracking_enable_on_existing_table(spark):
+    t = SnapshotTable(spark, _tmp("ride"))
+    t.commit_append(_kv(spark, 7).coalesce(1))
+    t.enable_row_tracking()
+    assert set(_ids(t)) == set(range(7))
+
+
+def test_row_ids_preserved_through_optimize_and_materialize(spark):
+    t = SnapshotTable(spark, _tmp("ridopt"))
+    t.enable_row_tracking()
+    for s in range(3):
+        t.commit_append(_kv(spark, 10, start=s * 50).coalesce(1))
+    before = _ids(t)
+    t.delete_where(F.col("k") == 51)           # DV: ids of survivors keep
+    t.optimize_small_files(10**9, 10**9)       # preserving rewrite
+    after = _ids(t)
+    gone = {i for i, k in before.items() if k == 51}
+    assert after == {i: k for i, k in before.items() if i not in gone}
+    # plain read still hides the physical column the rewrite wrote
+    assert "__row_id" not in t.read().columns
+    # and a DV + materialize on the ALREADY-rewritten layout preserves
+    t.delete_where(F.col("k") == 52)
+    t.materialize_deletes()
+    final = _ids(t)
+    assert final == {i: k for i, k in after.items() if k != 52}
+
+
+def test_row_ids_fresh_after_optimize_never_collide(spark):
+    t = SnapshotTable(spark, _tmp("ridwm"))
+    t.enable_row_tracking()
+    t.commit_append(_kv(spark, 10).coalesce(1))
+    t.optimize_small_files(10**9, 10**9)
+    t.commit_append(_kv(spark, 10, start=500).coalesce(1))
+    m = _ids(t)
+    assert len(m) == 20 and len(set(m)) == 20  # unique ids
+
+
+def test_row_ids_preserved_through_update_where(spark):
+    t = SnapshotTable(spark, _tmp("ridupd"))
+    t.enable_row_tracking()
+    t.commit_append(_kv(spark, 10).coalesce(1))
+    before = _ids(t)
+    rid5 = next(i for i, k in before.items() if k == 5)
+    t.update_where(F.col("k") == 5, {"v": F.lit(999).cast("long")})
+    got = {
+        r["_row_id"]: (r["k"], r["v"])
+        for r in t.read_with_row_ids().collect()
+    }
+    assert got[rid5] == (5, 999)           # same identity, new value
+    assert len(got) == 10 and len(set(got)) == 10
+
+
+def test_row_ids_survive_restore_clone_and_connector_writes(spark):
+    t = SnapshotTable(spark, _tmp("ridrc"))
+    t.enable_row_tracking()
+    t.commit_append(_kv(spark, 10).coalesce(1))
+    v_snap = t.current_version()
+    snap = _ids(t)
+    t.optimize_small_files(10**9, 10**9)
+    t.commit_append(_kv(spark, 3, start=800).coalesce(1))
+    t.restore(v_snap)
+    assert _ids(t) == snap                  # restored files keep ids
+    c = t.clone_shallow(_tmp("ridcl"))
+    assert _ids(c) == snap                  # clone borrows ids
+    # connector append participates: tracking carried, fresh ranges
+    register_snapshot_source(spark)
+    _kv(spark, 4, start=900).coalesce(1).write.format(
+        "pysnapshot"
+    ).option("root", t.root).mode("append").save()
+    m = _ids(t)
+    assert len(m) == 14 and len(set(m)) == 14
+    assert snap.items() <= m.items()
+    # the connector read surface never shows the physical id column
+    conn = spark.read.format("pysnapshot").option("root", t.root).load()
+    assert "__row_id" not in conn.columns and conn.count() == 14
+
+
+def test_row_ids_preserved_through_merge_mor(spark):
+    """MERGE INTO: updated rows keep their permanent ids, deleted rows'
+    ids vanish, inserted rows draw fresh ids past the watermark."""
+    t = SnapshotTable(spark, _tmp("ridmrg"))
+    t.enable_row_tracking()
+    t.commit_append(_kv(spark, 10).coalesce(1))
+    before = _ids(t)
+    src = spark.range(3).select(
+        (F.col("id") + 4).alias("k"),          # keys 4,5,6 matched
+        F.lit(-1).cast("long").alias("v"),
+    ).union(
+        spark.range(1).select(
+            F.lit(700).alias("k"), F.lit(7).cast("long").alias("v")
+        )                                       # unmatched: insert
+    )
+    t.merge_mor(
+        src,
+        on=["k"],
+        when_matched_update={"v": F.col("__src_v")},
+        when_matched_delete=F.col("k") == 6,
+    )
+    got = {
+        r["_row_id"]: (r["k"], r["v"])
+        for r in t.read_with_row_ids().collect()
+    }
+    assert len(got) == 10  # 10 - 1 deleted + 1 inserted
+    for rid, k in before.items():
+        if k == 6:
+            assert rid not in got            # deleted id gone
+        elif k in (4, 5):
+            assert got[rid] == (k, -1)       # same identity, new value
+        else:
+            assert got[rid][0] == k          # untouched
+    ins = [rid for rid, (k, _v) in got.items() if k == 700]
+    assert len(ins) == 1 and ins[0] not in before
+
+
+# ------------------------------------------------------------------ #
+# 21. ANALYZE / NDV column statistics (HLL sketches per file)
+# ------------------------------------------------------------------ #
+
+def test_analyze_ndv_exact_at_small_cardinality(spark):
+    t = SnapshotTable(spark, _tmp("ndv"))
+    t.commit_append(_mod3(spark, 90))
+    t.analyze_columns(["k", "bucket"])
+    # HLL is exact in sparse mode at these cardinalities
+    assert t.table_ndv("k") == 90
+    assert t.table_ndv("bucket") == 3
+    assert t.table_ndv("v") is None          # never analyzed
+
+
+def test_analyze_is_incremental_and_refuses_uncovered(spark):
+    t = SnapshotTable(spark, _tmp("ndvinc"))
+    t.commit_append(_mod3(spark, 30).coalesce(1))
+    t.analyze_columns(["k"])
+    assert t.table_ndv("k") == 30
+    t.commit_append(_mod3(spark, 30, start=100).coalesce(1))
+    # new file uncovered: honest refusal, never an undercount
+    assert t.table_ndv("k") is None
+    t.analyze_columns(["k"])
+    assert t.table_ndv("k") == 60
+    m = load_manifest(t.root, t.current_version())
+    assert len(m["ndv"]["sidecars"]) == 2    # second run: delta only
+    # sketches survive vacuum while referenced
+    t.vacuum(retain_versions=1)
+    assert t.table_ndv("k") == 60
+    ops = [r["operation"] for r in t.history().collect()]
+    assert "ANALYZE" in ops
+
+
+def test_estimate_equi_join_rows_from_metadata(spark):
+    from s3_glue_redshift_guide_spark.operators.advisor import (
+        estimate_equi_join_rows,
+    )
+
+    lt = SnapshotTable(spark, _tmp("ndvjl"))
+    rt = SnapshotTable(spark, _tmp("ndvjr"))
+    # left: 3 rows per key over 30 keys; right: the 30 keys, unique
+    lt.commit_append(
+        spark.range(90).select((F.col("id") % 30).alias("key"))
+    )
+    rt.commit_append(spark.range(30).select(F.col("id").alias("key")))
+    adv = estimate_equi_join_rows(spark, lt.root, rt.root, "key")
+    assert adv["estimated_rows"] is None     # un-analyzed: refuse
+    lt.analyze_columns(["key"])
+    rt.analyze_columns(["key"])
+    adv = estimate_equi_join_rows(spark, lt.root, rt.root, "key")
+    assert adv == {
+        "left_rows": 90,
+        "right_rows": 30,
+        "left_ndv": 30,
+        "right_ndv": 30,
+        "estimated_rows": 90,                # |L|*|R|/max(ndv) exact here
+    }
