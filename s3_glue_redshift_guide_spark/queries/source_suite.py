@@ -2193,3 +2193,72 @@ def stats_ndv_estimate(spark, sf_dir):
         "ndv_r_exact bigint, join_rows bigint, ndv_l_in_tol boolean, "
         "ndv_r_in_tol boolean, est_in_tol boolean",
     )
+
+
+# ----------------------- COPY INTO (S49) -------------------------------
+@query(
+    "src_copy_into",
+    oracle="""
+    WITH u AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 900)
+    SELECT CAST(2 AS INT) AS first_ingested,
+           CAST(1 AS INT) AS second_ingested,
+           CAST(1 AS INT) AS second_skipped,
+           CAST(3 AS INT) AS replay_skipped,
+           (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_rows,
+           (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM u) AS key_sum
+    """,
+)
+def src_copy_into(spark, sf_dir):
+    """COPY INTO (Redshift COPY / Delta COPY INTO): idempotent
+    FILE-LEVEL ingestion from a landing prefix — each source file loads
+    exactly once per table lifetime; overlapping re-runs skip already-
+    ingested files and a full replay is a no-op commit-wise. The
+    ingested-source ledger rides the manifest like the streaming txn
+    map (survives interleaved commits; a concurrent copy of the same
+    source CONFLICTS instead of double-loading), and the load flows
+    through the normal append path so constraints / generated columns /
+    partition specs / row-id ranges all apply. The final table must be
+    row- and sum-exact the union of the three distinct landing files —
+    any double-load or lost file breaks ``n_rows``/``key_sum``. At
+    100 TB this is the bookmark-free daily ingest: O(new files) work,
+    O(ingested files) metadata."""
+    import glob as _glob
+
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    land = _tmp("copyland")
+    for name, lo, hi in (
+        ("a", 0, 299), ("b", 300, 599), ("c", 600, 899)
+    ):
+        o.filter(F.col("o_orderkey").between(lo, hi)).coalesce(
+            1
+        ).write.parquet(os.path.join(land, name))
+    fa, fb, fc = (
+        sorted(
+            _glob.glob(os.path.join(land, n, "*.parquet"))
+        )
+        for n in ("a", "b", "c")
+    )
+    t = SnapshotTable(spark, _tmp("copytab"))
+    r1 = t.copy_into(fa + fb)
+    r2 = t.copy_into(fb + fc)
+    r3 = t.copy_into(fa + fb + fc)
+    agg = t.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("long").alias("s"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                r1["n_ingested"],
+                r2["n_ingested"],
+                r2["n_skipped"],
+                r3["n_skipped"],
+                agg["n"],
+                agg["s"],
+            )
+        ],
+        "first_ingested int, second_ingested int, second_skipped int, "
+        "replay_skipped int, n_rows bigint, key_sum bigint",
+    )

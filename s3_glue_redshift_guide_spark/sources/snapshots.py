@@ -720,6 +720,7 @@ class SnapshotTable:
         row_tracking=_UNSET,
         row_ids_seed: dict | None = None,
         ndv=_UNSET,
+        copied_update: dict | None = None,
     ) -> int:
         # carry the txn map (streaming writers' appId -> batchId records),
         # the deletion-vector map, the field-id schema map, and the CHECK
@@ -800,6 +801,13 @@ class SnapshotTable:
             ndv = base.get("ndv")
         if ndv:
             extra["ndv"] = ndv
+        # COPY INTO's ingested-source ledger: carries like the txn map
+        # (replay detection must survive interleaved commits)
+        copied = base.get("copied", {})
+        if copied_update:
+            copied = {**copied, **copied_update}
+        if copied:
+            extra["copied"] = copied
         # row tracking (Delta's row IDs): once enabled, every visible
         # file owns a [base_row_id, num_rows] range banked here — a
         # row's PERMANENT id is base + its position, unless the file
@@ -987,6 +995,7 @@ class SnapshotTable:
         df: DataFrame,
         stats_cols: list[str] | None = None,
         op: str = "APPEND",
+        _copied_update: dict | None = None,
     ) -> int:
         """Append with AUTOMATIC CONFLICT RESOLUTION (Delta's semantics:
         two appends never truly conflict): on ``CommitConflict`` the
@@ -1031,6 +1040,17 @@ class SnapshotTable:
                     f"were laid out under {spec_at_write or 'no spec'} "
                     "— retry the write"
                 )
+            # COPY INTO race: a concurrent writer landed (some of) the
+            # same source files while we staged — publishing would
+            # double-ingest. Fail the commit; the retry skips them.
+            if _copied_update:
+                dup = set(_copied_update) & set(m.get("copied", {}))
+                if dup:
+                    raise CommitConflict(
+                        f"source file(s) {sorted(dup)[:3]}... were "
+                        "COPY'd concurrently by another writer — "
+                        "retry (they will be skipped)"
+                    )
             if new is None:
                 new = self._write_files(df)
             # registered bloom indexes extend to the new files (built
@@ -1048,6 +1068,7 @@ class SnapshotTable:
                     schema_map=self._extend_schema_map(m, df),
                     blooms=blooms,
                     op=op,
+                    copied_update=_copied_update,
                 )
             except CommitConflict:
                 continue
@@ -2277,6 +2298,57 @@ class SnapshotTable:
             files, {f: d for f, d in m["dv"].items() if f in set(files)}
         )
         return self._apply_schema_map(masked, m["schema"])
+
+    # --------------------------------------------------- COPY INTO ----
+    def copy_into(
+        self,
+        sources: list[str],
+        fmt: str = "parquet",
+        options: dict | None = None,
+    ) -> dict:
+        """COPY INTO (the Redshift COPY / Delta COPY INTO load shape):
+        idempotent FILE-LEVEL ingestion — each source file loads
+        exactly once per table lifetime no matter how many times the
+        command re-runs, retries after a crash, or overlaps a prior
+        batch's listing. The ledger of ingested source paths rides the
+        manifest like the streaming txn map, so replay detection
+        survives interleaved commits from other writers; a CONCURRENT
+        copy of the same source fails the commit (never a silent
+        double-load) and the retry skips it. Only NEW sources are read
+        — a daily re-point at the same landing prefix costs O(new
+        files). The load flows through the normal append path, so
+        every writer-side contract applies: CHECK constraints,
+        generated columns, the partition-spec layout, row-id ranges.
+        At 100 TB this is the bookmark-free landing-zone ingest: the
+        ledger is O(ingested files) metadata, the work O(delta)."""
+        cur = self.current_version()
+        done = (
+            load_manifest(self.root, cur).get("copied", {})
+            if cur > 0
+            else {}
+        )
+        new_src = sorted(set(s for s in sources if s not in done))
+        n_skipped = len(sources) - len(new_src)
+        if not new_src:
+            return {
+                "version": cur,
+                "n_ingested": 0,
+                "n_skipped": n_skipped,
+            }
+        reader = self.spark.read.format(fmt)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        df = reader.load(new_src)
+        v = self.commit_append(
+            df,
+            op="COPY INTO",
+            _copied_update={s: None for s in new_src},
+        )
+        return {
+            "version": v,
+            "n_ingested": len(new_src),
+            "n_skipped": n_skipped,
+        }
 
     # ------------------------------------------------ row tracking ----
     def enable_row_tracking(self) -> int:

@@ -1886,3 +1886,62 @@ def test_estimate_equi_join_rows_from_metadata(spark):
         "right_ndv": 30,
         "estimated_rows": 90,                # |L|*|R|/max(ndv) exact here
     }
+
+
+# ------------------------------------------------------------------ #
+# 22. COPY INTO (idempotent file-level ingestion)
+# ------------------------------------------------------------------ #
+
+def test_copy_into_is_idempotent_per_source_file(spark, tmp_path):
+    land = str(tmp_path / "landing")
+    _kv(spark, 10).coalesce(1).write.parquet(land + "/a")
+    _kv(spark, 5, start=100).coalesce(1).write.parquet(land + "/b")
+    _kv(spark, 3, start=200).coalesce(1).write.parquet(land + "/c")
+    import glob
+    fa = sorted(glob.glob(land + "/a/*.parquet"))
+    fb = sorted(glob.glob(land + "/b/*.parquet"))
+    fc = sorted(glob.glob(land + "/c/*.parquet"))
+    t = SnapshotTable(spark, _tmp("copy"))
+    r1 = t.copy_into(fa + fb)
+    assert (r1["n_ingested"], r1["n_skipped"]) == (2, 0)
+    assert t.read().count() == 15
+    # overlapping re-run: only the new file loads
+    r2 = t.copy_into(fb + fc)
+    assert (r2["n_ingested"], r2["n_skipped"]) == (1, 1)
+    assert t.read().count() == 18
+    # full replay: everything skipped, version unchanged
+    v = t.current_version()
+    r3 = t.copy_into(fa + fb + fc)
+    assert (r3["n_ingested"], r3["n_skipped"]) == (0, 3)
+    assert t.current_version() == v and t.read().count() == 18
+    ops = [r["operation"] for r in t.history().collect()]
+    assert ops.count("COPY INTO") == 2
+
+
+def test_copy_into_composes_with_writer_contracts(spark, tmp_path):
+    """The load flows through the normal append path: CHECK
+    constraints veto bad sources, the partition spec clusters the
+    ingested rows, and the ledger survives interleaved commits."""
+    land = str(tmp_path / "landing2")
+    _mod3(spark, 30).coalesce(1).write.parquet(land + "/good")
+    spark.range(3).select(
+        F.lit(-5).alias("k"), F.lit(0).alias("bucket"),
+        F.lit(0).cast("long").alias("v"),
+    ).coalesce(1).write.parquet(land + "/bad")
+    import glob
+    good = sorted(glob.glob(land + "/good/*.parquet"))
+    bad = sorted(glob.glob(land + "/bad/*.parquet"))
+    t = SnapshotTable(spark, _tmp("copyc"))
+    t.set_partition_spec(["bucket"])
+    t.copy_into(good)
+    m = load_manifest(t.root, t.current_version())
+    assert all("__part_bucket=" in f for f in m["files"])
+    t.add_constraint("k_nonneg", "k >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        t.copy_into(bad)
+    # the failed copy did NOT bank its sources: a fixed-up retry loads
+    assert t.read().count() == 30
+    # interleaved commit doesn't lose the ledger
+    t.commit_append(_mod3(spark, 3, start=500))
+    r = t.copy_into(good)
+    assert (r["n_ingested"], r["n_skipped"]) == (0, 1)
