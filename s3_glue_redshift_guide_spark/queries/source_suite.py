@@ -2262,3 +2262,69 @@ def src_copy_into(spark, sf_dir):
         "first_ingested int, second_ingested int, second_skipped int, "
         "replay_skipped int, n_rows bigint, key_sum bigint",
     )
+
+
+# ----------------------- type widening (S50) ----------------------------
+@query(
+    "src_type_widening",
+    oracle="""
+    WITH u AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 600)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM u
+            WHERE o_orderkey % 5 <> 0) AS n_rows,
+           (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM u
+            WHERE o_orderkey % 5 <> 0) AS key_sum,
+           CAST(1 AS INT) AS widened_to_bigint,
+           CAST(1 AS INT) AS zero_files_rewritten
+    """,
+)
+def src_type_widening(spark, sf_dir):
+    """TYPE WIDENING (Delta's type widening): ``widen_column`` moves a
+    column UP within its family (int -> bigint here) as a METADATA-ONLY
+    commit — ``zero_files_rewritten`` pins that the int32-era files
+    keep byte identity, and the read path switches from a mergeSchema
+    footer union (which CRASHES on mixed-width files) to an explicit
+    wider schema that upcasts old files at scan time. The query then
+    drives a merge-on-read DELETE spanning BOTH width eras, so the
+    deletion-vector position join, the explicit-schema read, and the
+    width upcast all compose — ``n_rows``/``key_sum`` are exact against
+    the oracle. At 100 TB the widen costs one manifest; the
+    alternative (rewrite every file to the new width) is the full-
+    table-rewrite this feature exists to avoid."""
+    from ..sources.snapshots import SnapshotTable, load_manifest
+
+    o = load_table(spark, sf_dir, "orders")
+    t = SnapshotTable(spark, _tmp("widen"))
+    t.commit_append(
+        o.filter(F.col("o_orderkey") < 300)
+        .select(F.col("o_orderkey").cast("int").alias("k"))
+        .coalesce(1)
+    )
+    pre_files = set(load_manifest(t.root, t.current_version())["files"])
+    t.widen_column("k", "bigint")
+    untouched = int(
+        set(load_manifest(t.root, t.current_version())["files"])
+        == pre_files
+    )
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(300, 599))
+        .select(F.col("o_orderkey").cast("bigint").alias("k"))
+        .coalesce(1)
+    )
+    t.delete_where(F.col("k") % 5 == 0)
+    got = t.read()
+    agg = got.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("s"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                agg["n"],
+                agg["s"],
+                int(dict(got.dtypes)["k"] == "bigint"),
+                untouched,
+            )
+        ],
+        "n_rows bigint, key_sum bigint, widened_to_bigint int, "
+        "zero_files_rewritten int",
+    )

@@ -72,6 +72,7 @@ from .snapshots import (
     partition_values_from_path,
     publish_version,
     version_as_of,
+    widen_merge,
     zone_prune,
 )
 
@@ -1005,6 +1006,13 @@ class SnapshotDataWriter(DataSourceArrowWriter):
         self.field_names = [
             f.name for f in getattr(schema, "fields", None) or []
         ]
+        # DDL types of the written columns — extends the table's banked
+        # reader schema on widened tables (a dropped entry would make a
+        # newly-added column vanish from explicit-schema reads)
+        self.field_types = {
+            f.name: f.dataType.simpleString()
+            for f in getattr(schema, "fields", None) or []
+        }
         self.commit_dir = os.path.join(
             self.root, "data", uuid.uuid4().hex
         )
@@ -1349,6 +1357,21 @@ class SnapshotDataWriter(DataSourceArrowWriter):
             # estimate path refuses rather than undercounts);
             if base_v > 0 and m.get("ndv"):
                 extra["ndv"] = m["ndv"]
+            # widened reader schema: carry AND extend with this write's
+            # column types (wider batches widen further; new columns
+            # register; a cross-family conflict fails the commit)
+            if base_v > 0 and m.get("types"):
+                types = dict(m["types"])
+                try:
+                    for name, dt in self.field_types.items():
+                        cur = types.get(name)
+                        types[name] = (
+                            widen_merge(cur, dt) if cur else dt
+                        )
+                except ValueError:
+                    reclaim()
+                    raise
+                extra["types"] = types
             # and row tracking assigns this commit's new files their
             # [base_row_id, num_rows] ranges (footer row counts, the
             # same cost class as the stats backfill above)

@@ -262,16 +262,21 @@ def _bloom_might_contain(sidecar: str, value) -> bool:
 #: requirement exceeds what this reader supports — an old reader fails
 #: LOUDLY instead of silently mis-reading a table whose deletion
 #: vectors or field-id renames it doesn't understand.
-SUPPORTED_READER_VERSION = 2
+SUPPORTED_READER_VERSION = 3
 SUPPORTED_WRITER_VERSION = 2
 
 
 def _required_reader_version(extra: dict | None) -> int:
     """Reader version a manifest's features demand: deletion vectors
     and field-id schema maps change READ results (ignoring them loses
-    or resurrects rows / misnames columns) → 2; plain file lists → 1.
+    or resurrects rows / misnames columns) → 2; widened column types
+    (a mergeSchema reader CRASHES on the mixed-width files) and row
+    tracking (a naive reader would surface the hidden physical
+    ``__row_id`` column of rewritten files) → 3; plain file lists → 1.
     txn / constraints / stats are writer-side concerns — readers that
     ignore them still read correct rows."""
+    if extra and (extra.get("types") or extra.get("row_tracking")):
+        return 3
     if extra and (extra.get("dv") or extra.get("schema") is not None):
         return 2
     return 1
@@ -508,6 +513,35 @@ def zone_prune(
     return keep
 
 
+#: Supported type-widening lattices (Delta's type widening): a column
+#: may move UP within its family — reads of old-width files upcast at
+#: scan time, zero rewrites. Cross-family changes (int -> string,
+#: long -> double) are rejected: they change semantics, not width.
+_WIDEN_ORDER = {
+    "tinyint": ("int-family", 0),
+    "smallint": ("int-family", 1),
+    "int": ("int-family", 2),
+    "bigint": ("int-family", 3),
+    "float": ("float-family", 0),
+    "double": ("float-family", 1),
+}
+
+
+def widen_merge(a: str, b: str) -> str:
+    """The wider of two Spark DDL types within one widening family;
+    identical types pass through; anything else raises (the same
+    incompatibility mergeSchema would report)."""
+    if a == b:
+        return a
+    fa, fb = _WIDEN_ORDER.get(a), _WIDEN_ORDER.get(b)
+    if fa and fb and fa[0] == fb[0]:
+        return a if fa[1] >= fb[1] else b
+    raise ValueError(
+        f"cannot reconcile column types {a!r} and {b!r}: not a "
+        "widening within one type family"
+    )
+
+
 def partition_values_from_path(path: str) -> dict:
     """The partition tuple a file path encodes: ``{col: value}`` parsed
     from its ``__part_<col>=<value>`` segments (url-decoded; Hive's null
@@ -721,6 +755,7 @@ class SnapshotTable:
         row_ids_seed: dict | None = None,
         ndv=_UNSET,
         copied_update: dict | None = None,
+        types=_UNSET,
     ) -> int:
         # carry the txn map (streaming writers' appId -> batchId records),
         # the deletion-vector map, the field-id schema map, and the CHECK
@@ -808,6 +843,14 @@ class SnapshotTable:
             copied = {**copied, **copied_update}
         if copied:
             extra["copied"] = copied
+        # widened column types: the banked reader schema (only present
+        # once widen_column ran; file-adding paths merge their batch's
+        # dtypes in via _merged_types so additive evolution keeps
+        # working under explicit-schema reads)
+        if types is _UNSET:
+            types = base.get("types")
+        if types:
+            extra["types"] = types
         # row tracking (Delta's row IDs): once enabled, every visible
         # file owns a [base_row_id, num_rows] range banked here — a
         # row's PERMANENT id is base + its position, unless the file
@@ -885,8 +928,36 @@ class SnapshotTable:
                 break
         return F.broadcast(df) if size <= self.DV_BROADCAST_MAX_BYTES else df
 
+    def _reader_schema(self, m: dict | None) -> str | None:
+        """Explicit reader schema (DDL) once the manifest banks WIDENED
+        column types (``widen_column``): a mergeSchema footer union
+        CRASHES on mixed-width files (an int32-era file next to an
+        int64-era one), while an explicit wider schema upcasts at scan
+        time — that is the whole type-widening mechanism, zero
+        rewrites. Prior physical names of renamed fields read under
+        the field's widened type (both eras), and the row-tracking
+        column rides along when enabled. None = no widening banked,
+        reads keep the ordinary mergeSchema path."""
+        types = (m or {}).get("types")
+        if not types:
+            return None
+        fields = dict(types)
+        for ent in (m or {}).get("schema") or []:
+            t = fields.get(ent["name"])
+            if not t:
+                continue
+            for p in ent.get("prior", []):
+                fields.setdefault(p, t)
+        if (m or {}).get("row_tracking"):
+            fields.setdefault(ROW_ID_COL, "bigint")
+        return ", ".join(f"`{n}` {t}" for n, t in fields.items())
+
     def _masked_read(
-        self, files: list[str], dv: dict, keep_provenance: bool = False
+        self,
+        files: list[str],
+        dv: dict,
+        keep_provenance: bool = False,
+        manifest: dict | None = None,
     ) -> DataFrame:
         """mergeSchema read of ``files`` with deletion vectors applied:
         each row's (file, row_index) provenance — free metadata columns,
@@ -897,9 +968,16 @@ class SnapshotTable:
         ``keep_provenance`` keeps the ``__fp``/``__pos`` columns (and a
         physically-present ``__row_id``) for callers that need row
         identity — the default HIDES the row-tracking column from
-        user-facing reads."""
+        user-facing reads. ``manifest`` switches to an explicit-schema
+        read when the version banks widened types."""
         relevant = {f: dv[f] for f in files if dv.get(f)}
-        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        rs = self._reader_schema(manifest)
+        df = (
+            self.spark.read.schema(rs).parquet(*files)
+            if rs
+            else self.spark.read.option("mergeSchema", "true")
+            .parquet(*files)
+        )
         if keep_provenance or relevant:
             df = df.withColumns(
                 {
@@ -1069,6 +1147,7 @@ class SnapshotTable:
                     blooms=blooms,
                     op=op,
                     copied_update=_copied_update,
+                    types=self._merged_types(m, df),
                 )
             except CommitConflict:
                 continue
@@ -1108,6 +1187,7 @@ class SnapshotTable:
             ),
             txn_update=txn_update,
             op=op,
+            types=self._merged_types(m, df),
         )
 
     def txn_watermark(self, app_id: str):
@@ -1152,18 +1232,22 @@ class SnapshotTable:
                 except LogTruncated:
                     break
                 if prior:
+                    rdr = (
+                        self.spark.read.schema(self._reader_schema(m))
+                        if self._reader_schema(m)
+                        else self.spark.read.option(
+                            "mergeSchema", "true"
+                        )
+                    )
                     return self._apply_schema_map(
-                        self.spark.read.option("mergeSchema", "true")
-                        .parquet(*prior)
-                        .limit(0),
-                        m["schema"],
+                        rdr.parquet(*prior).limit(0), m["schema"]
                     )
             raise ValueError(
                 f"snapshot version {v} is empty and no prior version "
                 "carries a schema"
             )
         return self._apply_schema_map(
-            self._masked_read(files, m["dv"]), m["schema"]
+            self._masked_read(files, m["dv"], manifest=m), m["schema"]
         )
 
     def file_count(self, version: int | None = None) -> int:
@@ -1212,6 +1296,7 @@ class SnapshotTable:
                 else _UNSET
             ),
             op=op,
+            types=self._merged_types(m, df),
         )
 
     # ------------------------------------- merge-on-read DELETE (DVs) --
@@ -1236,7 +1321,7 @@ class SnapshotTable:
         m = load_manifest(self.root, cur)
         if not m["files"]:
             return cur
-        visible = self._masked_read(m["files"], m["dv"])
+        visible = self._masked_read(m["files"], m["dv"], manifest=m)
         tagged = visible.withColumns(
             {
                 "__dv_file": self._plain_path(
@@ -1290,7 +1375,7 @@ class SnapshotTable:
             return cur
         track = bool(m.get("row_tracking"))
         visible = self._masked_read(
-            m["files"], m["dv"], keep_provenance=track
+            m["files"], m["dv"], keep_provenance=track, manifest=m
         )
         if track:
             # keep only the physical __row_id; the (file, pos) pair is
@@ -1386,6 +1471,7 @@ class SnapshotTable:
             dv=dv,
             schema_map=self._extend_schema_map(m, post),
             op="UPDATE",
+            types=self._merged_types(m, post),
         )
 
     def merge_mor(
@@ -1441,7 +1527,7 @@ class SnapshotTable:
             return cur
         track = bool(m.get("row_tracking"))
         visible = self._masked_read(
-            m["files"], m["dv"], keep_provenance=track
+            m["files"], m["dv"], keep_provenance=track, manifest=m
         )
         if track:
             visible = visible.drop("__fp", "__pos")
@@ -1612,6 +1698,7 @@ class SnapshotTable:
             dv=dv,
             schema_map=sm,
             op="MERGE",
+            types=self._merged_types(m, *parts),
         )
 
     def materialize_deletes(self) -> int:
@@ -1631,13 +1718,14 @@ class SnapshotTable:
             # column in the replacement files
             packed = self._attach_row_ids(
                 self._masked_read(
-                    dv_files, m["dv"], keep_provenance=True
+                    dv_files, m["dv"], keep_provenance=True,
+                    manifest=m,
                 ),
                 m,
                 ROW_ID_COL,
             )
         else:
-            packed = self._masked_read(dv_files, m["dv"])
+            packed = self._masked_read(dv_files, m["dv"], manifest=m)
         return self.commit_replace(
             dv_files, packed, op="MATERIALIZE DELETES"
         )
@@ -1650,11 +1738,12 @@ class SnapshotTable:
             return [dict(e) for e in m["schema"]]
         if not m["files"]:
             return []
-        names = (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*m["files"])
-            .schema.fieldNames()
+        rdr = (
+            self.spark.read.schema(self._reader_schema(m))
+            if self._reader_schema(m)
+            else self.spark.read.option("mergeSchema", "true")
         )
+        names = rdr.parquet(*m["files"]).schema.fieldNames()
         return [
             {"id": i, "name": n, "prior": []} for i, n in enumerate(names)
         ]
@@ -1811,7 +1900,7 @@ class SnapshotTable:
         v = self.current_version() if version is None else version
         m = load_manifest(self.root, v)
         return self._apply_schema_map(
-            self._masked_read(files, m["dv"]), m["schema"]
+            self._masked_read(files, m["dv"], manifest=m), m["schema"]
         )
 
     def read_changes(
@@ -1889,11 +1978,13 @@ class SnapshotTable:
                 self.spark.read.parquet(template[0]).limit(0), smap
             )
             return empty.withColumn("_change_type", F.lit("insert"))
+        rdr_b = (
+            self.spark.read.schema(self._reader_schema(mb))
+            if self._reader_schema(mb)
+            else self.spark.read.option("mergeSchema", "true")
+        )
         schema = self._apply_schema_map(
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*touched)
-            .limit(0),
-            smap,
+            rdr_b.parquet(*touched).limit(0), smap
         ).schema
 
         def align(df: DataFrame) -> DataFrame:
@@ -1907,15 +1998,17 @@ class SnapshotTable:
                 ]
             )
 
-        def side(files: list[str], dv: dict) -> DataFrame:
+        def side(files: list[str], dv: dict, mside: dict) -> DataFrame:
             if not files:
                 return self.spark.createDataFrame([], schema)
             return align(
-                self._apply_schema_map(self._masked_read(files, dv), smap)
+                self._apply_schema_map(
+                    self._masked_read(files, dv, manifest=mside), smap
+                )
             )
 
-        new_rows = side(added, mb["dv"])
-        old_rows = side(removed, ma["dv"])
+        new_rows = side(added, mb["dv"], mb)
+        old_rows = side(removed, ma["dv"], ma)
         changes = (
             new_rows.exceptAll(old_rows)
             .withColumn("_change_type", F.lit("insert"))
@@ -1925,9 +2018,7 @@ class SnapshotTable:
             )
         )
         if shared_grown:
-            raw = self.spark.read.option("mergeSchema", "true").parquet(
-                *shared_grown
-            )
+            raw = rdr_b.parquet(*shared_grown)
             raw = raw.withColumns(
                 {
                     "__fp": self._plain_path(F.col("_metadata.file_path")),
@@ -1957,9 +2048,7 @@ class SnapshotTable:
                 ).withColumn("_change_type", F.lit("delete"))
             )
         if shared_shrunk:
-            raw = self.spark.read.option("mergeSchema", "true").parquet(
-                *shared_shrunk
-            )
+            raw = rdr_b.parquet(*shared_shrunk)
             raw = raw.withColumns(
                 {
                     "__fp": self._plain_path(F.col("_metadata.file_path")),
@@ -2037,12 +2126,12 @@ class SnapshotTable:
             # preserving rewrite: compacted rows keep their permanent
             # ids as the physical __row_id column
             packed = self._attach_row_ids(
-                self._masked_read(small, m["dv"], keep_provenance=True),
+                self._masked_read(small, m["dv"], keep_provenance=True, manifest=m),
                 m,
                 ROW_ID_COL,
             )
         else:
-            packed = self._masked_read(small, m["dv"])
+            packed = self._masked_read(small, m["dv"], manifest=m)
         order_within = None
         spec = self._partition_spec()
         if z_cols is not None and spec:
@@ -2295,9 +2384,72 @@ class SnapshotTable:
         if not files:
             return self.read().limit(0)
         masked = self._masked_read(
-            files, {f: d for f, d in m["dv"].items() if f in set(files)}
+            files,
+            {f: d for f, d in m["dv"].items() if f in set(files)},
+            manifest=m,
         )
         return self._apply_schema_map(masked, m["schema"])
+
+    # ------------------------------------------------ type widening ----
+    def _merged_types(self, base_m: dict, *dfs: DataFrame):
+        """The banked reader-schema types extended with the written
+        batches' dtypes — no-op (None) until ``widen_column`` activates
+        the feature. A batch may carry a WIDER type (the caller widened
+        then wrote) or a NEW column (additive evolution); a narrower
+        batch keeps the banked width (old files upcast at scan). A
+        cross-family conflict raises — the same incompatibility a
+        mergeSchema read would have reported."""
+        types = dict(base_m.get("types") or {})
+        if not types:
+            return _UNSET  # feature inactive: nothing to maintain
+        for df in dfs:
+            for name, dt in df.dtypes:
+                if name.startswith("__"):
+                    continue  # internal physical columns stay hidden
+                cur = types.get(name)
+                types[name] = widen_merge(cur, dt) if cur else dt
+        return types
+
+    def widen_column(self, col: str, new_type: str) -> int:
+        """TYPE WIDENING (Delta's type widening): change a column's
+        type UP within its family — tinyint/smallint/int -> bigint,
+        float -> double — as a METADATA-ONLY commit. Zero files
+        rewrite: the manifest banks the table's reader schema and
+        every read switches from a footer mergeSchema union (which
+        CRASHES on mixed-width files) to an explicit wider schema that
+        upcasts old files at scan time. New writes may use either
+        width; the banked type only ever grows. Cross-family changes
+        are rejected (that is a semantic change, not a widening), and
+        the first widen bootstraps the reader schema from the current
+        snapshot (one footer union, once)."""
+        if new_type not in _WIDEN_ORDER:
+            raise ValueError(
+                f"{new_type!r} is not a widenable target; one of "
+                f"{sorted(_WIDEN_ORDER)}"
+            )
+        cur = self.current_version()
+        m = load_manifest(self.root, cur)
+        types = dict(m.get("types") or {})
+        if not types:
+            # bootstrap the reader schema from the current snapshot
+            types = {
+                n: t
+                for n, t in self.read(cur).dtypes
+                if not n.startswith("__")
+            }
+        if col not in types:
+            raise KeyError(f"no column named {col!r}")
+        widened = widen_merge(types[col], new_type)
+        if widened != new_type:
+            raise ValueError(
+                f"cannot widen {col!r} from {types[col]} to "
+                f"{new_type}: only up-moves within a family"
+            )
+        types[col] = new_type
+        return self._publish(
+            m["files"], cur, m["stats"], types=types,
+            op="WIDEN COLUMN",
+        )
 
     # --------------------------------------------------- COPY INTO ----
     def copy_into(
@@ -2435,7 +2587,7 @@ class SnapshotTable:
                 "_row_id", F.lit(None).cast("long")
             )
         masked = self._masked_read(
-            m["files"], m["dv"], keep_provenance=True
+            m["files"], m["dv"], keep_provenance=True, manifest=m
         )
         out = self._attach_row_ids(masked, m, "_row_id")
         return self._apply_schema_map(
@@ -2757,9 +2909,12 @@ class SnapshotTable:
         todo = {c: fs for c, fs in work_cols.items() if fs}
         if todo and m["files"]:
             files = sorted({f for fs in todo.values() for f in fs})
-            raw = self.spark.read.option("mergeSchema", "true").parquet(
-                *files
-            ).withColumn(
+            rdr = (
+                self.spark.read.schema(self._reader_schema(m))
+                if self._reader_schema(m)
+                else self.spark.read.option("mergeSchema", "true")
+            )
+            raw = rdr.parquet(*files).withColumn(
                 "__fp", self._plain_path(F.col("_metadata.file_path"))
             )
             mapped = self._apply_schema_map(
@@ -2921,7 +3076,7 @@ class SnapshotTable:
         v = self.current_version() if version is None else version
         m = load_manifest(self.root, v)
         return self._apply_schema_map(
-            self._masked_read(files, m["dv"]), m["schema"]
+            self._masked_read(files, m["dv"], manifest=m), m["schema"]
         ).filter(F.col(col) == F.lit(value))
 
     def _constraints(self) -> dict[str, str]:
@@ -3026,6 +3181,10 @@ class SnapshotTable:
                 # commits its own files past the seeded watermark)
                 row_tracking=m.get("row_tracking") or None,
                 row_ids_seed=m.get("row_ids") or None,
+                # widened reader schema: without it the clone's reads
+                # would mergeSchema-crash on the mixed-width files it
+                # borrows
+                types=m.get("types") or _UNSET,
                 op="CLONE",
             )
         return clone

@@ -1945,3 +1945,117 @@ def test_copy_into_composes_with_writer_contracts(spark, tmp_path):
     t.commit_append(_mod3(spark, 3, start=500))
     r = t.copy_into(good)
     assert (r["n_ingested"], r["n_skipped"]) == (0, 1)
+
+
+# ------------------------------------------------------------------ #
+# 23. Type widening (int -> bigint, float -> double; zero rewrites)
+# ------------------------------------------------------------------ #
+
+def _ints(spark, n, start=0, t="int"):
+    return spark.range(start, start + n).select(
+        F.col("id").cast(t).alias("k"),
+        (F.col("id") * 2).cast(t).alias("v"),
+    )
+
+
+def test_widen_column_reads_mixed_width_files(spark):
+    t = SnapshotTable(spark, _tmp("widen"))
+    t.commit_append(_ints(spark, 10).coalesce(1))           # int32 files
+    pre = t.current_version()
+    files_before = set(load_manifest(t.root, pre)["files"])
+    t.widen_column("k", "bigint")
+    # metadata-only: zero files rewritten
+    assert set(load_manifest(t.root, t.current_version())["files"]) == files_before
+    t.commit_append(
+        spark.range(100, 110).select(
+            F.col("id").cast("bigint").alias("k"),   # int64 era
+            (F.col("id") * 2).cast("int").alias("v"),
+        ).coalesce(1)
+    )
+    got = t.read()
+    assert dict(got.dtypes)["k"] == "bigint"
+    assert dict(got.dtypes)["v"] == "int"                    # untouched col
+    assert got.count() == 20
+    assert got.agg(F.sum("k")).collect()[0][0] == 45 + sum(range(100, 110))
+    # history labels the metadata commit
+    ops = [r["operation"] for r in t.history().collect()]
+    assert "WIDEN COLUMN" in ops
+
+
+def test_widen_rejects_cross_family_and_narrowing(spark):
+    t = SnapshotTable(spark, _tmp("widenv"))
+    t.commit_append(
+        spark.range(5).select(
+            F.col("id").cast("long").alias("k"),
+            F.col("id").cast("string").alias("s"),
+        )
+    )
+    with pytest.raises(ValueError, match="family|widen"):
+        t.widen_column("s", "bigint")        # string -> bigint: no
+    with pytest.raises(ValueError, match="widen"):
+        t.widen_column("k", "int")           # narrowing: no
+    with pytest.raises(KeyError):
+        t.widen_column("nope", "bigint")
+
+
+def test_widen_composes_with_dv_update_optimize_and_connector(spark):
+    t = SnapshotTable(spark, _tmp("widenc"))
+    t.commit_append(_ints(spark, 10).coalesce(1))
+    t.widen_column("k", "bigint")
+    t.commit_append(_ints(spark, 10, start=100, t="bigint").coalesce(1))
+    t.delete_where(F.col("k") == 3)
+    t.update_where(F.col("k") == 105, {"v": F.lit(-1).cast("int")})
+    assert t.read().count() == 19
+    t.optimize_small_files(10**9, 10**9)
+    got = t.read()
+    assert got.count() == 19 and dict(got.dtypes)["k"] == "bigint"
+    assert got.filter("k = 105").select("v").collect()[0][0] == -1
+    # connector read surfaces the widened type and exact rows
+    register_snapshot_source(spark)
+    conn = spark.read.format("pysnapshot").option("root", t.root).load()
+    assert dict(conn.dtypes)["k"] == "bigint"
+    assert conn.count() == 19
+    # connector write of a NEW column extends the banked reader schema
+    spark.range(2).select(
+        F.lit(900).cast("bigint").alias("k"),
+        F.lit(0).cast("int").alias("v"),
+        F.lit(7).cast("long").alias("extra"),
+    ).write.format("pysnapshot").option("root", t.root).mode(
+        "append"
+    ).save()
+    got = t.read()
+    assert "extra" in got.columns and got.count() == 21
+    assert got.filter("extra = 7").count() == 2
+
+
+def test_widen_survives_clone_and_change_feed(spark):
+    t = SnapshotTable(spark, _tmp("widencf"))
+    t.commit_append(_ints(spark, 6).coalesce(1))
+    t.widen_column("k", "bigint")
+    t.commit_append(_ints(spark, 4, start=50, t="bigint").coalesce(1))
+    c = t.clone_shallow(_tmp("widencl"))
+    assert c.read().count() == 10
+    assert dict(c.read().dtypes)["k"] == "bigint"
+    ch = t.read_changes(1, t.current_version())
+    assert ch.filter("_change_type = 'insert'").count() == 4
+
+
+def test_protocol_reader3_for_widening_and_row_tracking(spark, monkeypatch):
+    import s3_glue_redshift_guide_spark.sources.snapshots as snap
+
+    t = SnapshotTable(spark, _tmp("proto3"))
+    t.commit_append(_kv(spark, 5).coalesce(1))
+    t.widen_column("k", "bigint")
+    assert load_manifest(
+        t.root, t.current_version()
+    )["protocol"]["reader"] == 3
+    t2 = SnapshotTable(spark, _tmp("proto3b"))
+    t2.enable_row_tracking()
+    t2.commit_append(_kv(spark, 5).coalesce(1))
+    assert load_manifest(
+        t2.root, t2.current_version()
+    )["protocol"]["reader"] == 3
+    # a reader that predates explicit-schema reads must refuse loudly
+    monkeypatch.setattr(snap, "SUPPORTED_READER_VERSION", 2)
+    with pytest.raises(snap.ProtocolError, match="reader version 3"):
+        load_manifest(t.root, t.current_version())
