@@ -73,7 +73,8 @@ _PRIORITY = [
     "stats_join_advisor", "llm_bigram_logprob",
     "src_table_history", "src_vacuum_retention",
     "src_partition_spec", "src_row_tracking", "stats_ndv_estimate",
-    "src_copy_into", "src_type_widening",
+    "src_copy_into", "src_type_widening", "src_branch_wap",
+    "src_column_defaults", "src_identity_column",
     # -- round-2-stale regression re-checks (26) ---------------------------
     # SQL suite (subqueries, recursive CTE, TPC-H rewrites)
     "sql_volume_shipping", "sql_scalar_subquery",

@@ -2328,3 +2328,231 @@ def src_type_widening(spark, sf_dir):
         "n_rows bigint, key_sum bigint, widened_to_bigint int, "
         "zero_files_rewritten int",
     )
+
+
+# ------------------- branches / tags / write-audit-publish (S51) -------
+@query(
+    "src_branch_wap",
+    oracle="""
+    WITH base AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 600),
+         staged AS (SELECT o_orderkey FROM orders
+                    WHERE o_orderkey BETWEEN 600 AND 899
+                      AND o_orderkey % 7 <> 0),
+         post AS (SELECT o_orderkey FROM orders
+                  WHERE o_orderkey BETWEEN 900 AND 999),
+         tagv AS (SELECT * FROM base UNION ALL SELECT * FROM staged)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM tagv) AS n_at_tag,
+           (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM tagv)
+             AS key_sum_at_tag,
+           (SELECT CAST(count(*) AS BIGINT) FROM tagv)
+             + (SELECT CAST(count(*) AS BIGINT) FROM post) AS n_at_head,
+           (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM tagv)
+             + (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM post)
+             AS key_sum_at_head,
+           1 AS main_isolated_during_audit, 1 AS ff_labeled,
+           1 AS tag_pinned_through_vacuum
+    """,
+)
+def src_branch_wap(spark, sf_dir):
+    """Branches + tags + WRITE-AUDIT-PUBLISH (Iceberg refs,
+    ``sources/snapshots.py::create_branch/fast_forward/create_tag``).
+    The production ingest gate: stage the day's load on a branch (its
+    manifest log lives under ``_branches/wap``, data shared by absolute
+    path — an O(metadata) fork at any table size), run the audit THERE
+    (here: a DV DELETE scrubbing bad rows plus a null/negative check),
+    then FAST-FORWARD main to the branch head as one atomic commit —
+    consumers of main never see un-audited rows
+    (``main_isolated_during_audit``). The published snapshot is TAGGED,
+    and the tag pins it through a VACUUM whose version window would
+    otherwise collect it (``tag_pinned_through_vacuum``) — the release
+    stays time-travel-readable for as long as the tag lives. Fork and
+    fast-forward copy manifests VERBATIM, so every metadata family (the
+    branch's deletion vectors here) survives the publish by
+    construction."""
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, _tmp("branch_wap"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 600).coalesce(1))
+    n_base = t.read().count()
+
+    # WRITE: stage the new batch on a branch
+    t.create_branch("wap")
+    b = t.branch("wap")
+    b.commit_append(
+        o.filter(F.col("o_orderkey").between(600, 899)).coalesce(1)
+    )
+    # AUDIT on the branch: scrub rows failing the gate (DV delete),
+    # then verify the staged snapshot is clean
+    b.delete_where(
+        (F.col("o_orderkey") >= 600) & (F.col("o_orderkey") % 7 == 0)
+    )
+    audit_ok = (
+        b.read()
+        .where(F.col("o_orderkey").isNull() | (F.col("o_orderkey") < 0))
+        .count()
+        == 0
+    )
+    isolated = int(t.read().count() == n_base and audit_ok)
+
+    # PUBLISH: fast-forward main to the audited branch head, tag it
+    t.fast_forward("wap")
+    t.create_tag("release")
+    tag_rows = t.read(tag="release")
+    tag_agg = tag_rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("long").alias("s"),
+    ).collect()[0]
+
+    # main moves on; the tag pins the release through VACUUM
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(900, 999)).coalesce(1)
+    )
+    t.vacuum(retain_versions=1)
+    pinned = int(
+        t.read(tag="release").count() == tag_agg["n"]
+    )
+    ff_labeled = int(
+        t.history()
+        .where(F.col("operation") == "FAST_FORWARD")
+        .count()
+        == 1
+    )
+    head = t.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("long").alias("s"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                tag_agg["n"],
+                tag_agg["s"],
+                head["n"],
+                head["s"],
+                isolated,
+                ff_labeled,
+                pinned,
+            )
+        ],
+        "n_at_tag bigint, key_sum_at_tag bigint, n_at_head bigint, "
+        "key_sum_at_head bigint, main_isolated_during_audit int, "
+        "ff_labeled int, tag_pinned_through_vacuum int",
+    )
+
+
+# ---------------------------- column DEFAULT values (S52) --------------
+@query(
+    "src_column_defaults",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey < 300 THEN NULL
+                WHEN o_orderkey < 600 THEN 'landing'
+                ELSE 'manual' END AS ingest_src
+    FROM orders WHERE o_orderkey < 800
+    """,
+)
+def src_column_defaults(spark, sf_dir):
+    """Column DEFAULT values (SQL DEFAULT / Delta default values,
+    ``sources/snapshots.py::add_column_default``): a writer contract
+    carried in the manifest like CHECK constraints. Batch 1 predates
+    the registration (its rows read NULL through schema merge — the
+    ALTER TABLE ADD COLUMN DEFAULT contract: existing rows are never
+    rewritten), batch 2 OMITS the column and the write pass computes
+    the default (one scan — it rides the same pass as constraint
+    observation), batch 3 SUPPLIES the column and keeps its values
+    (defaults never overwrite, unlike GENERATED columns). Value-exact
+    against the oracle's CASE reconstruction."""
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, _tmp("defaults"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 300).coalesce(1))
+    t.add_column_default("ingest_src", "'landing'")
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(300, 599)).coalesce(1)
+    )
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(600, 799))
+        .withColumn("ingest_src", F.lit("manual"))
+        .coalesce(1)
+    )
+    return t.read().select("o_orderkey", "ingest_src")
+
+
+# ---------------- GENERATED ALWAYS AS IDENTITY columns (S53) -----------
+@query(
+    "src_identity_column",
+    oracle="""
+    WITH b1 AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 400),
+         b2 AS (SELECT o_orderkey FROM orders
+                WHERE o_orderkey BETWEEN 400 AND 699)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM b1)
+             + (SELECT CAST(count(*) AS BIGINT) FROM b2) AS n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM b1)
+             + (SELECT CAST(count(*) AS BIGINT) FROM b2)
+             AS n_distinct_ids,
+           1 AS all_aligned, 1 AS all_at_or_above_start,
+           1 AS batches_disjoint, 1 AS watermark_is_max
+    """,
+)
+def src_identity_column(spark, sf_dir):
+    """Identity columns (Delta GENERATED ALWAYS AS IDENTITY,
+    ``sources/snapshots.py::add_identity_column``): appends OMIT the
+    column; the engine assigns ``start + k*step`` ids as a pure
+    map-side expression over the head's high-water mark
+    (``high + step*(1 + monotonically_increasing_id())`` — no shuffle,
+    no coordination inside the batch), and the watermark advances at
+    the ``_publish`` choke point from the written files' FOOTER MAX
+    (O(new files) metadata). The Delta contract exactly: globally
+    unique across commits and racing writers, aligned to the
+    start/step lattice, gaps allowed — so the facts checked are
+    uniqueness (``n_distinct_ids == n_rows``), alignment, the
+    batch-2-above-batch-1 watermark ordering, and the banked watermark
+    equaling the true max."""
+    from ..sources.snapshots import SnapshotTable, load_manifest
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, _tmp("identity"))
+    t.add_identity_column("row_id", start=1000, step=3)
+    t.commit_append(
+        o.filter(F.col("o_orderkey") < 400).repartition(4)
+    )
+    max_b1 = t.read().agg(F.max("row_id")).collect()[0][0]
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(400, 699)).repartition(3)
+    )
+    agg = t.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("row_id").alias("nd"),
+        F.min(
+            F.when((F.col("row_id") - 1000) % 3 == 0, 1).otherwise(0)
+        ).alias("aligned"),
+        F.min(
+            F.when(F.col("row_id") >= 1000, 1).otherwise(0)
+        ).alias("above"),
+        F.max("row_id").alias("mx"),
+    ).collect()[0]
+    b2_min = (
+        t.read()
+        .where(F.col("o_orderkey") >= 400)
+        .agg(F.min("row_id"))
+        .collect()[0][0]
+    )
+    wm = load_manifest(t.root, t.current_version())["identity"][
+        "row_id"
+    ]["high"]
+    return spark.createDataFrame(
+        [
+            (
+                agg["n"],
+                agg["nd"],
+                int(agg["aligned"]),
+                int(agg["above"]),
+                int(b2_min > max_b1),
+                int(wm == agg["mx"]),
+            )
+        ],
+        "n_rows bigint, n_distinct_ids bigint, all_aligned int, "
+        "all_at_or_above_start int, batches_disjoint int, "
+        "watermark_is_max int",
+    )

@@ -1038,6 +1038,24 @@ class SnapshotDataWriter(DataSourceArrowWriter):
         self.generated: dict[str, str] = dict(
             base_m.get("generated", {})
         )
+        # column DEFAULTs through the connector are SUPPLY-ONLY: a
+        # batch omitting a defaulted column is refused (computing the
+        # default here would need an expression evaluator whose result
+        # dtype matches the Spark writer's). Identity tables refuse
+        # connector writes outright: GENERATED ALWAYS ids need the
+        # commit-time high-water mark, and this writer's independent
+        # Arrow tasks have no coordination point to allocate from —
+        # write via SnapshotTable.commit_append, which assigns ids.
+        self.defaults: dict[str, str] = dict(
+            base_m.get("defaults", {})
+        )
+        if base_m.get("identity"):
+            raise ValueError(
+                "table has identity column(s) "
+                f"{sorted(base_m['identity'])}; the pysnapshot "
+                "connector writer cannot assign GENERATED ALWAYS ids "
+                "— use SnapshotTable.commit_append"
+            )
         # Partition-spec'd tables refuse connector writes outright:
         # this writer's shards carry no __part_ path segments, so a
         # write would silently violate the table's layout contract
@@ -1095,6 +1113,13 @@ class SnapshotDataWriter(DataSourceArrowWriter):
             checks[f"__gen_{name}"] = (
                 f"{name} IS NOT DISTINCT FROM ({expr})"
             )
+        for name in self.defaults:
+            if name not in batch_cols:
+                raise ValueError(
+                    f"column {name!r} has a DEFAULT the connector "
+                    "cannot compute — supply it or write via "
+                    "SnapshotTable.commit_append"
+                )
         return checks
 
     def _split_batches(self, batch):
@@ -1133,7 +1158,7 @@ class SnapshotDataWriter(DataSourceArrowWriter):
 
         viol: dict[str, int] = {}
         con = None
-        if self.constraints or self.generated:
+        if self.constraints or self.generated or self.defaults:
             import duckdb
 
             con = duckdb.connect()
@@ -1239,6 +1264,8 @@ class SnapshotDataWriter(DataSourceArrowWriter):
             base_schema = None
             base_cons: dict = {}
             base_gen: dict = {}
+            base_dfl: dict = {}
+            base_ident: dict = {}
             base_bloom_cols: dict = {}
             base_blooms: dict = {}
             base_spec: list = []
@@ -1252,6 +1279,8 @@ class SnapshotDataWriter(DataSourceArrowWriter):
                 base_schema = m.get("schema")
                 base_cons = dict(m.get("constraints", {}))
                 base_gen = dict(m.get("generated", {}))
+                base_dfl = dict(m.get("defaults", {}))
+                base_ident = dict(m.get("identity", {}))
                 base_bloom_cols = dict(m.get("bloom_cols") or {})
                 base_blooms = dict(m.get("blooms") or {})
                 base_spec = list(m.get("partition_spec") or [])
@@ -1271,8 +1300,10 @@ class SnapshotDataWriter(DataSourceArrowWriter):
             # commit rather than publish unverified data (the metadata
             # analogue of a manifest conflict; the write retries
             # cleanly with the new constraint in force)
-            unchecked = (set(base_cons) - set(self.constraints)) | (
-                set(base_gen) - set(self.generated)
+            unchecked = (
+                (set(base_cons) - set(self.constraints))
+                | (set(base_gen) - set(self.generated))
+                | (set(base_dfl) - set(self.defaults))
             )
             if unchecked and files:
                 reclaim()
@@ -1280,6 +1311,16 @@ class SnapshotDataWriter(DataSourceArrowWriter):
                     f"constraints {sorted(unchecked)} were added "
                     "concurrently with this write; rows were not "
                     "checked against them — retry the write"
+                )
+            # identity registered concurrently: this writer's files
+            # carry no ids (construction refused pre-existing identity
+            # tables) — publishing would surface NULL identity rows
+            if base_ident and files:
+                reclaim()
+                raise CommitConflict(
+                    f"identity column(s) {sorted(base_ident)} were "
+                    "registered concurrently with this write — retry "
+                    "via SnapshotTable.commit_append"
                 )
             # a partition spec registered concurrently makes this
             # writer's unpartitioned shards spec-violating — same
@@ -1332,6 +1373,10 @@ class SnapshotDataWriter(DataSourceArrowWriter):
                 extra["constraints"] = base_cons
             if base_gen:
                 extra["generated"] = base_gen
+            if base_dfl:
+                extra["defaults"] = base_dfl
+            if base_ident:
+                extra["identity"] = base_ident
             # the remaining metadata families carry exactly as
             # SnapshotTable._publish carries them — dropping ANY of
             # them through a connector commit is the r5 resurrect-bug

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -624,6 +625,13 @@ class SnapshotTable:
         cannot pass the check yet write violating rows (the counters
         observe the exact rows written)."""
         cons = dict(self._constraints())
+        # column DEFAULTs fill first (a generated column or CHECK
+        # constraint may reference a defaulted column): writes that
+        # omit the column get the expression, writes that supply it
+        # keep their values — SQL DEFAULT semantics, no agreement check
+        for name, expr in self._defaults().items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
         # GENERATED columns: compute the ones the batch omits (the
         # writer-convenience half of Delta's GENERATED ALWAYS AS), and
         # validate the ones it supplies exactly like CHECK constraints
@@ -756,6 +764,8 @@ class SnapshotTable:
         ndv=_UNSET,
         copied_update: dict | None = None,
         types=_UNSET,
+        defaults=_UNSET,
+        identity=_UNSET,
     ) -> int:
         # carry the txn map (streaming writers' appId -> batchId records),
         # the deletion-vector map, the field-id schema map, and the CHECK
@@ -801,6 +811,36 @@ class SnapshotTable:
             generated = base.get("generated")
         if generated:
             extra["generated"] = generated
+        # column DEFAULTs: a writer contract like constraints — carried
+        # through every commit
+        if defaults is _UNSET:
+            defaults = base.get("defaults")
+        if defaults:
+            extra["defaults"] = defaults
+        # identity columns: the spec carries like constraints, and the
+        # HIGH-WATER MARK advances here, at the single choke point every
+        # write path crosses — the new files' footer max is the highest
+        # id any writer actually committed, so the watermark can never
+        # understate (O(new files) footer reads, fanned out as a job
+        # past the same threshold as the stats merge)
+        if identity is _UNSET:
+            identity = base.get("identity")
+        if identity:
+            identity = {c: dict(v) for c, v in identity.items()}
+            base_fset = set(base.get("files", []))
+            new_files = [f for f in files if f not in base_fset]
+            if new_files:
+                fstats = self._footer_stats(
+                    new_files, list(identity)
+                )
+                for c, meta in identity.items():
+                    hi = int(meta["high"])
+                    for f in new_files:
+                        mm = (fstats.get(f) or {}).get(c)
+                        if mm is not None:
+                            hi = max(hi, int(mm[1]))
+                    meta["high"] = hi
+            extra["identity"] = identity
         # bloom index: registered columns carry like constraints; the
         # per-file sidecar pointers carry like dv — immutable files keep
         # their blooms, vanished files drop theirs (a rewritten file's
@@ -1085,6 +1125,7 @@ class SnapshotTable:
         new: list[str] | None = None
         cons_checked = set(self._constraints())
         spec_at_write = self._partition_spec()
+        ident_at_write: dict[str, int] | None = None
         for _ in range(5):
             cur = self.current_version()
             m = (
@@ -1092,6 +1133,49 @@ class SnapshotTable:
                 if cur > 0
                 else {"files": [], "schema": None}
             )
+            # identity columns (GENERATED ALWAYS): the batch must omit
+            # them; values are assigned from the head's high-water mark
+            # read under THIS manifest. If a concurrent writer advanced
+            # any watermark between our write and the retry, the ids
+            # baked into our staged files may collide with theirs —
+            # that is a real conflict (the one append/append race that
+            # cannot auto-resolve), so fail and let the caller rewrite.
+            head_ident = m.get("identity") or {}
+            if new is None and head_ident:
+                ident_at_write = {
+                    c: int(v["high"]) for c, v in head_ident.items()
+                }
+                for c, meta in head_ident.items():
+                    if c in df.columns:
+                        raise ValueError(
+                            f"{c!r} is GENERATED ALWAYS AS IDENTITY — "
+                            "the engine assigns it; omit the column"
+                        )
+                    step = int(meta["step"])
+                    df = df.withColumn(
+                        c,
+                        (
+                            F.lit(int(meta["high"]) + step)
+                            + F.lit(step)
+                            * F.monotonically_increasing_id()
+                        ).cast("long"),
+                    )
+            elif new is not None and head_ident:
+                # a spec registered concurrently (staged files lack the
+                # column entirely) conflicts just like a moved watermark
+                moved = {
+                    c
+                    for c, v in head_ident.items()
+                    if int(v["high"])
+                    != (ident_at_write or {}).get(c)
+                }
+                if moved:
+                    raise CommitConflict(
+                        f"identity watermark(s) {sorted(moved)} "
+                        "advanced or registered concurrently with "
+                        "this append; the staged ids may collide or "
+                        "be absent — retry the write"
+                    )
             unchecked = set(m.get("constraints", {})) - cons_checked
             if new is not None and unchecked:
                 raise CommitConflict(
@@ -1203,17 +1287,21 @@ class SnapshotTable:
         self,
         version: int | None = None,
         as_of_ts: float | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Read a snapshot. ``mergeSchema`` is on: commits may add
         columns (additive evolution, the S5 contract — older files
         surface the new columns as NULL), and same-schema reads pay only
         a footer union for it. ``as_of_ts`` is TIMESTAMP AS OF time
         travel: the newest version whose banked commit timestamp is
-        <= the given epoch-seconds value (Delta semantics; mutually
-        exclusive with ``version``)."""
+        <= the given epoch-seconds value (Delta semantics). ``tag``
+        reads an immutable named ref (VERSION AS OF a tag). The three
+        selectors are mutually exclusive."""
+        if sum(x is not None for x in (version, as_of_ts, tag)) > 1:
+            raise ValueError("pass at most one of version/as_of_ts/tag")
+        if tag is not None:
+            version = self.tag_version(tag)
         if as_of_ts is not None:
-            if version is not None:
-                raise ValueError("pass version OR as_of_ts, not both")
             version = version_as_of(self.root, as_of_ts)
         v = self.current_version() if version is None else version
         m = load_manifest(self.root, v)
@@ -1780,6 +1868,18 @@ class SnapshotTable:
                 f"cannot {op} column {col!r}: it is (or is referenced "
                 f"by) generated column(s) {gen_hits} — drop the "
                 "generation expression first"
+            )
+        # DEFAULT / identity specs store the logical column name —
+        # renaming or dropping out from under them would orphan the
+        # writer contract; same posture as constraints
+        if col in (m.get("defaults") or {}):
+            raise ValueError(
+                f"cannot {op} column {col!r}: it has a DEFAULT — "
+                "drop_column_default first"
+            )
+        if col in (m.get("identity") or {}):
+            raise ValueError(
+                f"cannot {op} column {col!r}: it is an identity column"
             )
         # the partition spec stores LOGICAL column names (it is applied
         # to incoming DataFrames, which carry logical names) — renaming
@@ -3093,6 +3193,128 @@ class SnapshotTable:
             return {}
         return load_manifest(self.root, cur).get("generated", {})
 
+    def _defaults(self) -> dict[str, str]:
+        """The head manifest's column DEFAULT expressions."""
+        cur = self.current_version()
+        if cur == 0:
+            return {}
+        return load_manifest(self.root, cur).get("defaults", {})
+
+    def _identity(self) -> dict[str, dict]:
+        """The head manifest's identity-column specs
+        (col -> {start, step, high})."""
+        cur = self.current_version()
+        if cur == 0:
+            return {}
+        return load_manifest(self.root, cur).get("identity", {})
+
+    def add_column_default(self, name: str, expr_sql: str) -> int:
+        """Register a column DEFAULT (SQL's ``DEFAULT`` / Delta's
+        default values): future writes that OMIT the column get
+        ``expr_sql`` computed on the write pass; writes that supply it
+        keep their values (unlike GENERATED columns, no agreement check
+        — that is the SQL contract). Existing rows are untouched and
+        read NULL through schema merge, exactly Delta's ADD COLUMN
+        DEFAULT semantics. The expression is validated by evaluation at
+        registration, and the registration is a metadata-only commit
+        carried through every subsequent write, CLONE, branch fork and
+        fast-forward like the other writer contracts."""
+        gens = self._generated()
+        if name in gens:
+            raise ValueError(
+                f"{name!r} is a generated column — it computes, it "
+                "does not default"
+            )
+        if name in self._identity():
+            raise ValueError(f"{name!r} is an identity column")
+        # must evaluate standalone (defaults fill ABSENT columns, so
+        # they cannot reference other columns)
+        self.spark.range(1).select(F.expr(expr_sql)).collect()
+        cur = self.current_version()
+        m = (
+            load_manifest(self.root, cur)
+            if cur > 0
+            else {"files": [], "stats": {}}
+        )
+        dfl = dict(m.get("defaults", {}))
+        dfl[name] = expr_sql
+        return self._publish(
+            m["files"], cur, m["stats"], defaults=dfl,
+            op="ADD DEFAULT",
+        )
+
+    def drop_column_default(self, name: str) -> int:
+        cur = self.current_version()
+        m = (
+            load_manifest(self.root, cur)
+            if cur > 0
+            else {"files": [], "stats": {}}
+        )
+        dfl = dict(m.get("defaults", {}))
+        dfl.pop(name, None)
+        return self._publish(
+            m["files"], cur, m["stats"], defaults=dfl,
+            op="DROP DEFAULT",
+        )
+
+    def add_identity_column(
+        self, name: str, start: int = 1, step: int = 1
+    ) -> int:
+        """GENERATED ALWAYS AS IDENTITY (Delta identity columns):
+        appends must OMIT the column and the engine assigns values of
+        the form ``start + k*step`` — globally unique across commits
+        and racing writers, gaps allowed (the Delta contract; gap-free
+        sequences need a global coordination point no shared-nothing
+        writer can afford). Assignment is
+        ``high + step*(1 + monotonically_increasing_id())`` — a pure
+        map-side expression, no shuffle, no coordination inside the
+        batch — and the new HIGH-WATER MARK is read back from the
+        written files' parquet footer max (O(new files) metadata, the
+        same cost class as the stats merge riding every commit).
+        Rewrite paths (OPTIMIZE, MOR UPDATE, MERGE) carry existing
+        values untouched: an identity is assigned once, at insert.
+        Registering on a non-empty table requires the column to
+        already exist (seeding the watermark from its current max);
+        uniqueness of pre-existing values is the caller's contract,
+        as in Delta's SYNC IDENTITY."""
+        if step == 0:
+            raise ValueError("identity step must be non-zero")
+        if step < 0:
+            raise ValueError(
+                "descending identity not supported: the high-water "
+                "mark advances via footer MAX"
+            )
+        if name in self._generated() or name in self._defaults():
+            raise ValueError(
+                f"{name!r} already has a generation/default expression"
+            )
+        cur = self.current_version()
+        m = (
+            load_manifest(self.root, cur)
+            if cur > 0
+            else {"files": [], "stats": {}}
+        )
+        high = start - step
+        if m["files"]:
+            snap = self.read()
+            if name not in snap.columns:
+                raise ValueError(
+                    f"column {name!r} does not exist in the non-empty "
+                    "snapshot; identity on existing tables seeds from "
+                    "the current values (add the column first)"
+                )
+            row = snap.agg(F.max(name).cast("long")).collect()[0]
+            if row[0] is not None:
+                high = max(high, int(row[0]))
+        ident = dict(m.get("identity", {}))
+        if name in ident:
+            raise ValueError(f"identity column {name!r} already exists")
+        ident[name] = {"start": start, "step": step, "high": high}
+        return self._publish(
+            m["files"], cur, m["stats"], identity=ident,
+            op="ADD IDENTITY",
+        )
+
     @staticmethod
     def _violation_counters(cons: dict[str, str]) -> list:
         """One violation-count aggregate per constraint (NULL results
@@ -3166,6 +3388,13 @@ class SnapshotTable:
                 schema_map=m["schema"],
                 constraints=m.get("constraints") or None,
                 generated=m.get("generated") or None,
+                # DEFAULTs and identity specs are table properties like
+                # constraints — the clone keeps the writer contract
+                # (its identity watermark continues from the source's,
+                # so clone-side inserts never collide with borrowed
+                # rows' ids)
+                defaults=m.get("defaults") or None,
+                identity=m.get("identity") or None,
                 # the bloom index borrows the source's sidecars exactly
                 # like the data files; a source VACUUM collecting them
                 # degrades the clone's probes to conservative keeps
@@ -3188,6 +3417,176 @@ class SnapshotTable:
                 op="CLONE",
             )
         return clone
+
+    # --------------------------------------------- branches / tags / WAP
+    # Iceberg-style refs on the snapshot log. A TAG is an immutable
+    # named pointer to a version (a retention root: VACUUM never
+    # collects a tagged snapshot). A BRANCH is an independent line of
+    # commits forked from a main version: its manifest log lives under
+    # ``{root}/_branches/{name}`` and its NEW data files land there too,
+    # while the manifests reference the fork point's files by their
+    # absolute paths — zero copy at fork, O(metadata) like CLONE. The
+    # branch is a full SnapshotTable (every operator — DV deletes, MOR
+    # merges, constraints, OPTIMIZE — works on it unchanged), which is
+    # what makes WRITE-AUDIT-PUBLISH real: stage commits on a branch,
+    # run the audit there, then FAST-FORWARD main to the branch head as
+    # one atomic commit. Fork/fast-forward copy the manifest VERBATIM
+    # (every key except version/stats bookkeeping), so a new metadata
+    # family can never be silently dropped by the ref machinery — the
+    # r5 connector bug class is excluded by construction.
+    _REF_NAME = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+    def _branch_root(self, name: str) -> str:
+        if not self._REF_NAME.match(name):
+            raise ValueError(f"invalid ref name {name!r}")
+        return os.path.join(self.root, "_branches", name)
+
+    @staticmethod
+    def _manifest_extra(m: dict) -> dict:
+        """Everything a manifest banks beyond the positional publish
+        fields — carried verbatim through fork and fast-forward."""
+        return {
+            k: v
+            for k, v in m.items()
+            if k not in ("version", "files", "stats", "ts", "protocol")
+        }
+
+    def create_branch(
+        self, name: str, version: int | None = None
+    ) -> "SnapshotTable":
+        """Fork a branch at ``version`` (default: head). The branch's
+        v1 is a verbatim copy of the fork manifest (files by absolute
+        path, dv/schema/constraints/row-ids/... all carried), so the
+        branch starts as an exact view of the fork point and diverges
+        only as it commits. Pure metadata — no data moves."""
+        v = self.current_version() if version is None else version
+        m = load_manifest(self.root, v)
+        broot = self._branch_root(name)
+        if os.path.isdir(os.path.join(broot, "_manifests")):
+            raise ValueError(f"branch {name!r} already exists")
+        bt = SnapshotTable(self.spark, broot, clock=self.clock)
+        extra = self._manifest_extra(m)
+        extra["op"] = "BRANCH"
+        publish_version(
+            broot,
+            m["files"],
+            0,
+            m["stats"],
+            extra=extra,
+            ts=self.clock() if self.clock else None,
+        )
+        with open(os.path.join(broot, "_fork.json"), "w") as f:
+            json.dump({"version": v}, f)
+        return bt
+
+    def branch(self, name: str) -> "SnapshotTable":
+        broot = self._branch_root(name)
+        if not os.path.isdir(os.path.join(broot, "_manifests")):
+            raise ValueError(f"no such branch {name!r}")
+        return SnapshotTable(self.spark, broot, clock=self.clock)
+
+    def branches(self) -> dict[str, int]:
+        """branch name -> fork version (main-log coordinates)."""
+        d = os.path.join(self.root, "_branches")
+        out = {}
+        if os.path.isdir(d):
+            for n in sorted(os.listdir(d)):
+                fork = os.path.join(d, n, "_fork.json")
+                if os.path.isfile(fork):
+                    with open(fork) as f:
+                        out[n] = int(json.load(f)["version"])
+        return out
+
+    def fast_forward(self, name: str) -> int:
+        """Publish the branch head onto main as ONE commit — the
+        PUBLISH half of write-audit-publish. Requires main's head to
+        still BE the fork version (Iceberg's fast-forward ancestry
+        rule): if main advanced, the branch no longer descends from
+        head and the caller must re-fork and replay. The branch head
+        manifest carries everything main's would (the branch inherited
+        main's txn map / COPY ledger / constraints at fork and extended
+        them), so nothing is lost in the swap; racing main writers are
+        excluded by the same exclusive-create commit protocol as any
+        other publish."""
+        broot = self._branch_root(name)
+        with open(os.path.join(broot, "_fork.json")) as f:
+            fork_v = int(json.load(f)["version"])
+        cur = self.current_version()
+        if cur != fork_v:
+            raise CommitConflict(
+                f"main is at v{cur} but branch {name!r} forked at "
+                f"v{fork_v} — re-fork from head and replay the branch"
+            )
+        bm = load_manifest(broot, latest_version(broot))
+        extra = self._manifest_extra(bm)
+        extra["op"] = "FAST_FORWARD"
+        return publish_version(
+            self.root,
+            bm["files"],
+            cur,
+            bm["stats"],
+            extra=extra,
+            ts=self.clock() if self.clock else None,
+        )
+
+    def drop_branch(self, name: str) -> None:
+        """Remove the branch's LOG (and fork marker). Its data files
+        stay on disk until a main-table VACUUM finds them unreferenced
+        — fast-forwarded files are referenced by main manifests and
+        survive; abandoned ones reclaim."""
+        import shutil
+
+        broot = self._branch_root(name)
+        shutil.rmtree(os.path.join(broot, "_manifests"), ignore_errors=True)
+        try:
+            os.unlink(os.path.join(broot, "_fork.json"))
+        except FileNotFoundError:
+            pass
+
+    def _refs_dir(self) -> str:
+        d = os.path.join(self.root, "_refs")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Immutable named pointer to a snapshot (Iceberg tags): the
+        tagged version becomes a VACUUM retention root — an audited or
+        released snapshot stays readable regardless of the version
+        window. Exclusive create: tags never silently move."""
+        if not self._REF_NAME.match(name):
+            raise ValueError(f"invalid ref name {name!r}")
+        v = self.current_version() if version is None else version
+        load_manifest(self.root, v)  # must exist / not vacuumed
+        path = os.path.join(self._refs_dir(), f"{name}.json")
+        try:
+            with open(path, "x") as f:
+                json.dump({"version": v}, f)
+        except FileExistsError:
+            raise ValueError(f"tag {name!r} already exists") from None
+        return v
+
+    def tag_version(self, name: str) -> int:
+        path = os.path.join(self.root, "_refs", f"{name}.json")
+        try:
+            with open(path) as f:
+                return int(json.load(f)["version"])
+        except FileNotFoundError:
+            raise ValueError(f"no such tag {name!r}") from None
+
+    def delete_tag(self, name: str) -> None:
+        try:
+            os.unlink(os.path.join(self.root, "_refs", f"{name}.json"))
+        except FileNotFoundError:
+            raise ValueError(f"no such tag {name!r}") from None
+
+    def tags(self) -> dict[str, int]:
+        d = os.path.join(self.root, "_refs")
+        out = {}
+        if os.path.isdir(d):
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".json"):
+                    out[f[:-5]] = self.tag_version(f[:-5])
+        return out
 
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY (Delta's audit view): one row per readable
@@ -3247,7 +3646,15 @@ class SnapshotTable:
         committed at or after ``now - retain_seconds`` survives even if
         it falls outside ``retain_versions`` — the two retention axes
         compose as a union, so neither can shrink what the other
-        promised. ``now`` is injectable for deterministic tests."""
+        promised. ``now`` is injectable for deterministic tests.
+
+        TAGGED versions are retention roots: their manifests and files
+        survive any window (delete the tag to release them). LIVE
+        BRANCHES are GC roots too — a fork references main's files by
+        absolute path, so reachability unions over every branch log;
+        branch-local data/sidecar dirs are swept against the same union
+        (dropping a branch's log is what makes its unpublished files
+        collectable)."""
         import shutil
         import time as _time
 
@@ -3265,63 +3672,102 @@ class SnapshotTable:
                 if ts is not None and ts >= horizon:
                     lo = min(lo, v)
                     break
-        keep_versions = [v for v in range(lo, cur + 1)]
+        tagged = {v for v in self.tags().values() if 1 <= v <= cur}
+        keep_versions = sorted(set(range(lo, cur + 1)) | tagged)
         reachable: set[str] = set()
         reachable_dv: set[str] = set()
         reachable_bloom: set[str] = set()
         reachable_ndv: set[str] = set()
-        for v in keep_versions:
-            m = load_manifest(self.root, v)
-            reachable |= set(m["files"])
-            reachable_dv |= {d for lst in m["dv"].values() for d in lst}
-            reachable_bloom |= {
+
+        def _union(m: dict) -> None:
+            reachable.update(m["files"])
+            reachable_dv.update(
+                d for lst in m.get("dv", {}).values() for d in lst
+            )
+            reachable_bloom.update(
                 s
                 for percol in (m.get("blooms") or {}).values()
                 for s in percol.values()
-            }
-            reachable_ndv |= set(
+            )
+            reachable_ndv.update(
                 (m.get("ndv") or {}).get("sidecars", [])
             )
+
+        for v in keep_versions:
+            try:
+                _union(load_manifest(self.root, v))
+            except LogTruncated:
+                # a tag created before tag-pinning existed may point at
+                # an already-collected version — nothing to retain
+                continue
+        # every live branch is a GC root: its whole log stays readable
+        # until the branch is dropped, and its manifests reference main
+        # files by absolute path
+        branch_roots = [
+            self._branch_root(n) for n in self.branches()
+        ]
+        for broot in branch_roots:
+            mdir = os.path.join(broot, "_manifests")
+            if not os.path.isdir(mdir):
+                continue
+            for bv in range(1, latest_version(broot) + 1):
+                try:
+                    _union(load_manifest(broot, bv))
+                except LogTruncated:
+                    continue
         deleted: list[str] = []
-        data_root = os.path.join(self.root, "data")
-        # recursive walk: partition-spec'd commits nest their files
-        # under __part_<col>=<value>/ directories
-        if os.path.isdir(data_root):
-            for walk_root, _dirs, fs in os.walk(data_root):
-                for f in fs:
-                    p = os.path.join(walk_root, f)
-                    if f.endswith(".parquet") and p not in reachable:
+        # sweep main's data dir AND every branch dir under _branches
+        # (including dropped branches whose logs are gone — their
+        # orphaned files are exactly what must reclaim) against the
+        # unioned reachability. Recursive walk: partition-spec'd
+        # commits nest files under __part_<col>=<value>/ directories.
+        bdir = os.path.join(self.root, "_branches")
+        sweep_roots = [self.root] + (
+            [os.path.join(bdir, n) for n in sorted(os.listdir(bdir))]
+            if os.path.isdir(bdir)
+            else []
+        )
+        for sroot in sweep_roots:
+            data_root = os.path.join(sroot, "data")
+            if os.path.isdir(data_root):
+                for walk_root, _dirs, fs in os.walk(data_root):
+                    for f in fs:
+                        p = os.path.join(walk_root, f)
+                        if f.endswith(".parquet") and p not in reachable:
+                            os.unlink(p)
+                            deleted.append(p)
+            # deletion-vector sidecar dirs unreachable from the window
+            dv_root = os.path.join(sroot, "deletes")
+            if os.path.isdir(dv_root):
+                for d in os.listdir(dv_root):
+                    full = os.path.join(dv_root, d)
+                    if full not in reachable_dv:
+                        shutil.rmtree(full, ignore_errors=True)
+                        deleted.append(full)
+            # bloom index sidecars unreferenced from the window
+            # (dropped indexes, rewritten files); ANALYZE sketch
+            # sidecar dirs unreferenced from any retained manifest
+            idx_root = os.path.join(sroot, "_indexes")
+            if os.path.isdir(idx_root):
+                for f in os.listdir(idx_root):
+                    p = os.path.join(idx_root, f)
+                    if (
+                        f.endswith(".bloom.json")
+                        and p not in reachable_bloom
+                    ):
                         os.unlink(p)
                         deleted.append(p)
-        # deletion-vector sidecar dirs unreachable from the window
-        dv_root = os.path.join(self.root, "deletes")
-        if os.path.isdir(dv_root):
-            for d in os.listdir(dv_root):
-                full = os.path.join(dv_root, d)
-                if full not in reachable_dv:
-                    shutil.rmtree(full, ignore_errors=True)
-                    deleted.append(full)
-        # bloom index sidecars unreferenced from the window (dropped
-        # indexes, rewritten files); ANALYZE sketch sidecar dirs
-        # unreferenced from any retained manifest
-        idx_root = os.path.join(self.root, "_indexes")
-        if os.path.isdir(idx_root):
-            for f in os.listdir(idx_root):
-                p = os.path.join(idx_root, f)
-                if (
-                    f.endswith(".bloom.json")
-                    and p not in reachable_bloom
-                ):
-                    os.unlink(p)
-                    deleted.append(p)
-                elif (
-                    f.startswith("ndv_")
-                    and os.path.isdir(p)
-                    and p not in reachable_ndv
-                ):
-                    shutil.rmtree(p, ignore_errors=True)
-                    deleted.append(p)
-        for v in range(1, keep_versions[0]):
+                    elif (
+                        f.startswith("ndv_")
+                        and os.path.isdir(p)
+                        and p not in reachable_ndv
+                    ):
+                        shutil.rmtree(p, ignore_errors=True)
+                        deleted.append(p)
+        keep_set = set(keep_versions)
+        for v in range(1, lo):
+            if v in keep_set:
+                continue  # tagged below the window: pinned
             try:
                 os.unlink(self._manifest_path(v))
             except FileNotFoundError:
