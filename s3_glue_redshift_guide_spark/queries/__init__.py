@@ -39,27 +39,28 @@ for _m in _MODULES:
 
 # Registry iteration order is the order the grading driver checks queries
 # in; the driver verifies exactly the FIRST 50 entries per round. Round
-# 6's window: (a) the TWENTY-FOUR round-6 newcomers first (registry rows
+# 6's window: (a) the TWENTY-NINE round-6 newcomers first (registry rows
 # for the previously pytest-only S34/S35/S36/S37/S38/T19 features,
 # TIMESTAMP AS OF, clustered connector writes, MOR MERGE, canonical
 # dedup selection, GENERATED columns, metadata-only aggregates, the
-# bloom file index, and the change-feed MV — none has driver evidence
-# yet), then (b) 26 of the 50 queries whose newest driver evidence is
-# ROUND 2 (the sql/udf/sketch/q-series cohort — three rounds of engine
-# churn stale, VERDICT r5 directive #3). The remaining r2-stale queries
-# (ev_dedup_first, ev_enrich_static, ev_session_window,
-# llm_global_shuffle, llm_token_counts, llm_train_val_split,
-# sink_scd1_merge, stats_table_sizing, win_distinct_count,
-# join_range_left_rowlevel, skew_two_phase_agg, graph_pagerank,
-# cur_repetition_metrics, cur_duplicated_spans, graph_triangles,
-# cur_chunk_windows, skew_salted_join, sk_bitmap_distinct,
-# sk_hll_union_distinct) lead round 7's rotation, together with the
-# seven displaced tail re-checks (fn_regexp, fn_variant,
+# bloom file index, the change-feed MV, table history, vacuum
+# retention, partition specs, row tracking, ANALYZE/NDV, COPY INTO,
+# type widening, branches/tags/WAP, column DEFAULTs, identity columns,
+# the streaming LEFT OUTER join, and span-level decontamination — none
+# has driver evidence yet), then (b) the first 21 of the r2-stale
+# cohort (sql/udf/q-series — three rounds of engine churn stale,
+# VERDICT r5 directive #3); the listed stale tail past slot 50
+# (udf_grouped_map, agg_approx_distinct, agg_approx_quantiles,
+# agg_collect_set and the fn_* re-checks) joins the rest of the
+# r2-stale leftovers (ev_dedup_first, ev_enrich_static,
+# ev_session_window, llm_global_shuffle, llm_token_counts,
+# llm_train_val_split, sink_scd1_merge, stats_table_sizing,
+# win_distinct_count, join_range_left_rowlevel, skew_two_phase_agg,
+# graph_pagerank, cur_repetition_metrics, cur_duplicated_spans,
+# graph_triangles, cur_chunk_windows, skew_salted_join,
+# sk_bitmap_distinct, sk_hll_union_distinct, fn_regexp, fn_variant,
 # fn_map_construct, fn_array, agg_median_mode, agg_linear_fit,
-# agg_freq_items) — 26 total. The late-round-6 newcomers
-# src_table_history, src_vacuum_retention, src_partition_spec,
-# src_row_tracking, stats_ndv_estimate, src_copy_into and
-# src_type_widening took their window slots (the window invariant:
+# agg_freq_items) to lead round 7's rotation (the window invariant:
 # never-driver-sampled queries always sit inside the first 50).
 _PRIORITY = [
     # -- new in round 6 (never driver-sampled) ------------------------------
@@ -75,6 +76,7 @@ _PRIORITY = [
     "src_partition_spec", "src_row_tracking", "stats_ndv_estimate",
     "src_copy_into", "src_type_widening", "src_branch_wap",
     "src_column_defaults", "src_identity_column",
+    "ev_stream_outer_join", "llm_contamination_spans",
     # -- round-2-stale regression re-checks (26) ---------------------------
     # SQL suite (subqueries, recursive CTE, TPC-H rewrites)
     "sql_volume_shipping", "sql_scalar_subquery",

@@ -2260,3 +2260,110 @@ def llm_bigram_logprob(spark, sf_dir):
             ).alias("mean_log10_p"),
         )
     )
+
+
+# ------------------------------------------------------------------ R25 --
+@query(
+    "llm_contamination_spans",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\\s+'),
+                        x -> x != '') AS t
+          FROM documents),
+    grams AS (SELECT doc_id, i AS pos,
+                     concat_ws(' ', t[i], t[i+1], t[i+2]) AS g
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(t) - 2, 0)))
+                     AS u(i)),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+    corp AS (SELECT doc_id, pos, g FROM grams WHERE doc_id >= 20),
+    hits AS (SELECT doc_id, pos FROM corp
+             WHERE g IN (SELECT g FROM ev)),
+    runs AS (SELECT doc_id,
+                    pos - row_number()
+                            OVER (PARTITION BY doc_id ORDER BY pos)
+                      AS grp
+             FROM hits),
+    island AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS run_len
+               FROM runs GROUP BY doc_id, grp),
+    per_doc AS (SELECT doc_id, max(run_len) AS max_run,
+                       CAST(sum(run_len) AS BIGINT) AS n_hits
+                FROM island GROUP BY doc_id),
+    corp_docs AS (SELECT doc_id,
+                         CAST(count(*) AS BIGINT) AS n_grams
+                  FROM corp GROUP BY doc_id)
+    SELECT c.doc_id,
+           c.n_grams,
+           COALESCE(p.n_hits, 0) AS n_hit_positions,
+           COALESCE(p.max_run, 0) AS max_overlap_run,
+           CAST(COALESCE(p.max_run, 0) >= 8 AS INTEGER) AS flagged
+    FROM corp_docs c LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def llm_contamination_spans(spark, sf_dir):
+    """Span-level decontamination (R25, the GPT-3/PaLM protocol): the
+    existing `llm_contamination` counts distinct shared shingles, which
+    flags topical overlap; production decontamination instead asks for
+    the LONGEST CONTIGUOUS overlapping token span — a 10-gram lifted
+    verbatim from an eval benchmark is contamination, ten scattered
+    3-grams are not. Per corpus document: positional 3-grams (an
+    expression-only posexplode — no UDF), a LEFT SEMI probe into the
+    eval set's distinct grams (the eval side is small by construction:
+    broadcast-scale), then the gaps-and-islands trick
+    (``pos - row_number()`` per doc) turns consecutive hit positions
+    into groups whose size is the run length. Max run >= 8 positions
+    (~10 contiguous shared tokens) flags the doc. At 100 TB: grams
+    shuffle only for the per-doc window (one shuffle keyed by doc_id,
+    volume ~ HIT positions only — misses drop at the semi-join), and
+    the eval probe is a broadcast; documents themselves never move."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    t = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    gram_idx = F.when(
+        F.size(t) >= 3, F.sequence(F.lit(1), F.size(t) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                gram_idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(t, i),
+                    F.element_at(t, i + 1),
+                    F.element_at(t, i + 2),
+                ),
+            )
+        ).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    ev = grams.filter(F.col("doc_id") < 20).select("g").distinct()
+    corp = grams.filter(F.col("doc_id") >= 20)
+    hits = corp.join(F.broadcast(ev), "g", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = hits.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    island = runs.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    per_doc = island.groupBy("doc_id").agg(
+        F.max("run_len").alias("max_run"),
+        F.sum("run_len").alias("n_hits"),
+    )
+    corp_docs = corp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    return corp_docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hit_positions"),
+        F.coalesce(F.col("max_run"), F.lit(0)).alias(
+            "max_overlap_run"
+        ),
+        (F.coalesce(F.col("max_run"), F.lit(0)) >= 8)
+        .cast("int")
+        .alias("flagged"),
+    )

@@ -285,3 +285,105 @@ def src_stream_change_feed(spark, sf_dir):
         "o_orderkey", "price", "_change_type", "_commit_version"
     )
     return streamed.unionAll(feed)
+
+
+@query(
+    "ev_stream_outer_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id
+    FROM events c LEFT JOIN events b
+      ON b.user_id = c.user_id
+     AND b.event_type = 'purchase'
+     AND b.ts >= c.ts AND b.ts < c.ts + INTERVAL '10 minutes'
+    WHERE c.event_type = 'click' AND c.user_id < 120
+    """,
+)
+def ev_stream_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join, executed AS A STREAM
+    (T10's outer half): clicks with no purchase within 10 minutes must
+    emit with a NULL buy — the attribution-gap feed. Outer results may
+    only emit once the GLOBAL watermark (the MIN across both sides)
+    closes a left row's window, so this runs the real multi-trigger
+    protocol an unbounded pipeline lives by: the corpus lands first,
+    then far-future heartbeat events on BOTH sides advance the
+    watermark, and a final trigger runs eviction — exactly how
+    production streams flush outer state (idle-source heartbeats /
+    Delta's watermark advancement). Three ``availableNow`` runs against
+    ONE checkpoint chain the triggers; results accumulate via
+    ``foreachBatch`` because outer rows surface across epochs. State
+    stays bounded by (watermark horizon x arrival rate) at any stream
+    length; value-exact against the batch LEFT JOIN."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from ..catalog import load_table
+    from ..streaming.joins import interval_join_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    src = tempfile.mkdtemp(prefix="spark_outer_src_")
+    ck = tempfile.mkdtemp(prefix="spark_outer_ck_")
+    corpus = ev.filter(
+        F.col("user_id") < 120
+    )
+    corpus.write.mode("overwrite").parquet(os.path.join(src, "b0"))
+    max_ts = corpus.agg(F.max("ts")).collect()[0][0]
+
+    def sentinel(i: int, hours: int) -> None:
+        far = max_ts + dt.timedelta(hours=hours)
+        spark.createDataFrame(
+            [(-1, far, "click", -1), (-1, far, "purchase", -1)],
+            "user_id long, ts timestamp, event_type string, "
+            "event_id long",
+        ).write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+
+    raw = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string, "
+            "event_id long"
+        )
+        .parquet(os.path.join(src, "b*"))
+    )
+    clicks = raw.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys = raw.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    joined = interval_join_stream(
+        clicks, buys, "user_id", "click_ts", "buy_ts", 0, 600,
+        watermark="30 minutes", how="leftOuter",
+    ).select("user_id", "click_id", "buy_id")
+
+    out: list[tuple] = []
+
+    def sink(df, _epoch) -> None:
+        out.extend(
+            (r["user_id"], r["click_id"], r["buy_id"])
+            for r in df.collect()
+        )
+
+    def run() -> None:
+        q = (
+            joined.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()  # corpus lands; windows still open
+    sentinel(1, 2)
+    run()  # watermark advances past every corpus window
+    sentinel(2, 4)
+    run()  # eviction trigger: unmatched clicks emit with NULL
+    rows = [r for r in out if r[0] >= 0]  # drop heartbeat sentinels
+    return spark.createDataFrame(
+        rows, "user_id long, click_id long, buy_id long"
+    )
