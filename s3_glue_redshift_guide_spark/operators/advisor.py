@@ -34,8 +34,11 @@ def table_size_bytes(
     root: str, version: int | None = None
 ) -> int | None:
     """Visible bytes of a snapshot version — the sum of its manifest's
-    file sizes (one ``stat`` per file, no data reads), or ``None`` when
-    ANY file cannot be stat-ed (a size built on a vanished file would
+    file sizes. Sizes BANKED in the manifest (round 6: every commit
+    records its files' byte sizes) answer from pure metadata — zero
+    filesystem calls at any file count; files a pre-banking manifest
+    doesn't cover fall back to one ``stat`` each. ``None`` when any
+    size is unknowable (a size built on a vanished file would
     UNDERCOUNT, and an undercount is the dangerous direction: it
     green-lights broadcasting a side that is actually huge). An empty
     table is a known 0 — trivially broadcastable — not unknown.
@@ -44,12 +47,17 @@ def table_size_bytes(
     v = latest_version(root) if version is None else version
     if v == 0:
         return 0
+    m = load_manifest(root, v)
+    banked = m.get("sizes") or {}
     total = 0
-    for f in load_manifest(root, v)["files"]:
-        try:
-            total += os.path.getsize(f)
-        except OSError:
-            return None
+    for f in m["files"]:
+        s = banked.get(f)
+        if s is None:
+            try:
+                s = os.path.getsize(f)
+            except OSError:
+                return None
+        total += s
     return total
 
 

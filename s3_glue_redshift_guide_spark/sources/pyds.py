@@ -1266,6 +1266,7 @@ class SnapshotDataWriter(DataSourceArrowWriter):
             base_gen: dict = {}
             base_dfl: dict = {}
             base_ident: dict = {}
+            base_sizes: dict = {}
             base_bloom_cols: dict = {}
             base_blooms: dict = {}
             base_spec: list = []
@@ -1281,6 +1282,7 @@ class SnapshotDataWriter(DataSourceArrowWriter):
                 base_gen = dict(m.get("generated", {}))
                 base_dfl = dict(m.get("defaults", {}))
                 base_ident = dict(m.get("identity", {}))
+                base_sizes = dict(m.get("sizes") or {})
                 base_bloom_cols = dict(m.get("bloom_cols") or {})
                 base_blooms = dict(m.get("blooms") or {})
                 base_spec = list(m.get("partition_spec") or [])
@@ -1377,6 +1379,22 @@ class SnapshotDataWriter(DataSourceArrowWriter):
                 extra["defaults"] = base_dfl
             if base_ident:
                 extra["identity"] = base_ident
+            # per-file sizes ride the manifest like stats (OPTIMIZE /
+            # join-advisor planning from pure metadata): carried files
+            # keep their banked value, this writer's new shards stat
+            # once here at commit
+            sizes_map = {
+                f: s
+                for f, s in base_sizes.items()
+                if f in set(visible)
+            }
+            for f in files:
+                try:
+                    sizes_map[f] = os.path.getsize(f)
+                except OSError:
+                    pass
+            if sizes_map:
+                extra["sizes"] = sizes_map
             # the remaining metadata families carry exactly as
             # SnapshotTable._publish carries them — dropping ANY of
             # them through a connector commit is the r5 resurrect-bug

@@ -883,6 +883,24 @@ class SnapshotTable:
             copied = {**copied, **copied_update}
         if copied:
             extra["copied"] = copied
+        # per-file byte sizes ride the manifest like stats: a NEW file
+        # stats once at commit time, carried files keep their banked
+        # value (immutable bytes) — so OPTIMIZE planning and the join
+        # advisor read sizes from the log instead of issuing 100k
+        # driver-side stat calls against object storage
+        carried_sizes = base.get("sizes") or {}
+        sizes_map: dict[str, int] = {}
+        for f in files:
+            s = carried_sizes.get(f)
+            if s is None:
+                try:
+                    s = os.path.getsize(f)
+                except OSError:
+                    s = None
+            if s is not None:
+                sizes_map[f] = int(s)
+        if sizes_map:
+            extra["sizes"] = sizes_map
         # widened column types: the banked reader schema (only present
         # once widen_column ran; file-adding paths merge their batch's
         # dtypes in via _merged_types so additive evolution keeps
@@ -2188,8 +2206,10 @@ class SnapshotTable:
         z_cols: tuple[str, str] | None = None,
     ) -> dict[str, int]:
         """Transactional OPTIMIZE (Delta's compaction-as-a-commit): plan
-        from METADATA only (file sizes via one listing — at fleet scale
-        the sizes ride in the manifest), pick the files under
+        from METADATA only — file sizes read from the MANIFEST (every
+        commit banks its files' byte sizes; only files from
+        pre-banking manifests fall back to a stat call), pick the files
+        under
         ``small_threshold``, bin-pack them into ``target_bytes`` outputs,
         and publish ONE ``commit_replace`` that swaps exactly those files
         — large files keep their byte identity and historical versions
@@ -2210,7 +2230,13 @@ class SnapshotTable:
         cur = self.current_version()
         m = load_manifest(self.root, cur)
         files = m["files"]
-        sizes = {f: os.path.getsize(f) for f in files}
+        banked = m.get("sizes") or {}
+        sizes = {
+            f: (
+                banked[f] if f in banked else os.path.getsize(f)
+            )
+            for f in files
+        }
         small = [f for f in files if sizes[f] < small_threshold]
         if len(small) <= 1:
             return {

@@ -83,8 +83,13 @@ def test_advisor_refuses_big_broadcasts(spark, pair):
         advise_join(spark, big.root, empty.root)["strategy"]
         == "broadcast_right"
     )
-    # a vanished file makes the size UNKNOWN: refuse to broadcast —
-    # an undercount would green-light broadcasting a huge side
+    # sizes are banked in the manifest (round 6), so a vanished file
+    # no longer makes the size unknown — the banked bytes are exact
+    # (immutable files). The UNKNOWN path survives for pre-banking
+    # manifests: strip the sizes family, vanish a file, and the
+    # advisor must refuse to broadcast — an undercount would
+    # green-light broadcasting a huge side.
+    import json
     import os
 
     victim = SnapshotTable(spark, _tmp("victim"))
@@ -95,7 +100,14 @@ def test_advisor_refuses_big_broadcasts(spark, pair):
         load_manifest,
     )
 
+    banked = table_size_bytes(victim.root)
     os.unlink(load_manifest(victim.root, 1)["files"][0])
+    assert table_size_bytes(victim.root) == banked  # still exact
+    p = victim._manifest_path(1)
+    m = json.load(open(p))
+    m.pop("sizes")
+    os.unlink(p)
+    json.dump(m, open(p, "w"))
     assert table_size_bytes(victim.root) is None
     assert (
         advise_join(spark, big.root, victim.root)["strategy"]

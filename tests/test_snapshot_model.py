@@ -144,14 +144,63 @@ def test_random_interleaving_matches_model(spark, tmp_path, seed):
         model.update(snap_model)
         col = snap_col
 
+    def branch_cycle():
+        # WAP inside the walk: fork, mutate the BRANCH (append and
+        # maybe a delete) against a branch-local model copy, then
+        # either fast-forward (main adopts the branch model — legal
+        # because the walk is single-threaded, so main never moved) or
+        # drop the branch (main's model must be untouched either way
+        # until the ff lands; the per-step assertion checks it)
+        nonlocal next_key
+        name = f"wap{t.current_version()}_{rng.randrange(1 << 16)}"
+        t.create_branch(name)
+        b = t.branch(name)
+        bmodel = dict(model)
+        n = rng.randrange(10, 30)
+        rows = [(k, k * 1.5) for k in range(next_key, next_key + n)]
+        next_key += n
+        b.commit_append(
+            spark.createDataFrame(
+                rows, f"k bigint, {col} double"
+            ).coalesce(1),
+            stats_cols=["k"],
+        )
+        bmodel.update(dict(rows))
+        if rng.random() < 0.5:
+            r = rng.randrange(5)
+            b.delete_where(F.col("k") % 5 == r)
+            for k in [k for k in bmodel if k % 5 == r]:
+                del bmodel[k]
+        assert _read_model(b, col) == bmodel, "branch/model diverged"
+        assert _read_model(t, col) == model, "fork leaked into main"
+        if rng.random() < 0.7:
+            t.fast_forward(name)
+            model.clear()
+            model.update(bmodel)
+        else:
+            t.drop_branch(name)
+
+    tags: dict[str, tuple[dict[int, float], str]] = {}
+
+    def tag():
+        # tag the head; every later step re-checks a random live tag
+        # reads EXACTLY its tagged snapshot (vacuum must pin it)
+        name = f"rel{t.current_version()}_{rng.randrange(1 << 16)}"
+        try:
+            t.create_tag(name)
+        except ValueError:
+            return
+        tags[name] = (dict(model), col)
+
     history: dict[int, tuple[dict[int, float], str]] = {}
 
     append()  # always start with rows
     assert _read_model(t, col) == model
     history[t.current_version()] = (dict(model), col)
     ops = [append, delete, update, rename, optimize, materialize,
-           vacuum, restore, constraint, merge, bloom]
-    weights = [3, 2, 2, 1, 1, 1, 1, 1, 1, 2, 1]
+           vacuum, restore, constraint, merge, bloom, branch_cycle,
+           tag]
+    weights = [3, 2, 2, 1, 1, 1, 1, 1, 1, 2, 1, 2, 1]
     for step in range(16):
         op = rng.choices(ops, weights=weights)[0]
         op()
@@ -183,4 +232,17 @@ def test_random_interleaving_matches_model(spark, tmp_path, seed):
             ], f"seed={seed} step={step}: bloom lookup lost a row"
             assert (
                 t.read_where_eq("k", next_key + 1_000_000).count() == 0
+            )
+        if tags:
+            # a random live tag still reads EXACTLY its tagged snapshot
+            # — through renames, restores, optimizes, branch publishes
+            # and vacuums (the tag pins its manifest and files)
+            name = rng.choice(sorted(tags))
+            tmodel, tcol = tags[name]
+            got_tag = {
+                r["k"]: r[tcol]
+                for r in t.read(tag=name).select("k", tcol).collect()
+            }
+            assert got_tag == tmodel, (
+                f"seed={seed} step={step}: tag {name} drifted"
             )
