@@ -2556,3 +2556,137 @@ def src_identity_column(spark, sf_dir):
         "all_at_or_above_start int, batches_disjoint int, "
         "watermark_is_max int",
     )
+
+
+# ----------------------- strict schema enforcement (S54) ---------------
+@query(
+    "src_schema_enforcement",
+    oracle="""
+    WITH base AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 400),
+         b2 AS (SELECT o_orderkey FROM orders
+                WHERE o_orderkey BETWEEN 400 AND 599)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM base)
+             + (SELECT CAST(count(*) AS BIGINT) FROM b2) AS n_rows,
+           1 AS strict_rejected_new_col,
+           1 AS connector_rejected_new_col,
+           1 AS additive_evolved,
+           1 AS mode_carried_through_commits
+    """,
+)
+def src_schema_enforcement(spark, sf_dir):
+    """Strict schema enforcement (Delta's default-on enforcement vs
+    mergeSchema, ``sources/snapshots.py::set_schema_enforcement``): a
+    manifest-carried table property. Under ``strict``, a write carrying
+    a column the snapshot does not have FAILS — both through
+    ``commit_append`` and through the pysnapshot connector (refused at
+    writer construction) — so typo'd columns and upstream schema drift
+    fail loudly instead of silently widening a 100 TB table; missing
+    columns stay legal (they read NULL). Flipping back to ``additive``
+    restores the S5 evolution contract, and the mode rides every commit
+    like constraints do (``mode_carried_through_commits`` checks the
+    head manifest after an ordinary append)."""
+    from ..sources.pyds import register_snapshot_source
+    from ..sources.snapshots import SnapshotTable, load_manifest
+
+    register_snapshot_source(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, _tmp("enforce"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 400).coalesce(1))
+    t.set_schema_enforcement("strict")
+    try:
+        t.commit_append(
+            o.filter(F.col("o_orderkey") < 10)
+            .withColumn("typo_col", F.lit(1))
+            .coalesce(1)
+        )
+        rejected = 0
+    except ValueError:
+        rejected = 1
+    try:
+        (
+            o.filter(F.col("o_orderkey") < 10)
+            .withColumn("typo_col", F.lit(1))
+            .coalesce(1)
+            .write.format("pysnapshot")
+            .mode("append")
+            .option("root", t.root)
+            .save()
+        )
+        conn_rejected = 0
+    except Exception:
+        conn_rejected = 1
+    # legal append under strict; the mode must survive the commit
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(400, 599)).coalesce(1)
+    )
+    carried = int(
+        load_manifest(t.root, t.current_version()).get("evolution")
+        == "strict"
+    )
+    t.set_schema_enforcement("additive")
+    t.commit_append(
+        o.filter(F.col("o_orderkey") < 0)
+        .withColumn("new_col", F.lit(1))
+        .coalesce(1)
+    )  # zero rows, but the schema evolves without error
+    evolved = 1
+    n = t.read().count()
+    return spark.createDataFrame(
+        [(n, rejected, conn_rejected, evolved, carried)],
+        "n_rows bigint, strict_rejected_new_col int, "
+        "connector_rejected_new_col int, additive_evolved int, "
+        "mode_carried_through_commits int",
+    )
+
+
+# ----------------------------------- DEEP CLONE (S55) ------------------
+@query(
+    "src_deep_clone",
+    oracle="""
+    WITH src AS (SELECT o_orderkey FROM orders
+                 WHERE o_orderkey < 500 AND o_orderkey % 5 <> 0)
+    SELECT CAST(count(*) AS BIGINT) AS clone_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS clone_key_sum,
+           1 AS no_shared_paths, 1 AS survives_source_vacuum,
+           1 AS tombstones_copied
+    FROM src
+    """,
+)
+def src_deep_clone(spark, sf_dir):
+    """DEEP CLONE (Delta's CLONE DEEP, ``snapshots.py::clone_deep``):
+    the clone references byte COPIES of the source's current files —
+    copies fan out as a Spark job over the path list, deletion-vector
+    sidecars rewrite with the copy paths (``tombstones_copied``: rows
+    the source DELETEd stay deleted in the clone), and the
+    shallow-clone caveat disappears: the source is VACUUMed to nothing
+    underneath and the clone still reads (``survives_source_vacuum``)
+    — the backup/migration shape. ``no_shared_paths`` pins zero
+    aliasing with the source."""
+    from ..sources.snapshots import SnapshotTable, load_manifest
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, _tmp("deep_src"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 500).coalesce(2))
+    t.delete_where(F.col("o_orderkey") % 5 == 0)
+    clone = t.clone_deep(_tmp("deep_dst"))
+    ms = load_manifest(t.root, t.current_version())
+    mc = load_manifest(clone.root, 1)
+    disjoint = int(not set(ms["files"]) & set(mc["files"]))
+    # vacuum the source table away entirely; the clone must not notice
+    t.commit_replace(ms["files"], o.filter(F.col("o_orderkey") < 0))
+    t.vacuum(retain_versions=1)
+    agg = clone.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("long").alias("s"),
+    ).collect()[0]
+    tomb = int(
+        clone.read()
+        .where((F.col("o_orderkey") % 5 == 0))
+        .count()
+        == 0
+    )
+    return spark.createDataFrame(
+        [(agg["n"], agg["s"], disjoint, 1, tomb)],
+        "clone_rows bigint, clone_key_sum bigint, no_shared_paths int, "
+        "survives_source_vacuum int, tombstones_copied int",
+    )

@@ -1049,6 +1049,9 @@ class SnapshotDataWriter(DataSourceArrowWriter):
         self.defaults: dict[str, str] = dict(
             base_m.get("defaults", {})
         )
+        #: schema-enforcement mode snapshotted at construction; commit
+        #: re-checks (a mode flipped to strict mid-write conflicts)
+        self.evolution = base_m.get("evolution")
         if base_m.get("identity"):
             raise ValueError(
                 "table has identity column(s) "
@@ -1056,6 +1059,36 @@ class SnapshotDataWriter(DataSourceArrowWriter):
                 "connector writer cannot assign GENERATED ALWAYS ids "
                 "— use SnapshotTable.commit_append"
             )
+        # strict schema enforcement: reject columns the table does not
+        # have (the logical set comes from the field-id map when one
+        # exists, else a footer-name union — metadata reads only)
+        if (
+            base_m.get("evolution") == "strict"
+            and base_m.get("files")
+            and not self.overwrite
+        ):
+            smap = base_m.get("schema")
+            if smap:
+                known = {
+                    e["name"] for e in smap if not e.get("dropped")
+                }
+            else:
+                import pyarrow.parquet as pq
+
+                known = set()
+                for f in base_m["files"]:
+                    known.update(pq.ParquetFile(f).schema_arrow.names)
+            known.discard("__row_id")
+            extra_cols = [
+                c for c in self.field_names if c not in known
+            ]
+            if extra_cols:
+                raise ValueError(
+                    "schema enforcement is strict: column(s) "
+                    f"{extra_cols} do not exist in the table — "
+                    "set_schema_enforcement('additive') to allow "
+                    "evolution"
+                )
         # Partition-spec'd tables refuse connector writes outright:
         # this writer's shards carry no __part_ path segments, so a
         # write would silently violate the table's layout contract
@@ -1324,6 +1357,22 @@ class SnapshotDataWriter(DataSourceArrowWriter):
                     "registered concurrently with this write — retry "
                     "via SnapshotTable.commit_append"
                 )
+            # strict enforcement registered after this writer checked
+            # its columns: the staged files were never validated under
+            # the new mode — fail the commit, the retry re-checks
+            base_evo = (
+                m.get("evolution") if base_v > 0 else None
+            )
+            if (
+                base_evo == "strict"
+                and self.evolution != "strict"
+                and files
+            ):
+                reclaim()
+                raise CommitConflict(
+                    "strict schema enforcement was registered "
+                    "concurrently with this write — retry the write"
+                )
             # a partition spec registered concurrently makes this
             # writer's unpartitioned shards spec-violating — same
             # fail-the-commit treatment (construction-time specs were
@@ -1379,6 +1428,8 @@ class SnapshotDataWriter(DataSourceArrowWriter):
                 extra["defaults"] = base_dfl
             if base_ident:
                 extra["identity"] = base_ident
+            if base_evo:
+                extra["evolution"] = base_evo
             # per-file sizes ride the manifest like stats (OPTIMIZE /
             # join-advisor planning from pure metadata): carried files
             # keep their banked value, this writer's new shards stat

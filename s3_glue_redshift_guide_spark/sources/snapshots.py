@@ -766,6 +766,7 @@ class SnapshotTable:
         types=_UNSET,
         defaults=_UNSET,
         identity=_UNSET,
+        evolution=_UNSET,
     ) -> int:
         # carry the txn map (streaming writers' appId -> batchId records),
         # the deletion-vector map, the field-id schema map, and the CHECK
@@ -811,6 +812,11 @@ class SnapshotTable:
             generated = base.get("generated")
         if generated:
             extra["generated"] = generated
+        # schema-enforcement mode: a table property like constraints
+        if evolution is _UNSET:
+            evolution = base.get("evolution")
+        if evolution:
+            extra["evolution"] = evolution
         # column DEFAULTs: a writer contract like constraints — carried
         # through every commit
         if defaults is _UNSET:
@@ -1158,6 +1164,8 @@ class SnapshotTable:
             # baked into our staged files may collide with theirs —
             # that is a real conflict (the one append/append race that
             # cannot auto-resolve), so fail and let the caller rewrite.
+            if new is None:
+                self._enforce_schema(m, df)
             head_ident = m.get("identity") or {}
             if new is None and head_ident:
                 ident_at_write = {
@@ -3234,6 +3242,57 @@ class SnapshotTable:
             return {}
         return load_manifest(self.root, cur).get("identity", {})
 
+    def set_schema_enforcement(self, mode: str) -> int:
+        """Schema enforcement mode (Delta's default-on enforcement vs
+        ``mergeSchema``): ``"additive"`` (this format's default) lets a
+        write INTRODUCE columns — additive evolution, the S5 contract —
+        while ``"strict"`` rejects any write carrying a column the
+        current snapshot does not have (typo'd column names and
+        upstream schema drift fail loudly instead of silently widening
+        the table). Missing columns stay legal in both modes (they read
+        NULL / fill from DEFAULTs). The mode is a manifest-carried
+        table property like constraints: every write path — including
+        the connector — honors it, and CLONE / branch fork /
+        fast-forward carry it."""
+        if mode not in ("additive", "strict"):
+            raise ValueError(
+                f"schema enforcement mode {mode!r}: use 'additive' or "
+                "'strict'"
+            )
+        cur = self.current_version()
+        m = (
+            load_manifest(self.root, cur)
+            if cur > 0
+            else {"files": [], "stats": {}}
+        )
+        return self._publish(
+            m["files"], cur, m["stats"], evolution=mode,
+            op="SET SCHEMA ENFORCEMENT",
+        )
+
+    def _enforce_schema(self, m: dict, df: DataFrame) -> None:
+        """Under strict enforcement, reject columns the snapshot does
+        not already have. Logical column set = the reader schema
+        (footer union projected through the field-id map) — a pure
+        metadata computation, no data scan."""
+        if m.get("evolution") != "strict" or not m.get("files"):
+            return
+        known = set(
+            self._apply_schema_map(
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*m["files"])
+                .limit(0),
+                m.get("schema"),
+            ).columns
+        )
+        extra_cols = [c for c in df.columns if c not in known]
+        if extra_cols:
+            raise ValueError(
+                f"schema enforcement is strict: column(s) {extra_cols} "
+                "do not exist in the table — set_schema_enforcement("
+                "'additive') to allow evolution"
+            )
+
     def add_column_default(self, name: str, expr_sql: str) -> int:
         """Register a column DEFAULT (SQL's ``DEFAULT`` / Delta's
         default values): future writes that OMIT the column get
@@ -3421,6 +3480,7 @@ class SnapshotTable:
                 # rows' ids)
                 defaults=m.get("defaults") or None,
                 identity=m.get("identity") or None,
+                evolution=m.get("evolution") or None,
                 # the bloom index borrows the source's sidecars exactly
                 # like the data files; a source VACUUM collecting them
                 # degrades the clone's probes to conservative keeps
@@ -3442,6 +3502,119 @@ class SnapshotTable:
                 types=m.get("types") or _UNSET,
                 op="CLONE",
             )
+        return clone
+
+    def clone_deep(self, target_root: str) -> "SnapshotTable":
+        """DEEP CLONE (Delta's CLONE ... DEEP): a new table whose first
+        manifest references COPIES of the source's current files — the
+        byte copies fan out as a Spark job over the file list, so a
+        100k-file table clones at cluster parallelism with only the
+        (src, dst) path pairs crossing the driver. Unlike
+        ``clone_shallow``, the clone owns its bytes: a source VACUUM
+        can never break it — the backup/migration shape. Deletion
+        vector sidecars copy too (tombstones must hold); the metadata
+        families carry exactly as shallow clone carries them."""
+        m = load_manifest(self.root, self.current_version())
+        clone = SnapshotTable(self.spark, target_root, clock=self.clock)
+        if not m["files"]:
+            return clone
+        data_dir = os.path.join(target_root, "data", uuid.uuid4().hex)
+        os.makedirs(data_dir, exist_ok=True)
+
+        def _rel(src: str) -> str:
+            # preserve the path AFTER the source's data/ root: commit
+            # dirs are uuid-unique (no collisions) and partition-spec'd
+            # layouts encode their __part_<col>=<value> segments in the
+            # path — flattening would break partition-path pruning on
+            # the clone
+            i = src.find("/data/")
+            return src[i + 6:] if i >= 0 else os.path.basename(src)
+
+        pairs = [
+            (src, os.path.join(data_dir, _rel(src)))
+            for src in m["files"]
+        ]
+        old_to_new = dict(pairs)
+        # tombstone sidecars rewrite rather than copy: their rows name
+        # the tombstoned file by PATH, which must point at the clone's
+        # copies. A sidecar dir shared by several files (one DELETE
+        # touching many) rewrites once and stays shared in the clone.
+        src_dirs = sorted(
+            {d for lst in (m.get("dv") or {}).values() for d in lst}
+        )
+        dir_map = {
+            d: os.path.join(target_root, "deletes", uuid.uuid4().hex)
+            for d in src_dirs
+        }
+        dv_map = {
+            old_to_new[f]: [dir_map[d] for d in lst]
+            for f, lst in (m.get("dv") or {}).items()
+        }
+
+        def _copy(pair):
+            import shutil as _sh
+
+            src, dst = pair
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            _sh.copyfile(src, dst)
+            return dst
+
+        if len(pairs) >= self.DISTRIBUTED_STATS_THRESHOLD:
+            sc = self.spark.sparkContext
+            sc.parallelize(
+                pairs, max(1, min(len(pairs) // 16, 256))
+            ).foreach(_copy)
+        else:
+            for p in pairs:
+                _copy(p)
+        for d, nd in dir_map.items():
+            import pyarrow as pa
+            import pyarrow.parquet as pq_
+
+            os.makedirs(nd, exist_ok=True)
+            for fn in os.listdir(d):
+                if not fn.endswith(".parquet"):
+                    continue  # _SUCCESS markers, .crc checksums
+                tbl = pq_.read_table(os.path.join(d, fn))
+                col = tbl.column("__dv_file").to_pylist()
+                remapped = pa.array(
+                    [old_to_new.get(v, v) for v in col],
+                    type=pa.string(),
+                )
+                tbl = tbl.set_column(
+                    tbl.schema.get_field_index("__dv_file"),
+                    "__dv_file",
+                    remapped,
+                )
+                pq_.write_table(tbl, os.path.join(nd, fn))
+        stats = {
+            old_to_new[f]: st for f, st in m["stats"].items()
+            if f in old_to_new
+        }
+        clone._publish(
+            [dst for _src, dst in pairs],
+            0,
+            stats,
+            dv=dv_map,
+            schema_map=m["schema"],
+            constraints=m.get("constraints") or None,
+            generated=m.get("generated") or None,
+            defaults=m.get("defaults") or None,
+            identity=m.get("identity") or None,
+            evolution=m.get("evolution") or None,
+            partition_spec=m.get("partition_spec") or None,
+            row_tracking=m.get("row_tracking") or None,
+            # copied files keep the source rows' permanent ids: re-key
+            # the banked ranges onto the copy paths
+            row_ids_seed={
+                old_to_new[f]: v
+                for f, v in (m.get("row_ids") or {}).items()
+                if f in old_to_new
+            }
+            or None,
+            types=m.get("types") or _UNSET,
+            op="CLONE DEEP",
+        )
         return clone
 
     # --------------------------------------------- branches / tags / WAP
