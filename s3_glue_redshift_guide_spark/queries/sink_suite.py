@@ -839,3 +839,67 @@ def sink_snapshot_merge_mor(spark, sf_dir):
         when_matched_delete=F.col("o_orderkey") % 10 == 0,
     )
     return t.read()
+
+
+# ---------------- MERGE as full SYNC (NOT MATCHED BY SOURCE) ------------
+@query(
+    "sink_merge_sync",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN round(o_totalprice + 1000.0, 2)
+                ELSE round(o_totalprice, 2) END AS total
+    FROM orders WHERE o_orderkey < 700 AND o_orderkey % 3 <> 0
+    """,
+)
+def sink_merge_sync(spark, sf_dir):
+    """MERGE with WHEN NOT MATCHED BY SOURCE THEN DELETE
+    (``snapshots.py::merge_mor(when_not_matched_by_source_delete=...)``)
+    — the branch that turns MERGE into a full table SYNC: after one
+    atomic merge-on-read commit the target is EXACTLY the source
+    (matched rows update, fresh rows insert, rows the source no longer
+    carries tombstone). The canonical replication shape: mirror an
+    operational table into the lake from a daily full extract without
+    a truncate-and-reload. The extra branch costs ONE anti-join on the
+    merge keys — the same shuffle family the merge already pays — and
+    the deletes are deletion vectors, so no data file rewrites.
+    Value-exact: target read-back vs the oracle's reconstruction."""
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="spark_merge_sync_")
+    )
+    # target: everything under 1000
+    t.commit_append(
+        o.filter(F.col("o_orderkey") < 1000).coalesce(2)
+    )
+    # source: the new truth — only keys < 700 with o%3 != 0 survive,
+    # even keys arrive with bumped prices
+    src = (
+        o.filter(
+            (F.col("o_orderkey") < 700)
+            & (F.col("o_orderkey") % 3 != 0)
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 2 == 0,
+                F.col("o_totalprice") + 1000.0,
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    t.merge_mor(
+        src,
+        on=["o_orderkey"],
+        when_matched_update={
+            "o_totalprice": F.col("__src_o_totalprice")
+        },
+        when_not_matched_by_source_delete=True,
+    )
+    return t.read().select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice"), 2).alias("total"),
+    )

@@ -1132,12 +1132,38 @@ class SnapshotTable:
             merged.update({f: {} for f in new_files})
         return merged
 
+    def _z_order_within(self, df: DataFrame, a: str, b: str):
+        """Write-time Morton clustering (the liquid-clustering write
+        shape): sort expressions placing each output file on a
+        contiguous curve segment — a bounded range in BOTH columns, so
+        zone maps prune either-column filters on the data as WRITTEN,
+        no separate OPTIMIZE pass. Costs one 4-scalar aggregate (the
+        normalization bounds) plus a partition-local sort — no extra
+        shuffle."""
+        from ..operators.zorder import normalize_to_bits, z_value
+
+        lim = df.agg(
+            F.min(a).cast("bigint"),
+            F.max(a).cast("bigint"),
+            F.min(b).cast("bigint"),
+            F.max(b).cast("bigint"),
+        ).collect()[0]
+        if lim[0] is None or lim[2] is None:
+            return None
+        return [
+            z_value(
+                normalize_to_bits(F.col(a), F.lit(lim[0]), F.lit(lim[1])),
+                normalize_to_bits(F.col(b), F.lit(lim[2]), F.lit(lim[3])),
+            )
+        ]
+
     def commit_append(
         self,
         df: DataFrame,
         stats_cols: list[str] | None = None,
         op: str = "APPEND",
         _copied_update: dict | None = None,
+        cluster_by: tuple[str, str] | None = None,
     ) -> int:
         """Append with AUTOMATIC CONFLICT RESOLUTION (Delta's semantics:
         two appends never truly conflict): on ``CommitConflict`` the
@@ -1240,7 +1266,28 @@ class SnapshotTable:
                         "retry (they will be skipped)"
                     )
             if new is None:
-                new = self._write_files(df)
+                order_within = None
+                if cluster_by is not None:
+                    order_within = self._z_order_within(
+                        df, *cluster_by
+                    )
+                    if order_within and not self._partition_spec():
+                        # each file owns a contiguous curve segment:
+                        # range-partition on the key, then the
+                        # partition-local sort in _write_files tightens
+                        # zone maps inside each file. Under a partition
+                        # spec the spec repartition decides file
+                        # membership and the key rides as the
+                        # write-time sort only (the OPTIMIZE ZORDER
+                        # composition rule). The explicit partition
+                        # count pins the incoming parallelism — AQE
+                        # would otherwise coalesce a small batch to one
+                        # file and erase the clustering
+                        df = df.repartitionByRange(
+                            max(1, df.rdd.getNumPartitions()),
+                            *order_within,
+                        )
+                new = self._write_files(df, order_within=order_within)
             # registered bloom indexes extend to the new files (built
             # once; re-merged against the fresh head on each retry)
             blooms = (
@@ -1595,6 +1642,7 @@ class SnapshotTable:
         when_matched_update: dict | None = None,
         when_matched_delete=None,
         insert_not_matched: bool = True,
+        when_not_matched_by_source_delete=None,
     ) -> int:
         """Three-branch MERGE INTO as ONE merge-on-read commit (the
         Delta MERGE shape, executed with deletion vectors instead of
@@ -1608,7 +1656,13 @@ class SnapshotTable:
           expression, same namespace}) as post-images;
         * matched rows hitting neither clause stay untouched (no
           tombstone, no rewrite — Delta's semantics);
-        * unmatched source rows insert when ``insert_not_matched``.
+        * unmatched source rows insert when ``insert_not_matched``;
+        * target rows with NO source match are tombstoned when
+          ``when_not_matched_by_source_delete`` is ``True``
+          (unconditional) or a boolean Column over target columns —
+          Delta's WHEN NOT MATCHED BY SOURCE THEN DELETE, which with
+          the other branches makes MERGE a full table SYNC (target
+          becomes exactly the source).
 
         All three branches publish in a SINGLE atomic manifest (sidecar
         + post-image/insert files), so a reader sees the whole merge or
@@ -1695,8 +1749,22 @@ class SnapshotTable:
             else F.lit(False)
         )
         touched = joined.filter(del_cond | upd_cond)
+        tomb = touched.select("__dv_file", "__dv_pos")
+        if when_not_matched_by_source_delete is not None:
+            # target rows absent from the source: one anti-join on the
+            # merge keys (the same shuffle family as the merge itself)
+            nmbs = mapped.join(src, key_cond, "left_anti")
+            if when_not_matched_by_source_delete is not True:
+                nmbs = nmbs.filter(
+                    when_not_matched_by_source_delete.eqNullSafe(
+                        F.lit(True)
+                    )
+                )
+            tomb = tomb.unionAll(
+                nmbs.select("__dv_file", "__dv_pos")
+            )
         dvdir = os.path.join(self.root, "deletes", _uuid.uuid4().hex)
-        touched.select("__dv_file", "__dv_pos").write.mode(
+        tomb.write.mode(
             "errorifexists"
         ).parquet(dvdir)
         affected = [

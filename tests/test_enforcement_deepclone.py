@@ -137,3 +137,84 @@ def test_deep_clone_preserves_partition_layout_and_row_ids(spark):
     assert {
         (r.k, r._row_id) for r in clone.read_with_row_ids().collect()
     } == src_ids, "copied rows keep their permanent ids"
+
+
+def test_merge_not_matched_by_source_delete_syncs(spark):
+    """MERGE with all four branches = full table SYNC: the target
+    becomes exactly the source in ONE atomic merge-on-read commit."""
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="sync_t_"))
+    t.commit_append(
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(10)], "k long, v double"
+        ).coalesce(1)
+    )
+    src = spark.createDataFrame(
+        # keep 0-4 (values bumped), drop 5-9, add 20-22
+        [(k, k + 0.5) for k in range(5)]
+        + [(k, float(k)) for k in (20, 21, 22)],
+        "k long, v double",
+    )
+    t.merge_mor(
+        src,
+        on=["k"],
+        when_matched_update={"v": F.col("__src_v")},
+        when_not_matched_by_source_delete=True,
+    )
+    got = {(r.k, r.v) for r in t.read().collect()}
+    want = {(k, k + 0.5) for k in range(5)} | {
+        (k, float(k)) for k in (20, 21, 22)
+    }
+    assert got == want
+
+
+def test_merge_nmbs_conditional(spark):
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="sync_c_"))
+    t.commit_append(
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(10)], "k long, v double"
+        ).coalesce(1)
+    )
+    src = spark.createDataFrame([(0, 0.5)], "k long, v double")
+    # only unmatched rows with k >= 8 delete; 1-7 stay
+    t.merge_mor(
+        src,
+        on=["k"],
+        when_matched_update={"v": F.col("__src_v")},
+        when_not_matched_by_source_delete=F.col("k") >= 8,
+    )
+    got = {(r.k, r.v) for r in t.read().collect()}
+    want = {(0, 0.5)} | {(k, float(k)) for k in range(1, 8)}
+    assert got == want
+
+
+def test_cluster_by_append_tightens_zone_maps(spark):
+    """cluster_by on commit_append (the liquid-clustering write shape):
+    clustered appends prune MORE files on either column than the same
+    rows appended unclustered."""
+    import random as _random
+
+    rng = _random.Random(7)
+    rows = [
+        (rng.randrange(1000), rng.randrange(1000)) for _ in range(4000)
+    ]
+    df = lambda: spark.createDataFrame(  # noqa: E731
+        rows, "x long, y long"
+    ).repartition(8)
+
+    plain = SnapshotTable(spark, tempfile.mkdtemp(prefix="zc_p_"))
+    plain.commit_append(df(), stats_cols=["x", "y"])
+    clus = SnapshotTable(spark, tempfile.mkdtemp(prefix="zc_c_"))
+    clus.commit_append(
+        df(), stats_cols=["x", "y"], cluster_by=("x", "y")
+    )
+
+    def n_pruned(t):
+        kept_x, total = t.pruned_files("x", 0, 49)
+        kept_y, _ = t.pruned_files("y", 0, 49)
+        return total - len(kept_x), total - len(kept_y)
+
+    px, py = n_pruned(plain)
+    cx, cy = n_pruned(clus)
+    assert cx > px and cy > py, f"plain=({px},{py}) clustered=({cx},{cy})"
+    # same rows either way
+    assert clus.read().count() == plain.read().count() == 4000

@@ -43,6 +43,13 @@ def test_random_interleaving_matches_model(spark, tmp_path, seed):
     gencol = seed % 2 == 0
     if gencol:
         t.add_generated_column("k3", "k * 3")
+    # a third of the seeds ALSO run the walk with a column DEFAULT in
+    # force: every write path that omits `src` must fill it, through
+    # every interleaving (updates/merges carry it, restores revert it
+    # consistently with the rest of the row)
+    defcol = seed % 3 == 0
+    if defcol:
+        t.add_column_default("src", "'w'")
 
     def append():
         nonlocal next_key
@@ -221,6 +228,12 @@ def test_random_interleaving_matches_model(spark, tmp_path, seed):
                 ).count()
                 == 0
             ), f"seed={seed} step={step}: generated column violated"
+        if defcol:
+            # the DEFAULT contract holds too: every row was written
+            # after registration, so none may carry anything but 'w'
+            assert (
+                t.read().filter(F.col("src") != "w").count() == 0
+            ), f"seed={seed} step={step}: default column violated"
         if bloomed and model:
             # bloom point lookups agree with the model after any mix of
             # rename/optimize/restore/vacuum (false negatives = lost
