@@ -2690,3 +2690,57 @@ def src_deep_clone(spark, sf_dir):
         "clone_rows bigint, clone_key_sum bigint, no_shared_paths int, "
         "survives_source_vacuum int, tombstones_copied int",
     )
+
+
+# ------------------- CDF with update pre/post images (S56) -------------
+@query(
+    "src_cdf_update_images",
+    oracle="""
+    WITH tgt AS (SELECT o_orderkey, round(o_totalprice, 2) AS price
+                 FROM orders WHERE o_orderkey < 600),
+         upd AS (SELECT * FROM tgt WHERE o_orderkey % 4 = 1)
+    SELECT o_orderkey, price, 'update_preimage' AS change_type
+    FROM upd
+    UNION ALL
+    SELECT o_orderkey, round(price + 500.0, 2), 'update_postimage'
+    FROM upd
+    UNION ALL
+    SELECT o_orderkey, price, 'delete' FROM tgt
+    WHERE o_orderkey % 4 = 2
+    """,
+)
+def src_cdf_update_images(spark, sf_dir):
+    """Change feed with UPDATE PRE/POST IMAGES
+    (``snapshots.py::read_changes_images``, Delta CDF's
+    ``update_preimage``/``update_postimage``): the two halves of every
+    update are paired on the PERMANENT ROW ID (row tracking), so a CDC
+    consumer sees "this is the same row, before and after" instead of
+    an anonymous delete+insert — replication into surrogate-keyed
+    systems and feature back-outs need exactly this. One commit does an
+    MOR UPDATE (+500 on keys %4==1) and one an MOR DELETE (keys %4==2);
+    the feed between the bracketing versions must carry the correlated
+    image pairs and the plain deletes, and NOTHING for untouched rows.
+    Cost is O(churn): only files whose DV set changed scan, and the
+    pairing join moves scalar ids."""
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    t = SnapshotTable(spark, _tmp("cdf_img"))
+    t.enable_row_tracking()
+    t.commit_append(
+        o.filter(F.col("o_orderkey") < 600).repartition(2)
+    )
+    v_from = t.current_version()
+    t.update_where(
+        F.col("o_orderkey") % 4 == 1,
+        {"price": F.round(F.col("price") + 500.0, 2)},
+    )
+    t.delete_where(F.col("o_orderkey") % 4 == 2)
+    v_to = t.current_version()
+    return t.read_changes_images(v_from, v_to).select(
+        "o_orderkey",
+        "price",
+        F.col("_change_type").alias("change_type"),
+    )

@@ -2386,6 +2386,137 @@ class SnapshotTable:
             "version": v,
         }
 
+    def read_changes_images(
+        self, from_version: int, to_version: int
+    ) -> DataFrame:
+        """Change feed with UPDATE PRE/POST IMAGES (Delta CDF's
+        ``update_preimage`` / ``update_postimage`` change types),
+        derived by pairing the two halves of each change on the
+        PERMANENT ROW ID (requires row tracking on both versions).
+        ``read_changes`` reports an update as an anonymous
+        delete+insert pair; downstream consumers that need to know
+        "this is the same row, before and after" (auditing, CDC
+        replication into systems keyed by surrogate ids, incremental
+        ML feature back-outs) get the correlation here for free from
+        the row-id machinery — no change log is ever written.
+
+        Cost model identical to ``read_changes``: only churned files
+        scan (added/removed between the versions, plus shared files
+        whose deletion-vector set changed), so the pairing join is
+        O(churn) keyed by a scalar id — rows a compaction carried
+        forward match themselves with equal values and cancel.
+
+        Change types: ``insert`` (id only at ``to``), ``delete`` (id
+        only at ``from``), ``update_preimage``/``update_postimage``
+        (id on both sides with different values — one output row
+        each, the pre-image carrying the FROM values)."""
+        ma = (
+            load_manifest(self.root, from_version)
+            if from_version > 0
+            else {"files": [], "dv": {}, "schema": None}
+        )
+        mb = load_manifest(self.root, to_version)
+        if not mb.get("row_tracking") or (
+            from_version > 0 and not ma.get("row_tracking")
+        ):
+            raise ValueError(
+                "read_changes_images requires row tracking "
+                "(enable_row_tracking) on both versions — without "
+                "permanent ids the halves of an update cannot be "
+                "paired; use read_changes for the delete/insert form"
+            )
+        a, b = set(ma["files"]), set(mb["files"])
+        dv_changed = sorted(
+            f
+            for f in a & b
+            if set(ma["dv"].get(f, [])) != set(mb["dv"].get(f, []))
+        )
+        old_files = sorted(a - b) + dv_changed
+        new_files = sorted(b - a) + dv_changed
+        touched = sorted({*old_files, *new_files})
+        smap = mb["schema"]
+        if not touched:
+            template = sorted(b) or sorted(a)
+            if not template:
+                return self.spark.createDataFrame(
+                    [], "_change_type string"
+                )
+            empty = self._apply_schema_map(
+                self.spark.read.parquet(template[0]).limit(0), smap
+            )
+            return empty.withColumn("_change_type", F.lit("insert"))
+        rdr_b = (
+            self.spark.read.schema(self._reader_schema(mb))
+            if self._reader_schema(mb)
+            else self.spark.read.option("mergeSchema", "true")
+        )
+        schema = self._apply_schema_map(
+            rdr_b.parquet(*touched).limit(0), smap
+        ).schema
+        data_cols = [f.name for f in schema.fields]
+
+        def side(files: list[str], mside: dict) -> DataFrame:
+            if not files:
+                return self.spark.createDataFrame(
+                    [], schema
+                ).withColumn("_row_id", F.lit(None).cast("long"))
+            raw = self._masked_read(
+                files,
+                {f: mside["dv"][f] for f in files if mside["dv"].get(f)},
+                keep_provenance=True,
+                manifest=mside,
+            )
+            with_ids = self._attach_row_ids(raw, mside, "_row_id")
+            mapped = self._apply_schema_map(
+                with_ids, smap, keep=("_row_id",)
+            )
+            return mapped.select(
+                *[
+                    (
+                        mapped[f.name]
+                        if f.name in mapped.columns
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in schema.fields
+                ],
+                "_row_id",
+            )
+
+        old = side(old_files, ma)
+        new = side(new_files, mb)
+        o = old.select(
+            F.col("_row_id").alias("__id"),
+            F.struct(*data_cols).alias("__old"),
+        )
+        n = new.select(
+            F.col("_row_id").alias("__id"),
+            F.struct(*data_cols).alias("__new"),
+        )
+        j = o.join(n, "__id", "full_outer")
+        pick = lambda s: [  # noqa: E731
+            F.col(f"{s}.{c}").alias(c) for c in data_cols
+        ]
+        inserts = j.filter(F.col("__old").isNull()).select(
+            *pick("__new"), F.lit("insert").alias("_change_type")
+        )
+        deletes = j.filter(F.col("__new").isNull()).select(
+            *pick("__old"), F.lit("delete").alias("_change_type")
+        )
+        updated = j.filter(
+            F.col("__old").isNotNull()
+            & F.col("__new").isNotNull()
+            & ~F.col("__old").eqNullSafe(F.col("__new"))
+        )
+        pre = updated.select(
+            *pick("__old"),
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        post = updated.select(
+            *pick("__new"),
+            F.lit("update_postimage").alias("_change_type"),
+        )
+        return inserts.unionAll(deletes).unionAll(pre).unionAll(post)
+
     def read_change_feed(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:

@@ -218,3 +218,50 @@ def test_cluster_by_append_tightens_zone_maps(spark):
     assert cx > px and cy > py, f"plain=({px},{py}) clustered=({cx},{cy})"
     # same rows either way
     assert clus.read().count() == plain.read().count() == 4000
+
+
+def test_cdf_update_images(spark):
+    """CDF with update pre/post images: an MOR UPDATE surfaces as a
+    correlated update_preimage/update_postimage pair (same permanent
+    row id), a compaction surfaces as NOTHING, deletes and inserts as
+    themselves."""
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="cdfimg_"))
+    t.enable_row_tracking()
+    t.commit_append(
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(10)], "k long, v double"
+        ).repartition(2)
+    )
+    v1 = t.current_version()
+    t.update_where(F.col("k") % 3 == 0, {"v": F.col("v") + 100.0})
+    v2 = t.current_version()
+    ch = t.read_changes_images(v1, v2)
+    rows = {(r.k, r.v, r._change_type) for r in ch.collect()}
+    want = set()
+    for k in range(10):
+        if k % 3 == 0:
+            want.add((k, float(k), "update_preimage"))
+            want.add((k, float(k) + 100.0, "update_postimage"))
+    assert rows == want
+    # pure-layout commit: zero changes
+    t.optimize_small_files(1 << 20, 1 << 24)
+    v3 = t.current_version()
+    assert t.read_changes_images(v2, v3).count() == 0
+    # deletes and inserts keep their plain types
+    t.delete_where("k = 1")
+    t.commit_append(
+        spark.createDataFrame([(50, 5.0)], "k long, v double")
+    )
+    v5 = t.current_version()
+    got = {
+        (r.k, r._change_type)
+        for r in t.read_changes_images(v3, v5).collect()
+    }
+    assert got == {(1, "delete"), (50, "insert")}
+
+
+def test_cdf_update_images_requires_tracking(spark):
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="cdfimg_n_"))
+    t.commit_append(_df(spark, 0, 5))
+    with pytest.raises(ValueError, match="row tracking"):
+        t.read_changes_images(0, t.current_version())
