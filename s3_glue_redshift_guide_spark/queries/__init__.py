@@ -39,7 +39,7 @@ for _m in _MODULES:
 
 # Registry iteration order is the order the grading driver checks queries
 # in; the driver verifies exactly the FIRST 50 entries per round. Round
-# 6's window: (a) the THIRTY-THREE round-6 newcomers first (registry rows
+# 6's window: (a) the THIRTY-FOUR round-6 newcomers first (registry rows
 # for the previously pytest-only S34/S35/S36/S37/S38/T19 features,
 # TIMESTAMP AS OF, clustered connector writes, MOR MERGE, canonical
 # dedup selection, GENERATED columns, metadata-only aggregates, the
@@ -47,7 +47,7 @@ for _m in _MODULES:
 # retention, partition specs, row tracking, ANALYZE/NDV, COPY INTO,
 # type widening, branches/tags/WAP, column DEFAULTs, identity columns,
 # the streaming LEFT OUTER join, and span-level decontamination — none
-# has driver evidence yet), then (b) the first 17 of the r2-stale
+# has driver evidence yet), then (b) the first 16 of the r2-stale
 # cohort (sql/udf/q-series — three rounds of engine churn stale,
 # VERDICT r5 directive #3); the listed stale tail past slot 50
 # (udf_grouped_map, agg_approx_distinct, agg_approx_quantiles,
@@ -78,7 +78,7 @@ _PRIORITY = [
     "src_column_defaults", "src_identity_column",
     "ev_stream_outer_join", "llm_contamination_spans",
     "src_schema_enforcement", "src_deep_clone", "sink_merge_sync",
-    "src_cdf_update_images",
+    "src_cdf_update_images", "src_table_detail",
     # -- round-2-stale regression re-checks (26) ---------------------------
     # SQL suite (subqueries, recursive CTE, TPC-H rewrites)
     "sql_volume_shipping", "sql_scalar_subquery",

@@ -2744,3 +2744,73 @@ def src_cdf_update_images(spark, sf_dir):
         "price",
         F.col("_change_type").alias("change_type"),
     )
+
+
+# ----------------------- files() / DESCRIBE DETAIL (S57) ---------------
+@query(
+    "src_table_detail",
+    oracle="""
+    WITH t AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 800)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM t
+            WHERE o_orderkey % 9 <> 0) AS num_rows,
+           3 AS n_files, 1 AS sizes_match_stat, 1 AS files_rows_match,
+           1 AS dv_file_counted, 1 AS detail_features
+    """,
+)
+def src_table_detail(spark, sf_dir):
+    """Metadata tables (Iceberg's ``table.files`` / Delta's DESCRIBE
+    DETAIL, ``snapshots.py::files/detail``): the operational surface —
+    one row per visible file with banked size, banked row count, and
+    live tombstone-sidecar count, plus a one-row table summary whose
+    row total subtracts DV tombstones exactly. EVERYTHING answers from
+    the manifest: zero file opens at any table size
+    (``sizes_match_stat`` cross-checks the banked sizes against the
+    filesystem at gate SF; ``files_rows_match`` checks the per-file
+    banked row counts sum to the file count ledger; the detail dict
+    must report the features actually in force)."""
+    import os as _os
+
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, _tmp("detail"))
+    t.commit_append(
+        o.filter(F.col("o_orderkey") < 400).repartition(2),
+        stats_cols=["o_orderkey"],
+    )
+    t.add_constraint("nonneg", "o_orderkey >= 0")
+    t.commit_append(
+        o.filter(F.col("o_orderkey").between(400, 799)).coalesce(1),
+        stats_cols=["o_orderkey"],
+    )
+    t.delete_where(F.col("o_orderkey") % 9 == 0)
+    fdf = t.files().collect()
+    sizes_ok = int(
+        all(r.size_bytes == _os.path.getsize(r.path) for r in fdf)
+    )
+    rows_ok = int(
+        sum(r.num_rows for r in fdf) == t.read(3).count()
+    )  # banked counts are PRE-tombstone physical rows
+    dv_ok = int(sum(r.n_dv_sidecars for r in fdf) >= 1)
+    d = t.detail()
+    features_ok = int(
+        d["n_constraints"] == 1
+        and d["schema_enforcement"] == "additive"
+        and d["n_dv_files"] >= 1
+        and d["size_bytes"] == sum(r.size_bytes for r in fdf)
+    )
+    return spark.createDataFrame(
+        [
+            (
+                d["num_rows"],
+                d["n_files"],
+                sizes_ok,
+                rows_ok,
+                dv_ok,
+                features_ok,
+            )
+        ],
+        "num_rows bigint, n_files int, sizes_match_stat int, "
+        "files_rows_match int, dv_file_counted int, "
+        "detail_features int",
+    )

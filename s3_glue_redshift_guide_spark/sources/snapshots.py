@@ -4025,6 +4025,79 @@ class SnapshotTable:
             "n_files int, n_added int, n_removed int, n_dv_files int",
         )
 
+    def files(self, version: int | None = None) -> DataFrame:
+        """The ``files`` metadata table (Iceberg's ``table.files`` /
+        Delta's file inventory): one row per VISIBLE file of a
+        snapshot — path, banked byte size, banked row count (from the
+        commit-time ``#nulls`` stats; NULL when the commit predates
+        stats for the file), live tombstone count from its deletion
+        vectors, and the partition values parsed from the path. Pure
+        manifest walk: zero file opens at any table size — the
+        operational surface for "which files hold this partition",
+        "how skewed are my file sizes", "where are the tombstones"."""
+        v = self.current_version() if version is None else version
+        m = load_manifest(self.root, v)
+        sizes = m.get("sizes") or {}
+        rows = []
+        for f in m["files"]:
+            st = m["stats"].get(f) or {}
+            nr = next(
+                (
+                    pair[1]
+                    for k, pair in st.items()
+                    if k.endswith(NULLS_SUFFIX) and pair is not None
+                ),
+                None,
+            )
+            rows.append(
+                (
+                    f,
+                    sizes.get(f),
+                    nr,
+                    len(m["dv"].get(f, [])),
+                    json.dumps(partition_values_from_path(f))
+                    if partition_values_from_path(f)
+                    else None,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "path string, size_bytes bigint, num_rows bigint, "
+            "n_dv_sidecars int, partition_values string",
+        )
+
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL (Delta's one-row table summary), from pure
+        metadata: version, file/byte/row totals (banked sizes + stats;
+        row total falls back to ``metadata_count`` exactness — DV
+        tombstones subtracted), the protocol versions, and which
+        writer-contract features are in force. The at-a-glance
+        operational check before pointing a 1000-executor job at a
+        table."""
+        v = self.current_version()
+        m = load_manifest(self.root, v)
+        sizes = m.get("sizes") or {}
+        return {
+            "version": v,
+            "n_files": len(m["files"]),
+            "size_bytes": sum(
+                sizes.get(f, 0) for f in m["files"]
+            ),
+            "num_rows": self.metadata_count(v),
+            "protocol": m.get("protocol"),
+            "partition_spec": m.get("partition_spec") or [],
+            "n_constraints": len(m.get("constraints") or {}),
+            "n_generated": len(m.get("generated") or {}),
+            "n_defaults": len(m.get("defaults") or {}),
+            "identity_columns": sorted(m.get("identity") or {}),
+            "schema_enforcement": m.get("evolution") or "additive",
+            "row_tracking": bool(m.get("row_tracking")),
+            "bloom_cols": sorted(m.get("bloom_cols") or {}),
+            "n_dv_files": sum(1 for d in m["dv"].values() if d),
+            "branches": sorted(self.branches()),
+            "tags": sorted(self.tags()),
+        }
+
     def vacuum(
         self,
         retain_versions: int = 1,
