@@ -2350,7 +2350,7 @@ def src_type_widening(spark, sf_dir):
              + (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM post)
              AS key_sum_at_head,
            1 AS main_isolated_during_audit, 1 AS ff_labeled,
-           1 AS tag_pinned_through_vacuum
+           1 AS tag_pinned_through_vacuum, 1 AS connector_ref_read
     """,
 )
 def src_branch_wap(spark, sf_dir):
@@ -2422,6 +2422,18 @@ def src_branch_wap(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("o_orderkey").cast("long").alias("s"),
     ).collect()[0]
+    # the engine surface reads refs too: .option("tag", ...) through
+    # the registered pysnapshot format resolves the same snapshot
+    from ..sources.pyds import register_snapshot_source
+
+    register_snapshot_source(spark)
+    conn_ref = int(
+        spark.read.format("pysnapshot")
+        .options(root=t.root, tag="release")
+        .load()
+        .count()
+        == tag_agg["n"]
+    )
     return spark.createDataFrame(
         [
             (
@@ -2432,11 +2444,13 @@ def src_branch_wap(spark, sf_dir):
                 isolated,
                 ff_labeled,
                 pinned,
+                conn_ref,
             )
         ],
         "n_at_tag bigint, key_sum_at_tag bigint, n_at_head bigint, "
         "key_sum_at_head bigint, main_isolated_during_audit int, "
-        "ff_labeled int, tag_pinned_through_vacuum int",
+        "ff_labeled int, tag_pinned_through_vacuum int, "
+        "connector_ref_read int",
     )
 
 

@@ -96,9 +96,37 @@ def _schema_maps(schema) -> tuple[list[str], dict]:
 def _resolve(options) -> dict:
     """Manifest for the requested version — by number (``version``), by
     TIMESTAMP AS OF (``timestampAsOf``, epoch seconds — resolves to the
-    newest version committed at or before it, Delta semantics), or the
-    head. Shared log-access code with SnapshotTable."""
+    newest version committed at or before it, Delta semantics), by REF
+    (``tag`` = an immutable named version; ``branch`` = that branch's
+    head, its log living under ``_branches/<name>``), or the head.
+    Shared log-access code with SnapshotTable."""
+    import json as _json
+    import os
+
     root = options["root"]
+    branch = options.get("branch")
+    if branch is not None:
+        # a branch IS a table rooted at its own log dir; every other
+        # selector (version/timestampAsOf within the branch) composes
+        root = os.path.join(root, "_branches", branch)
+        if not os.path.isdir(os.path.join(root, "_manifests")):
+            raise ValueError(f"pysnapshot: no such branch {branch!r}")
+    tag = options.get("tag")
+    if tag is not None:
+        if branch is not None or "version" in options:
+            raise ValueError(
+                "pysnapshot: tag excludes branch/version selectors"
+            )
+        try:
+            with open(
+                os.path.join(root, "_refs", f"{tag}.json")
+            ) as f:
+                v = int(_json.load(f)["version"])
+        except FileNotFoundError:
+            raise ValueError(
+                f"pysnapshot: no such tag {tag!r}"
+            ) from None
+        return load_manifest(root, v)
     ts = options.get("timestampasof")
     if ts is not None:
         if "version" in options:

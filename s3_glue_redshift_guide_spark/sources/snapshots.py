@@ -3471,19 +3471,28 @@ class SnapshotTable:
 
     def _enforce_schema(self, m: dict, df: DataFrame) -> None:
         """Under strict enforcement, reject columns the snapshot does
-        not already have. Logical column set = the reader schema
-        (footer union projected through the field-id map) — a pure
-        metadata computation, no data scan."""
+        not already have. The logical column set comes from the
+        FIELD-ID MAP when one exists (complete by construction — the
+        first rename registers every then-known column and additive
+        commits extend it), so post-rename tables pay ZERO footer
+        reads; tables that never renamed fall back to one mergeSchema
+        footer union (distributed, metadata-only)."""
         if m.get("evolution") != "strict" or not m.get("files"):
             return
-        known = set(
-            self._apply_schema_map(
-                self.spark.read.option("mergeSchema", "true")
-                .parquet(*m["files"])
-                .limit(0),
-                m.get("schema"),
-            ).columns
-        )
+        smap = m.get("schema")
+        if smap:
+            known = {
+                e["name"] for e in smap if not e.get("dropped")
+            }
+        else:
+            known = set(
+                self._apply_schema_map(
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(*m["files"])
+                    .limit(0),
+                    None,
+                ).columns
+            )
         extra_cols = [c for c in df.columns if c not in known]
         if extra_cols:
             raise ValueError(
@@ -3801,6 +3810,11 @@ class SnapshotTable:
             defaults=m.get("defaults") or None,
             identity=m.get("identity") or None,
             evolution=m.get("evolution") or None,
+            # the bloom INDEX REGISTRATION carries (future clone appends
+            # build sidecars); the per-file sidecar map cannot — its
+            # rows name the source paths — so the copied files read
+            # conservatively until re-indexed (never a wrong answer)
+            bloom_cols=m.get("bloom_cols") or None,
             partition_spec=m.get("partition_spec") or None,
             row_tracking=m.get("row_tracking") or None,
             # copied files keep the source rows' permanent ids: re-key

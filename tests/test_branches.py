@@ -210,3 +210,33 @@ def test_branch_from_historical_version(spark, table):
     b = table.branch("hotfix")
     assert b.read().count() == 10  # v1, not head
     assert latest_version(b.root) == 1
+
+
+def test_connector_reads_branches_and_tags(spark, table):
+    """The engine surface reads refs: .option('branch', name) reads a
+    branch head, .option('tag', name) an immutable version — Iceberg's
+    ref reads through the registered format."""
+    from s3_glue_redshift_guide_spark.sources.pyds import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    table.create_tag("v1")
+    table.create_branch("dev")
+    table.branch("dev").commit_append(_range(spark, 100, 105))
+    table.commit_append(_range(spark, 200, 202))
+
+    rd = lambda **opts: (  # noqa: E731
+        spark.read.format("pysnapshot")
+        .options(root=table.root, **opts)
+        .load()
+    )
+    assert rd().count() == 12  # main head
+    assert rd(branch="dev").count() == 15  # fork(10) + branch(5)
+    assert rd(tag="v1").count() == 10  # the tagged snapshot
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no such branch"):
+        rd(branch="ghost").count()
+    with _pytest.raises(Exception, match="no such tag"):
+        rd(tag="ghost").count()
