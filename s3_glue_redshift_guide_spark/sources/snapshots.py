@@ -1641,7 +1641,7 @@ class SnapshotTable:
         on: list[str],
         when_matched_update: dict | None = None,
         when_matched_delete=None,
-        insert_not_matched: bool = True,
+        insert_not_matched=True,
         when_not_matched_by_source_delete=None,
     ) -> int:
         """Three-branch MERGE INTO as ONE merge-on-read commit (the
@@ -1656,7 +1656,10 @@ class SnapshotTable:
           expression, same namespace}) as post-images;
         * matched rows hitting neither clause stay untouched (no
           tombstone, no rewrite — Delta's semantics);
-        * unmatched source rows insert when ``insert_not_matched``;
+        * unmatched source rows insert when ``insert_not_matched`` is
+          ``True``, or only those satisfying it when it is a boolean
+          Column over the ``__src_<col>`` namespace (Delta's WHEN NOT
+          MATCHED AND <condition> THEN INSERT);
         * target rows with NO source match are tombstoned when
           ``when_not_matched_by_source_delete`` is ``True``
           (unconditional) or a boolean Column over target columns —
@@ -1675,16 +1678,40 @@ class SnapshotTable:
         import uuid as _uuid
 
         cur = self.current_version()
-        m = load_manifest(self.root, cur)
+        m = (
+            load_manifest(self.root, cur)
+            if cur > 0
+            else {"files": [], "dv": {}, "schema": None}
+        )
         src = source
         for c in src.columns:
             src = src.withColumnRenamed(c, f"__src_{c}")
         key_cond = [
             F.col(k) == F.col(f"__src_{k}") for k in on
         ]
+        # a Column here is a CONDITION on the insert branch (truthiness
+        # on a Column raises, so the flag and the condition are split)
+        ins_on = insert_not_matched is not False and (
+            insert_not_matched is not None
+        )
+        ins_cond = (
+            insert_not_matched
+            if ins_on and insert_not_matched is not True
+            else None
+        )
         if not m["files"]:
-            if insert_not_matched:
-                ins = source
+            if ins_on:
+                ins_src = src
+                if ins_cond is not None:
+                    ins_src = ins_src.filter(
+                        ins_cond.eqNullSafe(F.lit(True))
+                    )
+                ins = ins_src.select(
+                    *[
+                        F.col(f"__src_{c}").alias(c)
+                        for c in source.columns
+                    ]
+                )
                 new = self._write_files(ins)
                 return self._publish(
                     new,
@@ -1820,10 +1847,14 @@ class SnapshotTable:
                 .select(*out_cols)
             )
         inserts = None
-        if insert_not_matched:
+        if ins_on:
             unmatched = src.join(
                 mapped.select(*on), key_cond, "left_anti"
             )
+            if ins_cond is not None:
+                unmatched = unmatched.filter(
+                    ins_cond.eqNullSafe(F.lit(True))
+                )
             inserts = unmatched.select(
                 *[
                     F.col(f"__src_{c}").alias(c)
@@ -2280,6 +2311,7 @@ class SnapshotTable:
         small_threshold: int,
         target_bytes: int,
         z_cols: tuple[str, str] | None = None,
+        where_eq: dict | None = None,
     ) -> dict[str, int]:
         """Transactional OPTIMIZE (Delta's compaction-as-a-commit): plan
         from METADATA only — file sizes read from the MANIFEST (every
@@ -2313,7 +2345,18 @@ class SnapshotTable:
             )
             for f in files
         }
-        small = [f for f in files if sizes[f] < small_threshold]
+        candidates = files
+        if where_eq:
+            # partition-scoped OPTIMIZE (Delta's OPTIMIZE ... WHERE):
+            # only the named partition's files are candidates — the
+            # daily shape is "compact today's partition", O(one
+            # partition) instead of a whole-table sweep. The path-value
+            # walk is conservative toward INCLUSION (an unknown file
+            # may compact — harmless), and files outside the scope are
+            # untouched by construction (commit_replace removes only
+            # the compacted set).
+            candidates = self.partition_pruned_files(where_eq, cur)
+        small = [f for f in candidates if sizes[f] < small_threshold]
         if len(small) <= 1:
             return {
                 "n_files_before": len(files),

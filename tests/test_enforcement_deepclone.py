@@ -265,3 +265,62 @@ def test_cdf_update_images_requires_tracking(spark):
     t.commit_append(_df(spark, 0, 5))
     with pytest.raises(ValueError, match="row tracking"):
         t.read_changes_images(0, t.current_version())
+
+
+def test_merge_insert_condition(spark):
+    """WHEN NOT MATCHED AND <cond> THEN INSERT: only unmatched source
+    rows satisfying the condition insert."""
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="insc_"))
+    t.commit_append(
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(5)], "k long, v double"
+        ).coalesce(1)
+    )
+    src = spark.createDataFrame(
+        [(0, 9.0), (10, 1.0), (11, -1.0)], "k long, v double"
+    )
+    t.merge_mor(
+        src,
+        on=["k"],
+        when_matched_update={"v": F.col("__src_v")},
+        insert_not_matched=F.col("__src_v") > 0,
+    )
+    got = {(r.k, r.v) for r in t.read().collect()}
+    want = {(0, 9.0)} | {(k, float(k)) for k in range(1, 5)} | {
+        (10, 1.0)
+    }  # k=11 filtered by the insert condition
+    assert got == want
+    # empty-table path honors the condition too
+    t2 = SnapshotTable(spark, tempfile.mkdtemp(prefix="insc2_"))
+    t2.merge_mor(src, on=["k"], insert_not_matched=F.col("__src_v") > 0)
+    assert {(r.k, r.v) for r in t2.read().collect()} == {
+        (0, 9.0),
+        (10, 1.0),
+    }
+
+
+def test_optimize_scoped_to_partition(spark):
+    """OPTIMIZE ... WHERE: only the named partition's files compact;
+    other partitions' layout is untouched."""
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="optw_"))
+    t.set_partition_spec(["bucket"])
+    for lo in (0, 100, 200):  # 3 commits x 2 partitions = fragmented
+        t.commit_append(
+            spark.range(lo, lo + 20).select(
+                F.col("id").alias("k"), (F.col("id") % 2).alias("bucket")
+            )
+        )
+    m0 = load_manifest(t.root, t.current_version())
+    other_before = [f for f in m0["files"] if "__part_bucket=1" in f]
+    r = t.optimize_small_files(
+        1 << 20, 1 << 24, where_eq={"bucket": 0}
+    )
+    assert r["n_files_after"] < r["n_files_before"]
+    m1 = load_manifest(t.root, t.current_version())
+    assert [
+        f for f in m1["files"] if "__part_bucket=1" in f
+    ] == other_before, "out-of-scope partition untouched"
+    assert t.read().count() == 60
+    assert (
+        len([f for f in m1["files"] if "__part_bucket=0" in f]) == 1
+    ), "in-scope partition compacted to one file"
