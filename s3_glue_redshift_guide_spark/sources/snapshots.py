@@ -1764,6 +1764,12 @@ class SnapshotTable:
                 "target row on " + str(on) + " — deduplicate the "
                 "source first (the merge would be ambiguous)"
             )
+        for c in m.get("identity") or {}:
+            if when_matched_update and c in when_matched_update:
+                raise ValueError(
+                    f"{c!r} is GENERATED ALWAYS AS IDENTITY — an "
+                    "UPDATE clause cannot assign it"
+                )
         joined = mapped.join(src, key_cond, "inner")
         del_cond = (
             when_matched_delete.eqNullSafe(F.lit(True))
@@ -1863,20 +1869,42 @@ class SnapshotTable:
             )
             # align to the target's logical schema: target columns the
             # source omits surface as typed NULLs (the pre-merge rows'
-            # types, not string-inferred) — EXCEPT generated columns,
-            # which stay absent so the write path computes them from
-            # the aligned inputs instead of validating a NULL
+            # types, not string-inferred) — EXCEPT generated columns
+            # (stay absent so the write path computes them from the
+            # aligned inputs instead of validating a NULL) and DEFAULT
+            # columns (stay absent so the write path fills the default
+            # — a MERGE INSERT omitting a defaulted column must get the
+            # default, not a NULL)
             gens_all = self._generated()
+            dfl_all = self._defaults()
+            ident_all = m.get("identity") or {}
             for f in mapped.schema.fields:
                 if f.name in ("__dv_file", "__dv_pos", ROW_ID_COL):
                     continue  # inserts draw FRESH ids from their range
-                if (
-                    f.name not in inserts.columns
-                    and f.name not in gens_all
+                if f.name not in inserts.columns and f.name not in (
+                    gens_all.keys() | dfl_all.keys() | ident_all.keys()
                 ):
                     inserts = inserts.withColumn(
                         f.name, F.lit(None).cast(f.dataType)
                     )
+            # identity columns: MERGE inserts draw engine-assigned ids
+            # from the head watermark, the same map-side expression as
+            # commit_append (a racing watermark advance conflicts this
+            # merge's single exclusive publish — the retry re-reads)
+            for c, meta in ident_all.items():
+                if f"__src_{c}" in src.columns:
+                    raise ValueError(
+                        f"{c!r} is GENERATED ALWAYS AS IDENTITY — the "
+                        "engine assigns it; omit it from the source"
+                    )
+                step = int(meta["step"])
+                inserts = inserts.withColumn(
+                    c,
+                    (
+                        F.lit(int(meta["high"]) + step)
+                        + F.lit(step) * F.monotonically_increasing_id()
+                    ).cast("long"),
+                )
         # The update and insert branches write SEPARATELY: after the
         # generated-column drop their column sets can differ (post
         # recomputes a gen column the source happens to supply, or vice
@@ -3523,10 +3551,18 @@ class SnapshotTable:
         if m.get("evolution") != "strict" or not m.get("files"):
             return
         smap = m.get("schema")
+        rs = self._reader_schema(m)
         if smap:
             known = {
                 e["name"] for e in smap if not e.get("dropped")
             }
+        elif rs:
+            # widened tables bank an explicit reader schema — use it
+            # (a mergeSchema footer union would CRASH on mixed-width
+            # files, the exact failure the banked schema exists for)
+            from pyspark.sql.types import StructType
+
+            known = {f.name for f in StructType.fromDDL(rs).fields}
         else:
             known = set(
                 self._apply_schema_map(

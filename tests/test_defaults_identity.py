@@ -241,3 +241,37 @@ def test_connector_refuses_identity_and_unsupplied_defaults(
             .option("root", t2.root)
             .save()
         )
+
+
+def test_merge_inserts_fill_defaults_and_identity(spark, table):
+    """The composition gap the per-feature tests missed: MERGE INSERT
+    rows must draw engine-assigned identity ids and computed DEFAULTs,
+    not aligned NULLs."""
+    table.add_identity_column("rid")
+    table.add_column_default("src", "'merge'")
+    table.commit_append(_df(spark, 0, 5))
+    ids_before = {
+        r.rid for r in table.read().select("rid").collect()
+    }
+    src = spark.createDataFrame([(0,), (10,), (11,)], "k long")
+    table.merge_mor(src, on=["k"])
+    got = table.read().where("k >= 10").collect()
+    assert len(got) == 2
+    assert all(r.src == "merge" for r in got), "default filled"
+    new_ids = {r.rid for r in got}
+    assert None not in new_ids, "identity assigned on MERGE inserts"
+    assert not new_ids & ids_before, "fresh ids past the watermark"
+    # GENERATED ALWAYS: neither the source nor UPDATE may assign it
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="IDENTITY"):
+        table.merge_mor(
+            spark.createDataFrame([(99, 1)], "k long, rid long"),
+            on=["k"],
+        )
+    with _pytest.raises(ValueError, match="IDENTITY"):
+        table.merge_mor(
+            spark.createDataFrame([(0,)], "k long"),
+            on=["k"],
+            when_matched_update={"rid": F.lit(0)},
+        )

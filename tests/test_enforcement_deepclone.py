@@ -324,3 +324,25 @@ def test_optimize_scoped_to_partition(spark):
     assert (
         len([f for f in m1["files"] if "__part_bucket=0" in f]) == 1
     ), "in-scope partition compacted to one file"
+
+
+def test_strict_composes_with_type_widening(spark, table):
+    """Strict enforcement on a WIDENED table must use the banked reader
+    schema — a mergeSchema footer union over mixed-width files crashes,
+    which is exactly what the banked schema exists to avoid."""
+    table.commit_append(
+        spark.range(10, 12).select(F.col("id").cast("int").alias("w"))
+    )
+    table.widen_column("w", "bigint")
+    table.commit_append(
+        spark.range(12, 14).select(
+            F.col("id").alias("k"), F.col("id").alias("w")
+        )
+    )  # mixed-width eras now coexist
+    table.set_schema_enforcement("strict")
+    table.commit_append(_df(spark, 14, 16))  # known column: fine
+    with pytest.raises(ValueError, match="strict"):
+        table.commit_append(
+            _df(spark, 16, 18).withColumn("zzz", F.lit(1))
+        )
+    assert table.read().count() == 16
