@@ -108,9 +108,11 @@ def test_random_interleaving_matches_model(spark, tmp_path, seed):
             pass  # already registered on this walk
 
     def merge():
-        # three-branch MERGE: matched keys k%6==r update to src values
-        # (+1000), except k%17==rdel which DELETE; fresh keys INSERT —
-        # all in one commit, interleaved with every other operation
+        # FOUR-branch MERGE: matched keys k%6==r update to src values
+        # (+1000), except k%17==rdel which DELETE; fresh keys INSERT;
+        # and half the merges also run WHEN NOT MATCHED BY SOURCE on a
+        # thin slice (unmatched target keys k%23==rnm tombstone) — all
+        # in one commit, interleaved with every other operation
         nonlocal next_key
         r, rdel = rng.randrange(6), rng.randrange(17)
         matched = {
@@ -123,18 +125,43 @@ def test_random_interleaving_matches_model(spark, tmp_path, seed):
             list({**matched, **fresh}.items()),
             f"k bigint, {col} double",
         )
+        nmbs = None
+        rnm = rng.randrange(23)
+        if rng.random() < 0.5:
+            nmbs = F.col("k") % 23 == rnm
         t.merge_mor(
             src,
             on=["k"],
             when_matched_update={col: F.col(f"__src_{col}")},
             when_matched_delete=F.col("k") % 17 == rdel,
+            when_not_matched_by_source_delete=nmbs,
         )
+        if nmbs is not None:
+            for k in [
+                k
+                for k in model
+                if k % 23 == rnm and k % 6 != r  # unmatched only
+            ]:
+                del model[k]
         for k, v in matched.items():
             if k % 17 == rdel:
                 del model[k]
             else:
                 model[k] = v
         model.update(fresh)
+
+    def cluster_append():
+        # layout-only variant: the clustered write must change WHICH
+        # file a row lands in, never the rows themselves
+        nonlocal next_key
+        n = rng.randrange(20, 60)
+        rows = [(k, k * 1.5) for k in range(next_key, next_key + n)]
+        next_key += n
+        df = spark.createDataFrame(rows, f"k bigint, {col} double")
+        t.commit_append(
+            df.repartition(3), stats_cols=["k"], cluster_by=("k", "k")
+        )
+        model.update(dict(rows))
 
     def restore():
         # only versions inside the vacuum retention window (last 3)
@@ -206,8 +233,8 @@ def test_random_interleaving_matches_model(spark, tmp_path, seed):
     history[t.current_version()] = (dict(model), col)
     ops = [append, delete, update, rename, optimize, materialize,
            vacuum, restore, constraint, merge, bloom, branch_cycle,
-           tag]
-    weights = [3, 2, 2, 1, 1, 1, 1, 1, 1, 2, 1, 2, 1]
+           tag, cluster_append]
+    weights = [3, 2, 2, 1, 1, 1, 1, 1, 1, 2, 1, 2, 1, 1]
     for step in range(16):
         op = rng.choices(ops, weights=weights)[0]
         op()
