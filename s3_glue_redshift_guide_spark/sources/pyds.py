@@ -93,6 +93,26 @@ def _schema_maps(schema) -> tuple[list[str], dict]:
     )
 
 
+def _effective_root(options) -> str:
+    """The log root after ref mapping: ``branch`` selects that branch's
+    own log dir (a branch IS a table rooted there; version /
+    timestampAsOf compose within it) — shared by the batch reader, both
+    stream readers, and the writer, so every engine surface addresses
+    refs identically. A nonexistent branch fails loudly: implicitly
+    creating one on a typo would silently fork the write stream."""
+    import os
+
+    root = options["root"]
+    branch = options.get("branch")
+    if branch is not None:
+        root = os.path.join(root, "_branches", branch)
+        if not os.path.isdir(os.path.join(root, "_manifests")):
+            raise ValueError(
+                f"pysnapshot: no such branch {branch!r}"
+            )
+    return root
+
+
 def _resolve(options) -> dict:
     """Manifest for the requested version — by number (``version``), by
     TIMESTAMP AS OF (``timestampAsOf``, epoch seconds — resolves to the
@@ -103,14 +123,8 @@ def _resolve(options) -> dict:
     import json as _json
     import os
 
-    root = options["root"]
+    root = _effective_root(options)
     branch = options.get("branch")
-    if branch is not None:
-        # a branch IS a table rooted at its own log dir; every other
-        # selector (version/timestampAsOf within the branch) composes
-        root = os.path.join(root, "_branches", branch)
-        if not os.path.isdir(os.path.join(root, "_manifests")):
-            raise ValueError(f"pysnapshot: no such branch {branch!r}")
     tag = options.get("tag")
     if tag is not None:
         if branch is not None or "version" in options:
@@ -690,7 +704,7 @@ class SnapshotStreamReader(_AdmissionControlMixin, DataSourceStreamReader):
     delete/update feeds are the batch ``read_changes`` API."""
 
     def __init__(self, options, columns, types) -> None:
-        self.root = options["root"]
+        self.root = _effective_root(options)
         self.skip_change = (
             str(options.get("skipchangecommits", "false")).lower()
             == "true"
@@ -794,7 +808,7 @@ class SnapshotChangeFeedStreamReader(
     rows forward, so skipping a pure-layout commit loses nothing."""
 
     def __init__(self, options, columns, types) -> None:
-        self.root = options["root"]
+        self.root = _effective_root(options)
         self.skip_change = (
             str(options.get("skipchangecommits", "false")).lower()
             == "true"
@@ -940,7 +954,7 @@ class SnapshotChangeFeedBatchReader(DataSourceReader):
     instead of a cursor."""
 
     def __init__(self, options, columns, types) -> None:
-        root = options["root"]
+        root = _effective_root(options)
         self._inner = SnapshotChangeFeedStreamReader(
             options, columns, types
         )
@@ -1017,7 +1031,11 @@ class SnapshotDataWriter(DataSourceArrowWriter):
         import os
         import uuid
 
-        self.root = options["root"]
+        if options.get("tag"):
+            raise ValueError(
+                "pysnapshot: tags are immutable — cannot write to one"
+            )
+        self.root = _effective_root(options)
         self.overwrite = overwrite
         self.stats_cols = [
             c for c in options.get("statscols", "").split(",") if c

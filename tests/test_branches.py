@@ -240,3 +240,79 @@ def test_connector_reads_branches_and_tags(spark, table):
         rd(branch="ghost").count()
     with _pytest.raises(Exception, match="no such tag"):
         rd(tag="ghost").count()
+
+
+def test_connector_writes_and_streams_branches(spark, table):
+    """WAP through the engine surface: df.write with
+    .option('branch', name) commits onto the branch (main untouched),
+    a readStream with the same option follows the branch's log, and
+    writing to a tag or a nonexistent branch fails loudly."""
+    import tempfile as _tf
+
+    from s3_glue_redshift_guide_spark.sources.pyds import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    table.create_branch("wap")
+    (
+        _range(spark, 100, 105)
+        .write.format("pysnapshot")
+        .mode("append")
+        .options(root=table.root, branch="wap")
+        .save()
+    )
+    assert table.branch("wap").read().count() == 15
+    assert table.read().count() == 10, "main untouched by branch write"
+    table.fast_forward("wap")
+    assert table.read().count() == 15
+    # the branch log streams: a fresh stream over the branch drains its
+    # appends (fork copy = v1, connector append = v2)
+    table.create_branch("feed")
+    (
+        _range(spark, 300, 303)
+        .write.format("pysnapshot")
+        .mode("append")
+        .options(root=table.root, branch="feed")
+        .save()
+    )
+    got = (
+        spark.readStream.format("pysnapshot")
+        .options(root=table.root, branch="feed")
+        .load()
+    )
+    q = (
+        got.writeStream.format("memory")
+        .queryName("branch_stream")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", _tf.mkdtemp(prefix="br_stream_ck_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # bootstrap covers the fork copy (15 rows at branch v1) plus the
+    # branch-side append (3 rows at v2)
+    bs = spark.table("branch_stream")
+    assert bs.count() == 18
+    assert bs.where("k >= 300").count() == 3
+    import pytest as _pytest
+
+    table.create_tag("rel")
+    with _pytest.raises(Exception, match="immutable"):
+        (
+            _range(spark, 0, 1)
+            .write.format("pysnapshot")
+            .mode("append")
+            .options(root=table.root, tag="rel")
+            .save()
+        )
+    with _pytest.raises(Exception, match="no such branch"):
+        (
+            _range(spark, 0, 1)
+            .write.format("pysnapshot")
+            .mode("append")
+            .options(root=table.root, branch="ghost")
+            .save()
+        )
