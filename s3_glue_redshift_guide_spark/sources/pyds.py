@@ -1654,8 +1654,11 @@ class SnapshotDataSource(DataSource):
             # means later files carry columns the first file predates
             # (sampling prior[0] alone used to lose them); the current
             # version's field-id map still applies below, so renames and
-            # drops project correctly even on the zero-row shape
-            root = self.options["root"]
+            # drops project correctly even on the zero-row shape. The
+            # ref-mapped root (branch selectors) keeps the prior-version
+            # walk inside the BRANCH's own log — the raw root would walk
+            # the main table's history instead.
+            root = _effective_root(self.options)
             v = int(self.options.get("version", latest_version(root)))
             for pv in range(v - 1, 0, -1):
                 try:

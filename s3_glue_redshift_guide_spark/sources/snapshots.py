@@ -1699,8 +1699,26 @@ class SnapshotTable:
             if ins_on and insert_not_matched is not True
             else None
         )
+        # strict schema enforcement: the insert branch is merge_mor's
+        # one schema-extending path — reject source columns the table
+        # does not have BEFORE any work (no-op under additive mode)
+        if ins_on:
+            self._enforce_schema(m, source)
         if not m["files"]:
             if ins_on:
+                # identity columns apply on the empty-table fast path
+                # exactly as on the non-empty insert branch: the source
+                # must omit them (GENERATED ALWAYS) and the engine
+                # assigns from the registered watermark — _publish then
+                # advances it from the written footers
+                ident_all = m.get("identity") or {}
+                for c in ident_all:
+                    if f"__src_{c}" in src.columns:
+                        raise ValueError(
+                            f"{c!r} is GENERATED ALWAYS AS IDENTITY — "
+                            "the engine assigns it; omit it from the "
+                            "source"
+                        )
                 ins_src = src
                 if ins_cond is not None:
                     ins_src = ins_src.filter(
@@ -1712,6 +1730,16 @@ class SnapshotTable:
                         for c in source.columns
                     ]
                 )
+                for c, meta in ident_all.items():
+                    step = int(meta["step"])
+                    ins = ins.withColumn(
+                        c,
+                        (
+                            F.lit(int(meta["high"]) + step)
+                            + F.lit(step)
+                            * F.monotonically_increasing_id()
+                        ).cast("long"),
+                    )
                 new = self._write_files(ins)
                 return self._publish(
                     new,
@@ -1783,9 +1811,15 @@ class SnapshotTable:
         )
         touched = joined.filter(del_cond | upd_cond)
         tomb = touched.select("__dv_file", "__dv_pos")
-        if when_not_matched_by_source_delete is not None:
+        if (
+            when_not_matched_by_source_delete is not None
+            and when_not_matched_by_source_delete is not False
+        ):
             # target rows absent from the source: one anti-join on the
-            # merge keys (the same shuffle family as the merge itself)
+            # merge keys (the same shuffle family as the merge itself).
+            # False = branch disabled, like None (the flag/condition
+            # split mirrors insert_not_matched's ins_on handling —
+            # truthiness on a Column raises, so identity checks gate)
             nmbs = mapped.join(src, key_cond, "left_anti")
             if when_not_matched_by_source_delete is not True:
                 nmbs = nmbs.filter(
@@ -3137,11 +3171,19 @@ class SnapshotTable:
         the file, and post-compaction files carry BOTH names.
         ``(None, None)`` = answerable and NULL (no non-null values) —
         distinct from unanswerable ``None``."""
-        import pyarrow.parquet as pq
-
         m = load_manifest(self.root, version or self.current_version())
         if m["dv"]:
             return None
+        return self._banked_min_max(m, col)
+
+    def _banked_min_max(self, m: dict, col: str):
+        """The zone-map walk behind ``metadata_min_max``, without its
+        deletion-vector refusal — callers that can tolerate a STALE
+        extreme (a tombstoned row widening the range) may use it under
+        live DVs; exact-answer callers must gate on ``m["dv"]`` first.
+        Footer-stat fallback per file is metadata-only (O(KB) reads)."""
+        import pyarrow.parquet as pq
+
         names = [col]
         if m["schema"]:
             ent = next(
@@ -3675,9 +3717,30 @@ class SnapshotTable:
                     "snapshot; identity on existing tables seeds from "
                     "the current values (add the column first)"
                 )
-            row = snap.agg(F.max(name).cast("long")).collect()[0]
-            if row[0] is not None:
-                high = max(high, int(row[0]))
+            # seed the watermark from the BANKED zone maps when they
+            # cover every visible file — zero data-page reads, O(files)
+            # metadata. Live deletion vectors are fine HERE (unlike
+            # metadata_min_max's exact contract): a tombstoned row can
+            # only make a file-level max OVERSTATE the visible max, and
+            # an overstated watermark is conservative-safe for identity
+            # (gaps are allowed; ids merely need to stay above every
+            # value ever committed). The unsafe direction — understating
+            # and minting duplicate ids — is impossible from file stats.
+            mm = self._banked_min_max(m, name)
+            try:
+                banked = (
+                    int(mm[1]) if mm is not None and mm[1] is not None
+                    else (start - step if mm is not None else None)
+                )
+            except (TypeError, ValueError):
+                banked = None  # non-numeric banked stat: scan decides
+            if banked is not None:
+                high = max(high, banked)
+            else:
+                # a file carries the column without usable stats: scan
+                row = snap.agg(F.max(name).cast("long")).collect()[0]
+                if row[0] is not None:
+                    high = max(high, int(row[0]))
         ident = dict(m.get("identity", {}))
         if name in ident:
             raise ValueError(f"identity column {name!r} already exists")
@@ -4279,6 +4342,32 @@ class SnapshotTable:
                     _union(load_manifest(broot, bv))
                 except LogTruncated:
                     continue
+        # vacuum ON A BRANCH: this table's root sits under a parent's
+        # _branches/ dir, so files in OUR data dir may be referenced
+        # from OUTSIDE this log — fast_forward publishes branch files
+        # into the parent by absolute path, and sibling branches forked
+        # after that publish inherit them. Union the parent's whole
+        # readable log (and the sibling branch logs) into reachability
+        # so a branch-local vacuum (after e.g. a branch OPTIMIZE
+        # rewrite) can never delete a file the parent still serves.
+        pdir = os.path.dirname(self.root.rstrip(os.sep))
+        parent_root = os.path.dirname(pdir)
+        if os.path.basename(pdir) == "_branches" and os.path.isdir(
+            os.path.join(parent_root, "_manifests")
+        ):
+            ext_roots = [parent_root]
+            for n in sorted(os.listdir(pdir)):
+                sib = os.path.join(pdir, n)
+                if os.path.realpath(sib) == os.path.realpath(self.root):
+                    continue
+                if os.path.isdir(os.path.join(sib, "_manifests")):
+                    ext_roots.append(sib)
+            for xroot in ext_roots:
+                for xv in range(1, latest_version(xroot) + 1):
+                    try:
+                        _union(load_manifest(xroot, xv))
+                    except LogTruncated:
+                        continue
         deleted: list[str] = []
         # sweep main's data dir AND every branch dir under _branches
         # (including dropped branches whose logs are gone — their

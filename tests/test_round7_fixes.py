@@ -1,0 +1,264 @@
+"""Round-7 regression tests for the ADVICE-r6 defects: merge_mor's
+empty-table fast path honors identity columns and strict enforcement,
+vacuum on a branch root never deletes files the parent log references,
+when_not_matched_by_source_delete=False means "branch off", and the
+connector's empty-snapshot schema fallback stays inside the branch log.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_glue_redshift_guide_spark.sources.pyds import (
+    register_snapshot_source,
+)
+from s3_glue_redshift_guide_spark.sources.snapshots import (
+    SnapshotTable,
+    load_manifest,
+)
+
+
+def _tmp(pfx):
+    return tempfile.mkdtemp(prefix=f"r7_{pfx}_")
+
+
+def _kv(spark, n=100, start=0):
+    return spark.range(start, start + n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+# ------------------------------------------------------------------ #
+# 1. merge_mor onto an EMPTY identity table (first write via MERGE)
+# ------------------------------------------------------------------ #
+
+def test_merge_mor_empty_table_assigns_identity(spark):
+    t = SnapshotTable(spark, _tmp("mergident"))
+    t.add_identity_column("rid", start=100, step=10)
+    src = spark.range(5).select((F.col("id") * 3).alias("k"))
+    t.merge_mor(src, on=["k"])
+    rows = {r["rid"] for r in t.read().select("rid").collect()}
+    assert None not in rows, "empty-path MERGE inserted NULL identity"
+    assert len(rows) == 5
+    assert all((r - 100) % 10 == 0 and r >= 110 for r in rows)
+    # the watermark advanced: a follow-up append draws HIGHER ids
+    t.commit_append(
+        spark.range(1).select(F.lit(999).cast("bigint").alias("k"))
+    )
+    newest = (
+        t.read().filter(F.col("k") == 999).select("rid").collect()[0][0]
+    )
+    assert newest > max(rows)
+
+
+def test_merge_mor_empty_table_rejects_supplied_identity(spark):
+    t = SnapshotTable(spark, _tmp("mergidrej"))
+    t.add_identity_column("rid")
+    src = spark.range(3).select(
+        F.col("id").alias("k"), F.col("id").alias("rid")
+    )
+    with pytest.raises(ValueError, match="GENERATED ALWAYS AS IDENTITY"):
+        t.merge_mor(src, on=["k"])
+
+
+# ------------------------------------------------------------------ #
+# 2. strict enforcement covers merge_mor's insert branch
+# ------------------------------------------------------------------ #
+
+def test_merge_mor_strict_rejects_extra_source_column(spark):
+    t = SnapshotTable(spark, _tmp("mergstrict"))
+    t.commit_append(_kv(spark, 20))
+    t.set_schema_enforcement("strict")
+    src = spark.range(30, 35).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.lit("drift").alias("extra"),
+    )
+    with pytest.raises(ValueError, match="strict"):
+        t.merge_mor(src, on=["k"])
+    # the same merge with insert disabled only updates — no widening
+    # path, so the extra column is legal (it feeds conditions only)
+    t.merge_mor(
+        spark.range(5).select(
+            F.col("id").alias("k"),
+            F.lit(-1).cast("bigint").alias("v"),
+            F.lit("x").alias("extra"),
+        ),
+        on=["k"],
+        when_matched_update={"v": F.col("__src_v")},
+        insert_not_matched=False,
+    )
+    assert t.read().columns == ["k", "v"]
+    assert t.read().filter(F.col("v") == -1).count() == 5
+
+
+def test_merge_mor_additive_still_widens(spark):
+    t = SnapshotTable(spark, _tmp("mergadd"))
+    t.commit_append(_kv(spark, 10))
+    src = spark.range(100, 103).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.lit("new").alias("extra"),
+    )
+    t.merge_mor(src, on=["k"])
+    df = t.read()
+    assert "extra" in df.columns
+    assert df.filter(F.col("extra") == "new").count() == 3
+
+
+# ------------------------------------------------------------------ #
+# 3. when_not_matched_by_source_delete=False == branch disabled
+# ------------------------------------------------------------------ #
+
+def test_merge_mor_nmbs_false_is_off(spark):
+    t = SnapshotTable(spark, _tmp("mergnmbs"))
+    t.commit_append(_kv(spark, 10))
+    src = spark.range(3).select(
+        F.col("id").alias("k"), F.lit(0).cast("bigint").alias("v")
+    )
+    # False must behave exactly like None: no AttributeError, and the
+    # 7 unmatched target rows survive
+    t.merge_mor(
+        src,
+        on=["k"],
+        when_matched_update={"v": F.col("__src_v")},
+        insert_not_matched=False,
+        when_not_matched_by_source_delete=False,
+    )
+    assert t.read().count() == 10
+    assert t.read().filter(F.col("v") == 0).count() == 3
+
+
+# ------------------------------------------------------------------ #
+# 4. vacuum on a branch root keeps parent-referenced files alive
+# ------------------------------------------------------------------ #
+
+def test_branch_vacuum_preserves_parent_referenced_files(spark):
+    main = SnapshotTable(spark, _tmp("bvac"))
+    main.commit_append(_kv(spark, 50))
+    br = main.create_branch("wip")
+    br.commit_append(_kv(spark, 10, start=100))  # branch-local files
+    main_head_before = main.read().count()
+    # PUBLISH the branch onto main: main's manifests now reference
+    # files under <main>/_branches/wip/data by absolute path
+    main.fast_forward("wip")
+    assert main.read().count() == 60
+    # the branch now rewrites its whole layout and vacuums aggressively
+    br.commit_rewrite(br.read().coalesce(1))
+    deleted = br.vacuum(retain_versions=1)
+    # main must still read every row it published — the branch's vacuum
+    # sees the parent's reachability and keeps the fast-forwarded files
+    assert main.read().count() == 60
+    assert main.read().filter(F.col("k") >= 100).count() == 10
+    # and the branch itself still reads
+    assert br.read().count() == 60
+    assert main_head_before == 50
+
+
+def test_branch_vacuum_still_reclaims_unreferenced(spark):
+    main = SnapshotTable(spark, _tmp("bvac2"))
+    main.commit_append(_kv(spark, 20))
+    br = main.create_branch("tmp")
+    br.commit_append(_kv(spark, 5, start=100).coalesce(1))   # v2: one file
+    br.commit_rewrite(br.read().coalesce(1))                  # v3 rewrite
+    # never fast-forwarded: the v2 branch-local file is reachable only
+    # from the branch's own v2 manifest — vacuum to head drops it
+    deleted = br.vacuum(retain_versions=1)
+    assert any(os.sep + "_branches" + os.sep in p for p in deleted)
+    assert br.read().count() == 25
+    assert main.read().count() == 20
+
+
+# ------------------------------------------------------------------ #
+# 5. connector empty-snapshot schema fallback walks the BRANCH log
+# ------------------------------------------------------------------ #
+
+def test_connector_empty_branch_snapshot_schema_from_branch_log(spark):
+    register_snapshot_source(spark)
+    main = SnapshotTable(spark, _tmp("bempty"))
+    main.commit_append(_kv(spark, 10))           # main schema: k, v
+    br = main.create_branch("dev")
+    # the branch diverges: new column, then a rewrite down to ZERO rows
+    br.commit_append(
+        spark.range(100, 105).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("v"),
+            F.lit("b").alias("branch_only"),
+        )
+    )
+    br.commit_rewrite(br.read().filter(F.lit(False)))
+    # branch head has no files; schema inference must walk the BRANCH
+    # log (k, v, branch_only), not main's (k, v)
+    df = (
+        spark.read.format("pysnapshot")
+        .option("root", main.root)
+        .option("branch", "dev")
+        .load()
+    )
+    assert df.count() == 0
+    assert "branch_only" in df.columns
+
+
+# ------------------------------------------------------------------ #
+# 6. identity registration seeds from banked stats — no data scan
+# ------------------------------------------------------------------ #
+
+def test_identity_seed_from_metadata_no_scan(spark, monkeypatch):
+    """Registering identity on a populated column must answer the seed
+    watermark from zone maps / footers (metadata), never a data scan:
+    DataFrame.agg is poisoned, so any full-column read raises."""
+    from pyspark.sql import DataFrame
+
+    t = SnapshotTable(spark, _tmp("identseed"))
+    t.commit_append(
+        spark.range(1, 51).select(
+            F.col("id").alias("rid"), (F.col("id") * 7).alias("k")
+        ),
+        stats_cols=["rid"],
+    )
+
+    def poisoned(self, *a, **kw):
+        raise AssertionError(
+            "identity seeding scanned the column (DataFrame.agg)"
+        )
+
+    monkeypatch.setattr(DataFrame, "agg", poisoned)
+    t.add_identity_column("rid", start=1, step=1)
+    monkeypatch.undo()
+    m = load_manifest(t.root, t.current_version())
+    assert m["identity"]["rid"]["high"] == 50
+    # fresh appends draw ABOVE the seeded watermark
+    t.commit_append(
+        spark.range(1).select(F.lit(1000).cast("bigint").alias("k"))
+    )
+    new_id = (
+        t.read().filter(F.col("k") == 1000).select("rid").collect()[0][0]
+    )
+    assert new_id > 50
+
+
+def test_identity_seed_tolerates_deletion_vectors(spark):
+    """A DV-tombstoned max row may OVERSTATE the watermark — the
+    conservative-safe direction (gaps allowed; duplicates impossible)."""
+    t = SnapshotTable(spark, _tmp("identdv"))
+    t.commit_append(
+        spark.range(1, 21).select(
+            F.col("id").alias("rid"), (F.col("id") * 3).alias("k")
+        ),
+        stats_cols=["rid"],
+    )
+    t.delete_where(F.col("rid") == 20)  # the max row is tombstoned
+    t.add_identity_column("rid", start=1, step=1)
+    m = load_manifest(t.root, t.current_version())
+    # seeded from the FILE max (20), not the visible max (19): an id
+    # above every value ever committed can never collide
+    assert m["identity"]["rid"]["high"] >= 19
+    t.commit_append(
+        spark.range(1).select(F.lit(500).cast("bigint").alias("k"))
+    )
+    ids = [r[0] for r in t.read().select("rid").collect()]
+    assert len(ids) == len(set(ids)), "duplicate identity values"
