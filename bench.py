@@ -131,6 +131,166 @@ def run_suite(
     return timings
 
 
+def run_table_format_suite(
+    spark, sf_dir: str, runs: int = 2
+) -> dict[str, float]:
+    """Timed micro-benchmarks of the SNAPSHOT TABLE FORMAT paths
+    (VERDICT r6 directive #4: the 12-query headline set trends the
+    relational core; this block trends the table layer the same way so
+    a plan-shape regression in OPTIMIZE / MERGE / CDF / connector
+    writes / bloom lookups shows up as a number, not a guess). Each
+    mutating op gets a FRESH table per run (setup untimed); read ops
+    set up once and report min-of-``runs``. Roots live under a temp
+    dir removed at the end — the bench leaves no disk residue."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from s3_glue_redshift_guide_spark.catalog import load_table
+    from s3_glue_redshift_guide_spark.sources.pyds import (
+        register_snapshot_source,
+    )
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+
+    register_snapshot_source(spark)
+    base = tempfile.mkdtemp(prefix="spark_bench_tf_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    n_orders = orders.count()  # also materializes the scan cache
+    timings: dict[str, float] = {}
+    seq = [0]
+
+    def fresh_root() -> str:
+        seq[0] += 1
+        return os.path.join(base, f"t{seq[0]}")
+
+    def timed_mut(name: str, setup, op) -> None:
+        """Mutating op: fresh setup per run, min-of-runs on the op."""
+        best = float("inf")
+        for _ in range(runs):
+            ctx = setup()
+            t0 = time.perf_counter()
+            op(ctx)
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    def timed_read(name: str, ctx, op) -> None:
+        """Read op: one shared setup, one warm pass, min-of-runs."""
+        op(ctx)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            op(ctx)
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    # 1. OPTIMIZE on a fragmented table: 64 small files -> bin-packed
+    # rewrite (metadata-planned; the daily compaction shape)
+    def setup_frag():
+        t = SnapshotTable(spark, fresh_root())
+        t.commit_append(orders.repartition(64))
+        return t
+
+    timed_mut(
+        "tf_optimize_fragmented",
+        setup_frag,
+        lambda t: t.optimize_small_files(1 << 30, 128 << 20),
+    )
+
+    # 2. Three-branch MOR MERGE: 10% updates + 5% inserts + deletes
+    def setup_merge():
+        t = SnapshotTable(spark, fresh_root())
+        t.commit_append(orders.repartition(8))
+        src = orders.filter(F.col("o_orderkey") % 10 == 3).select(
+            "o_orderkey",
+            (F.col("price_cents") - 100).alias("price_cents"),
+        ).unionAll(
+            orders.filter(F.col("o_orderkey") % 20 == 7).select(
+                (F.col("o_orderkey") + 100_000_000).alias(
+                    "o_orderkey"
+                ),
+                F.col("price_cents"),
+            )
+        )
+        return (t, src)
+
+    timed_mut(
+        "tf_merge_mor",
+        setup_merge,
+        lambda ts: ts[0].merge_mor(
+            ts[1],
+            on=["o_orderkey"],
+            when_matched_delete=F.col("__src_price_cents") % 7 == 0,
+            when_matched_update={
+                "price_cents": F.col("__src_price_cents")
+            },
+        ),
+    )
+
+    # 3. CDF range read over an append+update+delete history,
+    # through the connector's per-file change partitions
+    cdf_t = SnapshotTable(spark, fresh_root())
+    cdf_t.commit_append(orders.repartition(8))
+    cdf_t.update_where(
+        F.col("o_orderkey") % 10 == 1,
+        {"price_cents": F.col("price_cents") + 1},
+    )
+    cdf_t.delete_where(F.col("o_orderkey") % 10 == 2)
+
+    timed_read(
+        "tf_cdf_range_read",
+        cdf_t,
+        lambda t: materialize(
+            spark.read.format("pysnapshot")
+            .option("root", t.root)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "1")
+            .load()
+        ),
+    )
+
+    # 4. Clustered connector write (splitBy on o_orderstatus):
+    # distributed Arrow commit, one file per status per task
+    timed_mut(
+        "tf_connector_clustered_write",
+        fresh_root,
+        lambda root: (
+            orders.repartition("o_orderstatus")
+            .write.format("pysnapshot")
+            .option("root", root)
+            .option("splitBy", "o_orderstatus")
+            .option("statsCols", "o_orderstatus")
+            .mode("append")
+            .save()
+        ),
+    )
+
+    # 5. Bloom point lookup: KB-scale sidecar probes prune the file
+    # set before any data read (zone maps can't — keys interleave)
+    bloom_t = SnapshotTable(spark, fresh_root())
+    bloom_t.commit_append(orders.repartition(16))
+    bloom_t.add_bloom_index("o_orderkey")
+    probe_key = (n_orders // 2) or 1
+
+    timed_read(
+        "tf_bloom_point_lookup",
+        bloom_t,
+        lambda t: materialize(
+            t.read_where_eq("o_orderkey", probe_key)
+        ),
+    )
+
+    shutil.rmtree(base, ignore_errors=True)
+    return timings
+
+
 def _sf1_dir() -> str | None:
     """The derived sf1.0 dataset (tools/gen_sf1.py, gitignored): reuse it
     if present, build it once if not (deterministic, seed 42); opt out
@@ -172,6 +332,18 @@ def main() -> None:
         # under min-of-N; see BENCH_NOTES.md (7-run idle-machine study)
         "notes": "variance study in BENCH_NOTES.md",
     }
+    # table-format block (VERDICT r6 #4): OPTIMIZE / MOR MERGE / CDF /
+    # connector clustered write / bloom lookup — recorded per round so
+    # the snapshot layer trends like the relational core
+    tf = run_table_format_suite(spark, sf_dir)
+    out["table_format"] = {
+        "value": round(sum(tf.values()), 3),
+        "unit": "sec",
+        "queries": tf,
+        "runs_per_query": 2,
+        "sf": float(sf),
+        "load_avg_1m_at_start": _load_1m(),
+    }
     sf1 = _sf1_dir()
     if sf1 and float(sf) < 1.0:
         # one warm pass + min-of-2 timed passes: the sf1 block exists to
@@ -194,6 +366,18 @@ def main() -> None:
             "runs_per_query": sf1_runs,
             "sf": 1.0,
             "load_avg_1m_at_start": t1_load,
+        }
+        # sf1 table-format block: the 10x data-scaling trend for the
+        # snapshot layer (single timed run per op keeps the whole bench
+        # inside the driver's time budget; the ops' absolute costs are
+        # seconds-scale, so one run still ranks a regression)
+        tf1 = run_table_format_suite(spark, sf1, runs=1)
+        out["sf1"]["table_format"] = {
+            "value": round(sum(tf1.values()), 3),
+            "unit": "sec",
+            "queries": tf1,
+            "runs_per_query": 1,
+            "sf": 1.0,
         }
     print(json.dumps(out))
     spark.stop()

@@ -39,66 +39,43 @@ for _m in _MODULES:
 
 # Registry iteration order is the order the grading driver checks queries
 # in; the driver verifies exactly the FIRST 50 entries per round. Round
-# 6's window: (a) the THIRTY-FOUR round-6 newcomers first (registry rows
-# for the previously pytest-only S34/S35/S36/S37/S38/T19 features,
-# TIMESTAMP AS OF, clustered connector writes, MOR MERGE, canonical
-# dedup selection, GENERATED columns, metadata-only aggregates, the
-# bloom file index, the change-feed MV, table history, vacuum
-# retention, partition specs, row tracking, ANALYZE/NDV, COPY INTO,
-# type widening, branches/tags/WAP, column DEFAULTs, identity columns,
-# the streaming LEFT OUTER join, and span-level decontamination — none
-# has driver evidence yet), then (b) the first 16 of the r2-stale
-# cohort (sql/udf/q-series — three rounds of engine churn stale,
-# VERDICT r5 directive #3); the listed stale tail past slot 50
-# (udf_grouped_map, agg_approx_distinct, agg_approx_quantiles,
-# agg_collect_set and the fn_* re-checks) joins the rest of the
-# r2-stale leftovers (ev_dedup_first, ev_enrich_static,
-# ev_session_window, llm_global_shuffle, llm_token_counts,
-# llm_train_val_split, sink_scd1_merge, stats_table_sizing,
-# win_distinct_count, join_range_left_rowlevel, skew_two_phase_agg,
-# graph_pagerank, cur_repetition_metrics, cur_duplicated_spans,
-# graph_triangles, cur_chunk_windows, skew_salted_join,
-# sk_bitmap_distinct, sk_hll_union_distinct, fn_regexp, fn_variant,
-# fn_map_construct, fn_array, agg_median_mode, agg_linear_fit,
-# agg_freq_items) to lead round 7's rotation (the window invariant:
-# never-driver-sampled queries always sit inside the first 50).
+# 7's window (VERDICT r6 directive #2: the rotation debt comes FIRST):
+# (a) all THIRTY-SIX queries whose newest driver evidence is still
+# round 2 — four rounds of engine churn since their last hard-signal
+# check; (b) the FIVE round-7 rows (manifest-log checkpointing,
+# connector writes onto partition-spec'd tables, the two warehouse-SQL
+# DML dispatcher rows, and src_cdf_update_images re-listed because its
+# oracle now unions the streamed pre/post image feed — its r6 evidence
+# predates that extension); (c) nine r3-era source/sink rows, the next-
+# oldest cohort, filling the window to exactly 50. The r6 newcomers all
+# got green r6 evidence and rotate out.
 _PRIORITY = [
-    # -- new in round 6 (never driver-sampled) ------------------------------
-    "src_restore", "src_shallow_clone", "src_nullcount_skipping",
-    "src_rowgroup_pruning", "src_check_constraints",
-    "src_stream_change_feed", "src_timestamp_as_of",
-    "sink_connector_clustered_write", "sink_snapshot_merge_mor",
-    "llm_canonical_selection",
-    "src_generated_columns", "src_metadata_only_agg",
-    "src_bloom_index", "rollup_mv_change_feed", "llm_dsir_resample",
-    "stats_join_advisor", "llm_bigram_logprob",
-    "src_table_history", "src_vacuum_retention",
-    "src_partition_spec", "src_row_tracking", "stats_ndv_estimate",
-    "src_copy_into", "src_type_widening", "src_branch_wap",
-    "src_column_defaults", "src_identity_column",
-    "ev_stream_outer_join", "llm_contamination_spans",
-    "src_schema_enforcement", "src_deep_clone", "sink_merge_sync",
-    "src_cdf_update_images", "src_table_detail",
-    # -- round-2-stale regression re-checks (26) ---------------------------
-    # SQL suite (subqueries, recursive CTE, TPC-H rewrites)
-    "sql_volume_shipping", "sql_scalar_subquery",
-    "sql_correlated_subquery", "sql_exists_subquery", "sql_in_having",
-    "sql_or_of_ands", "sql_anti_scalar", "sql_promo_revenue",
-    "sql_recursive_cte", "sql_q21_waiting_suppliers",
-    # TPC-H relational core still at r2
-    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
-    "q11_important_value", "q13_customer_orders_dist",
-    "q15_top_supplier", "q16_supplier_part_cnt", "q20_excess_shippers",
+    # -- (a) round-2-stale regression re-checks (36) -----------------------
+    "q16_supplier_part_cnt", "q20_excess_shippers",
     "q22_dormant_customers",
-    # UDF surface (row/pandas/grouped)
     "udf_python_row", "udf_pandas_scalar", "udf_grouped_agg",
     "udf_grouped_map",
-    # aggregate tail
     "agg_approx_distinct", "agg_approx_quantiles", "agg_collect_set",
-    # function-family tail (fn_regexp / fn_variant / fn_map_construct /
-    # fn_array displaced to r7 by the late-round newcomers
-    # src_table_history / src_vacuum_retention / src_partition_spec /
-    # src_row_tracking)
+    "agg_freq_items", "agg_linear_fit", "agg_median_mode",
+    "fn_array", "fn_regexp", "fn_variant", "fn_map_construct",
+    "sk_bitmap_distinct", "sk_hll_union_distinct",
+    "skew_salted_join", "skew_two_phase_agg",
+    "graph_pagerank", "graph_triangles",
+    "cur_repetition_metrics", "cur_duplicated_spans",
+    "cur_chunk_windows",
+    "ev_dedup_first", "ev_enrich_static", "ev_session_window",
+    "join_range_left_rowlevel",
+    "llm_global_shuffle", "llm_token_counts", "llm_train_val_split",
+    "sink_scd1_merge", "stats_table_sizing", "win_distinct_count",
+    # -- (b) new in round 7 ------------------------------------------------
+    "src_log_checkpoint", "sink_connector_spec_write",
+    "sql_snapshot_merge_dml", "sql_snapshot_maintenance_dml",
+    "src_cdf_update_images",
+    # -- (c) r3-era source/sink rows (next-oldest evidence) ----------------
+    "src_csv_roundtrip", "src_schema_inference",
+    "src_partition_discovery", "src_schema_evolution",
+    "src_incremental_bookmark", "sink_staged_copy",
+    "src_orc_roundtrip", "src_text_source", "sink_compaction_facts",
 ]
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
 _ordered.update({n: q for n, q in REGISTRY.items() if n not in _ordered})

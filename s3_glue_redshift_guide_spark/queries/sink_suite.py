@@ -903,3 +903,116 @@ def sink_merge_sync(spark, sf_dir):
         "o_orderkey",
         F.round(F.col("o_totalprice"), 2).alias("total"),
     )
+
+
+# --------------- connector write onto a partition-spec'd table ---------
+@query(
+    "sink_connector_spec_write",
+    oracle="""
+    WITH s AS (SELECT o_orderkey, o_orderstatus FROM orders
+               WHERE o_orderkey < 800)
+    SELECT (SELECT CAST(count(DISTINCT o_orderstatus) AS INT) FROM s)
+             AS n_files,
+           1 AS segments_ok, 1 AS pruned_to_one, 1 AS spec_carried,
+           (SELECT CAST(count(*) AS BIGINT) FROM s
+             WHERE o_orderstatus = 'F') AS rows_f,
+           (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM s
+             WHERE o_orderstatus = 'F') AS key_sum_f,
+           (SELECT CAST(count(*) AS BIGINT) FROM s) AS head_rows
+    """,
+)
+def sink_connector_spec_write(spark, sf_dir):
+    """Connector writes onto a PARTITION-SPEC'D table (the ingest
+    surface a Spark user reaches first — ``df.write.format(
+    "pysnapshot")`` — composed with the table's layout contract): the
+    writer reads the spec back from the manifest at construction and
+    fans each Arrow batch out per live partition tuple through the
+    splitBy batch-split machinery — vectorized dictionary-encode +
+    filter, Python per DISTINCT TUPLE never per row — landing shards
+    under the same ``__part_<col>=<value>/`` segments
+    ``SnapshotTable._write_files`` produces. Facts pin the whole
+    contract: one file per status (``n_files``, the frame arrives
+    repartitioned on the spec column), every path segment decodes to
+    the rows' actual value (``segments_ok``), the CONNECTOR'S OWN
+    planning-time path pruning plans exactly one partition for a
+    pushed status equality (``pruned_to_one``), and the spec itself
+    carries through the connector commit (``spec_carried``). At 100 TB
+    the partition fan-out is the no-extra-shuffle path: layout rides
+    the repartition the ingest already does, and a spec changed
+    concurrently conflicts at commit instead of publishing a
+    spec-violating layout (`sources/pyds.py::_partition_batches`)."""
+    from pyspark.sql.datasource import EqualTo
+
+    from ..sources.pyds import (
+        SnapshotManifestReader,
+        register_snapshot_source,
+    )
+    from ..sources.snapshots import (
+        SnapshotTable,
+        load_manifest,
+        partition_values_from_path,
+    )
+
+    register_snapshot_source(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    ).filter(F.col("o_orderkey") < 800)
+    root = tempfile.mkdtemp(prefix="spark_specwrite_")
+    t = SnapshotTable(spark, root)
+    t.set_partition_spec(["o_orderstatus"])
+    (
+        o.repartition("o_orderstatus")
+        .write.format("pysnapshot")
+        .option("root", root)
+        .mode("append")
+        .save()
+    )
+    m = load_manifest(root, t.current_version())
+    segs = [partition_values_from_path(f) for f in m["files"]]
+    segments_ok = int(
+        all("o_orderstatus" in pv for pv in segs)
+        and all(
+            spark.read.parquet(f)
+            .filter(
+                F.col("o_orderstatus")
+                != pv["o_orderstatus"]
+            )
+            .limit(1)
+            .count()
+            == 0
+            for f, pv in zip(m["files"], segs)
+        )
+    )
+    r = SnapshotManifestReader({"root": root})
+    r.pushFilters([EqualTo(("o_orderstatus",), "F")])
+    pruned_to_one = int(len(r.partitions()) == 1)
+    spec_carried = int(
+        (m.get("partition_spec") or []) == ["o_orderstatus"]
+    )
+    got = (
+        spark.read.format("pysnapshot")
+        .option("root", root)
+        .load()
+        .where("o_orderstatus = 'F'")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("long").alias("s"),
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                len(m["files"]),
+                segments_ok,
+                pruned_to_one,
+                spec_carried,
+                got["n"],
+                got["s"],
+                t.read().count(),
+            )
+        ],
+        "n_files int, segments_ok int, pruned_to_one int, "
+        "spec_carried int, rows_f bigint, key_sum_f bigint, "
+        "head_rows bigint",
+    )

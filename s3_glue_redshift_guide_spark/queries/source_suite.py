@@ -2712,15 +2712,20 @@ def src_deep_clone(spark, sf_dir):
     oracle="""
     WITH tgt AS (SELECT o_orderkey, round(o_totalprice, 2) AS price
                  FROM orders WHERE o_orderkey < 600),
-         upd AS (SELECT * FROM tgt WHERE o_orderkey % 4 = 1)
-    SELECT o_orderkey, price, 'update_preimage' AS change_type
-    FROM upd
+         upd AS (SELECT * FROM tgt WHERE o_orderkey % 4 = 1),
+         img AS (
+           SELECT o_orderkey, price, 'update_preimage' AS change_type
+           FROM upd
+           UNION ALL
+           SELECT o_orderkey, round(price + 500.0, 2),
+                  'update_postimage'
+           FROM upd
+           UNION ALL
+           SELECT o_orderkey, price, 'delete' FROM tgt
+           WHERE o_orderkey % 4 = 2)
+    SELECT o_orderkey, price, change_type, 'batch' AS feed FROM img
     UNION ALL
-    SELECT o_orderkey, round(price + 500.0, 2), 'update_postimage'
-    FROM upd
-    UNION ALL
-    SELECT o_orderkey, price, 'delete' FROM tgt
-    WHERE o_orderkey % 4 = 2
+    SELECT o_orderkey, price, change_type, 'stream' AS feed FROM img
     """,
 )
 def src_cdf_update_images(spark, sf_dir):
@@ -2735,9 +2740,22 @@ def src_cdf_update_images(spark, sf_dir):
     the feed between the bracketing versions must carry the correlated
     image pairs and the plain deletes, and NOTHING for untouched rows.
     Cost is O(churn): only files whose DV set changed scan, and the
-    pairing join moves scalar ids."""
+    pairing join moves scalar ids.
+
+    The ``stream`` half unions the SAME feed through the connector's
+    CDF reader — the per-file partitions the STREAMING reader plans,
+    now emitting each row's permanent ``_row_id`` — paired per commit
+    by ``pair_update_images`` (the foreachBatch-shaped join an
+    always-on CDC consumer runs per epoch at O(epoch churn)). Both
+    halves must be value-identical: one pairing semantics, batch and
+    stream."""
+    from ..sources.pyds import (
+        pair_update_images,
+        register_snapshot_source,
+    )
     from ..sources.snapshots import SnapshotTable
 
+    register_snapshot_source(spark)
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.round("o_totalprice", 2).alias("price")
     )
@@ -2753,11 +2771,26 @@ def src_cdf_update_images(spark, sf_dir):
     )
     t.delete_where(F.col("o_orderkey") % 4 == 2)
     v_to = t.current_version()
-    return t.read_changes_images(v_from, v_to).select(
+    batch = t.read_changes_images(v_from, v_to).select(
         "o_orderkey",
         "price",
         F.col("_change_type").alias("change_type"),
+        F.lit("batch").alias("feed"),
     )
+    streamed = pair_update_images(
+        spark.read.format("pysnapshot")
+        .option("root", t.root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(v_from))
+        .option("endingVersion", str(v_to))
+        .load()
+    ).select(
+        "o_orderkey",
+        "price",
+        F.col("_change_type").alias("change_type"),
+        F.lit("stream").alias("feed"),
+    )
+    return batch.unionAll(streamed)
 
 
 # ----------------------- files() / DESCRIBE DETAIL (S57) ---------------
@@ -2827,4 +2860,100 @@ def src_table_detail(spark, sf_dir):
         "num_rows bigint, n_files int, sizes_match_stat int, "
         "files_rows_match int, dv_file_counted int, "
         "detail_features int",
+    )
+
+
+# ---------------- manifest-log checkpointing (S58) ---------------------
+@query(
+    "src_log_checkpoint",
+    oracle="""
+    WITH s AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 1000)
+    SELECT 23 AS n_versions, 0 AS head_metadata_reads,
+           1 AS ckpt_reads, 3 AS hist_tail_reads, 1 AS hist_identical,
+           13 AS asof_mid, 4 AS post_vacuum_versions,
+           (SELECT CAST(count(*) AS BIGINT) FROM s) AS head_rows,
+           (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM s) AS head_sum
+    """,
+)
+def src_log_checkpoint(spark, sf_dir):
+    """Manifest-log CHECKPOINTING + O(1) head resolution (the Delta
+    ``_last_checkpoint`` shape, ``sources/snapshots.py::write_checkpoint``):
+    23 commits land checkpoints at v10/v20 and a head pointer, so a
+    FRESH table handle resolves the head with ZERO manifest reads and
+    zero directory listings (``head_metadata_reads``; the pointer probe
+    is O(commits-since-pointer) file stats), ``history()`` serves
+    v1..v20 from the checkpoint's precomputed index — ONE checkpoint
+    read plus exactly the 3 tail manifests (``hist_tail_reads``), not
+    23 — and TIMESTAMP AS OF resolves inside the index (``asof_mid``:
+    ts=13.5 → v13 without walking 23 manifests). The checkpoint is a
+    CACHE: rows must equal the raw full walk bit-for-bit
+    (``hist_identical`` re-walks with the pointer removed), and VACUUM
+    rebuilds it from the post-sweep log (``post_vacuum_versions``: the
+    index never resurrects vacuumed versions). This is what keeps a
+    streaming table committing every minute for a year (~500k
+    versions) from paying a 500k-file listing on every open — the
+    exact problem Delta's checkpoint files exist to solve."""
+    from ..sources.snapshots import (
+        LOG_METRICS,
+        SnapshotTable,
+        version_as_of,
+    )
+
+    def reset():
+        for k in LOG_METRICS:
+            LOG_METRICS[k] = 0
+
+    ticks = iter(float(i) for i in range(1, 40))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey").filter(
+        F.col("o_orderkey") < 1000
+    )
+    t = SnapshotTable(spark, _tmp("logckpt"), clock=lambda: next(ticks))
+    for i in range(23):
+        t.commit_append(
+            o.filter(F.col("o_orderkey") % 23 == i).coalesce(1)
+        )
+    # 1. fresh handle resolves head from the pointer: zero manifest
+    # reads, zero listings (pointer probe = file stats only)
+    t2 = SnapshotTable(spark, t.root)
+    reset()
+    n_versions = t2.current_version()
+    head_metadata_reads = (
+        LOG_METRICS["manifest_reads"] + LOG_METRICS["listdir_scans"]
+    )
+    # 2. history: one checkpoint read + the 3 post-checkpoint manifests
+    reset()
+    with_ck = [tuple(r) for r in t2.history().collect()]
+    ckpt_reads = LOG_METRICS["checkpoint_reads"]
+    hist_tail_reads = LOG_METRICS["manifest_reads"]
+    # 3. the checkpoint is a cache: identical to the raw full walk
+    ptr = os.path.join(t.root, "_manifests", "_last_checkpoint.json")
+    os.unlink(ptr)
+    without_ck = [tuple(r) for r in t2.history().collect()]
+    hist_identical = int(with_ck == without_ck)
+    # 4. TIMESTAMP AS OF rides the checkpoint's ts index
+    asof_mid = version_as_of(t.root, 13.5)
+    # 5. VACUUM rebuilds the checkpoint from the post-sweep log
+    t.vacuum(retain_versions=4)
+    post_vacuum_versions = len(t.history().collect())
+    agg = t.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("long").alias("s"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                n_versions,
+                head_metadata_reads,
+                ckpt_reads,
+                hist_tail_reads,
+                hist_identical,
+                asof_mid,
+                post_vacuum_versions,
+                agg["n"],
+                agg["s"],
+            )
+        ],
+        "n_versions int, head_metadata_reads int, ckpt_reads int, "
+        "hist_tail_reads int, hist_identical int, asof_mid int, "
+        "post_vacuum_versions int, head_rows bigint, head_sum bigint",
     )

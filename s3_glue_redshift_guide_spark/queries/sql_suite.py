@@ -333,3 +333,183 @@ def sql_q21_waiting_suppliers(spark, sf_dir):
     in the classic suite."""
     register_views(spark, sf_dir, ["supplier", "lineitem", "orders"])
     return spark.sql(_SQL_Q21)
+
+
+# ------------- warehouse-SQL DML over the snapshot format --------------
+@query(
+    "sql_snapshot_merge_dml",
+    oracle="""
+    WITH t AS (SELECT o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT)
+                        AS price_cents
+               FROM orders WHERE o_orderkey < 400),
+         s AS (SELECT o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) - 500
+                        AS price_cents
+               FROM orders WHERE o_orderkey BETWEEN 200 AND 599)
+    SELECT o_orderkey, price_cents FROM t
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+    UNION ALL
+    SELECT t.o_orderkey, s.price_cents FROM t JOIN s USING (o_orderkey)
+    WHERE t.o_orderkey % 10 <> 0
+    UNION ALL
+    SELECT o_orderkey, price_cents FROM s
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t)
+    """,
+)
+def sql_snapshot_merge_dml(spark, sf_dir):
+    """The three-branch MERGE driven as WAREHOUSE SQL TEXT
+    (``sql_dml.snapshot_sql`` — the reference's load target speaks SQL
+    over JDBC, ``README.md:150``, so the table-format DML surface is
+    drivable the same way): the statement parses with a thin anchored
+    grammar, ``s.col``/``t.col`` aliases rewrite into ``merge_mor``'s
+    ``__src_`` namespace outside string literals, and the execution IS
+    ``merge_mor`` — one atomic MOR commit, DV tombstones for the DELETE
+    branch, sidecar-pinned post-images for UPDATE. Same oracle as
+    ``sink_snapshot_merge_mor``: matched keys divisible by 10 DELETE,
+    other matches UPDATE to the discounted price, unmatched source rows
+    INSERT — proving SQL text and Python method produce byte-identical
+    tables."""
+    import tempfile as _tf
+
+    from ..sql_dml import snapshot_sql
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    t = SnapshotTable(
+        spark, _tf.mkdtemp(prefix="spark_sqlmerge_")
+    )
+    t.commit_append(o.filter(F.col("o_orderkey") < 400))
+    o.filter(F.col("o_orderkey").between(300, 599)).select(
+        "o_orderkey",
+        (F.col("price_cents") - 500).alias("price_cents"),
+    ).unionAll(
+        o.filter(F.col("o_orderkey").between(200, 299)).select(
+            "o_orderkey",
+            (F.col("price_cents") - 500).alias("price_cents"),
+        )
+    ).createOrReplaceTempView("sql_merge_src")
+    snapshot_sql(
+        spark,
+        f"""MERGE INTO pysnapshot.`{t.root}` AS t
+            USING (SELECT * FROM sql_merge_src) AS s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND s.o_orderkey % 10 = 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET price_cents = s.price_cents
+            WHEN NOT MATCHED THEN INSERT *""",
+    )
+    return t.read().select("o_orderkey", "price_cents")
+
+
+@query(
+    "sql_snapshot_maintenance_dml",
+    oracle="""
+    WITH base AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 500)
+    SELECT 1 AS update_applied, 1 AS delete_applied,
+           1 AS optimize_compacted, 4 AS n_history_rows,
+           1 AS restore_round_trip, 1 AS vacuum_truncated,
+           (SELECT CAST(count(*) AS BIGINT) FROM base) AS head_rows,
+           (SELECT CAST(sum(CASE WHEN o_orderkey % 7 = 0
+                            THEN o_orderkey + 1000000
+                            ELSE o_orderkey END) AS BIGINT)
+            FROM base) AS post_update_sum
+    """,
+)
+def sql_snapshot_maintenance_dml(spark, sf_dir):
+    """The maintenance surface driven as SQL text (``snapshot_sql``):
+    UPDATE ... WHERE (MOR post-images), DELETE FROM ... WHERE (DV
+    tombstones), OPTIMIZE (metadata-planned compaction), DESCRIBE
+    HISTORY (the audit view counts every one of these as a labeled
+    commit), RESTORE ... TO VERSION AS OF (metadata-only undo), and
+    VACUUM ... RETAIN n VERSIONS — each statement resolving to exactly
+    one existing ``SnapshotTable`` method, so the SQL surface inherits
+    the methods' atomicity/conflict/constraint semantics wholesale.
+    ``post_update_sum`` pins the UPDATE arithmetic; the RESTORE
+    round-trip pins that the SQL path returns the table to its
+    pre-delete row set value-exactly."""
+    import tempfile as _tf
+
+    from ..sql_dml import snapshot_sql
+    from ..sources.snapshots import LogTruncated, SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    t = SnapshotTable(
+        spark, _tf.mkdtemp(prefix="spark_sqlmaint_")
+    )
+    t.commit_append(                                       # v1 (2 files)
+        o.filter(F.col("o_orderkey") < 500)
+        .repartitionByRange(2, "o_orderkey")
+    )
+    root = t.root
+    snapshot_sql(                                          # v2: UPDATE
+        spark,
+        f"UPDATE pysnapshot.`{root}` SET o_orderkey = "
+        "o_orderkey + 1000000 WHERE o_orderkey % 7 = 0",
+    )
+    post_update_sum = (
+        t.read().agg(F.sum("o_orderkey").cast("long")).collect()[0][0]
+    )
+    pre_delete = t.current_version()
+    snapshot_sql(                                          # v3: DELETE
+        spark,
+        f"DELETE FROM pysnapshot.`{root}` WHERE o_orderkey % 2 = 0",
+    )
+    delete_applied = int(
+        t.read().filter(F.col("o_orderkey") % 2 == 0).count() == 0
+    )
+    facts = snapshot_sql(                                  # v4: OPTIMIZE
+        spark, f"OPTIMIZE pysnapshot.`{root}`"
+    )
+    optimize_compacted = int(
+        t.current_version() == 4 and isinstance(facts, dict)
+    )
+    hist = snapshot_sql(
+        spark, f"DESCRIBE HISTORY pysnapshot.`{root}`"
+    )
+    n_history = hist.count()
+    snapshot_sql(                                          # v5: RESTORE
+        spark,
+        f"RESTORE pysnapshot.`{root}` TO VERSION AS OF {pre_delete}",
+    )
+    restored = t.read()
+    restore_ok = int(
+        restored.count() == 500
+        and restored.agg(
+            F.sum("o_orderkey").cast("long")
+        ).collect()[0][0]
+        == post_update_sum
+    )
+    snapshot_sql(
+        spark, f"VACUUM pysnapshot.`{root}` RETAIN 2 VERSIONS"
+    )
+    try:
+        t.read(1).count()
+        vacuum_truncated = 0
+    except LogTruncated:
+        vacuum_truncated = 1
+    update_applied = int(
+        t.read().filter(F.col("o_orderkey") >= 1000000).count() > 0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                update_applied,
+                delete_applied,
+                optimize_compacted,
+                n_history,
+                restore_ok,
+                vacuum_truncated,
+                t.read().count(),
+                post_update_sum,
+            )
+        ],
+        "update_applied int, delete_applied int, "
+        "optimize_compacted int, n_history_rows bigint, "
+        "restore_round_trip int, vacuum_truncated int, "
+        "head_rows bigint, post_update_sum bigint",
+    )

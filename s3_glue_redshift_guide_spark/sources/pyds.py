@@ -261,6 +261,7 @@ def _read_file(
     only_positions: set | None = None,
     extra_consts: dict | None = None,
     bounds: dict | None = None,
+    row_id_base: int | None = None,
 ):
     """Arrow-batch read of one data file, aligned to the declared read
     schema: columns map BY NAME (a caller-supplied schema with reordered
@@ -274,7 +275,12 @@ def _read_file(
     selection to emit EXACTLY those row positions (the change-feed
     delete leg); ``extra_consts`` appends constant metadata columns
     ({name: (value, pyarrow_type)} — the CDF ``_change_type`` /
-    ``_commit_version``). Shared by the batch and streaming readers."""
+    ``_commit_version``); a declared ``_row_id`` column synthesizes
+    each row's PERMANENT id the way ``SnapshotTable._attach_row_ids``
+    does — a physically-carried ``__row_id`` wins (preserved through a
+    rewrite), else ``row_id_base`` + file position (NULL when the
+    file's version predates row tracking). Shared by the batch and
+    streaming readers."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -290,12 +296,15 @@ def _read_file(
         for k, v in (extra_consts or {}).items()
         if columns is None or k in columns
     }
+    emit_rid = columns is not None and "_row_id" in columns
     want = [
         c
         for c in (columns or list(pf.schema_arrow.names))
-        if c not in extra_consts
+        if c not in extra_consts and c != "_row_id"
     ]
-    out_names = want + list(extra_consts)
+    out_names = (
+        want + (["_row_id"] if emit_rid else []) + list(extra_consts)
+    )
     aliases = aliases or {}
 
     # ALL physical alias columns present for each logical column, not
@@ -309,7 +318,10 @@ def _read_file(
         return [n for n in (c, *aliases.get(c, [])) if n in have]
 
     phys_of = {c: physical(c) for c in want}
-    present = sorted({p for ps in phys_of.values() for p in ps})
+    present = sorted(
+        {p for ps in phys_of.values() for p in ps}
+        | ({"__row_id"} if emit_rid and "__row_id" in have else set())
+    )
     deleted = _dv_positions(path, dv_dirs) if dv_dirs else None
 
     def align(col, name):
@@ -336,27 +348,27 @@ def _read_file(
         offset = group_start[rg]
         for batch in pf.iter_batches(row_groups=[rg], columns=present):
             n = batch.num_rows
+            pos = np.arange(offset, offset + n, dtype=np.int64)
+            offset += n
             if only_positions is not None:
                 keep = np.array(
-                    [offset + i in only_positions for i in range(n)],
+                    [int(p) in only_positions for p in pos],
                     dtype=bool,
                 )
-                offset += n
                 batch = batch.filter(pa.array(keep))
+                pos = pos[keep]
                 if batch.num_rows == 0:
                     continue
             elif deleted:
                 keep = np.array(
-                    [offset + i not in deleted for i in range(n)],
+                    [int(p) not in deleted for p in pos],
                     dtype=bool,
                 )
-                offset += n
                 if not keep.all():
                     batch = batch.filter(pa.array(keep))
+                    pos = pos[keep]
                     if batch.num_rows == 0:
                         continue
-            else:
-                offset += n
             by_name = {
                 nm: batch.column(i)
                 for i, nm in enumerate(batch.schema.names)
@@ -372,6 +384,20 @@ def _read_file(
                 return col
 
             arrays = [logical(c) for c in want]
+            if emit_rid:
+                base_arr = (
+                    pa.array(pos + row_id_base, type=pa.int64())
+                    if row_id_base is not None
+                    else pa.nulls(batch.num_rows, type=pa.int64())
+                )
+                phys_rid = by_name.get("__row_id")
+                arrays.append(
+                    pc.coalesce(
+                        phys_rid.cast(pa.int64()), base_arr
+                    )
+                    if phys_rid is not None
+                    else base_arr
+                )
             for name, (v, t) in extra_consts.items():
                 arrays.append(pa.array([v] * batch.num_rows, type=t))
             yield pa.RecordBatch.from_arrays(arrays, names=out_names)
@@ -642,14 +668,20 @@ class _AdmissionControlMixin:
         self._max_versions = int(cap) if cap is not None else None
         fcap = options.get("maxfilespertrigger")
         self._max_files = int(fcap) if fcap is not None else None
+        # ``startingVersion`` on a STREAM (Delta's streaming CDF
+        # semantics): the exclusive base of the first micro-batch — a
+        # consumer that only wants changes from "now on" skips the
+        # initial-snapshot delivery. Fresh starts only; a checkpointed
+        # restart resumes from the engine's committed offset as always.
+        self._start_version = int(options.get("startingversion", 0))
         self._cursor: int | None = None
 
     def _advance_cursor(self, version: int) -> None:
         self._cursor = max(self._cursor or 0, version)
 
     def initialOffset(self) -> dict:
-        self._cursor = 0
-        return {"version": 0}
+        self._cursor = self._start_version
+        return {"version": self._start_version}
 
     def latestOffset(self) -> dict:
         head = latest_version(self.root)
@@ -780,6 +812,7 @@ class SnapshotCdfPartition(InputPartition):
         dv_new: tuple[str, ...] = (),
         dv_old: tuple[str, ...] = (),
         ts: float | None = None,  # the commit's banked timestamp
+        rid_base: int | None = None,  # file's banked base row id
     ) -> None:
         self.path = path
         self.kind = kind
@@ -787,6 +820,7 @@ class SnapshotCdfPartition(InputPartition):
         self.dv_new = dv_new
         self.dv_old = dv_old
         self.ts = ts
+        self.rid_base = rid_base
 
 
 class SnapshotChangeFeedStreamReader(
@@ -838,6 +872,16 @@ class SnapshotChangeFeedStreamReader(
             m = load_manifest(self.root, v)
             cur, cur_dv = set(m["files"]), m["dv"]
             ts = m.get("ts")
+            # per-file base row ids (row tracking): carried into each
+            # partition so the read leg can surface _row_id — the
+            # pairing key that lets a downstream consumer correlate an
+            # MOR update's delete/insert halves per micro-batch
+            rid = m.get("row_ids") or {}
+
+            def base_of(p: str):
+                e = rid.get(p)
+                return int(e[0]) if e is not None else None
+
             removed = prev - cur
             if removed:
                 if not self.skip_change:
@@ -856,6 +900,7 @@ class SnapshotChangeFeedStreamReader(
                             p, "insert", v,
                             dv_new=tuple(cur_dv.get(p, [])),
                             ts=ts,
+                            rid_base=base_of(p),
                         )
                     )
                 for p in sorted(cur & prev):
@@ -871,6 +916,7 @@ class SnapshotChangeFeedStreamReader(
                                 dv_new=tuple(new_dirs),
                                 dv_old=tuple(prev_dv.get(p, [])),
                                 ts=ts,
+                                rid_base=base_of(p),
                             )
                         )
                     # tombstones REMOVED while the file stays (RESTORE
@@ -889,6 +935,7 @@ class SnapshotChangeFeedStreamReader(
                                 dv_new=tuple(gone_dirs),
                                 dv_old=tuple(cur_dv.get(p, [])),
                                 ts=ts,
+                                rid_base=base_of(p),
                             )
                         )
             prev, prev_dv = cur, cur_dv
@@ -915,6 +962,7 @@ class SnapshotChangeFeedStreamReader(
                 pa.timestamp("us"),
             ),
         }
+        rid_base = getattr(partition, "rid_base", None)
         if partition.kind == "insert":
             # rows visible at the add commit (minus any dv it carried)
             yield from _read_file(
@@ -924,6 +972,7 @@ class SnapshotChangeFeedStreamReader(
                 self._aliases,
                 dv_dirs=partition.dv_new,
                 extra_consts=consts,
+                row_id_base=rid_base,
             )
             return
         # delete leg: EXACTLY the newly tombstoned positions; the
@@ -942,6 +991,7 @@ class SnapshotChangeFeedStreamReader(
             self._aliases,
             only_positions=new_pos,
             extra_consts=consts,
+            row_id_base=rid_base,
         )
 
 
@@ -1135,20 +1185,32 @@ class SnapshotDataWriter(DataSourceArrowWriter):
                     "set_schema_enforcement('additive') to allow "
                     "evolution"
                 )
-        # Partition-spec'd tables refuse connector writes outright:
-        # this writer's shards carry no __part_ path segments, so a
-        # write would silently violate the table's layout contract
-        # (reads would stay CORRECT — pruning keeps segment-less files
-        # conservatively — but Delta/Iceberg reject spec-violating
-        # writers, and so do we). Write through
-        # SnapshotTable.commit_append or drop the spec first.
-        if base_m.get("partition_spec"):
-            raise ValueError(
-                "table has a partition spec "
-                f"{base_m['partition_spec']}; the pysnapshot connector "
-                "writer does not produce partitioned layouts — use "
-                "SnapshotTable.commit_append or set_partition_spec([])"
-            )
+        # Partition-spec'd tables: route the spec through the splitBy
+        # batch-split machinery — each Arrow task fans its batches out
+        # per live partition tuple and lands the shard under nested
+        # ``__part_<col>=<value>/`` path segments (the same encoding
+        # ``SnapshotTable._write_files`` produces), so manifest-level
+        # pruning and the connector's own planning-time path pruning
+        # both work on connector-written files. The spec is read back
+        # from the manifest at writer construction; a spec CHANGED
+        # concurrently conflicts at commit (the staged layout is wrong),
+        # a spec DROPPED concurrently is harmless (extra segments are
+        # truthful). Files are bounded at (tasks x live tuples per
+        # task) — pre-repartition the frame on the spec columns
+        # upstream to land one file per partition value.
+        self.partition_spec: list[str] = list(
+            base_m.get("partition_spec") or []
+        )
+        if self.partition_spec and self.field_names:
+            missing = [
+                c for c in self.partition_spec
+                if c not in self.field_names
+            ]
+            if missing:
+                raise ValueError(
+                    f"partition spec {self.partition_spec} columns "
+                    f"missing from the write batch: {missing}"
+                )
 
     def _tally_violations(self, con, batch, viol: dict) -> None:
         """Writer-side CHECK enforcement for the connector path: count
@@ -1217,6 +1279,68 @@ class SnapshotDataWriter(DataSourceArrowWriter):
             key = "__null__" if not v.is_valid else str(v.as_py())
             yield key, batch.filter(mask)
 
+    def _partition_batches(self, batch):
+        """Partition-spec fan-out of one Arrow batch: (relative
+        ``__part_<col>=<value>/...`` path, sub-batch) per live partition
+        TUPLE, entirely vectorized — each spec column dictionary-encodes
+        once (null gets its own code, so a NULL tuple can never collide
+        with a real value, unlike string-concat keys), the per-column
+        codes combine into one collision-free composite, and each unique
+        composite filters its rows out in one pyarrow mask. Python runs
+        per DISTINCT TUPLE, never per row. Spec source columns stay in
+        the data (the Iceberg shape `_write_files` uses), and values
+        URL-quote into the segment exactly as
+        ``partition_values_from_path`` decodes them."""
+        import os
+        from urllib.parse import quote
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from .snapshots import encode_partition_value
+
+        idxs = []
+        for c in self.partition_spec:
+            i = batch.schema.get_field_index(c)
+            if i < 0:
+                raise ValueError(
+                    f"partition spec {self.partition_spec} column "
+                    f"{c!r} missing from the write batch"
+                )
+            idxs.append(i)
+        codes = None
+        dicts = []
+        for i in idxs:
+            d = pc.dictionary_encode(batch.column(i))
+            k = len(d.dictionary)
+            ind = pc.fill_null(d.indices.cast(pa.int64()), k)
+            codes = (
+                ind
+                if codes is None
+                else pc.add(pc.multiply(codes, k + 1), ind)
+            )
+            dicts.append(d.dictionary)
+        for code in pc.unique(codes).to_pylist():
+            rem, parts = code, []
+            for d in reversed(dicts):
+                rem, i = divmod(rem, len(d) + 1)
+                parts.append(
+                    None if i == len(d) else d[i].as_py()
+                )
+            parts.reverse()
+            segs = []
+            for c, v in zip(self.partition_spec, parts):
+                enc = encode_partition_value(v)
+                segs.append(
+                    f"__part_{c}=" + (
+                        "__HIVE_DEFAULT_PARTITION__"
+                        if enc is None
+                        else quote(enc, safe="")
+                    )
+                )
+            rel = os.path.join(*segs)
+            yield rel, batch.filter(pc.equal(codes, code))
+
     def write(self, iterator) -> SnapshotCommitMessage | None:
         import os
         import uuid
@@ -1226,14 +1350,27 @@ class SnapshotDataWriter(DataSourceArrowWriter):
         os.makedirs(self.commit_dir, exist_ok=True)
         writers: dict[str, tuple[str, object]] = {}
 
-        def sink(key: str, batch) -> None:
-            if key not in writers:
-                p = os.path.join(
-                    self.commit_dir,
-                    f"part-{uuid.uuid4().hex}.parquet",
+        def sink(key: str, batch, rel: str = "") -> None:
+            wkey = rel + "\x00" + key
+            if wkey not in writers:
+                d = (
+                    os.path.join(self.commit_dir, rel)
+                    if rel
+                    else self.commit_dir
                 )
-                writers[key] = (p, pq.ParquetWriter(p, batch.schema))
-            writers[key][1].write_batch(batch)
+                os.makedirs(d, exist_ok=True)
+                p = os.path.join(
+                    d, f"part-{uuid.uuid4().hex}.parquet"
+                )
+                writers[wkey] = (p, pq.ParquetWriter(p, batch.schema))
+            writers[wkey][1].write_batch(batch)
+
+        def fan_out(batch, rel: str = "") -> None:
+            if self.split_by:
+                for key, sub in self._split_batches(batch):
+                    sink(key, sub, rel)
+            else:
+                sink("", batch, rel)
 
         viol: dict[str, int] = {}
         con = None
@@ -1243,11 +1380,13 @@ class SnapshotDataWriter(DataSourceArrowWriter):
             con = duckdb.connect()
         try:
             for batch in iterator:
-                if self.split_by:
-                    for key, sub in self._split_batches(batch):
-                        sink(key, sub)
+                if self.partition_spec:
+                    # spec decides the DIRECTORY (partition tuple);
+                    # splitBy still splits files within it
+                    for rel, sub in self._partition_batches(batch):
+                        fan_out(sub, rel)
                 else:
-                    sink("", batch)
+                    fan_out(batch)
                 if con is not None:
                     self._tally_violations(con, batch, viol)
         finally:
@@ -1419,16 +1558,24 @@ class SnapshotDataWriter(DataSourceArrowWriter):
                     "strict schema enforcement was registered "
                     "concurrently with this write — retry the write"
                 )
-            # a partition spec registered concurrently makes this
-            # writer's unpartitioned shards spec-violating — same
-            # fail-the-commit treatment (construction-time specs were
-            # already refused outright)
-            if base_v > 0 and m.get("partition_spec") and files:
+            # a partition spec registered or CHANGED concurrently makes
+            # this writer's staged shards spec-violating — their
+            # __part_ segments encode the spec snapshotted at
+            # construction. A spec DROPPED concurrently is harmless:
+            # extra segments are truthful and prune fine.
+            head_spec = (
+                list(m.get("partition_spec") or [])
+                if base_v > 0
+                else []
+            )
+            if head_spec and head_spec != self.partition_spec and files:
                 reclaim()
                 raise CommitConflict(
-                    "a partition spec was registered concurrently "
-                    "with this write; the connector writer does not "
-                    "produce partitioned layouts"
+                    f"partition spec {head_spec} was registered or "
+                    "changed concurrently with this write; the staged "
+                    "files were laid out under "
+                    f"{self.partition_spec or 'no spec'} — retry the "
+                    "write"
                 )
             # uniform stat schema: backfill columns the table already
             # tracks but this write's statsCols omitted (O(new files)
@@ -1507,9 +1654,9 @@ class SnapshotDataWriter(DataSourceArrowWriter):
                 }
                 if blooms:
                     extra["blooms"] = blooms
-            # the partition spec carries (reachable only for an EMPTY
-            # commit — a streaming epoch with zero rows; non-empty
-            # writes onto spec'd tables were refused above);
+            # the partition spec carries — this writer's shards were
+            # laid out under exactly this spec (a changed spec
+            # conflicted above; a dropped one stops carrying);
             if base_spec:
                 extra["partition_spec"] = base_spec
             # ANALYZE sketches carry verbatim (this commit's new files
@@ -1715,9 +1862,17 @@ class SnapshotDataSource(DataSource):
             str(self.options.get("readchangefeed", "false")).lower()
             == "true"
         ):
-            # CDF metadata columns ride LAST (the readers append them)
+            # CDF metadata columns ride LAST (the readers append
+            # them); under row tracking the feed also carries each
+            # row's permanent ``_row_id`` — the key that pairs an MOR
+            # update's delete/insert halves (pair_update_images)
             unified = pa.schema(
                 list(unified)
+                + (
+                    [pa.field("_row_id", pa.int64())]
+                    if m.get("row_tracking")
+                    else []
+                )
                 + [
                     pa.field("_change_type", pa.string()),
                     pa.field("_commit_version", pa.int64()),
@@ -1753,6 +1908,75 @@ class SnapshotDataSource(DataSource):
 
     def streamWriter(self, schema, overwrite: bool) -> SnapshotStreamWriter:
         return SnapshotStreamWriter(self.options, schema, overwrite)
+
+
+def pair_update_images(df):
+    """Convert a CDF frame carrying ``_row_id`` (a streamed micro-batch
+    inside ``foreachBatch``, or a batch CDF slice) into the image-typed
+    feed: within each ``_commit_version``, a ``delete`` and an
+    ``insert`` sharing a ``_row_id`` are the two halves of one MOR
+    UPDATE and become ``update_preimage`` / ``update_postimage``;
+    unpaired rows pass through unchanged, and pairs with identical
+    values cancel (a carried-forward row is not a change) — exactly
+    ``SnapshotTable.read_changes_images``'s semantics, scoped to the
+    rows in hand. The join is keyed on (version, scalar id): per-epoch
+    cost is O(epoch churn), so an always-on CDC stream pays for what
+    changed, never for table size. Rows with NULL ``_row_id`` (files
+    from before row tracking) never pair — NULL keys don't match —
+    and pass through as anonymous delete/insert, the conservative
+    degradation."""
+    from pyspark.sql import functions as F
+
+    meta = ("_change_type", "_commit_version", "_commit_timestamp",
+            "_row_id")
+    data_cols = [c for c in df.columns if c not in meta]
+    key = ["_commit_version", "_row_id"]
+    others = df.filter(~F.col("_change_type").isin("delete", "insert"))
+    o = df.filter(F.col("_change_type") == "delete").select(
+        *key,
+        F.struct(*data_cols).alias("__old"),
+        F.col("_commit_timestamp").alias("__old_ts"),
+    )
+    n = df.filter(F.col("_change_type") == "insert").select(
+        *key,
+        F.struct(*data_cols).alias("__new"),
+        F.col("_commit_timestamp").alias("__new_ts"),
+    )
+    j = o.join(n, key, "full_outer")
+
+    def pick(side, ts_col, ctype):
+        return [
+            F.col(f"{side}.{c}").alias(c) for c in data_cols
+        ] + [
+            F.col("_row_id"),
+            F.lit(ctype).alias("_change_type"),
+            F.col("_commit_version"),
+            F.col(ts_col).alias("_commit_timestamp"),
+        ]
+
+    out_cols = data_cols + [
+        "_row_id", "_change_type", "_commit_version",
+        "_commit_timestamp",
+    ]
+    inserts = j.filter(F.col("__old").isNull()).select(
+        *pick("__new", "__new_ts", "insert")
+    )
+    deletes = j.filter(F.col("__new").isNull()).select(
+        *pick("__old", "__old_ts", "delete")
+    )
+    updated = j.filter(
+        F.col("__old").isNotNull()
+        & F.col("__new").isNotNull()
+        & ~F.col("__old").eqNullSafe(F.col("__new"))
+    )
+    pre = updated.select(*pick("__old", "__old_ts", "update_preimage"))
+    post = updated.select(
+        *pick("__new", "__new_ts", "update_postimage")
+    )
+    return (
+        inserts.unionAll(deletes).unionAll(pre).unionAll(post)
+        .unionAll(others.select(*out_cols))
+    )
 
 
 def register_snapshot_source(spark) -> None:

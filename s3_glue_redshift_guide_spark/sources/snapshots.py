@@ -306,20 +306,189 @@ class LogTruncated(Exception):
 # manifest resolution and zone-map overlap — a manifest format change or a
 # pruning fix lands here and everywhere at once.
 
+#: Write a consolidated log checkpoint every N commits (the Delta
+#: ``_last_checkpoint`` shape): the checkpoint banks the head manifest's
+#: full state plus the precomputed history/timestamp index of every
+#: readable version, so head resolution, ``history()`` and
+#: ``version_as_of`` stop being linear in total version count. A
+#: streaming table committing once a minute for a year (~500k versions)
+#: pays O(versions-since-checkpoint), not O(500k), on every table open.
+CHECKPOINT_INTERVAL = 10
+
+#: Log-access instrumentation: how many manifest JSONs / directory
+#: listings / checkpoint reads the process has issued — the observable
+#: the checkpoint layer exists to shrink (asserted by the
+#: ``src_log_checkpoint`` registry row and the checkpoint tests).
+LOG_METRICS = {
+    "manifest_reads": 0,
+    "listdir_scans": 0,
+    "checkpoint_reads": 0,
+}
+
+
+def _pointer_path(root: str) -> str:
+    return os.path.join(root, "_manifests", "_last_checkpoint.json")
+
+
+def _read_pointer(root: str) -> dict | None:
+    """The head/checkpoint pointer — a CACHE, never the commit itself:
+    corrupt or missing falls back to the full directory listing."""
+    try:
+        with open(_pointer_path(root)) as f:
+            p = json.load(f)
+        return p if isinstance(p, dict) else None
+    except (FileNotFoundError, NotADirectoryError, json.JSONDecodeError):
+        return None
+
+
+def _advance_pointer(
+    root: str, head: int, checkpoint: int | None = None
+) -> None:
+    """Best-effort, monotone pointer update AFTER a successful publish
+    (the exclusive manifest create stays the one atomic commit step; a
+    lost pointer update merely lengthens the next reader's probe). The
+    write is tmp + rename so readers never see a torn JSON."""
+    try:
+        cur = _read_pointer(root) or {}
+        new_head = max(int(cur.get("head", 0)), head)
+        ck = cur.get("checkpoint")
+        new_ck = max(
+            int(ck) if ck is not None else 0, checkpoint or 0
+        ) or None
+        if new_head == cur.get("head") and new_ck == ck:
+            return
+        tmp = _pointer_path(root) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"head": new_head, "checkpoint": new_ck}, f)
+        os.replace(tmp, _pointer_path(root))
+    except OSError:
+        pass  # pointer is advisory; the listing fallback still works
+
+
 def latest_version(root: str) -> int:
+    """Head resolution: O(1 + commits-since-pointer) file stats via the
+    ``_last_checkpoint`` pointer — probe forward from the pointed head
+    until the next manifest is absent — with the full directory listing
+    as the fallback for tables that predate pointers (or whose pointer
+    is stale/corrupt). The probe can only land AT or PAST the pointer,
+    and a racing commit at worst makes the result one version stale —
+    exactly the guarantee a listing gives under races too."""
     mdir = os.path.join(root, "_manifests")
+    ptr = _read_pointer(root)
+    if ptr is not None:
+        try:
+            v = int(ptr.get("head", 0))
+        except (TypeError, ValueError):
+            v = 0
+        if v > 0 and os.path.isfile(os.path.join(mdir, f"v{v}.json")):
+            while os.path.isfile(os.path.join(mdir, f"v{v + 1}.json")):
+                v += 1
+            return v
+    LOG_METRICS["listdir_scans"] += 1
     vs = [
         int(f[1:-5])
         for f in os.listdir(mdir)
         if f.startswith("v") and f.endswith(".json")
+        and f[1:-5].isdigit()
     ]
     return max(vs, default=0)
+
+
+def _checkpoint_path(root: str, version: int) -> str:
+    return os.path.join(root, "_manifests", f"ckpt_v{version}.json")
+
+
+def load_checkpoint(root: str) -> dict | None:
+    """The newest consolidated checkpoint (via the pointer), or None.
+    Shape: ``{"version": K, "state": <full manifest dict of K>,
+    "history": [[v, ts, op, n_files, n_added, n_removed, n_dv], ...]}``
+    over every version readable when it was written. A cache: any
+    read failure degrades to the manifest-walk paths."""
+    ptr = _read_pointer(root)
+    ck = (ptr or {}).get("checkpoint")
+    if not ck:
+        return None
+    try:
+        with open(_checkpoint_path(root, int(ck))) as f:
+            c = json.load(f)
+        LOG_METRICS["checkpoint_reads"] += 1
+        if not isinstance(c, dict) or "version" not in c:
+            return None
+        return c
+    except (OSError, ValueError, json.JSONDecodeError):
+        return None
+
+
+def _history_row(m: dict, v: int, prev_files: set) -> list:
+    cur = set(m["files"])
+    return [
+        v,
+        float(m["ts"]) if m.get("ts") is not None else None,
+        m.get("op") or "UNKNOWN",
+        len(cur),
+        len(cur - prev_files),
+        len(prev_files - cur),
+        sum(1 for dv in m["dv"].values() if dv),
+    ]
+
+
+def write_checkpoint(root: str, version: int) -> None:
+    """Consolidate the log through ``version``: extend the previous
+    checkpoint's history index with the manifests committed since it
+    (O(interval) reads, amortized ~1 per commit) and bank ``version``'s
+    full manifest as the diff base for the next extension. Last-wins
+    replace — checkpoints are caches derived from the readable log, so
+    a racing writer's copy is equally valid. Failures are swallowed:
+    a missing checkpoint costs a longer walk, never correctness."""
+    prev = load_checkpoint(root)
+    if prev is not None and int(prev["version"]) >= version:
+        return
+    hist: list[list] = []
+    prev_files: set[str] = set()
+    start = 1
+    if prev is not None:
+        hist = [list(r) for r in prev.get("history", [])]
+        prev_files = set((prev.get("state") or {}).get("files", []))
+        start = int(prev["version"]) + 1
+    state: dict | None = None
+    for v in range(start, version + 1):
+        try:
+            m = load_manifest(root, v)
+        except (LogTruncated, ProtocolError):
+            continue
+        hist.append(_history_row(m, v, prev_files))
+        prev_files = set(m["files"])
+        if v == version:
+            state = m
+    if state is None:
+        return  # head manifest unreadable: nothing to consolidate
+    tmp = _checkpoint_path(root, version) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"version": version, "state": state, "history": hist}, f
+        )
+    os.replace(tmp, _checkpoint_path(root, version))
+    _advance_pointer(root, version, checkpoint=version)
+    # older checkpoints are superseded — reclaim them
+    mdir = os.path.join(root, "_manifests")
+    for fn in os.listdir(mdir):
+        if fn.startswith("ckpt_v") and fn.endswith(".json"):
+            try:
+                cv = int(fn[len("ckpt_v"):-5])
+            except ValueError:
+                continue
+            if cv < version:
+                try:
+                    os.unlink(os.path.join(mdir, fn))
+                except OSError:
+                    pass
 
 
 def load_manifest(root: str, version: int) -> dict:
     """The manifest dict {version, files, stats}; raises LogTruncated if
     the version has been vacuumed away."""
     path = os.path.join(root, "_manifests", f"v{version}.json")
+    LOG_METRICS["manifest_reads"] += 1
     try:
         with open(path) as f:
             m = json.load(f)
@@ -393,6 +562,16 @@ def publish_version(
         ) from None
     finally:
         os.unlink(tmp)
+    # head pointer + periodic checkpoint ride AFTER the commit, never
+    # instead of it: the exclusive link above is the atomic step, these
+    # are best-effort caches (a crash here costs the next reader a
+    # longer probe/walk, never a lost or torn commit)
+    _advance_pointer(root, v)
+    if v % CHECKPOINT_INTERVAL == 0:
+        try:
+            write_checkpoint(root, v)
+        except Exception:
+            pass
     return v
 
 
@@ -440,11 +619,21 @@ def extend_schema_map(sm, col_names) -> list[dict] | None:
 
 def version_as_of(root: str, ts: float) -> int:
     """TIMESTAMP AS OF resolution: the newest version whose banked
-    commit timestamp is <= ``ts`` (Delta's semantics). Pure metadata
-    walk over the retained manifests; raises if ``ts`` predates the
+    commit timestamp is <= ``ts`` (Delta's semantics). Resolves from
+    the checkpoint's timestamp index when one exists — O(commits since
+    checkpoint) manifest reads instead of O(all versions) — and walks
+    the retained manifests otherwise; raises if ``ts`` predates the
     oldest retained commit (nothing existed / retention passed it)."""
     best = 0
-    for v in range(1, latest_version(root) + 1):
+    start = 1
+    ck = load_checkpoint(root)
+    if ck is not None:
+        for row in ck.get("history", []):
+            v, mts = int(row[0]), row[1]
+            if mts is not None and mts <= ts:
+                best = max(best, v)
+        start = int(ck["version"]) + 1
+    for v in range(start, latest_version(root) + 1):
         try:
             m = load_manifest(root, v)
         except LogTruncated:
@@ -4152,29 +4341,29 @@ class SnapshotTable:
         previous readable version. A pure metadata walk — O(retained
         versions) manifest reads, zero data access at any table size.
         Versions vacuumed past the retention window are simply absent
-        (the audit horizon IS the retention window)."""
-        rows = []
+        (the audit horizon IS the retention window). With a log
+        checkpoint present, the rows through the checkpointed version
+        come from its precomputed history index (ONE read) and only the
+        tail since it walks manifests — O(commits since checkpoint),
+        not O(all versions); VACUUM rebuilds the checkpoint from the
+        post-sweep readable log so the two sources always agree."""
+        rows: list[tuple] = []
         prev_files: set[str] = set()
-        readable: list[tuple[int, dict]] = []
-        for v in range(1, self.current_version() + 1):
+        start = 1
+        ck = load_checkpoint(self.root)
+        if ck is not None:
+            rows = [tuple(r) for r in ck.get("history", [])]
+            prev_files = set(
+                (ck.get("state") or {}).get("files", [])
+            )
+            start = int(ck["version"]) + 1
+        for v in range(start, self.current_version() + 1):
             try:
-                readable.append((v, load_manifest(self.root, v)))
+                m = load_manifest(self.root, v)
             except LogTruncated:
                 continue
-        for v, m in readable:
-            cur = set(m["files"])
-            rows.append(
-                (
-                    v,
-                    float(m["ts"]) if m.get("ts") is not None else None,
-                    m.get("op") or "UNKNOWN",
-                    len(cur),
-                    len(cur - prev_files),
-                    len(prev_files - cur),
-                    sum(1 for dv in m["dv"].values() if dv),
-                )
-            )
-            prev_files = cur
+            rows.append(tuple(_history_row(m, v, prev_files)))
+            prev_files = set(m["files"])
         return self.spark.createDataFrame(
             list(reversed(rows)),
             "version int, timestamp double, operation string, "
@@ -4425,4 +4614,34 @@ class SnapshotTable:
                 os.unlink(self._manifest_path(v))
             except FileNotFoundError:
                 pass
+        # the log checkpoint is a cache over the READABLE log — rebuild
+        # it from the post-sweep manifests so its history index never
+        # resurrects vacuumed versions (and the first surviving row's
+        # add/remove diff re-bases on an empty prior set, exactly what
+        # a fresh walk of the truncated log would compute). Drop first,
+        # rebuild after: a crash between the two leaves no checkpoint,
+        # which only costs the next reader a full walk.
+        mdir = os.path.join(self.root, "_manifests")
+        for fn in os.listdir(mdir):
+            if fn.startswith("ckpt_v") and fn.endswith(".json"):
+                try:
+                    os.unlink(os.path.join(mdir, fn))
+                except OSError:
+                    pass
+        try:
+            ptr = _read_pointer(self.root)
+            if ptr is not None and ptr.get("checkpoint"):
+                _ptr_tmp = _pointer_path(self.root) + (
+                    f".tmp.{uuid.uuid4().hex}"
+                )
+                with open(_ptr_tmp, "w") as f:
+                    json.dump(
+                        {"head": int(ptr.get("head", cur)),
+                         "checkpoint": None},
+                        f,
+                    )
+                os.replace(_ptr_tmp, _pointer_path(self.root))
+            write_checkpoint(self.root, cur)
+        except Exception:
+            pass
         return sorted(deleted)

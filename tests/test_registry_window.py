@@ -14,7 +14,7 @@ from s3_glue_redshift_guide_spark.queries import _PRIORITY, REGISTRY
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: Update when queries land; test_registry_size keeps COVERAGE.md honest.
-EXPECTED_REGISTRY_SIZE = 234
+EXPECTED_REGISTRY_SIZE = 238
 
 
 def _verified_names() -> set[str]:
@@ -25,6 +25,7 @@ def _verified_names() -> set[str]:
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r04.json",
         "CORRECTNESS_r05.json",
+        "CORRECTNESS_r06.json",
     ):
         path = os.path.join(REPO, f)
         if os.path.exists(path):

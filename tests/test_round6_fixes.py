@@ -1510,7 +1510,13 @@ def test_partition_spec_composes_with_dv_and_vacuum(spark):
     assert t.read().count() == 81
 
 
-def test_partition_spec_refuses_connector_writes(spark):
+def test_partition_spec_connector_writes_land_spec_compliant(spark):
+    """Round 7 replaced the connector's spec refusal with spec-routed
+    writes: shards land under __part_ segments and prune."""
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        partition_values_from_path,
+    )
+
     t = SnapshotTable(spark, _tmp("pconn"))
     t.set_partition_spec(["bucket"])
     t.commit_append(_mod3(spark, 30))
@@ -1521,10 +1527,16 @@ def test_partition_spec_refuses_connector_writes(spark):
         spark.read.format("pysnapshot").option("root", t.root).load()
     )
     assert conn.count() == 30
-    with pytest.raises(Exception, match="partition spec"):
-        _mod3(spark, 5, start=500).write.format("pysnapshot").option(
-            "root", t.root
-        ).mode("append").save()
+    _mod3(spark, 6, start=500).write.format("pysnapshot").option(
+        "root", t.root
+    ).mode("append").save()
+    m = load_manifest(t.root, t.current_version())
+    new_files = [f for f in m["files"] if "__part_bucket=" in f]
+    assert len(new_files) >= 6  # spec'd layout on BOTH write paths
+    assert all(
+        "bucket" in partition_values_from_path(f) for f in new_files
+    )
+    assert t.read().count() == 36
 
 
 # ------------------------------------------------------------------ #

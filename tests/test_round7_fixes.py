@@ -262,3 +262,158 @@ def test_identity_seed_tolerates_deletion_vectors(spark):
     )
     ids = [r[0] for r in t.read().select("rid").collect()]
     assert len(ids) == len(set(ids)), "duplicate identity values"
+
+
+# ------------------------------------------------------------------ #
+# 7. connector writes onto partition-spec'd tables
+# ------------------------------------------------------------------ #
+
+def test_connector_spec_write_multi_column_and_nulls(spark):
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        partition_values_from_path,
+    )
+
+    register_snapshot_source(spark)
+    t = SnapshotTable(spark, _tmp("specmc"))
+    t.set_partition_spec(["a", "b"])
+    df = spark.range(60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).alias("a"),
+        F.when(F.col("id") % 3 == 0, "x=1/y").otherwise(None).alias("b"),
+    )
+    df.repartition(2).write.format("pysnapshot").option(
+        "root", t.root
+    ).mode("append").save()
+    m = load_manifest(t.root, t.current_version())
+    tuples = {
+        (pv.get("a"), pv.get("b"))
+        for pv in map(partition_values_from_path, m["files"])
+    }
+    # 2 a-values x {the special string, NULL} = 4 live tuples
+    assert tuples == {
+        ("0", "x=1/y"), ("0", None), ("1", "x=1/y"), ("1", None)
+    }
+    assert t.read().count() == 60
+    # the URL-quoted special value round-trips through path pruning
+    pruned = t.partition_pruned_files({"a": 1, "b": "x=1/y"})
+    assert 0 < len(pruned) < len(m["files"])
+    got = t.read_partition({"a": 1, "b": "x=1/y"}).filter(
+        (F.col("a") == 1) & (F.col("b") == "x=1/y")
+    )
+    assert got.count() == 10
+
+
+def test_connector_spec_write_composes_with_splitby(spark):
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        partition_values_from_path,
+    )
+
+    register_snapshot_source(spark)
+    t = SnapshotTable(spark, _tmp("specsplit"))
+    t.set_partition_spec(["p"])
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).alias("p"),
+        (F.col("id") % 4).alias("s"),
+    )
+    df.coalesce(1).write.format("pysnapshot").option(
+        "root", t.root
+    ).option("splitBy", "s").option("statsCols", "s").mode(
+        "append"
+    ).save()
+    m = load_manifest(t.root, t.current_version())
+    # one task x 2 partitions x 2 s-values within each = 4 files
+    assert len(m["files"]) == 4
+    assert all(
+        "p" in partition_values_from_path(f) for f in m["files"]
+    )
+    # splitBy still collapses each file's zone map to a point
+    assert all(
+        st.get("s") and st["s"][0] == st["s"][1]
+        for st in m["stats"].values()
+    )
+    assert t.read().count() == 40
+
+
+def test_connector_spec_write_missing_column_rejected(spark):
+    register_snapshot_source(spark)
+    t = SnapshotTable(spark, _tmp("specmiss"))
+    t.set_partition_spec(["p"])
+    with pytest.raises(Exception, match="partition spec"):
+        spark.range(5).select(F.col("id").alias("k")).write.format(
+            "pysnapshot"
+        ).option("root", t.root).mode("append").save()
+
+
+def test_streamed_cdf_pairs_update_images(spark):
+    """Real 2-epoch CDF stream over a row-tracked table: each
+    micro-batch pairs its MOR-update halves on _row_id inside
+    foreachBatch (pair_update_images) — the union over epochs must
+    equal the batch read_changes_images feed value-exactly."""
+    import uuid as _uuid
+
+    from s3_glue_redshift_guide_spark.sources.pyds import (
+        pair_update_images,
+    )
+
+    register_snapshot_source(spark)
+    t = SnapshotTable(spark, _tmp("cdfstream"))
+    t.enable_row_tracking()
+    t.commit_append(_kv(spark, 16).repartition(2))
+    v0 = t.current_version()
+    t.update_where(F.col("k") % 4 == 1, {"v": F.col("v") + 100})
+    t.delete_where(F.col("k") % 4 == 2)
+
+    acc: list = []
+    stream = (
+        spark.readStream.format("pysnapshot")
+        .schema(
+            "k bigint, v bigint, _row_id bigint, "
+            "_change_type string, _commit_version bigint"
+        )
+        .option("root", t.root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(v0))
+        .option("maxVersionsPerTrigger", "1")  # one commit per epoch
+        .load()
+        .select("k", "v", "_row_id", "_change_type", "_commit_version")
+    )
+
+    def on_batch(df, epoch_id):
+        paired = pair_update_images(
+            df.withColumn(
+                "_commit_timestamp",
+                F.lit(None).cast("timestamp"),
+            )
+        )
+        acc.extend(
+            (r["k"], r["v"], r["_change_type"])
+            for r in paired.collect()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option(
+            "checkpointLocation", _tmp(f"ck_{_uuid.uuid4().hex[:6]}")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = sorted(
+        (r["k"], r["v"], r["_change_type"])
+        for r in t.read_changes_images(v0, t.current_version())
+        .select("k", "v", "_change_type")
+        .collect()
+    )
+    assert sorted(acc) == want
+
+
+def test_connector_identity_table_still_refused(spark):
+    register_snapshot_source(spark)
+    t = SnapshotTable(spark, _tmp("specident"))
+    t.add_identity_column("rid")
+    with pytest.raises(Exception, match="[Ii]dentity"):
+        spark.range(5).select(F.col("id").alias("k")).write.format(
+            "pysnapshot"
+        ).option("root", t.root).mode("append").save()

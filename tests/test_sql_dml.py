@@ -1,0 +1,182 @@
+"""Warehouse-SQL dispatcher (sql_dml.snapshot_sql): every statement
+must produce results value-identical to calling the SnapshotTable
+method directly."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_glue_redshift_guide_spark.sql_dml import snapshot_sql
+from s3_glue_redshift_guide_spark.sources.snapshots import (
+    LogTruncated,
+    SnapshotTable,
+)
+
+
+def _tmp(pfx):
+    return tempfile.mkdtemp(prefix=f"sqldml_{pfx}_")
+
+
+def _kv(spark, n=20, start=0):
+    return spark.range(start, start + n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+def _rows(t):
+    return sorted(
+        (r["k"], r["v"]) for r in t.read().select("k", "v").collect()
+    )
+
+
+def test_sql_merge_matches_method_call(spark):
+    # the same three-branch MERGE through SQL and through merge_mor
+    sql_t = SnapshotTable(spark, _tmp("msql"))
+    api_t = SnapshotTable(spark, _tmp("mapi"))
+    for t in (sql_t, api_t):
+        t.commit_append(_kv(spark, 20))
+    src = spark.range(10, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("v")
+    )
+    src.createOrReplaceTempView("merge_src")
+    snapshot_sql(
+        spark,
+        f"""MERGE INTO pysnapshot.`{sql_t.root}` AS t
+            USING (SELECT * FROM merge_src) AS s
+            ON t.k = s.k
+            WHEN MATCHED AND s.k % 5 = 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET v = s.v + 1
+            WHEN NOT MATCHED AND s.k < 25 THEN INSERT *""",
+    )
+    api_t.merge_mor(
+        src,
+        on=["k"],
+        when_matched_delete=F.col("__src_k") % 5 == 0,
+        when_matched_update={"v": F.col("__src_v") + 1},
+        insert_not_matched=F.col("__src_k") < 25,
+    )
+    assert _rows(sql_t) == _rows(api_t)
+
+
+def test_sql_merge_not_matched_by_source(spark):
+    sql_t = SnapshotTable(spark, _tmp("msync"))
+    sql_t.commit_append(_kv(spark, 10))
+    spark.range(5, 8).select(
+        F.col("id").alias("k"), F.lit(0).cast("bigint").alias("v")
+    ).createOrReplaceTempView("sync_src")
+    snapshot_sql(
+        spark,
+        f"""MERGE INTO pysnapshot.`{sql_t.root}` t
+            USING sync_src s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET v = s.v
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+    )
+    # full SYNC: table becomes exactly the source
+    assert _rows(sql_t) == [(5, 0), (6, 0), (7, 0)]
+
+
+def test_sql_update_delete(spark):
+    t = SnapshotTable(spark, _tmp("ud"))
+    t.commit_append(_kv(spark, 10))
+    snapshot_sql(
+        spark,
+        f"UPDATE pysnapshot.`{t.root}` SET v = v + 1000 WHERE k >= 8",
+    )
+    snapshot_sql(
+        spark, f"DELETE FROM pysnapshot.`{t.root}` WHERE k < 3"
+    )
+    assert _rows(t) == [
+        (3, 6), (4, 8), (5, 10), (6, 12), (7, 14),
+        (8, 1016), (9, 1018),
+    ]
+
+
+def test_sql_optimize_history_restore_vacuum_detail(spark):
+    t = SnapshotTable(spark, _tmp("maint"))
+    for i in range(3):
+        t.commit_append(_kv(spark, 5, start=i * 5).coalesce(1))
+    facts = snapshot_sql(spark, f"OPTIMIZE pysnapshot.`{t.root}`")
+    assert facts["files_compacted"] >= 2 if "files_compacted" in facts \
+        else facts  # shape depends on optimize_small_files' dict
+    hist = snapshot_sql(
+        spark, f"DESCRIBE HISTORY pysnapshot.`{t.root}`"
+    )
+    ops = [r["operation"] for r in hist.collect()]
+    assert len(ops) == 4 and ops[-1] == "APPEND"
+    detail = snapshot_sql(
+        spark, f"DESCRIBE DETAIL pysnapshot.`{t.root}`"
+    )
+    assert detail["num_rows"] == 15
+    snapshot_sql(
+        spark,
+        f"RESTORE pysnapshot.`{t.root}` TO VERSION AS OF 2",
+    )
+    assert t.read().count() == 10
+    snapshot_sql(
+        spark, f"VACUUM pysnapshot.`{t.root}` RETAIN 1 VERSIONS"
+    )
+    with pytest.raises(LogTruncated):
+        t.read(1).count()
+    assert t.read().count() == 10
+
+
+def test_sql_optimize_zorder_and_where(spark):
+    t = SnapshotTable(spark, _tmp("optz"))
+    t.set_partition_spec(["p"])
+    t.commit_append(
+        spark.range(40).select(
+            F.col("id").alias("a"),
+            (F.col("id") * 7 % 40).alias("b"),
+            (F.col("id") % 2).alias("p"),
+        ).repartition(4)
+    )
+    facts = snapshot_sql(
+        spark,
+        f"OPTIMIZE pysnapshot.`{t.root}` WHERE p = 1 "
+        "ZORDER BY (a, b)",
+    )
+    assert isinstance(facts, dict)
+    assert t.read().count() == 40
+
+
+def test_sql_rejects_non_equi_on_and_garbage(spark):
+    t = SnapshotTable(spark, _tmp("bad"))
+    t.commit_append(_kv(spark, 5))
+    spark.range(3).select(F.col("id").alias("k")).createOrReplaceTempView(
+        "bad_src"
+    )
+    with pytest.raises(ValueError, match="equi-conjunction"):
+        snapshot_sql(
+            spark,
+            f"MERGE INTO pysnapshot.`{t.root}` t USING bad_src s "
+            "ON t.k > s.k WHEN MATCHED THEN DELETE",
+        )
+    with pytest.raises(ValueError, match="unrecognized"):
+        snapshot_sql(spark, f"TRUNCATE TABLE pysnapshot.`{t.root}`")
+
+
+def test_sql_string_literal_aliases_untouched(spark):
+    # an 's.' inside a string literal must NOT rewrite
+    t = SnapshotTable(spark, _tmp("strlit"))
+    t.commit_append(
+        spark.range(3).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        )
+    )
+    spark.range(1, 2).select(F.col("id").alias("k")).createOrReplaceTempView(
+        "lit_src"
+    )
+    snapshot_sql(
+        spark,
+        f"MERGE INTO pysnapshot.`{t.root}` t USING lit_src s "
+        "ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET tag = 's.k literal'",
+    )
+    got = {
+        r["k"]: r["tag"] for r in t.read().collect()
+    }
+    assert got == {0: "x", 1: "s.k literal", 2: "x"}
