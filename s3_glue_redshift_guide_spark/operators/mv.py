@@ -233,3 +233,162 @@ class ChangeFeedMaterializedView:
         if self.state.current_version() == 0:
             raise ValueError("refresh() has never run")
         return self.state.read().drop("__mv_rows")
+
+
+class ChangeFeedJoinAggView:
+    """Materialized ``GROUP BY keys`` aggregate over the EQUI-JOIN of two
+    snapshot tables, maintained incrementally from BOTH change feeds.
+
+    The refresh applies the multiset telescoping identity
+
+        L_new ⋈ R_new  -  L_old ⋈ R_old
+          =  ΔL ⋈ R_new   ∪   L_old ⋈ ΔR
+
+    where ``ΔL = L_new - L_old`` is the left table's signed change feed
+    (insert = +1, delete = -1) — so a refresh that sees BOTH sides move
+    is exact with no ΔL⋈ΔR correction term, because the left delta joins
+    the right's NEW snapshot while the right delta joins the left's OLD
+    one. MOR updates arrive as their delete/insert pair and retract /
+    re-add through the same fold.
+
+    Scale contract at 100 TB:
+
+    * each delta side is O(churn since the cursor) — the change feed
+      reads only churned files — and is therefore the SMALL side of its
+      join: AQE broadcasts it, so the big snapshot streams through a
+      broadcast-hash join with zero shuffle of the big side;
+    * the fold output is aggregate-scale (|groups|), identical to the
+      single-table MV; the state table never stores joined rows;
+    * both cursors publish ATOMICALLY with the refreshed state in one
+      state-table commit (two txn app records), so a crash between
+      "left folded" and "right folded" is impossible by construction.
+
+    Same retractability rules as ``ChangeFeedMaterializedView``: only
+    ('sum', col) over exact-additive domains and ('count',).
+    """
+
+    CURSOR_L = "mv-join-left"
+    CURSOR_R = "mv-join-right"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        left: SnapshotTable,
+        right: SnapshotTable,
+        root: str,
+        left_on: list[str],
+        right_on: list[str],
+        keys: list[str],
+        measures: dict[str, tuple],
+    ) -> None:
+        if len(left_on) != len(right_on) or not left_on:
+            raise ValueError("left_on/right_on must pair 1:1 and be non-empty")
+        inner = ChangeFeedMaterializedView.__init__
+        # reuse the measure validation + fold helpers via composition
+        self._agg = ChangeFeedMaterializedView.__new__(ChangeFeedMaterializedView)
+        inner(self._agg, spark, left, root, keys, measures)
+        self.spark = spark
+        self.left, self.right = left, right
+        self.left_on, self.right_on = list(left_on), list(right_on)
+        self.keys = list(keys)
+        self.measures = dict(measures)
+        self.state = self._agg.state
+
+    # ------------------------------------------------------- internals
+    def _cursors(self) -> tuple[int, int]:
+        return (
+            int(self.state.txn_watermark(self.CURSOR_L) or 0),
+            int(self.state.txn_watermark(self.CURSOR_R) or 0),
+        )
+
+    def _join(self, l_df: DataFrame, r_df: DataFrame) -> DataFrame:
+        cond = None
+        for lk, rk in zip(self.left_on, self.right_on):
+            c = l_df[lk] == r_df[rk]
+            cond = c if cond is None else (cond & c)
+        return l_df.join(r_df, cond, "inner")
+
+    def _project(self, joined: DataFrame) -> DataFrame:
+        need = list(self.keys) + [
+            spec[1] for spec in self.measures.values() if spec[0] == "sum"
+        ]
+        return joined.select(*dict.fromkeys(need), "_change_type")
+
+    def _publish(self, changes: DataFrame, lv: int, rv: int) -> None:
+        self._agg._check_sum_dtypes(changes)
+        delta = changes.groupBy(*self.keys).agg(*self._agg._delta_aggs())
+        prior = (
+            self.state.read() if self.state.current_version() > 0 else None
+        )
+        merged = (
+            delta
+            if prior is None
+            else prior.unionByName(delta)
+            .groupBy(*self.keys)
+            .agg(*self._agg._merge_aggs())
+        )
+        self.state.commit_rewrite(
+            merged.filter(F.col("__mv_rows") > 0),
+            txn_update={self.CURSOR_L: int(lv), self.CURSOR_R: int(rv)},
+        )
+
+    # --------------------------------------------------------- surface
+    def refresh(self) -> tuple[int, int]:
+        """Fold every commit on either side since the cursors; returns
+        the (left, right) versions now reflected. Falls back to a full
+        rebuild (head ⋈ head, insert-only fold over empty state) when
+        VACUUM truncated either log past its cursor."""
+        from ..sources.snapshots import LogTruncated
+
+        lc, rc = self._cursors()
+        lv = self.left.current_version()
+        rv = self.right.current_version()
+        if (lv, rv) == (lc, rc):
+            return lc, rc
+        try:
+            parts = []
+            if lv > lc:
+                d_l = self.left.read_changes(lc, lv)
+                parts.append(
+                    self._project(
+                        self._join(
+                            d_l, self.right.read(rv)
+                        )
+                    )
+                )
+            if rv > rc:
+                d_r = self.right.read_changes(rc, rv)
+                l_old = (
+                    self.left.read(lc)
+                    if lc > 0
+                    else None
+                )
+                if l_old is not None:
+                    joined = self._join(l_old, d_r)
+                    parts.append(self._project(joined))
+            if not parts:
+                return lc, rc
+            changes = parts[0]
+            for p in parts[1:]:
+                changes = changes.unionByName(p)
+            self._publish(changes, lv, rv)
+            return lv, rv
+        except LogTruncated:
+            head = self._project(
+                self._join(self.left.read(lv), self.right.read(rv))
+                .withColumn("_change_type", F.lit("insert"))
+            )
+            self._agg._check_sum_dtypes(head)
+            merged = head.groupBy(*self.keys).agg(
+                *self._agg._delta_aggs()
+            ).filter(F.col("__mv_rows") > 0)
+            self.state.commit_rewrite(
+                merged,
+                txn_update={self.CURSOR_L: int(lv), self.CURSOR_R: int(rv)},
+            )
+            return lv, rv
+
+    def read(self) -> DataFrame:
+        if self.state.current_version() == 0:
+            raise ValueError("refresh() has never run")
+        return self.state.read().drop("__mv_rows")

@@ -517,3 +517,331 @@ def q22_dormant_customers(spark, sf_dir):
             dsum(money(F.col("c_acctbal"))).alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q4 shape: late-shipment order-priority census. The classic commit-vs-
+# receipt predicate is adapted to the test schema (no l_commitdate /
+# l_receiptdate): an order is "late" when any of its lines shipped more
+# than 60 days after the order date. EXISTS -> left-semi join with a
+# residual non-equi condition riding the equi key.
+# --------------------------------------------------------------------------
+@query(
+    "q4_priority_census",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_priority_census(spark, sf_dir):
+    """Orders per priority with a >60-day-late line, Q3-1996 (Q4 shape).
+
+    The EXISTS decorrelates into one left-semi join: the equi key
+    (orderkey) carries the shuffle, the 60-day lateness rides as a
+    residual condition — no per-row subquery execution, and the date
+    filter on orders is pushed to the scan before the join.
+    """
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 shape: bilateral trade volume between two nations by ship year.
+# The two-direction nation-pair predicate lands after both dimension
+# joins; both nation sides are 25-row broadcasts.
+# --------------------------------------------------------------------------
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(12,2))) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey   = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+      JOIN customer c ON c.c_custkey   = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """NATION_1 <-> NATION_2 shipped revenue per direction and year (Q7
+    shape): the nation-pair disjunction filters after two broadcast
+    dimension joins, so the big fact tables shuffle only on their own
+    equi keys."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(li.l_shipdate).cast("integer").alias("l_year"),
+        )
+        .agg(dsum(_disc_price(li)).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 shape: promotion revenue share for one month. Both the numerator
+# (conditional) and denominator sums stay exact decimals; the percentage
+# is a single double division at the very end.
+# --------------------------------------------------------------------------
+@query(
+    "q14_promo_effect",
+    oracle="""
+    SELECT CAST(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN vol
+                                      ELSE CAST(0.00 AS DECIMAL(12,2)) END) AS DOUBLE)
+                / CAST(sum(vol) AS DOUBLE) AS DOUBLE) AS promo_revenue_pct,
+           CAST(sum(vol) AS DOUBLE) AS total_revenue,
+           count(*) AS n_rows
+    FROM (
+      SELECT l_partkey,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(12,2))) AS vol
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        AND l_shipdate <  TIMESTAMP '1996-10-01'
+    ) l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def q14_promo_effect(spark, sf_dir):
+    """Share of September-1996 revenue from PROMO parts (Q14 shape).
+
+    Conditional and total sums are exact decimals (order-independent);
+    the only float op is the final percentage division, computed
+    identically in both engines.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    vol = _disc_price(li)
+    zero = F.lit(0).cast("decimal(12,2)")
+    month = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    agg = (
+        month.join(part, month.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(part.p_type == "PROMO", vol).otherwise(zero)).alias("promo_dec"),
+            F.sum(vol).alias("tot_dec"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return agg.select(
+        (
+            F.lit(100.0) * F.col("promo_dec").cast("double")
+            / F.col("tot_dec").cast("double")
+        ).alias("promo_revenue_pct"),
+        F.col("tot_dec").cast("double").alias("total_revenue"),
+        "n_rows",
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 shape: revenue lost to small-quantity orders of one brand's small
+# parts. The correlated per-part AVG decorrelates into one aggregate on
+# the part-restricted lineitem, joined back on the same key.
+# --------------------------------------------------------------------------
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+    WITH tgt AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#23' AND p_size < 11
+    ), pavg AS (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+      FROM lineitem JOIN tgt ON l_partkey = p_partkey
+      GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly,
+           count(*) AS n_rows
+    FROM lineitem l JOIN pavg ON l.l_partkey = pavg.l_partkey
+    WHERE l.l_quantity < pavg.qty_thresh
+    """,
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    """Avg yearly revenue in sub-20%-of-average-quantity lines of
+    Brand#23 small parts (Q17 shape).
+
+    The correlated AVG subquery decorrelates into one groupBy over the
+    part-restricted fact (a semi-joined subset, not the whole table)
+    joined back on l_partkey. Quantities are integral doubles, so the
+    AVG is sum/count over exact values — the 0.2x threshold compares
+    identically in both engines.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    tgt = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") < 11))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    restricted = li.join(F.broadcast(tgt), "l_partkey", "inner")
+    pavg = restricted.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        restricted.join(F.broadcast(pavg), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            (F.sum(money(F.col("l_extendedprice"))).cast("double") / F.lit(7.0))
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 shape: large-volume customers — orders whose total quantity tops a
+# threshold, top-100 by order price. HAVING over the fact-side aggregate
+# happens before any dimension join touches it.
+# --------------------------------------------------------------------------
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS sq
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           o.o_orderdate AS order_date,
+           CAST(o.o_totalprice AS DOUBLE) AS total_price,
+           CAST(big.sq AS DOUBLE) AS sum_qty
+    FROM big
+    JOIN orders o   ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    ORDER BY total_price DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark, sf_dir):
+    """Top-100 orders with >250 total quantity, with their customers
+    (Q18 shape). The quantity rollup + HAVING runs on lineitem alone
+    (partial agg, one shuffle on orderkey); only the ~0.1% survivors
+    join orders/customer, and the top-100 plans as
+    TakeOrderedAndProject — no global sort. Quantities are integral
+    doubles, so sums and the threshold cut are exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_totalprice").cast("double").alias("total_price"),
+            F.col("sq").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 shape: disjunctive brand/size/quantity baskets. The OR-of-ANDs
+# stays one residual predicate on a single equi join; the implied
+# brand IN (...) prefilter is pushed to the part scan explicitly so
+# row-group pruning sees it.
+# --------------------------------------------------------------------------
+@query(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#5'  AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark, sf_dir):
+    """Revenue from three brand/size/quantity baskets (Q19 shape).
+
+    One equi join on partkey carries the disjunction as a residual
+    predicate; the implied `p_brand IN (3 brands)` is applied to the
+    part scan before the join (3/25 of the dimension), which Catalyst
+    cannot always infer from an OR-of-ANDs on its own.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#5")
+        & (F.col("p_size") >= 1)
+    )
+    basket = (
+        ((part.p_brand == "Brand#12") & part.p_size.between(1, 5)
+         & li.l_quantity.between(1, 11))
+        | ((part.p_brand == "Brand#23") & part.p_size.between(1, 10)
+           & li.l_quantity.between(10, 20))
+        | ((part.p_brand == "Brand#5") & part.p_size.between(1, 15)
+           & li.l_quantity.between(20, 30))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(basket)
+        .agg(
+            dsum(_disc_price(li)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

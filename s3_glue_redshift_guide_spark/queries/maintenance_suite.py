@@ -328,3 +328,106 @@ def rollup_mv_change_feed(spark, sf_dir):
         F.col("sum_cents").cast("long").alias("sum_cents"),
         F.lit(matches).alias("matches_recompute"),
     )
+
+
+@query(
+    "rollup_mv_join_feed",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 11 = 0 THEN 50 ELSE 0 END AS cents
+      FROM orders WHERE o_orderkey < 6000
+    ), c AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 19 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS seg
+      FROM customer WHERE c_custkey % 7 <> 0
+    )
+    SELECT seg,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           1 AS matches_recompute
+    FROM o JOIN c ON o.o_custkey = c.c_custkey
+    GROUP BY seg
+    """,
+)
+def rollup_mv_join_feed(spark, sf_dir):
+    """Incrementally-maintained JOIN-aggregate view (X17): a GROUP BY
+    aggregate over fact ⋈ dimension where BOTH sides are snapshot
+    tables that churn independently, maintained from both change feeds
+    via the multiset telescoping identity
+    ``Δ(L⋈R) = ΔL⋈R_new ∪ L_old⋈ΔR`` — no ΔL⋈ΔR correction term, no
+    joined-row state. The four refreshes cover: insert-only bootstrap,
+    a left-only append delta, a right-side DV DELETE retracting every
+    joined row of the deleted dimension keys, and a BOTH-SIDES refresh
+    (left MOR update + right MOR segment move in one pass, the case the
+    telescoping exists for). Each delta side is O(churn) and broadcasts
+    into the big side's snapshot (no big-side shuffle); cursors for
+    both feeds publish atomically with the state. The final MV must
+    equal a from-scratch head ⋈ head recompute (asserted in-query)."""
+    import os
+    import tempfile
+
+    from ..operators.mv import ChangeFeedJoinAggView
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).filter(F.col("o_orderkey") < 6000)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    left = SnapshotTable(spark, tempfile.mkdtemp(prefix="mvj_l_"))
+    right = SnapshotTable(spark, tempfile.mkdtemp(prefix="mvj_r_"))
+    mv = ChangeFeedJoinAggView(
+        spark,
+        left,
+        right,
+        tempfile.mkdtemp(prefix="mvj_state_"),
+        left_on=["o_custkey"],
+        right_on=["c_custkey"],
+        keys=["seg"],
+        measures={"n_rows": ("count",), "sum_cents": ("sum", "cents")},
+    )
+    right.commit_append(c.coalesce(1))
+    left.commit_append(
+        o.filter(F.col("o_orderkey") < 3000).coalesce(1)
+    )
+    mv.refresh()  # bootstrap: full L ⋈ R insert fold
+    left.commit_append(
+        o.filter(F.col("o_orderkey").between(3000, 5999)).coalesce(1)
+    )
+    mv.refresh()  # left-only delta ⋈ R_head
+    right.delete_where(F.col("c_custkey") % 7 == 0)
+    mv.refresh()  # right DV delete retracts joined facts via L_old ⋈ ΔR
+    left.update_where(
+        F.col("o_orderkey") % 11 == 0,
+        {"cents": (F.col("cents") + 50).cast("long")},
+    )
+    right.update_where(
+        F.col("c_custkey") % 19 == 0, {"seg": F.lit("MOVED")}
+    )
+    mv.refresh()  # BOTH sides moved: ΔL ⋈ R_new ∪ L_old ⋈ ΔR, one pass
+    out = mv.read()
+    recompute = (
+        left.read()
+        .join(right.read(), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+    got = out.select("seg", "n_rows", "sum_cents")
+    matches = int(
+        got.exceptAll(recompute).union(recompute.exceptAll(got)).count() == 0
+    )
+    return out.select(
+        "seg",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.lit(matches).alias("matches_recompute"),
+    )

@@ -513,3 +513,128 @@ def sql_snapshot_maintenance_dml(spark, sf_dir):
         "restore_round_trip int, vacuum_truncated int, "
         "head_rows bigint, post_update_sum bigint",
     )
+
+
+@query(
+    "sql_snapshot_ddl_dml",
+    oracle="""
+    WITH base AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 400)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS copied_rows,
+           1 AS copy_idempotent,
+           1 AS constraint_enforced,
+           1 AS constraint_dropped,
+           1 AS reorg_purged,
+           (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM base
+            WHERE o_orderkey % 3 <> 0) AS post_reorg_sum,
+           1 AS tag_round_trip
+    """,
+)
+def sql_snapshot_ddl_dml(spark, sf_dir):
+    """The DDL / ingest surface driven as SQL text (``snapshot_sql``,
+    round-7 verbs): COPY INTO ... FROM (file-level idempotent load — a
+    verbatim re-run ingests zero files), ALTER TABLE ... ADD CONSTRAINT
+    CHECK (the next violating write is VETOED), ALTER TABLE ... DROP
+    CONSTRAINT (the same write then lands), DELETE + REORG TABLE ...
+    APPLY (PURGE) (deletion vectors fold into rewritten files: zero DV
+    sidecars remain, row content identical), and ALTER TABLE ... CREATE
+    TAG AS OF VERSION (named ref reads the pinned snapshot). Each verb
+    maps to one existing method, inheriting its atomicity/constraint
+    semantics — nothing is reimplemented in the parser."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..sql_dml import snapshot_sql
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    src_dir = _tf.mkdtemp(prefix="spark_sqlddl_src_")
+    o.filter(F.col("o_orderkey") < 400).repartitionByRange(
+        2, "o_orderkey"
+    ).write.mode("overwrite").parquet(src_dir)
+    parts = sorted(
+        _os.path.join(src_dir, f)
+        for f in _os.listdir(src_dir)
+        if f.endswith(".parquet")
+    )
+    t = SnapshotTable(spark, _tf.mkdtemp(prefix="spark_sqlddl_"))
+    root = t.root
+    src_list = ", ".join(f"'{p}'" for p in parts)
+    copy_sql = (
+        f"COPY INTO pysnapshot.`{root}` FROM {src_list} "
+        "FILEFORMAT = parquet"
+    )
+    first = snapshot_sql(spark, copy_sql)
+    again = snapshot_sql(spark, copy_sql)  # verbatim re-run
+    copied_rows = t.read().count()
+    copy_idempotent = int(
+        first["n_ingested"] == len(parts)
+        and again["n_ingested"] == 0
+        and again["n_skipped"] == len(parts)
+    )
+    snapshot_sql(
+        spark,
+        f"ALTER TABLE pysnapshot.`{root}` ADD CONSTRAINT nonneg "
+        "CHECK (o_orderkey >= 0)",
+    )
+    try:
+        t.commit_append(
+            spark.range(1).select(
+                F.lit(-1).cast("long").alias("o_orderkey")
+            )
+        )
+        constraint_enforced = 0
+    except ValueError:
+        constraint_enforced = 1
+    snapshot_sql(
+        spark,
+        f"ALTER TABLE pysnapshot.`{root}` DROP CONSTRAINT nonneg",
+    )
+    v = t.commit_append(
+        spark.range(1).select(
+            F.lit(-1).cast("long").alias("o_orderkey")
+        )
+    )
+    constraint_dropped = int(v == t.current_version())
+    snapshot_sql(  # remove the probe row again + make DVs on base rows
+        spark,
+        f"DELETE FROM pysnapshot.`{root}` "
+        "WHERE o_orderkey % 3 = 0 OR o_orderkey < 0",
+    )
+    dv_before = (
+        t.files().agg(F.sum("n_dv_sidecars")).collect()[0][0] or 0
+    )
+    tagged_version = t.current_version()
+    snapshot_sql(
+        spark,
+        f"ALTER TABLE pysnapshot.`{root}` CREATE TAG audited "
+        f"AS OF VERSION {tagged_version}",
+    )
+    snapshot_sql(
+        spark, f"REORG TABLE pysnapshot.`{root}` APPLY (PURGE)"
+    )
+    dv_after = (
+        t.files().agg(F.sum("n_dv_sidecars")).collect()[0][0] or 0
+    )
+    post_reorg_sum = (
+        t.read().agg(F.sum("o_orderkey").cast("long")).collect()[0][0]
+    )
+    reorg_purged = int(dv_before > 0 and dv_after == 0)
+    tag_round_trip = int(
+        t.read(tag="audited").count() == t.read(tagged_version).count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                copied_rows,
+                copy_idempotent,
+                constraint_enforced,
+                constraint_dropped,
+                reorg_purged,
+                post_reorg_sum,
+                tag_round_trip,
+            )
+        ],
+        "copied_rows long, copy_idempotent int, constraint_enforced int, "
+        "constraint_dropped int, reorg_purged int, post_reorg_sum long, "
+        "tag_round_trip int",
+    )

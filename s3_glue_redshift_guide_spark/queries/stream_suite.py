@@ -387,3 +387,104 @@ def ev_stream_outer_join(spark, sf_dir):
     return spark.createDataFrame(
         rows, "user_id long, click_id long, buy_id long"
     )
+
+
+@query(
+    "ev_stream_full_outer_join",
+    oracle="""
+    SELECT coalesce(c.user_id, b.user_id) AS user_id,
+           c.event_id AS click_id,
+           b.event_id AS buy_id
+    FROM (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'click' AND user_id < 120) c
+    FULL JOIN (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'purchase' AND user_id < 120) b
+      ON b.user_id = c.user_id
+     AND b.ts >= c.ts AND b.ts < c.ts + INTERVAL '10 minutes'
+    """,
+)
+def ev_stream_full_outer_join(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join, executed AS A STREAM
+    (T23, T21's two-sided completion): clicks with no purchase within
+    10 minutes emit with a NULL buy AND purchases never attributed to
+    a click emit with a NULL click — both preserved sets of the
+    attribution audit in one feed. The right-preserved rows carry a
+    NULL left key, so the join surfaces ``coalesce(l.key, r.key)``
+    (the one piece leftOuter never needs). Same real multi-trigger
+    watermark-eviction protocol as T21: corpus first, then far-future
+    heartbeats on both sides, then the eviction trigger; results
+    accumulate across epochs via foreachBatch. State bounded by
+    (watermark horizon x arrival rate); value-exact against the batch
+    FULL JOIN."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from ..catalog import load_table
+    from ..streaming.joins import interval_join_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    src = tempfile.mkdtemp(prefix="spark_fouter_src_")
+    ck = tempfile.mkdtemp(prefix="spark_fouter_ck_")
+    corpus = ev.filter(F.col("user_id") < 120)
+    corpus.write.mode("overwrite").parquet(os.path.join(src, "b0"))
+    max_ts = corpus.agg(F.max("ts")).collect()[0][0]
+
+    def sentinel(i: int, hours: int) -> None:
+        far = max_ts + dt.timedelta(hours=hours)
+        spark.createDataFrame(
+            [(-1, far, "click", -1), (-1, far, "purchase", -1)],
+            "user_id long, ts timestamp, event_type string, "
+            "event_id long",
+        ).write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+
+    raw = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string, "
+            "event_id long"
+        )
+        .parquet(os.path.join(src, "b*"))
+    )
+    clicks = raw.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys = raw.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    joined = interval_join_stream(
+        clicks, buys, "user_id", "click_ts", "buy_ts", 0, 600,
+        watermark="30 minutes", how="fullOuter",
+    ).select("user_id", "click_id", "buy_id")
+
+    out: list[tuple] = []
+
+    def sink(df, _epoch) -> None:
+        out.extend(
+            (r["user_id"], r["click_id"], r["buy_id"])
+            for r in df.collect()
+        )
+
+    def run() -> None:
+        q = (
+            joined.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()  # corpus lands; windows still open
+    sentinel(1, 2)
+    run()  # watermark advances past every corpus window
+    sentinel(2, 4)
+    run()  # eviction: unmatched rows on BOTH sides emit with NULLs
+    rows = [r for r in out if r[0] is not None and r[0] >= 0]
+    return spark.createDataFrame(
+        rows, "user_id long, click_id long, buy_id long"
+    )

@@ -363,3 +363,61 @@ def ts_event_transitions(spark, sf_dir):
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+    WITH RECURSIVE s AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             value AS x
+      FROM events
+    ), r AS (
+      SELECT user_id, rn, x AS ewma FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, 0.7 * r.ewma + 0.3 * s.x
+      FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id,
+           CAST(max(rn) AS BIGINT) AS n_points,
+           round(max_by(ewma, rn), 4) AS ewma_last
+    FROM r
+    GROUP BY user_id
+    """,
+)
+def ts_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average per key (X18): the
+    recurrence ``y_t = (1-α)·y_{t-1} + α·x_t`` (α = 0.3, y_0 = x_0) over
+    each user's event-time-ordered series, reporting the final smoothed
+    level. A recurrence is the one shape Catalyst can't express (each
+    row needs the previous row's OUTPUT, not its input — window frames
+    see inputs only), so this is a deliberate ``applyInPandas`` stateful
+    pass: Arrow-batched, one group per user, sequential only WITHIN a
+    key while all keys run in parallel across the cluster — the same
+    shuffle profile as any groupBy on user_id, with no driver
+    involvement. Both engines evaluate the identical multiply-add
+    sequence (``0.7*y + 0.3*x`` in series order), so the doubles agree
+    bit-for-bit before the defensive 4dp rounding. The oracle replays
+    the recurrence as a recursive CTE."""
+    import pandas as pd
+
+    ev = _ev(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        y = None
+        for x in pdf["value"].to_numpy():
+            y = x if y is None else 0.7 * y + 0.3 * x
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_points": [len(pdf)],
+                "ewma_last": [round(y, 4)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        smooth, "user_id long, n_points long, ewma_last double"
+    )

@@ -226,6 +226,36 @@ _VACUUM = re.compile(
     rf"^\s*VACUUM\s+{_TBL}\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS\s*$",
     re.I,
 )
+_REORG = re.compile(
+    rf"^\s*REORG\s+TABLE\s+{_TBL}\s+APPLY\s*\(\s*PURGE\s*\)\s*$", re.I
+)
+_ADD_CONSTRAINT = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+ADD\s+CONSTRAINT\s+(?P<name>\w+)\s+"
+    r"CHECK\s*\((?P<expr>.*)\)\s*$",
+    re.I | re.S,
+)
+_DROP_CONSTRAINT = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+DROP\s+CONSTRAINT\s+(?P<name>\w+)\s*$",
+    re.I,
+)
+_COPY_INTO = re.compile(
+    rf"^\s*COPY\s+INTO\s+{_TBL}\s+FROM\s+(?P<srcs>'[^']+'(?:\s*,\s*'[^']+')*)"
+    r"(?:\s+FILEFORMAT\s*=\s*(?P<fmt>\w+))?\s*$",
+    re.I | re.S,
+)
+_CREATE_TAG = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+CREATE\s+TAG\s+(?P<name>\w+)"
+    r"(?:\s+AS\s+OF\s+VERSION\s+(?P<v>\d+))?\s*$",
+    re.I,
+)
+_SELECT = re.compile(
+    rf"^\s*SELECT\s+\*\s+FROM\s+{_TBL}"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+    r"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'"
+    r"|\s+TAG\s+'(?P<tag>[^']+)')?"
+    r"(?:\s+WHERE\s+(?P<where>.*))?\s*$",
+    re.I | re.S,
+)
 
 #: OPTIMIZE defaults when the statement carries no sizing knobs: the
 #: same "compact under 32 MiB into ~128 MiB outputs" shape Delta uses
@@ -315,9 +345,62 @@ def snapshot_sql(spark: SparkSession, sql: str, clock=None):
         return SnapshotTable(
             spark, m.group("root"), clock=clock
         ).vacuum(retain_versions=int(m.group("n")))
+    m = _REORG.match(sql)
+    if m:
+        return SnapshotTable(
+            spark, m.group("root"), clock=clock
+        ).materialize_deletes()
+    m = _ADD_CONSTRAINT.match(sql)
+    if m:
+        return SnapshotTable(
+            spark, m.group("root"), clock=clock
+        ).add_constraint(m.group("name"), m.group("expr").strip())
+    m = _DROP_CONSTRAINT.match(sql)
+    if m:
+        return SnapshotTable(
+            spark, m.group("root"), clock=clock
+        ).drop_constraint(m.group("name"))
+    m = _COPY_INTO.match(sql)
+    if m:
+        srcs = [
+            s.strip().strip("'")
+            for s in _split_top(m.group("srcs"))
+        ]
+        return SnapshotTable(
+            spark, m.group("root"), clock=clock
+        ).copy_into(srcs, fmt=(m.group("fmt") or "parquet").lower())
+    m = _CREATE_TAG.match(sql)
+    if m:
+        v = m.group("v")
+        return SnapshotTable(
+            spark, m.group("root"), clock=clock
+        ).create_tag(m.group("name"), int(v) if v else None)
+    m = _SELECT.match(sql)
+    if m:
+        t = SnapshotTable(spark, m.group("root"), clock=clock)
+        as_of_ts = None
+        if m.group("ts"):
+            from datetime import datetime, timezone
+
+            as_of_ts = (
+                datetime.fromisoformat(m.group("ts"))
+                .replace(tzinfo=timezone.utc)
+                .timestamp()
+            )
+        df = t.read(
+            version=int(m.group("v")) if m.group("v") else None,
+            as_of_ts=as_of_ts,
+            tag=m.group("tag"),
+        )
+        if m.group("where"):
+            df = df.filter(F.expr(m.group("where")))
+        return df
     raise ValueError(
         "unrecognized statement (supported: MERGE INTO, UPDATE, "
         "DELETE FROM, OPTIMIZE [WHERE] [ZORDER BY], DESCRIBE "
         "HISTORY, DESCRIBE DETAIL, RESTORE ... TO VERSION AS OF, "
-        "VACUUM ... RETAIN n VERSIONS): " + sql[:120]
+        "VACUUM ... RETAIN n VERSIONS, REORG TABLE ... APPLY (PURGE), "
+        "ALTER TABLE ... ADD/DROP CONSTRAINT, ALTER TABLE ... CREATE "
+        "TAG, COPY INTO ... FROM, SELECT * FROM ... [VERSION AS OF n | "
+        "TIMESTAMP AS OF 'ts' | TAG 'name'] [WHERE ...]): " + sql[:120]
     )

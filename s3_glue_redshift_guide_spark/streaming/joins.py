@@ -56,4 +56,32 @@ def interval_join_stream(
             < lw[left_ts] + F.expr(f"interval {upper_seconds} seconds")
         )
     )
+    if how == "fullOuter":
+        # right-preserved rows carry a NULL left key, so the surviving
+        # key must coalesce across sides instead of dropping the right's;
+        # the right key is physically renamed first so the coalesce is
+        # unambiguous even when both inputs share lineage (self-joins)
+        rkey = f"__{on}_right"
+        rw2 = rw.withColumnRenamed(on, rkey)
+        cond2 = (
+            (lw[on] == rw2[rkey])
+            & (
+                rw2[right_ts]
+                >= lw[left_ts]
+                + F.expr(f"interval {lower_seconds} seconds")
+            )
+            & (
+                rw2[right_ts]
+                < lw[left_ts]
+                + F.expr(f"interval {upper_seconds} seconds")
+            )
+        )
+        joined = lw.join(rw2, cond2, how)
+        return (
+            joined.withColumn(
+                "__key_coalesced", F.coalesce(F.col(on), F.col(rkey))
+            )
+            .drop(on, rkey)
+            .withColumnRenamed("__key_coalesced", on)
+        )
     return lw.join(rw, cond, how).drop(rw[on])

@@ -180,3 +180,124 @@ def test_sql_string_literal_aliases_untouched(spark):
         r["k"]: r["tag"] for r in t.read().collect()
     }
     assert got == {0: "x", 1: "s.k literal", 2: "x"}
+
+
+# ------------------------------------------------- round-7 DDL verbs ----
+def test_sql_select_head_and_where(spark):
+    t = SnapshotTable(spark, _tmp("sel"))
+    t.commit_append(_kv(spark, 20))
+    df = snapshot_sql(spark, f"SELECT * FROM pysnapshot.`{t.root}`")
+    assert df.count() == 20
+    df = snapshot_sql(
+        spark,
+        f"SELECT * FROM pysnapshot.`{t.root}` WHERE k % 2 = 0",
+    )
+    assert df.count() == 10
+
+
+def test_sql_select_version_and_tag(spark):
+    t = SnapshotTable(spark, _tmp("selv"))
+    t.commit_append(_kv(spark, 10))          # v1
+    t.create_tag("first")
+    t.commit_append(_kv(spark, 10, start=10))  # v2
+    assert (
+        snapshot_sql(
+            spark,
+            f"SELECT * FROM pysnapshot.`{t.root}` VERSION AS OF 1",
+        ).count()
+        == 10
+    )
+    assert (
+        snapshot_sql(
+            spark,
+            f"SELECT * FROM pysnapshot.`{t.root}` TAG 'first'",
+        ).count()
+        == 10
+    )
+    assert (
+        snapshot_sql(
+            spark, f"SELECT * FROM pysnapshot.`{t.root}`"
+        ).count()
+        == 20
+    )
+
+
+def test_sql_reorg_purges_dvs(spark):
+    t = SnapshotTable(spark, _tmp("reorg"))
+    t.commit_append(_kv(spark, 30))
+    t.delete_where(F.col("k") % 3 == 0)
+    dv = t.files().agg(F.sum("n_dv_sidecars")).collect()[0][0]
+    assert dv and dv > 0
+    snapshot_sql(
+        spark, f"REORG TABLE pysnapshot.`{t.root}` APPLY (PURGE)"
+    )
+    assert (
+        t.files().agg(F.sum("n_dv_sidecars")).collect()[0][0] or 0
+    ) == 0
+    assert t.read().count() == 20
+
+
+def test_sql_constraint_add_drop(spark):
+    t = SnapshotTable(spark, _tmp("constr"))
+    t.commit_append(_kv(spark, 5))
+    snapshot_sql(
+        spark,
+        f"ALTER TABLE pysnapshot.`{t.root}` ADD CONSTRAINT pos "
+        "CHECK (v >= 0)",
+    )
+    with pytest.raises(ValueError, match="constraint"):
+        t.commit_append(
+            spark.range(1).select(
+                F.lit(99).cast("long").alias("k"), F.lit(-5).cast("long").alias("v")
+            )
+        )
+    snapshot_sql(
+        spark,
+        f"ALTER TABLE pysnapshot.`{t.root}` DROP CONSTRAINT pos",
+    )
+    t.commit_append(
+        spark.range(1).select(
+            F.lit(99).cast("long").alias("k"), F.lit(-5).cast("long").alias("v")
+        )
+    )
+    assert t.read().count() == 6
+
+
+def test_sql_copy_into_idempotent(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    _kv(spark, 12).coalesce(1).write.parquet(src)
+    import os
+
+    parts = sorted(
+        os.path.join(src, f)
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    t = SnapshotTable(spark, _tmp("copy"))
+    stmt = (
+        f"COPY INTO pysnapshot.`{t.root}` FROM "
+        + ", ".join(f"'{p}'" for p in parts)
+        + " FILEFORMAT = parquet"
+    )
+    first = snapshot_sql(spark, stmt)
+    assert first["n_ingested"] == len(parts)
+    again = snapshot_sql(spark, stmt)
+    assert again["n_ingested"] == 0 and again["n_skipped"] == len(parts)
+    assert t.read().count() == 12
+
+
+def test_sql_create_tag_as_of_version(spark):
+    t = SnapshotTable(spark, _tmp("tagv"))
+    t.commit_append(_kv(spark, 5))   # v1
+    t.commit_append(_kv(spark, 5, start=5))  # v2
+    snapshot_sql(
+        spark,
+        f"ALTER TABLE pysnapshot.`{t.root}` CREATE TAG early "
+        "AS OF VERSION 1",
+    )
+    assert t.read(tag="early").count() == 5
+
+
+def test_sql_unrecognized_raises(spark):
+    with pytest.raises(ValueError, match="unrecognized"):
+        snapshot_sql(spark, "TRUNCATE TABLE pysnapshot.`/nope`")
