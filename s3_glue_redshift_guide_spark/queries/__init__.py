@@ -42,13 +42,19 @@ for _m in _MODULES:
 # 7's window (VERDICT r6 directive #2: the rotation debt comes FIRST):
 # (a) all THIRTY-SIX queries whose newest driver evidence is still
 # round 2 — four rounds of engine churn since their last hard-signal
-# check; (b) the FIVE round-7 rows (manifest-log checkpointing,
-# connector writes onto partition-spec'd tables, the two warehouse-SQL
-# DML dispatcher rows, and src_cdf_update_images re-listed because its
-# oracle now unions the streamed pre/post image feed — its r6 evidence
-# predates that extension); (c) nine r3-era source/sink rows, the next-
-# oldest cohort, filling the window to exactly 50. The r6 newcomers all
-# got green r6 evidence and rotate out.
+# check; (b) the FIVE round-7 session-1 rows (manifest-log
+# checkpointing, connector writes onto partition-spec'd tables, the two
+# warehouse-SQL DML dispatcher rows, and src_cdf_update_images
+# re-listed because its oracle now unions the streamed pre/post image
+# feed); (c) the NINE round-7 session-2 engine rows (hidden
+# partitioning, join-MV, SQL DDL verbs, partitions(), full-outer
+# stream join, BM25, EWMA, downsampling, polymorphic UDTF), filling
+# the window to exactly 50. (d) The six session-2 TPC-H completions
+# queue IMMEDIATELY AFTER the window (positions 50-55) — first in line
+# for round 8; their engine paths (joins/aggs) are continuously
+# exercised by the verified headline queries, so they carry the least
+# rotation risk of the unverified set. The r3-era source rows rotate
+# back out (verified r3 — the r2 debt outranks them).
 _PRIORITY = [
     # -- (a) round-2-stale regression re-checks (36) -----------------------
     "q16_supplier_part_cnt", "q20_excess_shippers",
@@ -67,15 +73,19 @@ _PRIORITY = [
     "join_range_left_rowlevel",
     "llm_global_shuffle", "llm_token_counts", "llm_train_val_split",
     "sink_scd1_merge", "stats_table_sizing", "win_distinct_count",
-    # -- (b) new in round 7 ------------------------------------------------
+    # -- (b) round 7 session 1 ---------------------------------------------
     "src_log_checkpoint", "sink_connector_spec_write",
     "sql_snapshot_merge_dml", "sql_snapshot_maintenance_dml",
     "src_cdf_update_images",
-    # -- (c) r3-era source/sink rows (next-oldest evidence) ----------------
-    "src_csv_roundtrip", "src_schema_inference",
-    "src_partition_discovery", "src_schema_evolution",
-    "src_incremental_bookmark", "sink_staged_copy",
-    "src_orc_roundtrip", "src_text_source", "sink_compaction_facts",
+    # -- (c) round 7 session 2: engine rows (fill to 50) --------------------
+    "src_partition_transforms", "rollup_mv_join_feed",
+    "sql_snapshot_ddl_dml", "src_partitions_table",
+    "ev_stream_full_outer_join", "llm_bm25_topk",
+    "ts_ewma", "ts_downsample_maxdev", "udf_udtf_analyze",
+    # -- (d) overflow: next in line for round 8 (positions 50+) ------------
+    "q4_priority_census", "q7_volume_shipping", "q14_promo_effect",
+    "q17_small_qty_revenue", "q18_large_volume_customers",
+    "q19_discounted_revenue",
 ]
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
 _ordered.update({n: q for n, q in REGISTRY.items() if n not in _ordered})

@@ -2367,3 +2367,89 @@ def llm_contamination_spans(spark, sf_dir):
         .cast("int")
         .alias("flagged"),
     )
+
+
+@query(
+    "llm_bm25_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token
+                  FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT avg(dl::DOUBLE) AS avgdl,
+                     count(*)::DOUBLE AS n_docs FROM dl),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+           WHERE token IN ('table', 'scan', 'join') GROUP BY 1, 2),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+               * 1000000) AS BIGINT) AS c
+      FROM tf
+      JOIN df USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micros
+    FROM contrib GROUP BY doc_id
+    ORDER BY score_micros DESC, doc_id LIMIT 10
+    """,
+)
+def llm_bm25_topk(spark, sf_dir):
+    """BM25 document ranking (L4's retrieval-grade scorer, beyond
+    TF-IDF): Okapi BM25 with k1 = 1.2, b = 0.75 and the Lucene
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)`` idf, scoring the corpus for
+    the 3-term query {table, scan, join} and returning the top-10 docs.
+
+    Scale shape: term frequencies restrict to the QUERY'S terms before
+    any aggregation (the posting lists of 3 terms, not the corpus
+    vocabulary), document length and the global avgdl come from one
+    doc-keyed aggregate plus a 1-row broadcast, and the per-term df is
+    |query| rows. Per-term contributions are scaled to integer
+    MICRO-points before the per-doc sum, so the sum is exact and
+    order-independent — the cross-engine float hazard (3-way double
+    addition order) is eliminated rather than rounded away. Top-10
+    plans as TakeOrderedAndProject."""
+    d = _docs(spark, sf_dir)
+    q_terms = ["table", "scan", "join"]
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(q_terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + 1.0
+    )
+    denom = F.col("tf") + 1.2 * (
+        0.25 + 0.75 * F.col("dl") / F.col("avgdl")
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * (F.col("tf") * 2.2) / denom * 1000000)
+            .cast("bigint")
+            .alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c").cast("bigint").alias("score_micros"))
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(10)
+    )

@@ -2957,3 +2957,133 @@ def src_log_checkpoint(spark, sf_dir):
         "hist_tail_reads int, hist_identical int, asof_mid int, "
         "post_vacuum_versions int, head_rows bigint, head_sum bigint",
     )
+
+
+@query(
+    "src_partitions_table",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           2 AS n_files,
+           CAST(count(*) AS BIGINT) AS banked_rows,
+           1 AS stats_ok
+    FROM orders WHERE o_orderkey < 8000
+    GROUP BY o_orderpriority
+    """,
+)
+def src_partitions_table(spark, sf_dir):
+    """The ``partitions`` metadata table (Iceberg's table.partitions,
+    S57's layout-facing sibling): per live partition tuple — visible
+    file count, banked byte and row totals, DV-sidecar presence,
+    stats coverage — from a PURE manifest walk (zero file opens; the
+    totals come from the commit-time stats the manifest already
+    banks). Two appends onto a spec'd table land one file per live
+    priority each, so every priority reports exactly 2 files and its
+    banked row total equals the source's per-priority count, proven
+    value-exact against the raw table."""
+    import tempfile as _tf
+
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    t = SnapshotTable(spark, _tf.mkdtemp(prefix="spark_partsmeta_"))
+    t.set_partition_spec(["o_orderpriority"])
+    t.commit_append(
+        o.filter(F.col("o_orderkey") < 4000),
+        stats_cols=["o_orderkey"],
+    )
+    t.commit_append(
+        o.filter(
+            (F.col("o_orderkey") >= 4000) & (F.col("o_orderkey") < 8000)
+        ),
+        stats_cols=["o_orderkey"],
+    )
+    p = t.partitions()
+    return p.select(
+        F.get_json_object(
+            F.col("partition_values"), "$.o_orderpriority"
+        ).alias("priority"),
+        F.col("n_files").cast("int").alias("n_files"),
+        F.col("banked_rows").alias("banked_rows"),
+        (
+            F.col("stats_complete").cast("int")
+            * (F.col("n_dv_sidecars") == 0).cast("int")
+        ).alias("stats_ok"),
+    )
+
+
+@query(
+    "src_partition_transforms",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM events
+                 WHERE ts >= TIMESTAMP '2024-01-05'
+                   AND ts <  TIMESTAMP '2024-01-06') AS BIGINT)
+             AS rows_day,
+           CAST((SELECT count(*) FROM events WHERE user_id = 42)
+                 AS BIGINT) AS rows_user,
+           1 AS day_pruned, 1 AS bucket_pruned, 1 AS hidden
+    """,
+)
+def src_partition_transforms(spark, sf_dir):
+    """Iceberg-style HIDDEN PARTITIONING (S61): the partition spec
+    carries TRANSFORMS — ``day(ts)`` and ``bucket(user_id, 8)`` here —
+    so writes cluster one file per (day, hash-bucket) tuple under
+    derived ``__part_day_ts=`` / ``__part_bucket_user_id_8=`` path
+    segments while user queries keep predicating on the RAW columns:
+    ``partition_pruned_files({'ts': X})`` pushes the literal through
+    the exact write-side expression (same engine code path, so Murmur3
+    bucketing and date formatting can never disagree between build and
+    probe) and prunes to one day's buckets; equality on user_id prunes
+    to one bucket per day. Facts prove pruning strictly shrank the
+    file set WITHOUT losing rows (superset contract: pruned read +
+    residual filter == full read + filter, value-exact)."""
+    import datetime as _dt
+    import tempfile as _tf
+
+    from ..sources.snapshots import SnapshotTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    t = SnapshotTable(spark, _tf.mkdtemp(prefix="spark_hidpart_"))
+    t.set_partition_spec(["day(ts)", "bucket(user_id, 8)"])
+    t.commit_append(ev)
+    n_files = t.file_count()
+    day = _dt.datetime(2024, 1, 5)
+    day_files = t.partition_pruned_files({"ts": day})
+    user_files = t.partition_pruned_files({"user_id": 42})
+    rows_day = (
+        t.read_partition({"ts": day})
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-05").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-06").cast("timestamp_ntz"))
+        )
+        .count()
+    )
+    rows_user = (
+        t.read_partition({"user_id": 42})
+        .filter(F.col("user_id") == 42)
+        .count()
+    )
+    full_day = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-05").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-06").cast("timestamp_ntz"))
+    ).count()
+    full_user = ev.filter(F.col("user_id") == 42).count()
+    return spark.createDataFrame(
+        [
+            (
+                rows_day,
+                rows_user,
+                int(0 < len(day_files) < n_files and rows_day == full_day),
+                int(
+                    0 < len(user_files) < n_files
+                    and rows_user == full_user
+                ),
+                int("__part_day_ts=" in t.files().collect()[0]["path"]),
+            )
+        ],
+        "rows_day long, rows_user long, day_pruned int, "
+        "bucket_pruned int, hidden int",
+    )

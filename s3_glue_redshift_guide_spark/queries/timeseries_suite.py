@@ -421,3 +421,72 @@ def ts_ewma(spark, sf_dir):
     return ev.groupBy("user_id").applyInPandas(
         smooth, "user_id long, n_points long, ewma_last double"
     )
+
+
+@query(
+    "ts_downsample_maxdev",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, date_trunc('day', ts) AS bucket, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), b AS (
+      SELECT user_id, bucket,
+             count(*) AS n, sum(cents) AS s
+      FROM e GROUP BY 1, 2
+    ), d AS (
+      SELECT e.user_id, e.bucket, e.event_id, e.cents, b.n,
+             abs(e.cents * b.n - b.s) AS dev
+      FROM e JOIN b USING (user_id, bucket)
+    )
+    SELECT user_id, bucket, event_id AS kept_event_id,
+           cents AS kept_cents, CAST(n AS BIGINT) AS n_events
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, bucket
+        ORDER BY dev DESC, event_id) AS rn
+      FROM d)
+    WHERE rn = 1
+    """,
+)
+def ts_downsample_maxdev(spark, sf_dir):
+    """Visual-fidelity downsampling (X19, the LTTB family's
+    shuffle-friendly member): per (key, time-bucket), keep the ONE
+    point deviating most from the bucket's mean — the point a plotted
+    line can least afford to lose — plus the bucket's event count so a
+    renderer can badge density. True LTTB is a sequential scan (each
+    choice depends on the previous selected point); the per-bucket
+    max-deviation variant keeps ~the same visual extremes while
+    staying two hash aggregates + one window — fully parallel.
+
+    Determinism across engines: the deviation compares
+    ``|cents·n − Σcents|`` — all BIGINT (values are 2dp, scaled to
+    integer cents), so no float mean enters the argmax; ties break on
+    event_id. At 100 TB: shuffle keys are (user, bucket) both passes,
+    output is one row per bucket regardless of input rate."""
+    e = _ev(spark, sf_dir).select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("bucket"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    b = e.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    d = e.join(b, ["user_id", "bucket"]).withColumn(
+        "dev", F.abs(F.col("cents") * F.col("n") - F.col("s"))
+    )
+    w = W.partitionBy("user_id", "bucket").orderBy(
+        F.desc("dev"), F.asc("event_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "bucket",
+            F.col("event_id").alias("kept_event_id"),
+            F.col("cents").alias("kept_cents"),
+            F.col("n").cast("long").alias("n_events"),
+        )
+    )

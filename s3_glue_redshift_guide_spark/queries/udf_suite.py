@@ -198,3 +198,63 @@ def udf_arrow_scalar(spark, sf_dir):
             F.col("l_discount").cast("double"),
         ).alias("score"),
     )
+
+
+@query(
+    "udf_udtf_analyze",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x != '') AS toks
+      FROM documents WHERE doc_id < 40)
+    SELECT doc_id,
+           toks[1] AS c0, toks[2] AS c1, toks[3] AS c2,
+           CAST(len(toks) AS INTEGER) AS n_tokens
+    FROM t
+    """,
+)
+def udf_udtf_analyze(spark, sf_dir):
+    """U7: POLYMORPHIC Python UDTF (Spark 4 ``analyze``): the output
+    schema is not declared — the UDTF's static ``analyze`` method
+    computes it AT PLAN TIME from the call's literal argument (here
+    ``n = 3`` leading tokens → columns c0..c2 + a count), so one table
+    function serves any width without a registration per shape — the
+    Catalyst-side contract a fixed ``returnType`` UDTF cannot express.
+    The Python path stays off bulk data by design (demo slice;
+    mapInPandas remains the production shape)."""
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeResult
+
+    @udtf
+    class LeadTokens:
+        @staticmethod
+        def analyze(doc_id, text, n):
+            width = int(n.value)
+            schema = StructType().add("doc_id", LongType())
+            for i in range(width):
+                schema = schema.add(f"c{i}", StringType())
+            schema = schema.add("n_tokens", IntegerType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, doc_id: int, text: str, n: int):
+            toks = [t for t in text.lower().split() if t]
+            head = toks[: int(n)]
+            head += [None] * (int(n) - len(head))
+            yield (doc_id, *head, len(toks))
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 40
+    )
+    spark.udtf.register("lead_tokens", LeadTokens)
+    d.createOrReplaceTempView("__udtf_poly_docs")
+    return spark.sql(
+        "SELECT s.* FROM __udtf_poly_docs, "
+        "LATERAL lead_tokens(doc_id, text, 3) s"
+    )

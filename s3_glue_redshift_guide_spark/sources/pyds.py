@@ -1201,6 +1201,18 @@ class SnapshotDataWriter(DataSourceArrowWriter):
         self.partition_spec: list[str] = list(
             base_m.get("partition_spec") or []
         )
+        if any("(" in e for e in self.partition_spec):
+            # TRANSFORM specs (day/month/trunc/bucket) derive their
+            # partition values through Spark/JVM expressions (Murmur3
+            # hash, session-zone date formatting); recomputing them in
+            # the Arrow task would be a SECOND implementation that can
+            # silently disagree with the engine's — refuse, like
+            # identity columns (write through SnapshotTable instead)
+            raise ValueError(
+                f"table has a TRANSFORM partition spec "
+                f"{self.partition_spec}; connector writes support "
+                "identity specs only"
+            )
         if self.partition_spec and self.field_names:
             missing = [
                 c for c in self.partition_spec

@@ -752,6 +752,94 @@ def partition_values_from_path(path: str) -> dict:
     return out
 
 
+#: Iceberg-style partition TRANSFORMS: a spec entry is either a bare
+#: column name (identity) or ``day(col)`` / ``month(col)`` /
+#: ``trunc(col, N)`` / ``bucket(col, N)``. The transform is part of the
+#: derived partition column's NAME (``day_ts``, ``bucket_id_16``), so
+#: spec evolution to a different transform/arity yields a different
+#: path key and old-layout files degrade to conservative keeps.
+_SPEC_ENTRY = re.compile(
+    r"^(?P<fn>day|month|trunc|bucket)\s*\(\s*(?P<col>\w+)"
+    r"\s*(?:,\s*(?P<n>\d+)\s*)?\)$"
+)
+
+
+def parse_spec_entry(entry: str) -> dict:
+    """Parse one partition-spec entry into
+    ``{fn, col, n, name}`` — ``name`` is the path key after
+    ``__part_`` (the source column itself for identity)."""
+    m = _SPEC_ENTRY.match(entry)
+    if not m:
+        return {"fn": "identity", "col": entry, "n": None, "name": entry}
+    fn, col, n = m.group("fn"), m.group("col"), m.group("n")
+    if fn in ("trunc", "bucket"):
+        if not n or int(n) < 1:
+            raise ValueError(
+                f"{fn}() takes a positive integer arg: {entry!r}"
+            )
+    elif n:
+        raise ValueError(f"{fn}() takes no arg: {entry!r}")
+    name = f"{fn}_{col}" + (f"_{n}" if n else "")
+    return {
+        "fn": fn,
+        "col": col,
+        "n": int(n) if n else None,
+        "name": name,
+    }
+
+
+def spec_source_columns(spec: list[str]) -> list[str]:
+    """The SOURCE columns a spec reads (identity or transformed)."""
+    return [parse_spec_entry(e)["col"] for e in (spec or [])]
+
+
+def entry_from_path_key(key: str, known_cols=()) -> dict:
+    """Reverse-map a ``__part_`` path key to its transform entry —
+    ``day_ts`` → day(ts), ``bucket_user_id_8`` → bucket(user_id, 8),
+    anything else → identity. Keys that literally name a CURRENT
+    column are identity regardless (a real column called ``day_ts``
+    must not be mistaken for a transform of ``ts``); the caller
+    passes the schema's column set for that guard."""
+    if key in known_cols:
+        return {"fn": "identity", "col": key, "n": None, "name": key}
+    for fn in ("day", "month"):
+        if key.startswith(fn + "_") and len(key) > len(fn) + 1:
+            return {
+                "fn": fn, "col": key[len(fn) + 1:], "n": None,
+                "name": key,
+            }
+    for fn in ("trunc", "bucket"):
+        if key.startswith(fn + "_"):
+            rest = key[len(fn) + 1:]
+            col, _, n = rest.rpartition("_")
+            if col and n.isdigit():
+                return {
+                    "fn": fn, "col": col, "n": int(n), "name": key
+                }
+    return {"fn": "identity", "col": key, "n": None, "name": key}
+
+
+def spec_transform_expr(entry: dict, col):
+    """The derived partition value as a Column expression over ``col``
+    — shared verbatim between the write path and literal-side pruning
+    so build and probe can never disagree. ``bucket`` uses Spark's
+    Murmur3 ``hash`` (pmod N); ``trunc`` is Iceberg's width truncation
+    (floor to a multiple of N); ``day``/``month`` format in the path
+    domain directly."""
+    if entry["fn"] == "identity":
+        return col
+    if entry["fn"] == "day":
+        return F.date_format(col, "yyyy-MM-dd")
+    if entry["fn"] == "month":
+        return F.date_format(col, "yyyy-MM")
+    if entry["fn"] == "trunc":
+        n = entry["n"]
+        return (F.floor(col / n) * n).cast("long")
+    if entry["fn"] == "bucket":
+        return F.pmod(F.hash(col), F.lit(entry["n"]))
+    raise ValueError(f"unknown transform {entry['fn']!r}")
+
+
 def encode_partition_value(val) -> str | None:
     """A predicate literal rendered in the path domain ``partition
     _values_from_path`` parses back — one shared encoding so build and
@@ -844,35 +932,46 @@ class SnapshotTable:
         d = os.path.join(self.root, "data", uuid.uuid4().hex)
         spec = self._partition_spec()
         if spec:
-            missing = [c for c in spec if c not in df.columns]
+            entries = [parse_spec_entry(e) for e in spec]
+            missing = [
+                e["col"] for e in entries if e["col"] not in df.columns
+            ]
             if missing:
                 raise ValueError(
                     f"partition spec {spec} columns missing from the "
                     f"write batch: {missing}"
                 )
-            # identity partitioning with the source columns RETAINED in
-            # the data files (Iceberg's shape): the layout rides
-            # duplicated __part_<col> path columns, so every read path
-            # (DV positions, schema maps, the connector's per-file Arrow
-            # reads) sees ordinary parquet. Pre-shuffling on the spec
-            # keys puts each partition value in one task, so the write
-            # lands ONE file per live partition value instead of
-            # tasks x values shards.
-            df = df.withColumns(
-                {f"__part_{c}": F.col(c) for c in spec}
-            ).repartition(*[F.col(c) for c in spec])
+            # identity OR transformed partitioning with the source
+            # columns RETAINED in the data files (Iceberg's hidden-
+            # partitioning shape): the layout rides derived
+            # __part_<name> path columns (name carries the transform,
+            # e.g. __part_day_ts / __part_bucket_id_16), so every read
+            # path (DV positions, schema maps, the connector's per-file
+            # Arrow reads) sees ordinary parquet. Pre-shuffling on the
+            # derived keys puts each partition value in one task, so
+            # the write lands ONE file per live partition tuple instead
+            # of tasks x values shards.
+            pcols = {
+                f"__part_{e['name']}": spec_transform_expr(
+                    e, F.col(e["col"])
+                )
+                for e in entries
+            }
+            df = df.withColumns(pcols).repartition(
+                *[F.col(n) for n in pcols]
+            )
             if order_within is not None:
                 # the partition columns LEAD the sort: the file writer
                 # requires rows grouped by partition value and would
                 # otherwise insert its own partition-only sort,
                 # discarding the requested order
                 df = df.sortWithinPartitions(
-                    *[F.col(f"__part_{c}") for c in spec],
+                    *[F.col(n) for n in pcols],
                     *order_within,
                 )
             (
                 df.write.mode("errorifexists")
-                .partitionBy(*[f"__part_{c}" for c in spec])
+                .partitionBy(*pcols)
                 .parquet(d)
             )
         else:
@@ -2262,7 +2361,7 @@ class SnapshotTable:
         # or dropping a spec column would make every subsequent write
         # raise "spec columns missing". Same posture as constraints:
         # evolve the spec first (set_partition_spec), then the schema.
-        if col in (m.get("partition_spec") or []):
+        if col in spec_source_columns(m.get("partition_spec") or []):
             raise ValueError(
                 f"cannot {op} column {col!r}: it is a partition-spec "
                 "column — change the spec first (set_partition_spec)"
@@ -2944,17 +3043,36 @@ class SnapshotTable:
             if cur > 0
             else {"files": [], "stats": {}, "dv": {}}
         )
+        entries = [parse_spec_entry(e) for e in cols]  # validates syntax
         if cols and m["files"]:
             head = self.read()
-            for c in cols:
+            dts = dict(head.dtypes)
+            for e in entries:
+                c = e["col"]
                 if c not in head.columns:
                     raise KeyError(f"no column named {c!r}")
-                dt = dict(head.dtypes)[c]
-                if dt not in self._PARTITIONABLE:
+                dt = dts[c]
+                if e["fn"] == "identity":
+                    if dt not in self._PARTITIONABLE:
+                        raise ValueError(
+                            f"partition column {c!r} has type {dt}; "
+                            f"only {self._PARTITIONABLE} round-trip "
+                            "through path encoding"
+                        )
+                    continue
+                if e["fn"] in ("day", "month"):
+                    ok = dt.startswith("timestamp") or dt == "date"
+                elif e["fn"] == "trunc":
+                    ok = dt in ("tinyint", "smallint", "int", "bigint")
+                else:  # bucket: anything Murmur3 hashes determinis.
+                    ok = dt in (
+                        "tinyint", "smallint", "int", "bigint", "string"
+                    )
+                if not ok:
                     raise ValueError(
-                        f"partition column {c!r} has type {dt}; only "
-                        f"{self._PARTITIONABLE} round-trip through "
-                        "path encoding"
+                        f"partition entry {cols[entries.index(e)]!r}: "
+                        f"column {c!r} has type {dt}, unsupported for "
+                        f"transform {e['fn']!r}"
                     )
         if cur == 0:
             # empty table: bank the spec as the first (file-less) commit
@@ -2989,15 +3107,77 @@ class SnapshotTable:
         never a file it merely knows nothing about."""
         v = self.current_version() if version is None else version
         m = load_manifest(self.root, v)
+        # Checks are PATH-DRIVEN, not spec-driven: each file's encoded
+        # keys are reverse-mapped to their transform (``day_ts`` →
+        # day(ts)) and the equality literal is pushed through the SAME
+        # write-side expression — so pruning keeps working on layouts
+        # from EVOLVED-AWAY specs (a day-partitioned era keeps pruning
+        # by day after the spec moves to month), and the user keeps
+        # predicating on the raw column — hidden partitioning's
+        # contract. Per-(key, literal) transforms evaluate once and
+        # cache across the file walk.
+        known = set()
+        rs = self._reader_schema(m)
+        if rs is not None:
+            known = {f.name for f in rs.fields}
+        elif m.get("schema"):
+            known = {e["name"] for e in m["schema"]}
+        expected_cache: dict[str, str | None] = {}
+
+        def _expected(key: str, val):
+            if key not in expected_cache:
+                e = entry_from_path_key(key, known)
+                expected_cache[key] = encode_partition_value(
+                    val
+                    if e["fn"] == "identity"
+                    else self._transformed_literal(e, val, m)
+                )
+            return expected_cache[key]
+
         keep = []
         for f in m["files"]:
             pv = partition_values_from_path(f)
-            if all(
-                k not in pv or pv[k] == encode_partition_value(val)
-                for k, val in eq.items()
-            ):
+            ok = True
+            for k, enc in pv.items():
+                e = entry_from_path_key(k, known)
+                if e["col"] in eq:
+                    if enc != _expected(k, eq[e["col"]]):
+                        ok = False
+                        break
+            if ok:
                 keep.append(f)
         return keep
+
+    def _transformed_literal(self, entry: dict, val, m: dict):
+        """Push an equality literal through a partition transform by
+        evaluating the EXACT write-side expression on a 1-row frame —
+        build/probe parity by construction (Murmur3 hash semantics,
+        date formatting, truncation rounding all come from the same
+        engine code path). The literal is cast to the source column's
+        reader dtype first: Murmur3 of an INT is not Murmur3 of a
+        BIGINT, so an uncast Python int could silently mis-bucket.
+        Cost: one local 1-row projection per pruning call — driver
+        milliseconds, no data access."""
+        dt = None
+        rs = self._reader_schema(m)
+        if rs is not None:
+            for fld in rs.fields:
+                if fld.name == entry["col"]:
+                    dt = fld.dataType.simpleString()
+        if dt is None and m["files"]:
+            dts = dict(
+                self.spark.read.parquet(m["files"][0]).dtypes
+            )
+            dt = dts.get(entry["col"])
+        lit = F.lit(val)
+        if dt:
+            lit = lit.cast(dt)
+        row = (
+            self.spark.range(1)
+            .select(spec_transform_expr(entry, lit).alias("v"))
+            .collect()
+        )
+        return row[0]["v"]
 
     def read_partition(self, eq: dict) -> DataFrame:
         """DV-masked, schema-mapped read of only the partitions matching
@@ -4411,6 +4591,35 @@ class SnapshotTable:
             "n_dv_sidecars int, partition_values string",
         )
 
+    def partitions(self, version: int | None = None) -> DataFrame:
+        """The ``partitions`` metadata table (Iceberg's
+        ``table.partitions``): one row per live partition tuple —
+        visible file count, banked byte total, banked row total
+        (PRE-tombstone: live DV sidecar count is surfaced alongside so
+        a caller sees when the banked total over-counts and can fall
+        back to ``metadata_count``'s exact DV subtraction), and whether
+        banked stats cover every file of the tuple (``stats_complete``
+        false means the row total is a lower bound). Unpartitioned
+        files group under the NULL tuple. Built on ``files()``, so it
+        stays a pure manifest walk — zero file opens at any table
+        size: the "which partitions are hot / how skewed is the
+        layout" answer costs O(files) metadata."""
+        f = self.files(version)
+        return (
+            f.groupBy("partition_values")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_files"),
+                F.sum("size_bytes").cast("long").alias("total_bytes"),
+                F.sum("num_rows").cast("long").alias("banked_rows"),
+                F.sum("n_dv_sidecars").cast("long").alias(
+                    "n_dv_sidecars"
+                ),
+                F.min(F.col("num_rows").isNotNull()).alias(
+                    "stats_complete"
+                ),
+            )
+        )
+
     def detail(self) -> dict:
         """DESCRIBE DETAIL (Delta's one-row table summary), from pure
         metadata: version, file/byte/row totals (banked sizes + stats;
@@ -4448,12 +4657,17 @@ class SnapshotTable:
         retain_versions: int = 1,
         retain_seconds: float | None = None,
         now: float | None = None,
+        dry_run: bool = False,
     ) -> list[str]:
         """Garbage-collect data files unreachable from the newest
         ``retain_versions`` manifests (and drop the older manifests) —
         the VACUUM that makes rewrites reclaim space. Pure metadata walk:
         reachability = union of the retained manifests' file lists;
         everything else under data/ unlinks. Returns the deleted paths.
+        ``dry_run=True`` (Delta's VACUUM ... DRY RUN) computes and
+        returns the would-delete list from the same reachability walk
+        but touches NOTHING — no unlinks, no manifest truncation, no
+        checkpoint rebuild.
         Versions older than the retention window stop being readable, by
         design — retention is the time-travel horizon.
 
@@ -4576,7 +4790,8 @@ class SnapshotTable:
                     for f in fs:
                         p = os.path.join(walk_root, f)
                         if f.endswith(".parquet") and p not in reachable:
-                            os.unlink(p)
+                            if not dry_run:
+                                os.unlink(p)
                             deleted.append(p)
             # deletion-vector sidecar dirs unreachable from the window
             dv_root = os.path.join(sroot, "deletes")
@@ -4584,7 +4799,8 @@ class SnapshotTable:
                 for d in os.listdir(dv_root):
                     full = os.path.join(dv_root, d)
                     if full not in reachable_dv:
-                        shutil.rmtree(full, ignore_errors=True)
+                        if not dry_run:
+                            shutil.rmtree(full, ignore_errors=True)
                         deleted.append(full)
             # bloom index sidecars unreferenced from the window
             # (dropped indexes, rewritten files); ANALYZE sketch
@@ -4597,15 +4813,19 @@ class SnapshotTable:
                         f.endswith(".bloom.json")
                         and p not in reachable_bloom
                     ):
-                        os.unlink(p)
+                        if not dry_run:
+                            os.unlink(p)
                         deleted.append(p)
                     elif (
                         f.startswith("ndv_")
                         and os.path.isdir(p)
                         and p not in reachable_ndv
                     ):
-                        shutil.rmtree(p, ignore_errors=True)
+                        if not dry_run:
+                            shutil.rmtree(p, ignore_errors=True)
                         deleted.append(p)
+        if dry_run:
+            return deleted
         keep_set = set(keep_versions)
         for v in range(1, lo):
             if v in keep_set:

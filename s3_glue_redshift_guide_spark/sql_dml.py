@@ -223,7 +223,8 @@ _RESTORE = re.compile(
     re.I,
 )
 _VACUUM = re.compile(
-    rf"^\s*VACUUM\s+{_TBL}\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS\s*$",
+    rf"^\s*VACUUM\s+{_TBL}\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS"
+    r"(?P<dry>\s+DRY\s+RUN)?\s*$",
     re.I,
 )
 _REORG = re.compile(
@@ -247,6 +248,9 @@ _CREATE_TAG = re.compile(
     rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+CREATE\s+TAG\s+(?P<name>\w+)"
     r"(?:\s+AS\s+OF\s+VERSION\s+(?P<v>\d+))?\s*$",
     re.I,
+)
+_SHOW_PARTS = re.compile(
+    rf"^\s*SHOW\s+PARTITIONS\s+{_TBL}\s*$", re.I
 )
 _SELECT = re.compile(
     rf"^\s*SELECT\s+\*\s+FROM\s+{_TBL}"
@@ -344,7 +348,10 @@ def snapshot_sql(spark: SparkSession, sql: str, clock=None):
     if m:
         return SnapshotTable(
             spark, m.group("root"), clock=clock
-        ).vacuum(retain_versions=int(m.group("n")))
+        ).vacuum(
+            retain_versions=int(m.group("n")),
+            dry_run=bool(m.group("dry")),
+        )
     m = _REORG.match(sql)
     if m:
         return SnapshotTable(
@@ -375,6 +382,11 @@ def snapshot_sql(spark: SparkSession, sql: str, clock=None):
         return SnapshotTable(
             spark, m.group("root"), clock=clock
         ).create_tag(m.group("name"), int(v) if v else None)
+    m = _SHOW_PARTS.match(sql)
+    if m:
+        return SnapshotTable(
+            spark, m.group("root"), clock=clock
+        ).partitions()
     m = _SELECT.match(sql)
     if m:
         t = SnapshotTable(spark, m.group("root"), clock=clock)

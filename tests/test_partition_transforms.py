@@ -1,0 +1,159 @@
+"""Hidden partitioning (S61): day/month/trunc/bucket transforms on the
+partition spec — layout, literal push-through pruning, superset
+correctness under spec evolution, guards, and connector posture."""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_glue_redshift_guide_spark.sources.snapshots import (
+    SnapshotTable,
+    parse_spec_entry,
+    spec_source_columns,
+)
+
+
+def _frame(spark, n=80):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (
+            F.lit("2022-06-01").cast("timestamp_ntz")
+            + F.make_interval(
+                F.lit(0), F.lit(0), F.lit(0),
+                F.floor(F.col("id") / 10).cast("int"),
+            )
+        ).alias("ts"),
+        (F.col("id") % 5).alias("grp"),
+    )
+
+
+def _table(spark, spec):
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="hpart_"))
+    if spec:
+        t.set_partition_spec(spec)
+    return t
+
+
+def test_parse_spec_entries():
+    assert parse_spec_entry("ts") == {
+        "fn": "identity", "col": "ts", "n": None, "name": "ts"
+    }
+    assert parse_spec_entry("day(ts)")["name"] == "day_ts"
+    assert parse_spec_entry("bucket(k, 16)") == {
+        "fn": "bucket", "col": "k", "n": 16, "name": "bucket_k_16"
+    }
+    assert spec_source_columns(["day(ts)", "bucket(k, 4)", "grp"]) == [
+        "ts", "k", "grp"
+    ]
+    with pytest.raises(ValueError, match="positive integer"):
+        parse_spec_entry("trunc(k)")
+    with pytest.raises(ValueError, match="takes no arg"):
+        parse_spec_entry("day(ts, 3)")
+
+
+def test_day_layout_and_prune(spark):
+    t = _table(spark, ["day(ts)"])
+    t.commit_append(_frame(spark))
+    files = [r["path"] for r in t.files().collect()]
+    assert all("__part_day_ts=" in p for p in files)
+    lit = dt.datetime(2022, 6, 3)
+    pruned = t.partition_pruned_files({"ts": lit})
+    assert 0 < len(pruned) < len(files)
+    got = t.read_partition({"ts": lit}).filter(F.col("ts") == lit)
+    want = t.read().filter(F.col("ts") == F.lit(lit))
+    assert got.count() == want.count() > 0
+
+
+def test_bucket_prune_hash_parity(spark):
+    t = _table(spark, ["bucket(k, 4)"])
+    t.commit_append(_frame(spark))
+    n_files = t.file_count()
+    for probe in (0, 17, 63):
+        pruned = t.partition_pruned_files({"k": probe})
+        assert 0 < len(pruned) < n_files
+        got = (
+            t.read_partition({"k": probe})
+            .filter(F.col("k") == probe)
+            .count()
+        )
+        assert got == 1  # every k exists exactly once
+
+
+def test_trunc_prune(spark):
+    t = _table(spark, ["trunc(k, 20)"])
+    t.commit_append(_frame(spark))
+    assert t.file_count() == 4  # 80 ids / width 20
+    pruned = t.partition_pruned_files({"k": 45})
+    assert len(pruned) == 1
+    assert "__part_trunc_k_20=40" in pruned[0]
+
+
+def test_type_validation(spark):
+    t = _table(spark, None)
+    t.commit_append(_frame(spark))
+    with pytest.raises(ValueError, match="unsupported for transform"):
+        t.set_partition_spec(["day(k)"])  # day over bigint
+    with pytest.raises(ValueError, match="unsupported for transform"):
+        t.set_partition_spec(["trunc(ts, 5)"])  # trunc over timestamp
+    with pytest.raises(KeyError):
+        t.set_partition_spec(["day(nope)"])
+
+
+def test_rename_guard_covers_transform_source(spark):
+    t = _table(spark, ["day(ts)"])
+    t.commit_append(_frame(spark))
+    with pytest.raises(ValueError, match="partition-spec"):
+        t.rename_column("ts", "event_ts")
+
+
+def test_spec_evolution_keeps_old_files_conservatively(spark):
+    t = _table(spark, ["day(ts)"])
+    t.commit_append(_frame(spark, 40))
+    t.set_partition_spec(["month(ts)"])
+    t.commit_append(_frame(spark, 40))
+    lit = dt.datetime(2022, 6, 2)
+    pruned = t.partition_pruned_files({"ts": lit})
+    # old day-layout files prune by day; month-layout files all match
+    # June, so they are kept — and no row is ever lost
+    got = t.read_partition({"ts": lit}).filter(F.col("ts") == lit)
+    want = t.read().filter(F.col("ts") == F.lit(lit))
+    assert got.count() == want.count() > 0
+    assert len(pruned) < t.file_count()
+
+
+def test_connector_write_refused_reads_fine(spark):
+    from s3_glue_redshift_guide_spark.sources.pyds import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    t = _table(spark, ["day(ts)"])
+    t.commit_append(_frame(spark, 30))
+    back = (
+        spark.read.format("pysnapshot").option("root", t.root).load()
+    )
+    assert back.count() == 30  # transformed layout reads fine
+    with pytest.raises(Exception, match="identity specs only"):
+        (
+            _frame(spark, 5)
+            .write.format("pysnapshot")
+            .option("root", t.root)
+            .mode("append")
+            .save()
+        )
+
+
+def test_clone_carries_transform_spec(spark):
+    t = _table(spark, ["bucket(k, 4)"])
+    t.commit_append(_frame(spark, 20))
+    c = t.clone_shallow(tempfile.mkdtemp(prefix="hpart_clone_"))
+    c.commit_append(_frame(spark, 20))
+    newest = sorted(
+        (r["path"] for r in c.files().collect()),
+        key=lambda p: "bucket_k_4" not in p,
+    )[0]
+    assert "__part_bucket_k_4=" in newest

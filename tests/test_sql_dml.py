@@ -301,3 +301,32 @@ def test_sql_create_tag_as_of_version(spark):
 def test_sql_unrecognized_raises(spark):
     with pytest.raises(ValueError, match="unrecognized"):
         snapshot_sql(spark, "TRUNCATE TABLE pysnapshot.`/nope`")
+
+
+def test_sql_vacuum_dry_run_touches_nothing(spark):
+    import os
+
+    t = SnapshotTable(spark, _tmp("vdry"))
+    t.commit_append(_kv(spark, 10))           # v1
+    t.commit_rewrite(_kv(spark, 10, start=50))  # v2: v1's files orphan
+    would = snapshot_sql(
+        spark,
+        f"VACUUM pysnapshot.`{t.root}` RETAIN 1 VERSIONS DRY RUN",
+    )
+    assert would  # v1's files are reclaimable
+    assert all(os.path.exists(p) for p in would)  # nothing deleted
+    assert t.read(1).count() == 10  # log untouched
+    real = snapshot_sql(
+        spark, f"VACUUM pysnapshot.`{t.root}` RETAIN 1 VERSIONS"
+    )
+    assert sorted(real) == sorted(would)  # dry run predicted the sweep
+    assert not any(os.path.exists(p) for p in real)
+
+
+def test_sql_show_partitions(spark):
+    t = SnapshotTable(spark, _tmp("showp"))
+    t.set_partition_spec(["k"])
+    t.commit_append(_kv(spark, 6), stats_cols=["v"])
+    p = snapshot_sql(spark, f"SHOW PARTITIONS pysnapshot.`{t.root}`")
+    assert p.count() == 6  # one partition per distinct k
+    assert p.agg(F.sum("banked_rows")).collect()[0][0] == 6
