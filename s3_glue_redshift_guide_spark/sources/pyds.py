@@ -62,6 +62,7 @@ from .snapshots import (
     NULLS_SUFFIX,
     CommitConflict,
     _bloom_might_contain,
+    entry_from_path_key,
     _footer_stats_one,
     _footer_num_rows,
     _json_scalar_value,
@@ -424,6 +425,7 @@ class SnapshotManifestReader(DataSourceReader):
         # domain, compared against each file's __part_ segments at
         # planning time — an O(files) string walk, zero file opens
         self.part_eq: dict[str, list] = {}  # col -> encoded literals
+        self.part_raw: dict[str, list] = {}  # col -> raw literals
 
     # ------------------------------------------------- filter pushdown
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -489,6 +491,9 @@ class SnapshotManifestReader(DataSourceReader):
             enc = encode_partition_value(value)
             if enc is not None:
                 self.part_eq.setdefault(col, []).append(enc)
+            # raw form kept for TRANSFORM layouts (day/month/trunc
+            # push the literal through the transform in pure Python)
+            self.part_raw.setdefault(col, []).append(value)
 
     def _narrow(self, col: str | None, lo, hi) -> None:
         """Tighten the pruning bounds for ``col``. Filter literals arrive
@@ -570,6 +575,28 @@ class SnapshotManifestReader(DataSourceReader):
                     if alias in pv and any(
                         pv[alias] != v for v in literals
                     ):
+                        return False
+        # TRANSFORM layouts (hidden partitioning): reverse-map each
+        # path key (day_ts -> day(ts)) and push the raw equality
+        # literal through the transform in PURE PYTHON — there is no
+        # JVM on this side of the planner. day/month/trunc have exact
+        # Python twins; bucket needs Spark's Murmur3, so bucket
+        # segments stay conservative here (the engine-side
+        # partition_pruned_files covers them).
+        if self.part_raw:
+            known = set(self.aliases)
+            for k, enc in pv.items():
+                e = entry_from_path_key(k, known)
+                if e["fn"] not in ("day", "month", "trunc"):
+                    continue
+                raws = self.part_raw.get(e["col"])
+                if not raws:
+                    continue
+                for raw in raws:
+                    t = _py_transform(e, raw)
+                    if t is None:
+                        continue  # undecidable literal: conservative
+                    if enc != encode_partition_value(t):
                         return False
         return True
 
@@ -1999,3 +2026,38 @@ def register_snapshot_source(spark) -> None:
     connector fails on a vanilla session."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SnapshotDataSource)
+
+
+def _py_transform(entry: dict, val):
+    """Pure-Python twin of ``spec_transform_expr`` for the transforms
+    whose semantics don't need the JVM: day/month formatting of
+    date/datetime literals and integer width truncation (Python's
+    floor division matches Spark's floor(col/n)*n for negatives).
+    Returns None when the literal can't be decided portably — the
+    caller keeps the file (pruning is an optimization, never a
+    correctness lever)."""
+    import datetime as _dt
+
+    if entry["fn"] in ("day", "month"):
+        v = val
+        if isinstance(v, str):
+            try:
+                v = _dt.datetime.fromisoformat(v)
+            except ValueError:
+                return None
+        if getattr(v, "tzinfo", None) is not None:
+            # naive-UTC domain, like encode_partition_value: the file
+            # segments were derived from ntz wall times
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return v.strftime(
+                "%Y-%m-%d" if entry["fn"] == "day" else "%Y-%m"
+            )
+        return None
+    if (
+        entry["fn"] == "trunc"
+        and isinstance(val, int)
+        and not isinstance(val, bool)
+    ):
+        return (val // entry["n"]) * entry["n"]
+    return None

@@ -54,10 +54,25 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 def _json_scalar_value(v):
     """Parquet-footer stat -> JSON-storable, order-preserving scalar:
     bytes decode (BYTE_ARRAY stats), datetimes/dates go ISO (ISO strings
-    compare lexicographically in timeline order)."""
+    compare lexicographically in timeline order).
+
+    TZ-AWARE datetimes normalize to NAIVE UTC before formatting: footer
+    stats of ntz-written files render naive ('...T00:00:00') while a
+    pushed filter literal can arrive tz-aware and would render with a
+    '+00:00' suffix — and in the string domain
+    '2022-06-02T00:00:00' < '2022-06-02T00:00:00+00:00' (prefix order),
+    so an equality literal on a file whose max EQUALS it read as
+    "max < lo" and wrongly pruned the row group — silent lost rows on
+    any timestamp-boundary predicate. One domain (naive UTC) on both
+    sides makes the lexicographic order the timeline order again."""
     if isinstance(v, bytes):
         return v.decode("utf-8", "replace")
     if hasattr(v, "isoformat"):
+        tz = getattr(v, "tzinfo", None)
+        if tz is not None:
+            import datetime as _dt
+
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat()
     return v
 
@@ -849,6 +864,16 @@ def encode_partition_value(val) -> str | None:
         return None
     if isinstance(val, bool):  # Spark renders true/false
         return "true" if val else "false"
+    if getattr(val, "tzinfo", None) is not None and hasattr(
+        val, "astimezone"
+    ):
+        # same normalization as _json_scalar_value: path segments are
+        # written from NAIVE (ntz) column values, so a tz-aware filter
+        # literal must render in the same naive-UTC domain or the
+        # string compare prunes a partition that matches (lost rows)
+        import datetime as _dt
+
+        val = val.astimezone(_dt.timezone.utc).replace(tzinfo=None)
     return str(val)
 
 
@@ -1931,6 +1956,7 @@ class SnapshotTable:
         when_matched_delete=None,
         insert_not_matched=True,
         when_not_matched_by_source_delete=None,
+        when_matched_update_condition=None,
     ) -> int:
         """Three-branch MERGE INTO as ONE merge-on-read commit (the
         Delta MERGE shape, executed with deletion vectors instead of
@@ -1939,9 +1965,13 @@ class SnapshotTable:
         * matched target rows hitting ``when_matched_delete`` (a boolean
           Column over target columns + ``__src_<col>`` source columns)
           are tombstoned;
-        * other matched rows — all of them when no condition is given —
-          take ``when_matched_update`` assignments ({target_col: Column
-          expression, same namespace}) as post-images;
+        * other matched rows — all of them, or only those satisfying
+          ``when_matched_update_condition`` (a boolean Column over the
+          same namespace — Delta's WHEN MATCHED AND <cond> THEN UPDATE)
+          — take ``when_matched_update`` assignments ({target_col:
+          Column expression, same namespace}) as post-images; a matched
+          row failing the condition is NOT touched (no tombstone, no
+          rewrite, no CDF rows — not a no-op update);
         * matched rows hitting neither clause stay untouched (no
           tombstone, no rewrite — Delta's semantics);
         * unmatched source rows insert when ``insert_not_matched`` is
@@ -2092,10 +2122,22 @@ class SnapshotTable:
             if when_matched_delete is not None
             else F.lit(False)
         )
+        if (
+            when_matched_update_condition is not None
+            and when_matched_update is None
+        ):
+            raise ValueError(
+                "when_matched_update_condition requires "
+                "when_matched_update assignments"
+            )
         upd_cond = (
-            F.lit(True)
-            if when_matched_update is not None
-            else F.lit(False)
+            F.lit(False)
+            if when_matched_update is None
+            else (
+                when_matched_update_condition.eqNullSafe(F.lit(True))
+                if when_matched_update_condition is not None
+                else F.lit(True)
+            )
         )
         touched = joined.filter(del_cond | upd_cond)
         tomb = touched.select("__dv_file", "__dv_pos")

@@ -173,14 +173,11 @@ def _merge(spark: SparkSession, m: re.Match, clock) -> int:
                 col if col is not None else F.lit(True)
             )
             matched_any = True
-        else:  # UPDATE SET
+        else:  # UPDATE SET, optionally conditional (Delta's
+            # WHEN MATCHED AND <cond> THEN UPDATE: rows failing the
+            # condition stay untouched — no tombstone, no CDF pair)
             if col is not None:
-                raise ValueError(
-                    "WHEN MATCHED AND <cond> THEN UPDATE is not "
-                    "supported — merge_mor's update branch takes all "
-                    "matched rows not claimed by DELETE; encode the "
-                    "condition in the SET expressions (CASE WHEN)"
-                )
+                kw["when_matched_update_condition"] = col
             set_clause = re.sub(
                 r"^UPDATE\s+SET\s+", "", act, flags=re.I
             )
@@ -223,7 +220,8 @@ _RESTORE = re.compile(
     re.I,
 )
 _VACUUM = re.compile(
-    rf"^\s*VACUUM\s+{_TBL}\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS"
+    rf"^\s*VACUUM\s+{_TBL}\s+RETAIN\s+(?P<n>\d+)\s+"
+    r"(?P<unit>VERSIONS|HOURS)"
     r"(?P<dry>\s+DRY\s+RUN)?\s*$",
     re.I,
 )
@@ -241,12 +239,18 @@ _DROP_CONSTRAINT = re.compile(
 )
 _COPY_INTO = re.compile(
     rf"^\s*COPY\s+INTO\s+{_TBL}\s+FROM\s+(?P<srcs>'[^']+'(?:\s*,\s*'[^']+')*)"
+    r"(?:\s+PATTERN\s*=?\s*'(?P<pat>[^']+)')?"
     r"(?:\s+FILEFORMAT\s*=\s*(?P<fmt>\w+))?\s*$",
     re.I | re.S,
 )
 _CREATE_TAG = re.compile(
     rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+CREATE\s+TAG\s+(?P<name>\w+)"
     r"(?:\s+AS\s+OF\s+VERSION\s+(?P<v>\d+))?\s*$",
+    re.I,
+)
+_ANALYZE = re.compile(
+    rf"^\s*ANALYZE\s+TABLE\s+{_TBL}\s+COMPUTE\s+STATISTICS\s+"
+    r"FOR\s+COLUMNS\s+(?P<cols>\w+(?:\s*,\s*\w+)*)\s*$",
     re.I,
 )
 _SHOW_PARTS = re.compile(
@@ -346,9 +350,17 @@ def snapshot_sql(spark: SparkSession, sql: str, clock=None):
         ).restore(int(m.group("v")))
     m = _VACUUM.match(sql)
     if m:
-        return SnapshotTable(
-            spark, m.group("root"), clock=clock
-        ).vacuum(
+        t = SnapshotTable(spark, m.group("root"), clock=clock)
+        if m.group("unit").upper() == "HOURS":
+            # Delta's RETAIN n HOURS: time-based retention (banked
+            # commit timestamps); the version floor stays at 1 so the
+            # time axis alone decides what survives
+            return t.vacuum(
+                retain_versions=1,
+                retain_seconds=int(m.group("n")) * 3600,
+                dry_run=bool(m.group("dry")),
+            )
+        return t.vacuum(
             retain_versions=int(m.group("n")),
             dry_run=bool(m.group("dry")),
         )
@@ -373,6 +385,22 @@ def snapshot_sql(spark: SparkSession, sql: str, clock=None):
             s.strip().strip("'")
             for s in _split_top(m.group("srcs"))
         ]
+        if m.group("pat"):
+            # COPY INTO ... PATTERN: each source is a directory; the
+            # glob expands DRIVER-SIDE at statement time so the
+            # idempotence ledger keys on concrete file paths (a
+            # re-run after new landings ingests only the new files)
+            import glob as _glob
+            import os as _os
+
+            srcs = sorted(
+                p
+                for d in srcs
+                for p in _glob.glob(
+                    _os.path.join(d, "**", m.group("pat")),
+                    recursive=True,
+                )
+            )
         return SnapshotTable(
             spark, m.group("root"), clock=clock
         ).copy_into(srcs, fmt=(m.group("fmt") or "parquet").lower())
@@ -382,6 +410,12 @@ def snapshot_sql(spark: SparkSession, sql: str, clock=None):
         return SnapshotTable(
             spark, m.group("root"), clock=clock
         ).create_tag(m.group("name"), int(v) if v else None)
+    m = _ANALYZE.match(sql)
+    if m:
+        cols = [c.strip() for c in m.group("cols").split(",")]
+        return SnapshotTable(
+            spark, m.group("root"), clock=clock
+        ).analyze_columns(cols)
     m = _SHOW_PARTS.match(sql)
     if m:
         return SnapshotTable(

@@ -417,3 +417,167 @@ def test_connector_identity_table_still_refused(spark):
         spark.range(5).select(F.col("id").alias("k")).write.format(
             "pysnapshot"
         ).option("root", t.root).mode("append").save()
+
+
+# ------------------- conditional WHEN MATCHED ... THEN UPDATE (r7 s2) ----
+def test_merge_conditional_update_leaves_unmatched_rows_untouched(spark):
+    import tempfile
+
+    from s3_glue_redshift_guide_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="condupd_"))
+    t.commit_append(
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    src = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("bump")
+    )
+    v = t.merge_mor(
+        src,
+        on=["k"],
+        when_matched_update={"v": F.col("v") + F.col("__src_bump")},
+        when_matched_update_condition=F.col("k") % 3 == 0,
+        insert_not_matched=False,
+    )
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {k: k * 10 + (1 if k % 3 == 0 else 0) for k in range(10)}
+    # rows failing the condition produced NO change-feed pair
+    ch = t.read_changes(v - 1, v)
+    changed_keys = {r["k"] for r in ch.collect()}
+    assert changed_keys == {0, 3, 6, 9}
+
+
+def test_merge_conditional_update_requires_assignments(spark):
+    import tempfile
+
+    from s3_glue_redshift_guide_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="condupd2_"))
+    t.commit_append(spark.range(3).select(F.col("id").alias("k")))
+    with pytest.raises(ValueError, match="requires"):
+        t.merge_mor(
+            spark.range(3).select(F.col("id").alias("k")),
+            on=["k"],
+            when_matched_update_condition=F.col("k") > 0,
+            insert_not_matched=False,
+        )
+
+
+def test_sql_merge_conditional_update(spark):
+    import tempfile
+
+    from s3_glue_redshift_guide_spark.sql_dml import snapshot_sql
+    from s3_glue_redshift_guide_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="condupd3_"))
+    t.commit_append(
+        spark.range(6).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    spark.range(6).select(
+        F.col("id").alias("k"), F.lit(100).cast("long").alias("nv")
+    ).createOrReplaceTempView("cond_src")
+    snapshot_sql(
+        spark,
+        f"MERGE INTO pysnapshot.`{t.root}` t USING cond_src s "
+        "ON t.k = s.k "
+        "WHEN MATCHED AND t.v >= 30 THEN UPDATE SET v = s.nv",
+    )
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 3: 100, 4: 100, 5: 100}
+
+
+# -------- tz-aware literal vs naive footer stats: silent lost rows -------
+def test_json_scalar_value_normalizes_tz_aware_to_naive_utc():
+    import datetime as dt
+
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        _json_scalar_value,
+    )
+
+    naive = dt.datetime(2022, 6, 2)
+    aware = dt.datetime(2022, 6, 2, tzinfo=dt.timezone.utc)
+    shifted = dt.datetime(
+        2022, 6, 2, 2, tzinfo=dt.timezone(dt.timedelta(hours=2))
+    )
+    assert _json_scalar_value(naive) == "2022-06-02T00:00:00"
+    assert _json_scalar_value(aware) == "2022-06-02T00:00:00"
+    assert _json_scalar_value(shifted) == "2022-06-02T00:00:00"
+
+
+def test_connector_timestamp_boundary_filter_loses_no_rows(spark):
+    """Regression: a pushed timestamp equality whose literal arrived
+    TZ-AWARE rendered as '...+00:00' in the bounds domain while naive
+    footer stats rendered without the suffix — string-wise
+    'T00:00:00' < 'T00:00:00+00:00', so every row group whose MAX
+    equaled the literal read as max < lo and was silently pruned
+    (lost rows, worse with more/smaller files)."""
+    import datetime as dt
+    import tempfile
+
+    from s3_glue_redshift_guide_spark.sources.pyds import (
+        register_snapshot_source,
+    )
+    from s3_glue_redshift_guide_spark.sources.snapshots import SnapshotTable
+
+    register_snapshot_source(spark)
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="tzbound_"))
+    df = spark.range(30).select(
+        F.col("id").alias("k"),
+        (
+            F.lit("2022-06-01").cast("timestamp_ntz")
+            + F.make_interval(
+                F.lit(0), F.lit(0), F.lit(0),
+                F.floor(F.col("id") / 10).cast("int"),
+            )
+        ).alias("ts"),
+    )
+    t.commit_append(df.repartition(10))  # many small files: max == lit
+    back = (
+        spark.read.format("pysnapshot").option("root", t.root).load()
+    )
+    eq = back.filter(F.col("ts") == F.lit(dt.datetime(2022, 6, 2)))
+    assert sorted(r["k"] for r in eq.collect()) == list(range(10, 20))
+    rng = back.filter(
+        (F.col("ts") >= F.lit(dt.datetime(2022, 6, 2)))
+        & (F.col("ts") < F.lit(dt.datetime(2022, 6, 3)))
+    )
+    assert rng.count() == 10
+
+
+def test_identity_timestamp_partition_tz_aware_literal(spark):
+    """The path-domain twin of the zone-map tz fix: an identity
+    timestamp partition probed with a tz-aware literal must hit the
+    naive path segment, both engine-side and through the connector."""
+    import datetime as dt
+    import tempfile
+
+    from s3_glue_redshift_guide_spark.sources.pyds import (
+        register_snapshot_source,
+    )
+    from s3_glue_redshift_guide_spark.sources.snapshots import SnapshotTable
+
+    register_snapshot_source(spark)
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="tzpart_"))
+    t.set_partition_spec(["ts"])
+    df = spark.range(30).select(
+        F.col("id").alias("k"),
+        (
+            F.lit("2022-06-01").cast("timestamp_ntz")
+            + F.make_interval(
+                F.lit(0), F.lit(0), F.lit(0),
+                F.floor(F.col("id") / 10).cast("int"),
+            )
+        ).alias("ts"),
+    )
+    t.commit_append(df)
+    aware = dt.datetime(2022, 6, 2, tzinfo=dt.timezone.utc)
+    pruned = t.partition_pruned_files({"ts": aware})
+    assert len(pruned) == 1  # one partition file per distinct day
+    back = (
+        spark.read.format("pysnapshot").option("root", t.root).load()
+    )
+    assert back.filter(F.col("ts") == F.lit(aware)).count() == 10

@@ -330,3 +330,55 @@ def test_sql_show_partitions(spark):
     p = snapshot_sql(spark, f"SHOW PARTITIONS pysnapshot.`{t.root}`")
     assert p.count() == 6  # one partition per distinct k
     assert p.agg(F.sum("banked_rows")).collect()[0][0] == 6
+
+
+def test_sql_analyze_computes_ndv_stats(spark):
+    t = SnapshotTable(spark, _tmp("analyze"))
+    t.commit_append(_kv(spark, 40))
+    snapshot_sql(
+        spark,
+        f"ANALYZE TABLE pysnapshot.`{t.root}` COMPUTE STATISTICS "
+        "FOR COLUMNS k, v",
+    )
+    est = t.table_ndv("k")
+    assert est is not None and abs(est - 40) / 40 < 0.05
+
+
+def test_sql_vacuum_retain_hours(spark):
+    clock = [1_000_000.0]
+    t = SnapshotTable(spark, _tmp("vhours"), clock=lambda: clock[0])
+    t.commit_append(_kv(spark, 5))           # v1 @ t0
+    clock[0] += 7200
+    t.commit_rewrite(_kv(spark, 5, start=50))  # v2 @ t0+2h
+    from s3_glue_redshift_guide_spark.sql_dml import snapshot_sql as ss
+
+    # 1h window: v1 (2h old) falls out, v2 survives
+    deleted = ss(
+        spark,
+        f"VACUUM pysnapshot.`{t.root}` RETAIN 1 HOURS",
+        clock=lambda: clock[0],
+    )
+    assert deleted
+    assert t.read().count() == 5
+
+
+def test_sql_copy_into_pattern_expands_and_stays_idempotent(
+    spark, tmp_path
+):
+    land = str(tmp_path / "landing")
+    _kv(spark, 8).coalesce(2).write.parquet(land)
+    t = SnapshotTable(spark, _tmp("copypat"))
+    stmt = (
+        f"COPY INTO pysnapshot.`{t.root}` FROM '{land}' "
+        "PATTERN '*.parquet' FILEFORMAT = parquet"
+    )
+    first = snapshot_sql(spark, stmt)
+    assert first["n_ingested"] >= 2
+    assert t.read().count() == 8
+    again = snapshot_sql(spark, stmt)
+    assert again["n_ingested"] == 0
+    # a NEW landing file: only the delta ingests
+    _kv(spark, 4, start=100).coalesce(1).write.mode("append").parquet(land)
+    third = snapshot_sql(spark, stmt)
+    assert third["n_ingested"] == 1
+    assert t.read().count() == 12
