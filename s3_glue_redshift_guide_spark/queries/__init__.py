@@ -85,7 +85,7 @@ _PRIORITY = [
     # -- (d) overflow: next in line for round 8 (positions 50+) ------------
     "q4_priority_census", "q7_volume_shipping", "q14_promo_effect",
     "q17_small_qty_revenue", "q18_large_volume_customers",
-    "q19_discounted_revenue",
+    "q19_discounted_revenue", "sink_connector_transform_write",
 ]
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
 _ordered.update({n: q for n, q in REGISTRY.items() if n not in _ordered})

@@ -1016,3 +1016,95 @@ def sink_connector_spec_write(spark, sf_dir):
         "spec_carried int, rows_f bigint, key_sum_f bigint, "
         "head_rows bigint",
     )
+
+
+@query(
+    "sink_connector_transform_write",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM events) AS BIGINT) AS total_rows,
+           CAST((SELECT count(*) FROM events
+                 WHERE ts >= TIMESTAMP '2024-01-05'
+                   AND ts <  TIMESTAMP '2024-01-06') AS BIGINT)
+             AS rows_day,
+           CAST((SELECT count(*) FROM events WHERE user_id = 42)
+                 AS BIGINT) AS rows_user,
+           1 AS all_files_compliant, 1 AS hash_parity
+    """,
+)
+def sink_connector_transform_write(spark, sf_dir):
+    """Connector writes onto a TRANSFORM-spec'd table (S61's write
+    side): ``df.write.format('pysnapshot')`` onto a
+    day(ts) + bucket(user_id, 8) table derives partition values in the
+    Arrow task through pure-Python twins — an EXACT Murmur3_x86_32
+    replica for bucket (parity-tested against F.hash), naive-UTC
+    strftime for day — and lands the same ``__part_day_ts=`` /
+    ``__part_bucket_user_id_8=`` segments the engine writes, so
+    engine-side pruning and the connector's own planning prune
+    connector-written files identically. Facts prove: every landed
+    file is spec-compliant, a day probe and a bucket probe both
+    shrink the file set without losing rows, and the bucket segment
+    of every surviving file equals Spark's own pmod(hash(lit), 8)."""
+    import datetime as _dt
+    import tempfile as _tf
+
+    from ..sources.pyds import register_snapshot_source
+    from ..sources.snapshots import SnapshotTable
+
+    register_snapshot_source(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    t = SnapshotTable(spark, _tf.mkdtemp(prefix="spark_ctw_"))
+    t.set_partition_spec(["day(ts)", "bucket(user_id, 8)"])
+    (
+        ev.repartition(8, "user_id")
+        .write.format("pysnapshot")
+        .option("root", t.root)
+        .mode("append")
+        .save()
+    )
+    total_rows = t.read().count()
+    files = [r["path"] for r in t.files().collect()]
+    compliant = int(
+        bool(files)
+        and all(
+            "__part_day_ts=" in p and "__part_bucket_user_id_8=" in p
+            for p in files
+        )
+    )
+    day = _dt.datetime(2024, 1, 5)
+    day_files = t.partition_pruned_files({"ts": day})
+    rows_day = (
+        t.read_partition({"ts": day})
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-05").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-06").cast("timestamp_ntz"))
+        )
+        .count()
+    )
+    user_files = t.partition_pruned_files({"user_id": 42})
+    rows_user = (
+        t.read_partition({"user_id": 42})
+        .filter(F.col("user_id") == 42)
+        .count()
+    )
+    bucket = (
+        spark.range(1)
+        .select(
+            F.pmod(F.hash(F.lit(42).cast("bigint")), F.lit(8))
+        )
+        .collect()[0][0]
+    )
+    hash_parity = int(
+        0 < len(user_files) < len(files)
+        and 0 < len(day_files) < len(files)
+        and all(
+            f"__part_bucket_user_id_8={bucket}" in p
+            for p in user_files
+        )
+    )
+    return spark.createDataFrame(
+        [(total_rows, rows_day, rows_user, compliant, hash_parity)],
+        "total_rows long, rows_day long, rows_user long, "
+        "all_files_compliant int, hash_parity int",
+    )

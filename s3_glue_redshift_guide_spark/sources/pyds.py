@@ -580,20 +580,22 @@ class SnapshotManifestReader(DataSourceReader):
         # path key (day_ts -> day(ts)) and push the raw equality
         # literal through the transform in PURE PYTHON — there is no
         # JVM on this side of the planner. day/month/trunc have exact
-        # Python twins; bucket needs Spark's Murmur3, so bucket
-        # segments stay conservative here (the engine-side
-        # partition_pruned_files covers them).
+        # Python twins; bucket uses the Murmur3 twin (parity-tested
+        # against F.hash) and needs the column's declared width —
+        # unknown dtype degrades to a conservative keep.
         if self.part_raw:
             known = set(self.aliases)
             for k, enc in pv.items():
                 e = entry_from_path_key(k, known)
-                if e["fn"] not in ("day", "month", "trunc"):
+                if e["fn"] == "identity":
                     continue
                 raws = self.part_raw.get(e["col"])
                 if not raws:
                     continue
                 for raw in raws:
-                    t = _py_transform(e, raw)
+                    t = _py_transform(
+                        e, raw, self.types.get(e["col"])
+                    )
                     if t is None:
                         continue  # undecidable literal: conservative
                     if enc != encode_partition_value(t):
@@ -1228,21 +1230,11 @@ class SnapshotDataWriter(DataSourceArrowWriter):
         self.partition_spec: list[str] = list(
             base_m.get("partition_spec") or []
         )
-        if any("(" in e for e in self.partition_spec):
-            # TRANSFORM specs (day/month/trunc/bucket) derive their
-            # partition values through Spark/JVM expressions (Murmur3
-            # hash, session-zone date formatting); recomputing them in
-            # the Arrow task would be a SECOND implementation that can
-            # silently disagree with the engine's — refuse, like
-            # identity columns (write through SnapshotTable instead)
-            raise ValueError(
-                f"table has a TRANSFORM partition spec "
-                f"{self.partition_spec}; connector writes support "
-                "identity specs only"
-            )
         if self.partition_spec and self.field_names:
+            from .snapshots import spec_source_columns
+
             missing = [
-                c for c in self.partition_spec
+                c for c in spec_source_columns(self.partition_spec)
                 if c not in self.field_names
             ]
             if missing:
@@ -1336,21 +1328,53 @@ class SnapshotDataWriter(DataSourceArrowWriter):
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        from .snapshots import encode_partition_value
+        from .snapshots import encode_partition_value, parse_spec_entry
 
+        entries = [parse_spec_entry(e) for e in self.partition_spec]
         idxs = []
-        for c in self.partition_spec:
-            i = batch.schema.get_field_index(c)
+        for e in entries:
+            i = batch.schema.get_field_index(e["col"])
             if i < 0:
                 raise ValueError(
                     f"partition spec {self.partition_spec} column "
-                    f"{c!r} missing from the write batch"
+                    f"{e['col']!r} missing from the write batch"
                 )
             idxs.append(i)
         codes = None
         dicts = []
-        for i in idxs:
+        for e, i in zip(entries, idxs):
+            # TRANSFORM entries derive the partition value from the
+            # source column: dictionary-encode the source once, push
+            # each DISTINCT value through the pure-Python transform
+            # twin (exact Murmur3 for bucket, naive-UTC strftime for
+            # day/month, floor-division trunc), and rebuild the
+            # derived column from the same indices — Python cost is
+            # per distinct value, never per row, and the derived
+            # domain matches `spec_transform_expr`'s by parity tests
             d = pc.dictionary_encode(batch.column(i))
+            if e["fn"] != "identity":
+                src_t = batch.schema.field(i).type
+                derived = []
+                for v in d.dictionary:
+                    pv = v.as_py()
+                    t = (
+                        None
+                        if pv is None
+                        else _py_transform(e, pv, src_t)
+                    )
+                    if pv is not None and t is None:
+                        raise ValueError(
+                            f"cannot derive {self.partition_spec} "
+                            f"value from {pv!r} ({src_t}) in the "
+                            "Arrow task — write via "
+                            "SnapshotTable.commit_append"
+                        )
+                    derived.append(t)
+                # null indices stay null: a NULL source value derives
+                # a NULL partition value (its own composite code)
+                d = pc.dictionary_encode(
+                    pa.array(derived).take(d.indices)
+                )
             k = len(d.dictionary)
             ind = pc.fill_null(d.indices.cast(pa.int64()), k)
             codes = (
@@ -1368,7 +1392,8 @@ class SnapshotDataWriter(DataSourceArrowWriter):
                 )
             parts.reverse()
             segs = []
-            for c, v in zip(self.partition_spec, parts):
+            for e, v in zip(entries, parts):
+                c = e["name"]
                 enc = encode_partition_value(v)
                 segs.append(
                     f"__part_{c}=" + (
@@ -2028,14 +2053,16 @@ def register_snapshot_source(spark) -> None:
     spark.dataSource.register(SnapshotDataSource)
 
 
-def _py_transform(entry: dict, val):
-    """Pure-Python twin of ``spec_transform_expr`` for the transforms
-    whose semantics don't need the JVM: day/month formatting of
-    date/datetime literals and integer width truncation (Python's
-    floor division matches Spark's floor(col/n)*n for negatives).
-    Returns None when the literal can't be decided portably — the
-    caller keeps the file (pruning is an optimization, never a
-    correctness lever)."""
+def _py_transform(entry: dict, val, pa_type=None):
+    """Pure-Python twin of ``spec_transform_expr``: day/month
+    formatting of date/datetime literals, integer width truncation
+    (Python's floor division matches Spark's floor(col/n)*n for
+    negatives), and bucket via the exact Murmur3 twin — which needs
+    the COLUMN's declared width (``pa_type``): Spark hashes an int32
+    as one 4-byte round but an int64 as two, so a bucket probe
+    without the dtype stays conservative. Returns None when the
+    literal can't be decided portably — the caller keeps the file
+    (pruning is an optimization, never a correctness lever)."""
     import datetime as _dt
 
     if entry["fn"] in ("day", "month"):
@@ -2060,4 +2087,122 @@ def _py_transform(entry: dict, val):
         and not isinstance(val, bool)
     ):
         return (val // entry["n"]) * entry["n"]
+    if entry["fn"] == "bucket":
+        h = _bucket_hash(val, pa_type)
+        if h is None:
+            return None
+        n = entry["n"]
+        return ((h % n) + n) % n  # Spark pmod: non-negative
     return None
+
+
+def _bucket_hash(val, pa_type) -> int | None:
+    """Murmur3 of a value under its COLUMN type's hash layout."""
+    import pyarrow as pa
+
+    if isinstance(val, str):
+        return spark_murmur3(val)
+    if isinstance(val, bool) or not isinstance(val, int):
+        return None
+    if pa_type is None:
+        return None
+    if pa.types.is_int64(pa_type):
+        return spark_murmur3_long(val)
+    if (
+        pa.types.is_int32(pa_type)
+        or pa.types.is_int16(pa_type)
+        or pa.types.is_int8(pa_type)
+    ):
+        h1 = _mix_h1(42, _mix_k1(val & _M32))
+        return _to_signed32(_fmix(h1, 4))
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python twin of Spark's Murmur3_x86_32 (seed 42) for the types the
+# bucket() partition transform admits — so the connector side (no JVM)
+# can compute the same bucket a Spark `pmod(hash(col), N)` write derived.
+# Parity is asserted against F.hash over randomized ints/longs/strings in
+# tests/test_partition_transforms.py; any drift there is a test failure,
+# never a silent misprune (pruning callers treat None as "keep").
+# ---------------------------------------------------------------------------
+_M32 = 0xFFFFFFFF
+
+
+def _mix_k1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & _M32
+    k1 = ((k1 << 15) | (k1 >> 17)) & _M32
+    return (k1 * 0x1B873593) & _M32
+
+
+def _mix_h1(h1: int, k1: int) -> int:
+    h1 ^= k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & _M32
+    return (h1 * 5 + 0xE6546B64) & _M32
+
+
+def _fmix(h1: int, length: int) -> int:
+    h1 ^= length
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    h1 ^= h1 >> 16
+    return h1
+
+
+def _to_signed32(v: int) -> int:
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+def spark_murmur3(value, seed: int = 42) -> int | None:
+    """``F.hash(col)`` for int/bigint/string values (Spark's
+    Murmur3_x86_32): ints hash as one 4-byte round, longs as two
+    little-endian 32-bit halves, strings as UTF-8 with Spark's
+    byte-at-a-time SIGNED tail mixing (a deliberate quirk of
+    ``hashUnsafeBytes`` — reference murmur3 digests the tail as one
+    block). Returns None for unsupported types — callers degrade to
+    conservative behavior."""
+    h1 = seed & _M32
+    if isinstance(value, bool) or value is None:
+        return None
+    if isinstance(value, int):
+        if -(1 << 31) <= value < (1 << 31):
+            # IntegerType: one round over the 32-bit word... but the
+            # bucket gate admits int AND bigint columns; the CALLER
+            # passes the column's declared width via int vs this
+            # branch being reached only for true 32-bit columns.
+            h1 = _mix_h1(h1, _mix_k1(value & _M32))
+            return _to_signed32(_fmix(h1, 4))
+        value &= (1 << 64) - 1
+        h1 = _mix_h1(h1, _mix_k1(value & _M32))
+        h1 = _mix_h1(h1, _mix_k1((value >> 32) & _M32))
+        return _to_signed32(_fmix(h1, 8))
+    if isinstance(value, str):
+        data = value.encode("utf-8")
+        n = len(data)
+        for i in range(0, n - n % 4, 4):
+            block = int.from_bytes(data[i: i + 4], "little")
+            h1 = _mix_h1(h1, _mix_k1(block))
+        for i in range(n - n % 4, n):
+            b = data[i]
+            if b >= 128:
+                b -= 256  # Spark reads SIGNED bytes for the tail
+            h1 = _mix_h1(h1, _mix_k1(b & _M32))
+        return _to_signed32(_fmix(h1, n))
+    return None
+
+
+def spark_murmur3_long(value: int, seed: int = 42) -> int | None:
+    """``F.hash`` over a BIGINT column: always the two-half long
+    layout, regardless of the value's magnitude (a small value in a
+    long column still hashes 8 bytes)."""
+    if value is None or isinstance(value, bool) or not isinstance(
+        value, int
+    ):
+        return None
+    v = value & ((1 << 64) - 1)
+    h1 = seed & _M32
+    h1 = _mix_h1(h1, _mix_k1(v & _M32))
+    h1 = _mix_h1(h1, _mix_k1((v >> 32) & _M32))
+    return _to_signed32(_fmix(h1, 8))

@@ -125,26 +125,56 @@ def test_spec_evolution_keeps_old_files_conservatively(spark):
     assert len(pruned) < t.file_count()
 
 
-def test_connector_write_refused_reads_fine(spark):
+def test_connector_write_lands_transform_layout(spark):
+    """Connector writes onto TRANSFORM-spec'd tables derive the same
+    partition values the engine would (Murmur3 twin for bucket,
+    naive-UTC strftime for day) — the engine's pruning and the
+    connector's own planning prune connector-written files alike."""
     from s3_glue_redshift_guide_spark.sources.pyds import (
         register_snapshot_source,
     )
 
     register_snapshot_source(spark)
-    t = _table(spark, ["day(ts)"])
+    t = _table(spark, ["day(ts)", "bucket(k, 4)"])
     t.commit_append(_frame(spark, 30))
     back = (
         spark.read.format("pysnapshot").option("root", t.root).load()
     )
     assert back.count() == 30  # transformed layout reads fine
-    with pytest.raises(Exception, match="identity specs only"):
-        (
-            _frame(spark, 5)
-            .write.format("pysnapshot")
-            .option("root", t.root)
-            .mode("append")
-            .save()
-        )
+    (
+        _frame(spark, 30)
+        .withColumn("k", F.col("k") + 100)
+        .write.format("pysnapshot")
+        .option("root", t.root)
+        .mode("append")
+        .save()
+    )
+    assert t.read().count() == 60
+    newest = [
+        r["path"]
+        for r in t.files().collect()
+        if "__part_day_ts=" in r["path"]
+        and "__part_bucket_k_4=" in r["path"]
+    ]
+    assert len(newest) == t.file_count()  # every file spec-compliant
+    # engine-side pruning agrees with the connector-derived layout:
+    # probing a connector-written key keeps exactly the files whose
+    # bucket segment matches the Spark-side hash of that key
+    probe = 105  # written only by the connector
+    pruned = t.partition_pruned_files({"k": probe})
+    assert 0 < len(pruned) < t.file_count()
+    got = (
+        t.read_partition({"k": probe})
+        .filter(F.col("k") == probe)
+        .count()
+    )
+    assert got == 1
+    # spark-side hash parity: the bucket Spark computes for the probe
+    # appears verbatim in every surviving file's path
+    bucket = spark.range(1).select(
+        F.pmod(F.hash(F.lit(probe).cast("bigint")), F.lit(4))
+    ).collect()[0][0]
+    assert all(f"__part_bucket_k_4={bucket}" in p for p in pruned)
 
 
 def test_clone_carries_transform_spec(spark):
@@ -217,12 +247,21 @@ def test_connector_planning_prunes_day_and_trunc(spark):
     r3.pushFilters([EqualTo(("k",), 45)])
     parts = r3.partitions()
     assert len(parts) == 1
-    # bucket stays conservative (no Murmur3 on the Python-only side)
+    # bucket prunes when the reader knows the column width (the
+    # real engine path passes types); an untyped hand reader stays
+    # conservative
+    import pyarrow as pa
+
     t3 = _table(spark, ["bucket(k, 4)"])
     t3.commit_append(_frame(spark, 80))
     r4 = SnapshotManifestReader({"root": t3.root})
     r4.pushFilters([EqualTo(("k",), 45)])
-    assert len(r4.partitions()) == t3.file_count()
+    assert len(r4.partitions()) == t3.file_count()  # no dtype: keep
+    r5 = SnapshotManifestReader(
+        {"root": t3.root}, types={"k": pa.int64()}
+    )
+    r5.pushFilters([EqualTo(("k",), 45)])
+    assert 0 < len(r5.partitions()) < t3.file_count()
     # and correctness through the full read path with a filter
     from s3_glue_redshift_guide_spark.sources.pyds import (
         register_snapshot_source,
@@ -237,3 +276,36 @@ def test_connector_planning_prunes_day_and_trunc(spark):
         .count()
     )
     assert got == 10
+
+
+def test_murmur3_twin_matches_spark_hash(spark):
+    """The pure-Python Murmur3 twin must match F.hash bit-for-bit for
+    every type the bucket transform admits — a drift here would make
+    the connector derive different buckets than the engine."""
+    import random
+
+    from s3_glue_redshift_guide_spark.sources.pyds import (
+        spark_murmur3,
+        spark_murmur3_long,
+    )
+
+    random.seed(11)
+    longs = [0, 1, -1, 2**33, -(2**33), 2**62, -(2**62)] + [
+        random.randint(-(2**63), 2**63 - 1) for _ in range(40)
+    ]
+    df = spark.createDataFrame([(v,) for v in longs], "v long")
+    for r in df.select("v", F.hash("v").alias("h")).collect():
+        assert spark_murmur3_long(r["v"]) == r["h"]
+    ints = [0, 1, -1, 2**31 - 1, -(2**31)] + [
+        random.randint(-(2**31), 2**31 - 1) for _ in range(40)
+    ]
+    df = spark.createDataFrame([(v,) for v in ints], "v int")
+    for r in df.select("v", F.hash("v").alias("h")).collect():
+        assert spark_murmur3(int(r["v"])) == r["h"]
+    strs = ["", "a", "ab", "abc", "abcd", "naïve", "日本語", "x" * 37] + [
+        "".join(chr(random.randint(32, 900)) for _ in range(random.randint(0, 12)))
+        for _ in range(30)
+    ]
+    df = spark.createDataFrame([(v,) for v in strs], "v string")
+    for r in df.select("v", F.hash("v").alias("h")).collect():
+        assert spark_murmur3(r["v"]) == r["h"]
