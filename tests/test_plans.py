@@ -390,3 +390,35 @@ def test_merge_mor_join_is_equi_not_cartesian(spark):
     rows = {r["k"]: r["v"] for r in t.read().collect()}
     assert all(rows[k] == 0 for k in range(100, 600))
     assert all(rows[k] == 2 * k for k in range(100))
+
+
+def test_q18_topk_is_take_ordered_and_fact_side_having(spark):
+    # the quantity rollup + HAVING runs on lineitem BEFORE the
+    # dimension joins, and the top-100 never global-sorts
+    plan = _plan(_q(spark, "q18_large_volume_customers"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_is_semi_join(spark):
+    # EXISTS decorrelates to ONE left-semi join riding the equi key —
+    # never a per-row subquery or a nested loop over the fact table
+    plan = _plan(_q(spark, "q4_priority_census"))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_take_ordered_and_posting_list_restriction(spark):
+    # top-10 plans as TakeOrderedAndProject; the query-term filter
+    # reaches the scan side (posting lists, never the vocabulary)
+    plan = _plan(_q(spark, "llm_bm25_topk"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_downsample_is_two_aggregates_one_window(spark):
+    # bucket stats + join-back + one window argmax — no self-join
+    # explosion, no global sort
+    plan = _plan(_q(spark, "ts_downsample_maxdev"))
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+    assert "Sort [dev" not in plan.replace("dev#", "dev")
