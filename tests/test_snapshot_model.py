@@ -50,6 +50,15 @@ def test_random_interleaving_matches_model(spark, tmp_path, seed):
     defcol = seed % 3 == 0
     if defcol:
         t.add_column_default("src", "'w'")
+    # a third of the seeds run the ENTIRE walk with a HIDDEN
+    # PARTITIONING transform spec in force: every write path lands a
+    # bucket(k, 4) layout, and every step cross-checks a partition-
+    # pruned point read against the model — pruning through arbitrary
+    # interleavings of DV deletes, MOR updates, renames, optimizes,
+    # restores, branches and vacuums must never lose a row
+    transform_spec = seed % 3 == 1
+    if transform_spec:
+        t.set_partition_spec(["bucket(k, 4)"])
 
     def append():
         nonlocal next_key
@@ -272,6 +281,21 @@ def test_random_interleaving_matches_model(spark, tmp_path, seed):
             ], f"seed={seed} step={step}: bloom lookup lost a row"
             assert (
                 t.read_where_eq("k", next_key + 1_000_000).count() == 0
+            )
+        if transform_spec and model:
+            # transform-pruned point read == model (superset contract:
+            # pruning may keep extra files, the residual filter decides)
+            k_in = rng.choice(sorted(model))
+            got_p = {
+                r["k"]: r[col]
+                for r in t.read_partition({"k": k_in})
+                .filter(F.col("k") == k_in)
+                .select("k", col)
+                .collect()
+            }
+            assert got_p == {k_in: model[k_in]}, (
+                f"seed={seed} step={step}: transform-pruned read "
+                "lost or corrupted the probe row"
             )
         if tags:
             # a random live tag still reads EXACTLY its tagged snapshot
