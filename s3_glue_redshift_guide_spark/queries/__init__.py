@@ -39,53 +39,50 @@ for _m in _MODULES:
 
 # Registry iteration order is the order the grading driver checks queries
 # in; the driver verifies exactly the FIRST 50 entries per round. Round
-# 7's window (VERDICT r6 directive #2: the rotation debt comes FIRST):
-# (a) all THIRTY-SIX queries whose newest driver evidence is still
-# round 2 — four rounds of engine churn since their last hard-signal
-# check; (b) the FIVE round-7 session-1 rows (manifest-log
-# checkpointing, connector writes onto partition-spec'd tables, the two
-# warehouse-SQL DML dispatcher rows, and src_cdf_update_images
-# re-listed because its oracle now unions the streamed pre/post image
-# feed); (c) the NINE round-7 session-2 engine rows (hidden
-# partitioning, join-MV, SQL DDL verbs, partitions(), full-outer
-# stream join, BM25, EWMA, downsampling, polymorphic UDTF), filling
-# the window to exactly 50. (d) The six session-2 TPC-H completions
-# queue IMMEDIATELY AFTER the window (positions 50-55) — first in line
-# for round 8; their engine paths (joins/aggs) are continuously
-# exercised by the verified headline queries, so they carry the least
-# rotation risk of the unverified set. The r3-era source rows rotate
-# back out (verified r3 — the r2 debt outranks them).
+# 8's window (VERDICT r7 directive #1): (a) the SEVEN rows that
+# registered after the r7 window froze and have never been
+# driver-sampled — the A10 TPC-H completions plus the connector
+# transform-layout write; (b) FORTY-THREE of the 49 queries whose
+# newest driver evidence is round 3 — four rounds of engine churn
+# since their last hard signal — filling the window to exactly 50.
+# (c) NEW round-8 feature rows queue immediately after the window
+# (positions 50+, first in line for round 9 — the contiguity
+# invariant tests/test_registry_window.py enforces); (d) behind
+# them, the six deferred r3-evidence rows: five are re-measured by
+# bench.py at two SFs EVERY round (q1_pricing_summary,
+# llm_jaccard_pairs, llm_minhash_pairs, llm_topk_similarity,
+# llm_text_stats) and the sixth (plan_audit_facts) is re-executed
+# by the pytest plan-audit sweep each session, so they carry the
+# least rotation risk of the cohort.
 _PRIORITY = [
-    # -- (a) round-2-stale regression re-checks (36) -----------------------
-    "q16_supplier_part_cnt", "q20_excess_shippers",
-    "q22_dormant_customers",
-    "udf_python_row", "udf_pandas_scalar", "udf_grouped_agg",
-    "udf_grouped_map",
-    "agg_approx_distinct", "agg_approx_quantiles", "agg_collect_set",
-    "agg_freq_items", "agg_linear_fit", "agg_median_mode",
-    "fn_array", "fn_regexp", "fn_variant", "fn_map_construct",
-    "sk_bitmap_distinct", "sk_hll_union_distinct",
-    "skew_salted_join", "skew_two_phase_agg",
-    "graph_pagerank", "graph_triangles",
-    "cur_repetition_metrics", "cur_duplicated_spans",
-    "cur_chunk_windows",
-    "ev_dedup_first", "ev_enrich_static", "ev_session_window",
-    "join_range_left_rowlevel",
-    "llm_global_shuffle", "llm_token_counts", "llm_train_val_split",
-    "sink_scd1_merge", "stats_table_sizing", "win_distinct_count",
-    # -- (b) round 7 session 1 ---------------------------------------------
-    "src_log_checkpoint", "sink_connector_spec_write",
-    "sql_snapshot_merge_dml", "sql_snapshot_maintenance_dml",
-    "src_cdf_update_images",
-    # -- (c) round 7 session 2: engine rows (fill to 50) --------------------
-    "src_partition_transforms", "rollup_mv_join_feed",
-    "sql_snapshot_ddl_dml", "src_partitions_table",
-    "ev_stream_full_outer_join", "llm_bm25_topk",
-    "ts_ewma", "ts_downsample_maxdev", "udf_udtf_analyze",
-    # -- (d) overflow: next in line for round 8 (positions 50+) ------------
+    # -- (a) never driver-sampled round-7 additions (7) --------------------
     "q4_priority_census", "q7_volume_shipping", "q14_promo_effect",
     "q17_small_qty_revenue", "q18_large_volume_customers",
     "q19_discounted_revenue", "sink_connector_transform_write",
+    # -- (b) round-3-stale regression re-checks (43) -----------------------
+    "llm_exact_dedup", "llm_simhash_pairs", "llm_dedup_components",
+    "llm_contamination", "llm_tfidf_top_terms", "llm_quality_scores",
+    "llm_lang_id", "llm_quality_filter", "llm_stratified_sample",
+    "llm_lsh_topk", "llm_ivf_topk", "llm_embedding_near_dup",
+    "llm_semantic_dedup", "llm_multimodal_features",
+    "llm_sequence_packing", "llm_pii_scrub", "llm_mixture_weights",
+    "llm_doc_sample_per_source", "llm_embed_centroids",
+    "udf_udtf_sentences", "agg_histogram",
+    "dq_profile", "dq_constraints",
+    "ts_gap_fill", "ts_resample_ohlc", "ts_funnel",
+    "ts_retention_cohort", "ts_zscore_anomaly", "ts_rolling_1h",
+    "sink_bucketed_readback",
+    "src_csv_roundtrip", "src_schema_inference",
+    "src_partition_discovery", "src_schema_evolution",
+    "src_incremental_bookmark", "sink_staged_copy",
+    "src_orc_roundtrip", "src_text_source", "sink_compaction_facts",
+    "ev_stream_interval_join", "ev_stream_stateful_sessions",
+    "rollup_incremental_facts", "etl_workflow_e2e",
+    # -- (c) new round-8 rows: next in line for round 9 (positions 50+) ----
+    "src_partition_range_pruning", "sql_create_table_dml",
+    # -- (d) deferred r3 rows with continuous indirect evidence ------------
+    "q1_pricing_summary", "llm_jaccard_pairs", "llm_minhash_pairs",
+    "llm_topk_similarity", "llm_text_stats", "plan_audit_facts",
 ]
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
 _ordered.update({n: q for n, q in REGISTRY.items() if n not in _ordered})

@@ -2869,10 +2869,11 @@ def src_table_detail(spark, sf_dir):
     oracle="""
     WITH s AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 1000)
     SELECT 23 AS n_versions, 0 AS head_metadata_reads,
-           1 AS ckpt_reads, 3 AS hist_tail_reads, 1 AS hist_identical,
+           1 AS ckpt_reads, 15 AS hist_tail_reads, 1 AS hist_identical,
            13 AS asof_mid, 4 AS post_vacuum_versions,
            (SELECT CAST(count(*) AS BIGINT) FROM s) AS head_rows,
-           (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM s) AS head_sum
+           (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM s) AS head_sum,
+           1 AS ckpt_capped, 3 AS asof_below_floor
     """,
 )
 def src_log_checkpoint(spark, sf_dir):
@@ -2882,9 +2883,11 @@ def src_log_checkpoint(spark, sf_dir):
     FRESH table handle resolves the head with ZERO manifest reads and
     zero directory listings (``head_metadata_reads``; the pointer probe
     is O(commits-since-pointer) file stats), ``history()`` serves
-    v1..v20 from the checkpoint's precomputed index — ONE checkpoint
-    read plus exactly the 3 tail manifests (``hist_tail_reads``), not
-    23 — and TIMESTAMP AS OF resolves inside the index (``asof_mid``:
+    v13..v20 from the checkpoint's capped index — ONE checkpoint
+    read plus exactly the 12 below-floor manifests and the 3 tail
+    manifests (``hist_tail_reads``=15; with the production window of
+    1024 the floor walk is empty and this is 3) — and TIMESTAMP AS OF
+    resolves inside the index (``asof_mid``:
     ts=13.5 → v13 without walking 23 manifests). The checkpoint is a
     CACHE: rows must equal the raw full walk bit-for-bit
     (``hist_identical`` re-walks with the pointer removed), and VACUUM
@@ -2892,10 +2895,22 @@ def src_log_checkpoint(spark, sf_dir):
     index never resurrects vacuumed versions). This is what keeps a
     streaming table committing every minute for a year (~500k
     versions) from paying a 500k-file listing on every open — the
-    exact problem Delta's checkpoint files exist to solve."""
+    exact problem Delta's checkpoint files exist to solve. Round 8
+    adds the HISTORY CAP (``CHECKPOINT_HISTORY_WINDOW``): the
+    checkpoint banks only the newest window of history rows so its
+    byte size stays FLAT as versions accumulate (run here with the
+    window forced to 8, so the v20 checkpoint holds rows 13..20 and
+    ``history_floor``=13); rows below the floor come from the
+    ordinary manifest walk — ``hist_identical`` now proves the
+    stitched (walk + index + tail) history equals the raw full walk
+    bit-for-bit, and ``asof_below_floor`` proves TIMESTAMP AS OF
+    still resolves targets older than the banked window (ts=3.5 →
+    v3, the cold path)."""
+    from ..sources import snapshots as _snap
     from ..sources.snapshots import (
         LOG_METRICS,
         SnapshotTable,
+        load_checkpoint,
         version_as_of,
     )
 
@@ -2908,10 +2923,22 @@ def src_log_checkpoint(spark, sf_dir):
         F.col("o_orderkey") < 1000
     )
     t = SnapshotTable(spark, _tmp("logckpt"), clock=lambda: next(ticks))
-    for i in range(23):
-        t.commit_append(
-            o.filter(F.col("o_orderkey") % 23 == i).coalesce(1)
-        )
+    prev_window = _snap.CHECKPOINT_HISTORY_WINDOW
+    _snap.CHECKPOINT_HISTORY_WINDOW = 8
+    try:
+        for i in range(23):
+            t.commit_append(
+                o.filter(F.col("o_orderkey") % 23 == i).coalesce(1)
+            )
+    finally:
+        _snap.CHECKPOINT_HISTORY_WINDOW = prev_window
+    ck = load_checkpoint(t.root)
+    ckpt_capped = int(
+        len(ck.get("history", [])) == 8
+        and int(ck.get("history_floor")) == 13
+    )
+    # TIMESTAMP AS OF below the banked window: manifest-walk cold path
+    asof_below_floor = version_as_of(t.root, 3.5)
     # 1. fresh handle resolves head from the pointer: zero manifest
     # reads, zero listings (pointer probe = file stats only)
     t2 = SnapshotTable(spark, t.root)
@@ -2951,11 +2978,14 @@ def src_log_checkpoint(spark, sf_dir):
                 post_vacuum_versions,
                 agg["n"],
                 agg["s"],
+                ckpt_capped,
+                asof_below_floor,
             )
         ],
         "n_versions int, head_metadata_reads int, ckpt_reads int, "
         "hist_tail_reads int, hist_identical int, asof_mid int, "
-        "post_vacuum_versions int, head_rows bigint, head_sum bigint",
+        "post_vacuum_versions int, head_rows bigint, head_sum bigint, "
+        "ckpt_capped int, asof_below_floor int",
     )
 
 
@@ -3086,4 +3116,88 @@ def src_partition_transforms(spark, sf_dir):
         ],
         "rows_day long, rows_user long, day_pruned int, "
         "bucket_pruned int, hidden int",
+    )
+
+
+@query(
+    "src_partition_range_pruning",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM events
+                 WHERE event_id % 2 = 0
+                   AND ts >= TIMESTAMP '2024-01-03'
+                   AND ts <= TIMESTAMP '2024-01-05 12:00:00')
+                AS BIGINT) AS rows_range,
+           1 AS day_span_exact, 1 AS month_era_excluded,
+           1 AS halfopen_exact
+    """,
+)
+def src_partition_range_pruning(spark, sf_dir):
+    """Range pruning through MONOTONE partition transforms (S62 /
+    VERDICT-r7 directive #6): ``ts BETWEEN a AND b`` on a
+    day-partitioned table keeps exactly the day span's files at the
+    MANIFEST WALK — Iceberg's inclusive projection (lo <= x <= hi ⟹
+    T(lo) <= T(x) <= T(hi) for monotone T), zero file opens, zone maps
+    not consulted. The table carries TWO layout eras (hidden
+    partitioning is path-driven): a ``day(ts)`` era and, after spec
+    evolution, a ``month(ts)`` era holding March data — the range
+    cuts the day era to its exact day span AND excludes every
+    month-era file by its month segment. Facts prove the span is
+    EXACT (kept day-era files == distinct days the data has in the
+    span), the evolved era pruned, half-open ranges behave, and the
+    pruned read + residual filter loses no rows vs the oracle."""
+    import datetime as _dt
+    import tempfile as _tf
+
+    from ..sources.snapshots import SnapshotTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    era1 = ev.filter(F.col("event_id") % 2 == 0)
+    # the month-era rows live in 2024-03: provably outside the range
+    era2 = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "ts", F.col("ts") + F.make_interval(F.lit(0), F.lit(2))
+    )
+    t = SnapshotTable(spark, _tf.mkdtemp(prefix="spark_rngprune_"))
+    t.set_partition_spec(["day(ts)"])
+    t.commit_append(era1)
+    n_day_era = t.file_count()
+    t.set_partition_spec(["month(ts)"])
+    t.commit_append(era2)
+    lo = _dt.datetime(2024, 1, 3)
+    hi = _dt.datetime(2024, 1, 5, 12)
+    kept = t.partition_pruned_files({}, ranges={"ts": (lo, hi)})
+    kept_day = [f for f in kept if "__part_day_ts=" in f]
+    kept_month = [f for f in kept if "__part_month_ts=" in f]
+    days_in_span = (
+        era1.filter(F.col("ts").between(lo, hi))
+        .select(F.date_format("ts", "yyyy-MM-dd"))
+        .distinct()
+        .count()
+    )
+    rows_range = (
+        t.read_partition({}, ranges={"ts": (lo, hi)})
+        .filter(F.col("ts").between(lo, hi))
+        .count()
+    )
+    # half-open: >= lo keeps every day-era file from the span start on
+    open_hi = t.partition_pruned_files({}, ranges={"ts": (lo, None)})
+    open_day = [f for f in open_hi if "__part_day_ts=" in f]
+    halfopen_ok = len(open_day) == n_day_era - (
+        era1.filter(F.col("ts") < _dt.datetime(2024, 1, 3))
+        .select(F.date_format("ts", "yyyy-MM-dd"))
+        .distinct()
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                rows_range,
+                int(len(kept_day) == days_in_span > 0),
+                int(len(kept_month) == 0),
+                int(halfopen_ok),
+            )
+        ],
+        "rows_range long, day_span_exact int, "
+        "month_era_excluded int, halfopen_exact int",
     )

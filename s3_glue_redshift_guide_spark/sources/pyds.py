@@ -62,7 +62,7 @@ from .snapshots import (
     NULLS_SUFFIX,
     CommitConflict,
     _bloom_might_contain,
-    entry_from_path_key,
+    resolve_path_key,
     _footer_stats_one,
     _footer_num_rows,
     _json_scalar_value,
@@ -426,6 +426,10 @@ class SnapshotManifestReader(DataSourceReader):
         # planning time — an O(files) string walk, zero file opens
         self.part_eq: dict[str, list] = {}  # col -> encoded literals
         self.part_raw: dict[str, list] = {}  # col -> raw literals
+        # banked path-key -> transform record; None on manifests that
+        # predate the record (resolve_path_key falls back to the name
+        # heuristic there)
+        self.transform_keys = m.get("transform_keys")
 
     # ------------------------------------------------- filter pushdown
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -540,13 +544,17 @@ class SnapshotManifestReader(DataSourceReader):
         )
         if self.null_req:
             keep = [f for f in keep if self._null_admits(f)]
-        if self.part_eq:
+        if self.part_eq or (self.bounds and self.transform_keys):
             # partition-spec pruning: a file whose __part_ path segment
             # banks a DIFFERENT value for a pushed equality provably
             # holds no matching row (identity partitioning — the
             # segment IS the column value for every row in the file);
             # segment-less files (pre-spec layout, connector writes)
-            # are kept conservatively. Runs before bloom probing: path
+            # are kept conservatively. Range bounds prune transform
+            # segments too (day/month/trunc are monotone — see
+            # _partition_admits); identity segments need no range path
+            # here because the raw column's zone maps already carry the
+            # same per-file interval. Runs before bloom probing: path
             # string checks are free, sidecar probes cost a read.
             keep = [f for f in keep if self._partition_admits(f)]
         if self.eq_probes:
@@ -583,16 +591,15 @@ class SnapshotManifestReader(DataSourceReader):
         # Python twins; bucket uses the Murmur3 twin (parity-tested
         # against F.hash) and needs the column's declared width —
         # unknown dtype degrades to a conservative keep.
-        if self.part_raw:
+        if self.part_raw or (self.bounds and self.transform_keys):
             known = set(self.aliases)
             for k, enc in pv.items():
-                e = entry_from_path_key(k, known)
+                e = resolve_path_key(
+                    k, {"transform_keys": self.transform_keys}, known
+                )
                 if e["fn"] == "identity":
                     continue
-                raws = self.part_raw.get(e["col"])
-                if not raws:
-                    continue
-                for raw in raws:
+                for raw in self.part_raw.get(e["col"]) or ():
                     t = _py_transform(
                         e, raw, self.types.get(e["col"])
                     )
@@ -600,6 +607,48 @@ class SnapshotManifestReader(DataSourceReader):
                         continue  # undecidable literal: conservative
                     if enc != encode_partition_value(t):
                         return False
+                # range bounds through MONOTONE transforms (day/month/
+                # trunc): lo <= x <= hi implies T(lo) <= T(x) <= T(hi),
+                # so a segment outside the transformed hull provably
+                # holds no matching row. bucket is a hash — never
+                # ranges. Bounds live in the JSON domain (ISO strings
+                # for temporals), exactly what _py_transform parses.
+                if e["fn"] == "bucket":
+                    continue
+                rb = self.bounds.get(e["col"])
+                if not rb:
+                    continue
+                lo, hi = rb
+                lo_t = (
+                    _py_transform(e, lo, self.types.get(e["col"]))
+                    if lo is not None else None
+                )
+                hi_t = (
+                    _py_transform(e, hi, self.types.get(e["col"]))
+                    if hi is not None else None
+                )
+                v: object = enc
+                if e["fn"] == "trunc":
+                    try:
+                        v = int(enc)
+                    except ValueError:
+                        continue  # undecidable segment: keep
+                else:
+                    lo_t = (
+                        encode_partition_value(lo_t)
+                        if lo_t is not None else None
+                    )
+                    hi_t = (
+                        encode_partition_value(hi_t)
+                        if hi_t is not None else None
+                    )
+                try:
+                    if lo_t is not None and v < lo_t:
+                        return False
+                    if hi_t is not None and v > hi_t:
+                        return False
+                except TypeError:
+                    continue  # incomparable domains: keep
         return True
 
     def _bloom_admits(self, f: str) -> bool:
@@ -1552,6 +1601,7 @@ class SnapshotDataWriter(DataSourceArrowWriter):
             base_bloom_cols: dict = {}
             base_blooms: dict = {}
             base_spec: list = []
+            base_tk = None
             base_track = False
             base_rids: dict = {}
             base_wm = 0
@@ -1568,6 +1618,7 @@ class SnapshotDataWriter(DataSourceArrowWriter):
                 base_bloom_cols = dict(m.get("bloom_cols") or {})
                 base_blooms = dict(m.get("blooms") or {})
                 base_spec = list(m.get("partition_spec") or [])
+                base_tk = m.get("transform_keys")
                 base_track = bool(m.get("row_tracking"))
                 base_rids = dict(m.get("row_ids") or {})
                 base_wm = int(m.get("row_id_watermark", 0))
@@ -1723,6 +1774,10 @@ class SnapshotDataWriter(DataSourceArrowWriter):
             # conflicted above; a dropped one stops carrying);
             if base_spec:
                 extra["partition_spec"] = base_spec
+            # the transform-key record carries verbatim (cumulative —
+            # pruning resolves path keys from it; see resolve_path_key)
+            if base_tk is not None:
+                extra["transform_keys"] = base_tk
             # ANALYZE sketches carry verbatim (this commit's new files
             # are simply uncovered until the next analyze run — the
             # estimate path refuses rather than undercounts);
@@ -2056,8 +2111,9 @@ def register_snapshot_source(spark) -> None:
 def _py_transform(entry: dict, val, pa_type=None):
     """Pure-Python twin of ``spec_transform_expr``: day/month
     formatting of date/datetime literals, integer width truncation
-    (Python's floor division matches Spark's floor(col/n)*n for
-    negatives), and bucket via the exact Murmur3 twin — which needs
+    (Python's floor division matches Spark's exact col - pmod(col, n)
+    for negatives AND past 2^53), and bucket via the exact Murmur3
+    twin — which needs
     the COLUMN's declared width (``pa_type``): Spark hashes an int32
     as one 4-byte round but an int64 as two, so a bucket probe
     without the dtype stays conservative. Returns None when the

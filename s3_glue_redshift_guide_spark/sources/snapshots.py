@@ -447,14 +447,28 @@ def _history_row(m: dict, v: int, prev_files: set) -> list:
     ]
 
 
+#: newest history rows a checkpoint banks — the cap that keeps the
+#: checkpoint byte size FLAT in the version dimension (a minutely-
+#: committing table reaches ~500k versions/year; an unbounded index
+#: would make every 10-commit checkpoint rewrite a multi-MB, ever-
+#: growing JSON). Rows below the banked ``history_floor`` stay
+#: available through the ordinary manifest walk — the cap trades one
+#: longer cold walk on deep-history queries for O(1) checkpoint
+#: writes, never correctness (checkpoints are caches).
+CHECKPOINT_HISTORY_WINDOW = 1024
+
+
 def write_checkpoint(root: str, version: int) -> None:
     """Consolidate the log through ``version``: extend the previous
     checkpoint's history index with the manifests committed since it
-    (O(interval) reads, amortized ~1 per commit) and bank ``version``'s
-    full manifest as the diff base for the next extension. Last-wins
-    replace — checkpoints are caches derived from the readable log, so
-    a racing writer's copy is equally valid. Failures are swallowed:
-    a missing checkpoint costs a longer walk, never correctness."""
+    (O(interval) reads, amortized ~1 per commit), trim the index to
+    the newest ``CHECKPOINT_HISTORY_WINDOW`` rows (``history_floor``
+    marks the oldest banked version — consumers walk manifests below
+    it), and bank ``version``'s full manifest as the diff base for the
+    next extension. Last-wins replace — checkpoints are caches derived
+    from the readable log, so a racing writer's copy is equally valid.
+    Failures are swallowed: a missing checkpoint costs a longer walk,
+    never correctness."""
     prev = load_checkpoint(root)
     if prev is not None and int(prev["version"]) >= version:
         return
@@ -477,10 +491,18 @@ def write_checkpoint(root: str, version: int) -> None:
             state = m
     if state is None:
         return  # head manifest unreadable: nothing to consolidate
+    if len(hist) > CHECKPOINT_HISTORY_WINDOW:
+        hist = hist[-CHECKPOINT_HISTORY_WINDOW:]
     tmp = _checkpoint_path(root, version) + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(
-            {"version": version, "state": state, "history": hist}, f
+            {
+                "version": version,
+                "state": state,
+                "history": hist,
+                "history_floor": int(hist[0][0]) if hist else None,
+            },
+            f,
         )
     os.replace(tmp, _checkpoint_path(root, version))
     _advance_pointer(root, version, checkpoint=version)
@@ -642,12 +664,14 @@ def version_as_of(root: str, ts: float) -> int:
     best = 0
     start = 1
     ck = load_checkpoint(root)
+    floor = 1
     if ck is not None:
         for row in ck.get("history", []):
             v, mts = int(row[0]), row[1]
             if mts is not None and mts <= ts:
                 best = max(best, v)
         start = int(ck["version"]) + 1
+        floor = int(ck.get("history_floor") or 1)
     for v in range(start, latest_version(root) + 1):
         try:
             m = load_manifest(root, v)
@@ -656,6 +680,19 @@ def version_as_of(root: str, ts: float) -> int:
         mts = m.get("ts")
         if mts is not None and mts <= ts:
             best = v
+    if best == 0 and floor > 1:
+        # target predates the checkpoint's capped history window:
+        # walk the retained manifests below the floor (cold path —
+        # the cap trades this for flat checkpoint writes)
+        for v in range(floor - 1, 0, -1):
+            try:
+                m = load_manifest(root, v)
+            except LogTruncated:
+                break
+            mts = m.get("ts")
+            if mts is not None and mts <= ts:
+                best = v
+                break
     if best == 0:
         raise ValueError(
             f"no snapshot committed at or before timestamp {ts!r} "
@@ -809,12 +846,16 @@ def spec_source_columns(spec: list[str]) -> list[str]:
 
 
 def entry_from_path_key(key: str, known_cols=()) -> dict:
-    """Reverse-map a ``__part_`` path key to its transform entry —
-    ``day_ts`` → day(ts), ``bucket_user_id_8`` → bucket(user_id, 8),
-    anything else → identity. Keys that literally name a CURRENT
-    column are identity regardless (a real column called ``day_ts``
-    must not be mistaken for a transform of ``ts``); the caller
-    passes the schema's column set for that guard."""
+    """HEURISTIC reverse-map of a ``__part_`` path key to a transform
+    entry — ``day_ts`` → day(ts), ``bucket_user_id_8`` →
+    bucket(user_id, 8), anything else → identity. Keys that literally
+    name a CURRENT column are identity regardless (a real column
+    called ``day_ts`` must not be mistaken for a transform of ``ts``);
+    the caller passes the schema's column set for that guard. Only the
+    legacy fallback inside ``resolve_path_key`` should call this:
+    manifests bank an authoritative ``transform_keys`` record at
+    spec-set time, immune to the renamed/dropped-column hazard the
+    name guard can't cover."""
     if key in known_cols:
         return {"fn": "identity", "col": key, "n": None, "name": key}
     for fn in ("day", "month"):
@@ -834,22 +875,56 @@ def entry_from_path_key(key: str, known_cols=()) -> dict:
     return {"fn": "identity", "col": key, "n": None, "name": key}
 
 
-def spec_transform_expr(entry: dict, col):
+def resolve_path_key(key: str, m: dict, known_cols=()) -> dict:
+    """Resolve a ``__part_`` path key to its transform entry from the
+    manifest's banked ``transform_keys`` record (written whenever a
+    spec with transforms is registered, carried through every commit).
+    A key with no record is IDENTITY: a transform this table never
+    declared cannot have written the segment, so the name heuristic
+    (``month_id`` → month(id)) can never wrongly prune an old-layout
+    file whose identity column was later renamed or dropped —
+    unresolvable keys degrade to a conservative keep, not a guess.
+    Manifests that predate the record fall back to the heuristic."""
+    tk = m.get("transform_keys")
+    if tk is None:
+        return entry_from_path_key(key, known_cols)
+    rec = tk.get(key)
+    if rec:
+        return {
+            "fn": rec["fn"], "col": rec["col"],
+            "n": rec.get("n"), "name": key,
+        }
+    return {"fn": "identity", "col": key, "n": None, "name": key}
+
+
+def spec_transform_expr(entry: dict, col, dtype: str | None = None):
     """The derived partition value as a Column expression over ``col``
     — shared verbatim between the write path and literal-side pruning
     so build and probe can never disagree. ``bucket`` uses Spark's
     Murmur3 ``hash`` (pmod N); ``trunc`` is Iceberg's width truncation
-    (floor to a multiple of N); ``day``/``month`` format in the path
-    domain directly."""
+    (floor to a multiple of N, EXACT integer math — ``floor(col/n)*n``
+    goes through a double and silently drifts past 2^53, diverging
+    from the connector's integer floor division); ``day``/``month``
+    format in the path domain directly. ``dtype`` is the source
+    column's Spark type string: a tz-aware ``timestamp`` renders in
+    the SESSION zone under plain date_format, while the connector's
+    pure-Python twin and ``encode_partition_value`` normalize to naive
+    UTC — so tz-aware columns are pinned to UTC here explicitly and
+    parity never depends on ``spark.sql.session.timeZone``.
+    (timestamp_ntz/date are wall-clock values; no conversion.)"""
     if entry["fn"] == "identity":
         return col
-    if entry["fn"] == "day":
-        return F.date_format(col, "yyyy-MM-dd")
-    if entry["fn"] == "month":
-        return F.date_format(col, "yyyy-MM")
+    if entry["fn"] in ("day", "month"):
+        fmt = "yyyy-MM-dd" if entry["fn"] == "day" else "yyyy-MM"
+        if dtype == "timestamp":  # tz-aware; "timestamp_ntz" is not
+            # instant -> UTC wall clock, session-zone-independent:
+            # date_format renders in the session zone, so shift the
+            # instant by the session offset first
+            col = F.to_utc_timestamp(col, F.expr("current_timezone()"))
+        return F.date_format(col, fmt)
     if entry["fn"] == "trunc":
         n = entry["n"]
-        return (F.floor(col / n) * n).cast("long")
+        return (col - F.pmod(col, F.lit(n))).cast("long")
     if entry["fn"] == "bucket":
         return F.pmod(F.hash(col), F.lit(entry["n"]))
     raise ValueError(f"unknown transform {entry['fn']!r}")
@@ -976,9 +1051,10 @@ class SnapshotTable:
             # derived keys puts each partition value in one task, so
             # the write lands ONE file per live partition tuple instead
             # of tasks x values shards.
+            dts = dict(df.dtypes)
             pcols = {
                 f"__part_{e['name']}": spec_transform_expr(
-                    e, F.col(e["col"])
+                    e, F.col(e["col"]), dts.get(e["col"])
                 )
                 for e in entries
             }
@@ -1072,6 +1148,8 @@ class SnapshotTable:
         txn_update: dict | None = None,
         op: str | None = None,
         partition_spec=_UNSET,
+        transform_keys=_UNSET,
+        properties=_UNSET,
         row_tracking=_UNSET,
         row_ids_seed: dict | None = None,
         ndv=_UNSET,
@@ -1188,6 +1266,19 @@ class SnapshotTable:
             partition_spec = base.get("partition_spec")
         if partition_spec:
             extra["partition_spec"] = list(partition_spec)
+        # the cumulative transform-key record (path key -> {fn,col,n})
+        # carries like the spec itself — pruning resolves path keys
+        # from it (resolve_path_key) instead of reverse-guessing names
+        if transform_keys is _UNSET:
+            transform_keys = base.get("transform_keys")
+        if transform_keys is not None:
+            extra["transform_keys"] = transform_keys
+        # table properties (SET TBLPROPERTIES): operational metadata,
+        # carried verbatim like constraints
+        if properties is _UNSET:
+            properties = base.get("properties")
+        if properties:
+            extra["properties"] = properties
         # ANALYZE sketches: registered cols + sidecar pointers carry
         # like constraints (sidecar rows for vanished files are simply
         # ignored at estimate time; coverage re-checks per read)
@@ -1716,6 +1807,13 @@ class SnapshotTable:
                     return self._apply_schema_map(
                         rdr.parquet(*prior).limit(0), m["schema"]
                     )
+            rs = self._reader_schema(m)
+            if rs:
+                # a CREATEd-but-never-written table: the declared
+                # (banked) schema IS the read schema — typed empty frame
+                return self._apply_schema_map(
+                    self.spark.createDataFrame([], rs), m["schema"]
+                )
             raise ValueError(
                 f"snapshot version {v} is empty and no prior version "
                 "carries a schema"
@@ -3064,6 +3162,40 @@ class SnapshotTable:
             return []
         return load_manifest(self.root, cur).get("partition_spec") or []
 
+    def _check_spec_types(
+        self, entries: list[dict], dts: dict, raw: list[str]
+    ) -> None:
+        """Validate partition-spec entries against column types —
+        shared by ``set_partition_spec`` (types from the head read)
+        and ``create_table`` (types from the declared schema)."""
+        for e in entries:
+            c = e["col"]
+            if c not in dts:
+                raise KeyError(f"no column named {c!r}")
+            dt = dts[c]
+            if e["fn"] == "identity":
+                if dt not in self._PARTITIONABLE:
+                    raise ValueError(
+                        f"partition column {c!r} has type {dt}; "
+                        f"only {self._PARTITIONABLE} round-trip "
+                        "through path encoding"
+                    )
+                continue
+            if e["fn"] in ("day", "month"):
+                ok = dt.startswith("timestamp") or dt == "date"
+            elif e["fn"] == "trunc":
+                ok = dt in ("tinyint", "smallint", "int", "bigint")
+            else:  # bucket: anything Murmur3 hashes determinis.
+                ok = dt in (
+                    "tinyint", "smallint", "int", "bigint", "string"
+                )
+            if not ok:
+                raise ValueError(
+                    f"partition entry {raw[entries.index(e)]!r}: "
+                    f"column {c!r} has type {dt}, unsupported for "
+                    f"transform {e['fn']!r}"
+                )
+
     def set_partition_spec(self, cols: list[str]) -> int:
         """Register (or change — PARTITION EVOLUTION, Iceberg's shape) a
         table-level identity partition spec: every subsequent write
@@ -3087,47 +3219,150 @@ class SnapshotTable:
         )
         entries = [parse_spec_entry(e) for e in cols]  # validates syntax
         if cols and m["files"]:
-            head = self.read()
-            dts = dict(head.dtypes)
-            for e in entries:
-                c = e["col"]
-                if c not in head.columns:
-                    raise KeyError(f"no column named {c!r}")
-                dt = dts[c]
-                if e["fn"] == "identity":
-                    if dt not in self._PARTITIONABLE:
-                        raise ValueError(
-                            f"partition column {c!r} has type {dt}; "
-                            f"only {self._PARTITIONABLE} round-trip "
-                            "through path encoding"
-                        )
-                    continue
-                if e["fn"] in ("day", "month"):
-                    ok = dt.startswith("timestamp") or dt == "date"
-                elif e["fn"] == "trunc":
-                    ok = dt in ("tinyint", "smallint", "int", "bigint")
-                else:  # bucket: anything Murmur3 hashes determinis.
-                    ok = dt in (
-                        "tinyint", "smallint", "int", "bigint", "string"
-                    )
-                if not ok:
-                    raise ValueError(
-                        f"partition entry {cols[entries.index(e)]!r}: "
-                        f"column {c!r} has type {dt}, unsupported for "
-                        f"transform {e['fn']!r}"
-                    )
+            self._check_spec_types(
+                entries, dict(self.read().dtypes), cols
+            )
+        # bank every transform key this table has EVER declared
+        # (cumulative across spec evolutions): pruning resolves path
+        # keys from this record, so evolved-away layouts keep pruning
+        # and a renamed column whose name LOOKS like a transform can
+        # never be mis-resolved (resolve_path_key)
+        tk = dict(m.get("transform_keys") or {})
+        for e in entries:
+            if e["fn"] != "identity":
+                tk[e["name"]] = {
+                    "fn": e["fn"], "col": e["col"], "n": e["n"]
+                }
         if cur == 0:
             # empty table: bank the spec as the first (file-less) commit
             return publish_version(
                 self.root, [], 0, {},
                 extra={"partition_spec": list(cols),
+                       "transform_keys": tk,
                        "op": "SET PARTITION SPEC"},
                 ts=self.clock() if self.clock else None,
             )
         return self._publish(
             m["files"], cur, m["stats"],
-            partition_spec=list(cols), op="SET PARTITION SPEC",
+            partition_spec=list(cols), transform_keys=tk,
+            op="SET PARTITION SPEC",
         )
+
+    # ------------------------------------------------- DDL surface ----
+    def create_table(
+        self,
+        schema_ddl: str,
+        partition_by: list[str] | None = None,
+        properties: dict | None = None,
+    ) -> int:
+        """CREATE TABLE: bank a DECLARED schema (DDL string), an
+        optional partition spec (identity or transform entries,
+        type-checked against the declared schema — something
+        ``set_partition_spec`` can't do on an empty table), and table
+        properties as version 1 — a file-less metadata commit, the
+        warehouse verb a user runs FIRST. Reads before the first
+        insert return a typed empty frame; writes type-merge against
+        the declared schema (an int batch into a declared bigint
+        column upcasts at scan, a conflicting family raises);
+        ``'schema.enforcement'='strict'`` in properties arms strict
+        mode from birth."""
+        from pyspark.sql.types import StructType
+
+        if self.current_version() != 0:
+            raise ValueError(
+                f"table {self.root!r} already exists (version "
+                f"{self.current_version()})"
+            )
+        fields = StructType.fromDDL(schema_ddl).fields
+        if not fields:
+            raise ValueError("CREATE TABLE needs at least one column")
+        types = {f.name: f.dataType.simpleString() for f in fields}
+        props = dict(properties or {})
+        ev = props.get("schema.enforcement")
+        if ev is not None and ev not in ("additive", "strict"):
+            raise ValueError(
+                f"schema.enforcement {ev!r}: use 'additive' or 'strict'"
+            )
+        extra: dict = {"types": types, "op": "CREATE TABLE"}
+        if partition_by:
+            entries = [parse_spec_entry(e) for e in partition_by]
+            self._check_spec_types(entries, types, list(partition_by))
+            extra["partition_spec"] = list(partition_by)
+            extra["transform_keys"] = {
+                e["name"]: {"fn": e["fn"], "col": e["col"], "n": e["n"]}
+                for e in entries
+                if e["fn"] != "identity"
+            }
+        if props:
+            extra["properties"] = props
+        if ev:
+            extra["evolution"] = ev
+        return publish_version(
+            self.root, [], 0, {}, extra=extra,
+            ts=self.clock() if self.clock else None,
+        )
+
+    def add_column(self, name: str, dtype: str) -> int:
+        """ALTER TABLE ADD COLUMN — metadata-only: the column joins the
+        banked reader schema (old files surface it as typed NULLs at
+        scan, exactly additive evolution's read posture) and registers
+        in the field-id map when one exists, so a later rename tracks
+        it. Rejects existing names and (via the field-id map's
+        tombstone rule) the resurrection of dropped ones."""
+        from pyspark.sql.types import StructType
+
+        StructType.fromDDL(f"`{name}` {dtype}")  # validates the type
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError("no table at this root (create it first)")
+        m = load_manifest(self.root, cur)
+        types = dict(m.get("types") or {})
+        if not types:
+            if not m["files"]:
+                raise ValueError(
+                    "empty table with no declared schema — use "
+                    "create_table to declare one"
+                )
+            types = dict(self.read().dtypes)
+        live = set(types)
+        for ent in m.get("schema") or []:
+            if not ent.get("dropped"):
+                live.add(ent["name"])
+        if name in live:
+            raise ValueError(f"column {name!r} already exists")
+        sm = extend_schema_map(
+            m.get("schema"), [*types, name]
+        )  # raises on tombstoned-name reuse
+        types[name] = dtype
+        return self._publish(
+            m["files"], cur, m["stats"],
+            types=types, schema_map=sm, op="ADD COLUMN",
+        )
+
+    def set_tblproperties(self, props: dict) -> int:
+        """SET TBLPROPERTIES: bank key/value table properties (carried
+        through every commit, surfaced by DESCRIBE DETAIL). The
+        ``schema.enforcement`` key is LIVE — it dispatches to the real
+        enforcement mode every write path honors; other keys are
+        operational metadata (e.g. ``retention.versions`` as the
+        documented VACUUM default for operators)."""
+        cur = self.current_version()
+        m = (
+            load_manifest(self.root, cur)
+            if cur > 0
+            else {"files": [], "stats": {}}
+        )
+        merged = {**(m.get("properties") or {}), **props}
+        kw: dict = {"properties": merged, "op": "SET TBLPROPERTIES"}
+        ev = props.get("schema.enforcement")
+        if ev is not None:
+            if ev not in ("additive", "strict"):
+                raise ValueError(
+                    f"schema.enforcement {ev!r}: use 'additive' or "
+                    "'strict'"
+                )
+            kw["evolution"] = ev
+        return self._publish(m["files"], cur, m["stats"], **kw)
 
     #: see module-level ``partition_values_from_path`` (shared with the
     #: pysnapshot connector's planning-time partition pruning)
@@ -3135,18 +3370,37 @@ class SnapshotTable:
         lambda path: partition_values_from_path(path)
     )
 
+    #: transforms that are MONOTONE non-decreasing in their source
+    #: column — lo <= x <= hi implies T(lo) <= T(x) <= T(hi), so a
+    #: range predicate on the raw column prunes partitions by
+    #: comparing the path segment against the TRANSFORMED bounds
+    #: (Iceberg's inclusive-projection rule). bucket() is a hash —
+    #: equality-only, never ranges.
+    _MONOTONE_TRANSFORMS = ("identity", "day", "month", "trunc")
+
     def partition_pruned_files(
-        self, eq: dict, version: int | None = None
+        self,
+        eq: dict,
+        version: int | None = None,
+        ranges: dict | None = None,
     ) -> list[str]:
         """The visible files that CAN hold rows matching the
-        ``{col: value}`` equality predicate, decided purely from the
-        partition tuples encoded in the file paths — an O(files) string
-        walk with zero file opens, the manifest-level pruning that makes
+        ``{col: value}`` equality predicate — and, via ``ranges``
+        (``{col: (lo, hi)}``, inclusive, either side ``None`` for
+        open), range predicates pushed through MONOTONE transforms:
+        ``ts BETWEEN a AND b`` on a day-partitioned table keeps
+        exactly the day-span's partitions straight from the manifest
+        walk, no zone maps required. Decided purely from the partition
+        tuples encoded in the file paths — an O(files) string walk
+        with zero file opens, the manifest-level pruning that makes
         ``WHERE day = X`` touch one partition's files out of thousands.
         Conservative by construction: a file with no banked value for a
         column (pre-spec layout, connector write, spec evolution) is
         KEPT — pruning can only skip files that provably hold no match,
-        never a file it merely knows nothing about."""
+        never a file it merely knows nothing about; strict bounds are
+        widened to inclusive at partition grain (callers re-apply the
+        row-level predicate); bucket segments ignore ranges (a hash
+        isn't monotone)."""
         v = self.current_version() if version is None else version
         m = load_manifest(self.root, v)
         # Checks are PATH-DRIVEN, not spec-driven: each file's encoded
@@ -3161,14 +3415,16 @@ class SnapshotTable:
         known = set()
         rs = self._reader_schema(m)
         if rs is not None:
-            known = {f.name for f in rs.fields}
+            from pyspark.sql.types import StructType
+
+            known = {f.name for f in StructType.fromDDL(rs).fields}
         elif m.get("schema"):
             known = {e["name"] for e in m["schema"]}
         expected_cache: dict[str, str | None] = {}
 
         def _expected(key: str, val):
             if key not in expected_cache:
-                e = entry_from_path_key(key, known)
+                e = resolve_path_key(key, m, known)
                 expected_cache[key] = encode_partition_value(
                     val
                     if e["fn"] == "identity"
@@ -3176,16 +3432,77 @@ class SnapshotTable:
                 )
             return expected_cache[key]
 
+        # per-key transformed range bounds, evaluated once per walk:
+        # key -> (lo_cmp, hi_cmp, numeric) where the bounds live in the
+        # path-comparison domain (int for trunc / integral identity,
+        # encoded string otherwise — day/month/date encodings are
+        # fixed-width ISO, so lexicographic == chronological)
+        range_cache: dict[str, tuple] = {}
+
+        def _range_bounds(key: str):
+            if key not in range_cache:
+                e = resolve_path_key(key, m, known)
+                bounds = (ranges or {}).get(e["col"])
+                if (
+                    bounds is None
+                    or e["fn"] not in self._MONOTONE_TRANSFORMS
+                ):
+                    range_cache[key] = None
+                else:
+                    lo, hi = bounds
+                    if e["fn"] != "identity":
+                        lo = (
+                            self._transformed_literal(e, lo, m)
+                            if lo is not None else None
+                        )
+                        hi = (
+                            self._transformed_literal(e, hi, m)
+                            if hi is not None else None
+                        )
+                    numeric = isinstance(
+                        lo if lo is not None else hi, int
+                    ) and not isinstance(
+                        lo if lo is not None else hi, bool
+                    )
+                    if not numeric:
+                        lo = encode_partition_value(lo)
+                        hi = encode_partition_value(hi)
+                    range_cache[key] = (lo, hi, numeric)
+            return range_cache[key]
+
+        def _range_admits(key: str, enc: str) -> bool:
+            rb = _range_bounds(key)
+            if rb is None:
+                return True
+            lo, hi, numeric = rb
+            v = enc
+            if numeric:
+                try:
+                    v = int(enc)
+                except ValueError:
+                    return True  # undecidable segment: keep
+            try:
+                if lo is not None and v < lo:
+                    return False
+                if hi is not None and v > hi:
+                    return False
+            except TypeError:
+                return True  # incomparable domains: keep
+            return True
+
         keep = []
         for f in m["files"]:
             pv = partition_values_from_path(f)
             ok = True
             for k, enc in pv.items():
-                e = entry_from_path_key(k, known)
+                e = resolve_path_key(k, m, known)
                 if e["col"] in eq:
                     if enc != _expected(k, eq[e["col"]]):
                         ok = False
                         break
+                if ranges and not _range_admits(k, enc):
+                    ok = False
+                    break
             if ok:
                 keep.append(f)
         return keep
@@ -3203,7 +3520,9 @@ class SnapshotTable:
         dt = None
         rs = self._reader_schema(m)
         if rs is not None:
-            for fld in rs.fields:
+            from pyspark.sql.types import StructType
+
+            for fld in StructType.fromDDL(rs).fields:
                 if fld.name == entry["col"]:
                     dt = fld.dataType.simpleString()
         if dt is None and m["files"]:
@@ -3216,20 +3535,24 @@ class SnapshotTable:
             lit = lit.cast(dt)
         row = (
             self.spark.range(1)
-            .select(spec_transform_expr(entry, lit).alias("v"))
+            .select(spec_transform_expr(entry, lit, dt).alias("v"))
             .collect()
         )
         return row[0]["v"]
 
-    def read_partition(self, eq: dict) -> DataFrame:
+    def read_partition(
+        self, eq: dict, ranges: dict | None = None
+    ) -> DataFrame:
         """DV-masked, schema-mapped read of only the partitions matching
-        the ``{col: value}`` equality predicate (files pruned via
+        the ``{col: value}`` equality predicate — and optionally the
+        ``{col: (lo, hi)}`` inclusive range predicates, pushed through
+        monotone transforms (files pruned via
         ``partition_pruned_files``); callers still apply the predicate
         as a filter — pruning is a superset guarantee, old-layout files
         ride along conservatively."""
         cur = self.current_version()
         m = load_manifest(self.root, cur)
-        files = self.partition_pruned_files(eq, cur)
+        files = self.partition_pruned_files(eq, cur, ranges=ranges)
         if not files:
             return self.read().limit(0)
         masked = self._masked_read(
@@ -4001,10 +4324,15 @@ class SnapshotTable:
         commits extend it), so post-rename tables pay ZERO footer
         reads; tables that never renamed fall back to one mergeSchema
         footer union (distributed, metadata-only)."""
-        if m.get("evolution") != "strict" or not m.get("files"):
+        if m.get("evolution") != "strict":
             return
         smap = m.get("schema")
         rs = self._reader_schema(m)
+        if not m.get("files") and not smap and not rs:
+            # empty AND schema-less: nothing to enforce against (a
+            # CREATEd table banks its declared schema, so strict mode
+            # bites from the very first write there)
+            return
         if smap:
             known = {
                 e["name"] for e in smap if not e.get("dropped")
@@ -4579,6 +4907,22 @@ class SnapshotTable:
                 (ck.get("state") or {}).get("files", [])
             )
             start = int(ck["version"]) + 1
+            floor = int(ck.get("history_floor") or 1)
+            if floor > 1:
+                # versions below the checkpoint's capped history
+                # window: ordinary manifest walk (same rows the index
+                # would have held — it banked these very numbers
+                # before the cap dropped them)
+                pre: list[tuple] = []
+                pf: set[str] = set()
+                for v in range(1, floor):
+                    try:
+                        m = load_manifest(self.root, v)
+                    except LogTruncated:
+                        continue
+                    pre.append(tuple(_history_row(m, v, pf)))
+                    pf = set(m["files"])
+                rows = pre + rows
         for v in range(start, self.current_version() + 1):
             try:
                 m = load_manifest(self.root, v)
@@ -4687,6 +5031,7 @@ class SnapshotTable:
             "n_defaults": len(m.get("defaults") or {}),
             "identity_columns": sorted(m.get("identity") or {}),
             "schema_enforcement": m.get("evolution") or "additive",
+            "properties": m.get("properties") or {},
             "row_tracking": bool(m.get("row_tracking")),
             "bloom_cols": sorted(m.get("bloom_cols") or {}),
             "n_dv_files": sum(1 for d in m["dv"].values() if d),

@@ -139,6 +139,15 @@ def _merge(spark: SparkSession, m: re.Match, clock) -> int:
     kw: dict = {"insert_not_matched": False}
     clauses = m.group("clauses")
     matched_any = False
+    # WHEN MATCHED clauses evaluate IN ORDER (Delta/SQL:2016): the
+    # first clause whose condition holds claims the row. merge_mor's
+    # primitives are order-blind (delete beats update), so each
+    # clause's condition is rewritten to ``own AND NOT (any earlier
+    # matched clause's condition)`` — with that rewrite the effective
+    # sets are disjoint and delete-priority composition is exact in
+    # either clause order. ``matched_prior`` accumulates the
+    # NULL-safe OR of earlier matched-clause conditions.
+    matched_prior = None
     for w in _WHEN.finditer(clauses):
         is_not = bool(w.group("not"))
         by_source = re.search(
@@ -169,20 +178,44 @@ def _merge(spark: SparkSession, m: re.Match, clock) -> int:
                 col if col is not None else True
             )
         elif re.match(r"DELETE", act, re.I):
+            if "when_matched_delete" in kw:
+                raise ValueError(
+                    "at most one WHEN MATCHED ... DELETE clause"
+                )
+            own = col if col is not None else F.lit(True)
             kw["when_matched_delete"] = (
-                col if col is not None else F.lit(True)
+                own if matched_prior is None else own & ~matched_prior
+            )
+            own_t = own.eqNullSafe(F.lit(True))
+            matched_prior = (
+                own_t if matched_prior is None
+                else matched_prior | own_t
             )
             matched_any = True
         else:  # UPDATE SET, optionally conditional (Delta's
             # WHEN MATCHED AND <cond> THEN UPDATE: rows failing the
             # condition stay untouched — no tombstone, no CDF pair)
-            if col is not None:
-                kw["when_matched_update_condition"] = col
+            if "when_matched_update" in kw:
+                raise ValueError(
+                    "at most one WHEN MATCHED ... UPDATE clause"
+                )
+            own = col if col is not None else F.lit(True)
+            if col is not None or matched_prior is not None:
+                kw["when_matched_update_condition"] = (
+                    own
+                    if matched_prior is None
+                    else own & ~matched_prior
+                )
             set_clause = re.sub(
                 r"^UPDATE\s+SET\s+", "", act, flags=re.I
             )
             kw["when_matched_update"] = _assignments(
                 set_clause, talias, salias
+            )
+            own_t = own.eqNullSafe(F.lit(True))
+            matched_prior = (
+                own_t if matched_prior is None
+                else matched_prior | own_t
             )
             matched_any = True
     if not matched_any and "when_not_matched_by_source_delete" not in kw \
@@ -265,6 +298,121 @@ _SELECT = re.compile(
     re.I | re.S,
 )
 
+_CREATE_TABLE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+{_TBL}\s*\((?P<rest>.*)$", re.I | re.S
+)
+_INSERT = re.compile(
+    rf"^\s*INSERT\s+INTO\s+{_TBL}"
+    r"(?:\s*\((?P<cols>[\w\s,]+)\))?"
+    r"\s+(?P<body>VALUES\s+.*|SELECT\s+.*)$",
+    re.I | re.S,
+)
+_ADD_COLUMN = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+ADD\s+COLUMN\s+(?P<name>\w+)\s+"
+    r"(?P<type>\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*$",
+    re.I,
+)
+_RENAME_COLUMN = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+RENAME\s+COLUMN\s+(?P<old>\w+)\s+"
+    r"TO\s+(?P<new>\w+)\s*$",
+    re.I,
+)
+_ALTER_TYPE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+ALTER\s+COLUMN\s+(?P<col>\w+)\s+"
+    r"TYPE\s+(?P<type>\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*$",
+    re.I,
+)
+_SET_PROPS = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+SET\s+TBLPROPERTIES\s*"
+    r"\((?P<props>.*)\)\s*$",
+    re.I | re.S,
+)
+
+
+def _balanced(s: str) -> tuple[str, str]:
+    """Split ``s`` (starting INSIDE an already-open paren) at the
+    matching close — returns (inside, remainder). Paren-aware so
+    ``decimal(10,2)`` column types survive."""
+    depth, in_str = 1, False
+    for i, c in enumerate(s):
+        if in_str:
+            in_str = c != "'"
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return s[:i], s[i + 1:]
+    raise ValueError("unbalanced parentheses in statement")
+
+
+def _props_dict(props: str) -> dict:
+    out = {}
+    for kv in _split_top(props):
+        m = re.match(r"'([^']+)'\s*=\s*'([^']*)'\s*$", kv.strip())
+        if not m:
+            raise ValueError(
+                f"TBLPROPERTIES takes 'key'='value' pairs; got {kv!r}"
+            )
+        out[m.group(1)] = m.group(2)
+    return out
+
+
+def _create_table(spark: SparkSession, m: re.Match, clock) -> int:
+    schema, rest = _balanced(m.group("rest"))
+    rest = rest.strip()
+    spec = None
+    mm = re.match(
+        r"^PARTITIONED\s+BY\s*\((?P<rest>.*)$", rest, re.I | re.S
+    )
+    if mm:
+        inside, rest = _balanced(mm.group("rest"))
+        spec = [e.strip() for e in _split_top(inside)]
+        rest = rest.strip()
+    props = None
+    mm = re.match(
+        r"^TBLPROPERTIES\s*\((?P<rest>.*)$", rest, re.I | re.S
+    )
+    if mm:
+        inside, rest = _balanced(mm.group("rest"))
+        props = _props_dict(inside)
+        rest = rest.strip()
+    if rest:
+        raise ValueError(f"unparsed CREATE TABLE tail: {rest!r}")
+    return SnapshotTable(
+        spark, m.group("root"), clock=clock
+    ).create_table(schema, partition_by=spec, properties=props)
+
+
+def _insert(spark: SparkSession, m: re.Match, clock) -> int:
+    t = SnapshotTable(spark, m.group("root"), clock=clock)
+    src = spark.sql(m.group("body"))
+    target = t.read()
+    cols = (
+        [c.strip() for c in m.group("cols").split(",")]
+        if m.group("cols")
+        else list(target.columns)
+    )
+    missing = [c for c in cols if c not in target.columns]
+    if missing:
+        raise ValueError(f"INSERT columns not in table: {missing}")
+    if len(src.columns) != len(cols):
+        raise ValueError(
+            f"INSERT arity mismatch: {len(src.columns)} values for "
+            f"{len(cols)} columns"
+        )
+    dts = dict(target.dtypes)
+    aligned = src.select(
+        *[
+            F.col(src.columns[i]).cast(dts[c]).alias(c)
+            for i, c in enumerate(cols)
+        ]
+    )
+    return t.commit_append(aligned)
+
+
 #: OPTIMIZE defaults when the statement carries no sizing knobs: the
 #: same "compact under 32 MiB into ~128 MiB outputs" shape Delta uses
 OPTIMIZE_SMALL = 32 << 20
@@ -299,6 +447,32 @@ def snapshot_sql(spark: SparkSession, sql: str, clock=None):
     m = _MERGE.match(sql)
     if m:
         return _merge(spark, m, clock)
+    m = _CREATE_TABLE.match(sql)
+    if m:
+        return _create_table(spark, m, clock)
+    m = _INSERT.match(sql)
+    if m:
+        return _insert(spark, m, clock)
+    m = _ADD_COLUMN.match(sql)
+    if m:
+        return SnapshotTable(
+            spark, m.group("root"), clock=clock
+        ).add_column(m.group("name"), m.group("type").lower())
+    m = _RENAME_COLUMN.match(sql)
+    if m:
+        return SnapshotTable(
+            spark, m.group("root"), clock=clock
+        ).rename_column(m.group("old"), m.group("new"))
+    m = _ALTER_TYPE.match(sql)
+    if m:
+        return SnapshotTable(
+            spark, m.group("root"), clock=clock
+        ).widen_column(m.group("col"), m.group("type").lower())
+    m = _SET_PROPS.match(sql)
+    if m:
+        return SnapshotTable(
+            spark, m.group("root"), clock=clock
+        ).set_tblproperties(_props_dict(m.group("props")))
     m = _UPDATE.match(sql)
     if m:
         t = SnapshotTable(spark, m.group("root"), clock=clock)
@@ -442,11 +616,14 @@ def snapshot_sql(spark: SparkSession, sql: str, clock=None):
             df = df.filter(F.expr(m.group("where")))
         return df
     raise ValueError(
-        "unrecognized statement (supported: MERGE INTO, UPDATE, "
-        "DELETE FROM, OPTIMIZE [WHERE] [ZORDER BY], DESCRIBE "
-        "HISTORY, DESCRIBE DETAIL, RESTORE ... TO VERSION AS OF, "
-        "VACUUM ... RETAIN n VERSIONS, REORG TABLE ... APPLY (PURGE), "
-        "ALTER TABLE ... ADD/DROP CONSTRAINT, ALTER TABLE ... CREATE "
-        "TAG, COPY INTO ... FROM, SELECT * FROM ... [VERSION AS OF n | "
-        "TIMESTAMP AS OF 'ts' | TAG 'name'] [WHERE ...]): " + sql[:120]
+        "unrecognized statement (supported: CREATE TABLE ... "
+        "[PARTITIONED BY] [TBLPROPERTIES], INSERT INTO ... "
+        "VALUES/SELECT, MERGE INTO, UPDATE, DELETE FROM, OPTIMIZE "
+        "[WHERE] [ZORDER BY], DESCRIBE HISTORY, DESCRIBE DETAIL, "
+        "RESTORE ... TO VERSION AS OF, VACUUM ... RETAIN n VERSIONS, "
+        "REORG TABLE ... APPLY (PURGE), ALTER TABLE ... ADD/DROP "
+        "CONSTRAINT / ADD COLUMN / RENAME COLUMN / ALTER COLUMN TYPE "
+        "/ SET TBLPROPERTIES / CREATE TAG, COPY INTO ... FROM, "
+        "SELECT * FROM ... [VERSION AS OF n | TIMESTAMP AS OF 'ts' | "
+        "TAG 'name'] [WHERE ...]): " + sql[:120]
     )

@@ -160,3 +160,45 @@ def test_time_travel_reads_unchanged_under_checkpoints(spark):
     assert t.read(20).count() == 200
     m = load_manifest(t.root, 13)
     assert len(m["files"]) == 13
+
+
+def test_checkpoint_history_cap_keeps_size_flat(spark):
+    """CHECKPOINT_HISTORY_WINDOW bounds the banked history index: at a
+    minutely-committing table the pre-cap checkpoint grew without
+    bound; capped, consecutive checkpoints bank the same number of
+    rows and deep history/AS-OF degrade to the manifest walk — never
+    wrong answers."""
+    from s3_glue_redshift_guide_spark.sources import (
+        snapshots as snap,
+    )
+
+    ticks = iter(float(i) for i in range(1, 40))
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="ckptcap_"),
+        clock=lambda: next(ticks),
+    )
+    prev = snap.CHECKPOINT_HISTORY_WINDOW
+    snap.CHECKPOINT_HISTORY_WINDOW = 5
+    try:
+        df = spark.range(3).select(F.col("id").alias("k"))
+        for _ in range(10):
+            t.commit_append(df)
+        ck10 = snap.load_checkpoint(t.root)
+        for _ in range(13):
+            t.commit_append(df)
+        ck20 = snap.load_checkpoint(t.root)
+    finally:
+        snap.CHECKPOINT_HISTORY_WINDOW = prev
+    # 2x the commits, identical index size: flat in the version axis
+    assert len(ck10["history"]) == len(ck20["history"]) == 5
+    assert ck10["history_floor"] == 6
+    assert ck20["history_floor"] == 16
+    # history below the floor: manifest walk, identical to a raw walk
+    rows = [tuple(r) for r in t.history().collect()]
+    assert len(rows) == 23
+    import os as _os
+
+    _os.unlink(
+        _os.path.join(t.root, "_manifests", "_last_checkpoint.json")
+    )
+    assert [tuple(r) for r in t.history().collect()] == rows

@@ -309,3 +309,124 @@ def test_murmur3_twin_matches_spark_hash(spark):
     df = spark.createDataFrame([(v,) for v in strs], "v string")
     for r in df.select("v", F.hash("v").alias("h")).collect():
         assert spark_murmur3(r["v"]) == r["h"]
+
+
+# ------------------------------------------------- range pruning ----
+def test_range_prune_day_span(spark):
+    """ts BETWEEN a AND b on a day-partitioned table touches exactly
+    the day span's files at the manifest walk — zone maps not needed
+    (day/month/trunc are monotone: Iceberg's inclusive projection)."""
+    t = _table(spark, ["day(ts)"])
+    t.commit_append(_frame(spark, 80))  # 8 one-day partitions
+    assert t.file_count() == 8
+    lo = dt.datetime(2022, 6, 3, 6, 0)
+    hi = dt.datetime(2022, 6, 5, 18, 0)
+    files = t.partition_pruned_files({}, ranges={"ts": (lo, hi)})
+    assert len(files) == 3  # exactly the 06-03..06-05 day span
+    assert all(
+        any(f"__part_day_ts=2022-06-0{d}" in f for d in (3, 4, 5))
+        for f in files
+    )
+    # half-open ranges
+    assert len(
+        t.partition_pruned_files({}, ranges={"ts": (lo, None)})
+    ) == 6
+    assert len(
+        t.partition_pruned_files({}, ranges={"ts": (None, hi)})
+    ) == 5
+    # rows round-trip through the pruned read + residual filter
+    got = (
+        t.read_partition({}, ranges={"ts": (lo, hi)})
+        .filter(F.col("ts").between(lo, hi))
+        .count()
+    )
+    want = t.read().filter(F.col("ts").between(lo, hi)).count()
+    assert got == want > 0
+
+
+def test_range_prune_trunc_and_bucket_posture(spark):
+    t = _table(spark, ["trunc(k, 20)"])
+    t.commit_append(_frame(spark, 80))  # partitions 0,20,40,60
+    files = t.partition_pruned_files({}, ranges={"k": (25, 47)})
+    assert len(files) == 2  # trunc buckets 20 and 40
+    # bucket() is a hash — a range must NOT prune (monotonicity is
+    # the admission rule, not transform-ness)
+    tb = _table(spark, ["bucket(k, 4)"])
+    tb.commit_append(_frame(spark, 80))
+    assert len(
+        tb.partition_pruned_files({}, ranges={"k": (25, 47)})
+    ) == tb.file_count()
+
+
+def test_range_prune_across_spec_evolution(spark):
+    """Range pruning is path-driven: a day-era file keeps pruning by
+    day after the spec evolves to month — each file is judged by what
+    its own path encodes."""
+    t = _table(spark, ["day(ts)"])
+    t.commit_append(_frame(spark, 40))  # days 06-01..06-04
+    t.set_partition_spec(["month(ts)"])
+    older = _frame(spark, 40).withColumn(
+        "ts",
+        F.col("ts") - F.make_interval(F.lit(0), F.lit(2)),
+    )  # 2022-04 month era
+    t.commit_append(older)
+    lo, hi = dt.datetime(2022, 6, 2), dt.datetime(2022, 6, 3, 23)
+    files = t.partition_pruned_files({}, ranges={"ts": (lo, hi)})
+    # the April-era (month) files are excluded by their month segment,
+    # the June day-era files are cut to the 2-day span
+    assert len(files) == 2
+    assert all("__part_day_ts=2022-06-0" in f for f in files)
+
+
+def test_connector_range_prune_day(spark):
+    from pyspark.sql.datasource import (
+        GreaterThanOrEqual,
+        LessThan,
+    )
+
+    from s3_glue_redshift_guide_spark.sources.pyds import (
+        SnapshotManifestReader,
+    )
+
+    t = _table(spark, ["day(ts)"])
+    t.commit_append(_frame(spark, 80))
+    r = SnapshotManifestReader({"root": t.root})
+    r.pushFilters(
+        [
+            GreaterThanOrEqual(("ts",), dt.datetime(2022, 6, 3)),
+            LessThan(("ts",), dt.datetime(2022, 6, 5, 23)),
+        ]
+    )
+    # zone maps would prune this too — disable them to isolate the
+    # partition-walk path (the stats map is what zone_prune reads)
+    r.stats = {}
+    assert len(r.partitions()) == 3
+    # a strict < at the day boundary widens to inclusive at partition
+    # grain — the boundary day stays (conservative, residual filters)
+    r2 = SnapshotManifestReader({"root": t.root})
+    r2.pushFilters(
+        [
+            GreaterThanOrEqual(("ts",), dt.datetime(2022, 6, 3)),
+            LessThan(("ts",), dt.datetime(2022, 6, 6)),
+        ]
+    )
+    r2.stats = {}
+    assert len(r2.partitions()) == 4
+    # and end-to-end through the registered source
+    from s3_glue_redshift_guide_spark.sources.pyds import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    got = (
+        spark.read.format("pysnapshot")
+        .option("root", t.root)
+        .load()
+        .filter(
+            F.col("ts").between(
+                dt.datetime(2022, 6, 3), dt.datetime(2022, 6, 5, 23)
+            )
+        )
+        .count()
+    )
+    assert got == 30

@@ -14,22 +14,15 @@ from s3_glue_redshift_guide_spark.queries import _PRIORITY, REGISTRY
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: Update when queries land; test_registry_size keeps COVERAGE.md honest.
-EXPECTED_REGISTRY_SIZE = 254
+EXPECTED_REGISTRY_SIZE = 256
 
 
 def _verified_names() -> set[str]:
+    import glob
+
     out: set[str] = set()
-    for f in (
-        "CORRECTNESS_r01.json",
-        "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json",
-        "CORRECTNESS_r04.json",
-        "CORRECTNESS_r05.json",
-        "CORRECTNESS_r06.json",
-    ):
-        path = os.path.join(REPO, f)
-        if os.path.exists(path):
-            out |= set(json.load(open(path)))
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        out |= set(json.load(open(path)))
     return out
 
 

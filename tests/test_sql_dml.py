@@ -382,3 +382,162 @@ def test_sql_copy_into_pattern_expands_and_stays_idempotent(
     third = snapshot_sql(spark, stmt)
     assert third["n_ingested"] == 1
     assert t.read().count() == 12
+
+
+# ------------------------------------------------- DDL verbs (r8) ----
+def test_sql_create_insert_merge_select_roundtrip(spark):
+    """The warehouse bootstrap a user runs FIRST, in pure SQL:
+    CREATE TABLE (schema + transform partitioning + properties) →
+    INSERT INTO (VALUES and SELECT) → MERGE INTO → SELECT."""
+    root = _tmp("create")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE pysnapshot.`{root}` "
+        "(k BIGINT, v BIGINT, ts TIMESTAMP_NTZ) "
+        "PARTITIONED BY (day(ts), bucket(k, 4)) "
+        "TBLPROPERTIES ('schema.enforcement'='strict', "
+        "'retention.versions'='5')",
+    )
+    t = SnapshotTable(spark, root)
+    assert t.current_version() == 1
+    # SELECT before any INSERT: typed empty frame
+    empty = snapshot_sql(spark, f"SELECT * FROM pysnapshot.`{root}`")
+    assert empty.count() == 0
+    assert dict(empty.dtypes) == {
+        "k": "bigint", "v": "bigint", "ts": "timestamp_ntz"
+    }
+    d = t.detail()
+    assert d["schema_enforcement"] == "strict"
+    assert d["properties"]["retention.versions"] == "5"
+    assert d["partition_spec"] == ["day(ts)", "bucket(k, 4)"]
+    snapshot_sql(
+        spark,
+        f"INSERT INTO pysnapshot.`{root}` VALUES "
+        "(1, 10, TIMESTAMP '2024-01-05 10:00:00'), "
+        "(2, 20, TIMESTAMP '2024-01-06 10:00:00')",
+    )
+    snapshot_sql(
+        spark,
+        f"INSERT INTO pysnapshot.`{root}` "
+        "SELECT id + 10, id * 100, TIMESTAMP '2024-01-07 00:00:00' "
+        "FROM range(2)",
+    )
+    got = snapshot_sql(spark, f"SELECT * FROM pysnapshot.`{root}`")
+    assert sorted((r["k"], r["v"]) for r in got.collect()) == [
+        (1, 10), (2, 20), (10, 0), (11, 100)
+    ]
+    # the declared transform layout actually landed
+    files = t.partition_pruned_files({})
+    assert all(
+        "__part_day_ts=" in f and "__part_bucket_k_4=" in f
+        for f in files
+    )
+    # strict enforcement came from TBLPROPERTIES: an extra column fails
+    with pytest.raises(ValueError, match="strict"):
+        t.commit_append(
+            spark.sql(
+                "SELECT 1 k, 2 v, "
+                "TIMESTAMP_NTZ '2024-01-05 00:00:00' ts, 'x' extra"
+            )
+        )
+    spark.createDataFrame(
+        [(1, 111), (99, 999)], "k bigint, v bigint"
+    ).createOrReplaceTempView("ddl_merge_src")
+    snapshot_sql(
+        spark,
+        f"MERGE INTO pysnapshot.`{root}` AS t "
+        "USING (SELECT k, v, TIMESTAMP_NTZ '2024-01-08 00:00:00' AS ts "
+        "FROM ddl_merge_src) AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in snapshot_sql(
+            spark, f"SELECT * FROM pysnapshot.`{root}`"
+        ).collect()
+    }
+    assert got == {1: 111, 2: 20, 10: 0, 11: 100, 99: 999}
+
+
+def test_sql_alter_column_verbs_match_methods(spark):
+    sql_root, api_root = _tmp("altsql"), _tmp("altapi")
+    for root in (sql_root, api_root):
+        t = SnapshotTable(spark, root)
+        t.commit_append(_kv(spark, 10))
+    # ADD COLUMN -> typed NULLs on old files
+    snapshot_sql(
+        spark,
+        f"ALTER TABLE pysnapshot.`{sql_root}` ADD COLUMN score INT",
+    )
+    SnapshotTable(spark, api_root).add_column("score", "int")
+    for root in (sql_root, api_root):
+        df = SnapshotTable(spark, root).read()
+        assert dict(df.dtypes)["score"] == "int"
+        assert df.filter(F.col("score").isNull()).count() == 10
+    # duplicate add refuses
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_sql(
+            spark,
+            f"ALTER TABLE pysnapshot.`{sql_root}` ADD COLUMN score INT",
+        )
+    # RENAME COLUMN / widen / TBLPROPERTIES: SQL == method, verbatim
+    snapshot_sql(
+        spark,
+        f"ALTER TABLE pysnapshot.`{sql_root}` RENAME COLUMN v TO val",
+    )
+    SnapshotTable(spark, api_root).rename_column("v", "val")
+    snapshot_sql(
+        spark,
+        f"ALTER TABLE pysnapshot.`{sql_root}` "
+        "ALTER COLUMN score TYPE BIGINT",
+    )
+    SnapshotTable(spark, api_root).widen_column("score", "bigint")
+    snapshot_sql(
+        spark,
+        f"ALTER TABLE pysnapshot.`{sql_root}` SET TBLPROPERTIES "
+        "('schema.enforcement'='strict', 'owner'='etl')",
+    )
+    SnapshotTable(spark, api_root).set_tblproperties(
+        {"schema.enforcement": "strict", "owner": "etl"}
+    )
+    ds, da = (
+        SnapshotTable(spark, r).detail() for r in (sql_root, api_root)
+    )
+    for d in (ds, da):
+        assert d["schema_enforcement"] == "strict"
+        assert d["properties"]["owner"] == "etl"
+    sd, ad = (
+        SnapshotTable(spark, r).read() for r in (sql_root, api_root)
+    )
+    assert dict(sd.dtypes) == dict(ad.dtypes)
+    assert sorted(map(tuple, sd.collect())) == sorted(
+        map(tuple, ad.collect())
+    )
+
+
+def test_sql_insert_column_list_and_arity_guard(spark):
+    root = _tmp("inscols")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE pysnapshot.`{root}` (k BIGINT, v BIGINT, "
+        "note STRING)",
+    )
+    # explicit column list: omitted columns read NULL
+    snapshot_sql(
+        spark,
+        f"INSERT INTO pysnapshot.`{root}` (k, v) VALUES (1, 10)",
+    )
+    r = snapshot_sql(
+        spark, f"SELECT * FROM pysnapshot.`{root}`"
+    ).collect()[0]
+    assert (r["k"], r["v"], r["note"]) == (1, 10, None)
+    with pytest.raises(ValueError, match="arity"):
+        snapshot_sql(
+            spark,
+            f"INSERT INTO pysnapshot.`{root}` VALUES (1, 2)",
+        )
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_sql(
+            spark, f"CREATE TABLE pysnapshot.`{root}` (x INT)"
+        )
