@@ -23,6 +23,12 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 from ..functions.vectors import cosine, dot
 from .dedup import _materialize, _spread
 
+#: quantizer-training observability: every Lloyd round (coarse k-means
+#: or PQ codebook) increments ``lloyd_rounds``. The persisted-index
+#: probe path (llm/ann_index.py) pins this at ZERO — the fact that
+#: separates "loads the banked quantizer" from "silently retrains".
+TRAIN_METRICS = {"lloyd_rounds": 0}
+
 
 def topk_bruteforce(
     queries: DataFrame,
@@ -206,6 +212,7 @@ def kmeans_centroids(
         .collect()
     ]
     for _ in range(iters):
+        TRAIN_METRICS["lloyd_rounds"] += 1
         # two selects: a generator in the same projection as the struct
         # field access makes Catalyst re-plan the struct with anonymous
         # fields (col1/col2), losing the list_id name
@@ -404,6 +411,7 @@ def pq_codebooks(
         ).alias("p")
     ).select(F.col("p.sub").alias("sub"), F.col("p.sl").alias("sl"))
     for _ in range(iters):
+        TRAIN_METRICS["lloyd_rounds"] += 1
         cdf = _pq_cent_frame(corpus.sparkSession, cents)
         assigned = (
             pts.crossJoin(F.broadcast(cdf))
@@ -633,14 +641,45 @@ def ivfpq_topk(
     little and keeps both quantizers independently testable."""
     cents = kmeans_centroids(corpus, corpus_id, vec_col, n_lists, kmeans_iters)
     pq = pq_codebooks(corpus, dim, corpus_id, vec_col, m, k_codes, kmeans_iters)
-    d = dim // m
 
     c_lists = _nearest_lists(
         _spread(corpus), cents, vec_col, (corpus_id, "neighbor_id"), "cv", 1
     ).select("neighbor_id", "list_id")
     codes = pq_encode(_spread(corpus), pq, corpus_id, vec_col)
     corpus_scan = c_lists.join(codes, "neighbor_id")
+    corpus_vecs = _spread(corpus).select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    return ivfpq_search(
+        queries, corpus_scan, corpus_vecs, cents, pq, dim,
+        query_id=query_id, vec_col=vec_col, k=k,
+        n_probe=n_probe, n_candidates=n_candidates,
+    )
 
+
+def ivfpq_search(
+    queries: DataFrame,
+    corpus_scan: DataFrame,
+    corpus_vecs: DataFrame,
+    cents: list[list[float]],
+    pq,
+    dim: int,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    n_candidates: int = 60,
+) -> DataFrame:
+    """The IVF-PQ SEARCH given a trained quantizer and an encoded
+    corpus — shared verbatim between ``ivfpq_topk`` (trains + encodes
+    in-query) and the persisted-index probe path (``llm/ann_index.py``
+    loads both from snapshot-table sidecars), so the two can never
+    rank differently. ``corpus_scan`` carries (neighbor_id, list_id,
+    codes); ``corpus_vecs`` carries (neighbor_id, cv) and is touched
+    only by the bounded exact re-rank — probing it from the LIVE table
+    is what drops deleted vectors out of persisted-index results."""
+    m, k_codes = len(pq), len(pq[0])
+    d = dim // m
     q_lists = _nearest_lists(
         queries, cents, vec_col, (query_id, "query_id"), "qv", n_probe
     ).select("query_id", "list_id")
@@ -701,9 +740,7 @@ def ivfpq_topk(
     exact = cand.join(
         F.broadcast(qtab.select("query_id", "qv")), "query_id"
     ).join(
-        _spread(corpus).select(
-            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
-        ),
+        corpus_vecs,
         "neighbor_id",
     ).select(
         "query_id",

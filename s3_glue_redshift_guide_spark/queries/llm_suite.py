@@ -2453,3 +2453,102 @@ def llm_bm25_topk(spark, sf_dir):
         .orderBy(F.desc("score_micros"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@query(
+    "llm_ann_index_probe",
+    oracle="""
+    SELECT vec_id AS query_id, 1 AS identical_topk,
+           1 AS probe_no_training, 1 AS refresh_no_training,
+           1 AS fresh_visible, 1 AS deleted_gone
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def llm_ann_index_probe(spark, sf_dir):
+    """Persisted IVF-PQ ANN index (L3 production read path, round 8):
+    ``ann_index_build`` trains once and banks quantizer + corpus codes
+    as snapshot-table sidecars; ``ann_probe`` then answers top-k with
+    ZERO Lloyd rounds (``TRAIN_METRICS`` pinned per probe) and ranks
+    IDENTICALLY to the in-query-trained ``ivfpq_topk`` (same search
+    code + deterministic training ⇒ value-exact per query).
+    ``ann_index_refresh`` encodes ONLY the appended vectors (each
+    query's embedding duplicated under a fresh id → its duplicate
+    must surface at cos 1.0), again zero rounds; deleting the
+    duplicates makes them vanish from probes WITHOUT touching the
+    index — the exact re-rank joins the LIVE table, so a stale code
+    entry can never resurrect a deleted row."""
+    import tempfile as _tf
+
+    from ..llm import similarity as _sim
+    from ..llm.ann_index import (
+        ann_index_build,
+        ann_index_refresh,
+        ann_probe,
+    )
+    from ..sources.snapshots import SnapshotTable
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 10)
+    params = dict(k=5, n_probe=4, n_candidates=60)
+    t = SnapshotTable(spark, _tf.mkdtemp(prefix="spark_annidx_"))
+    t.commit_append(e)
+    ann_index_build(
+        t, dim=64, n_lists=16, m=8, k_codes=16, kmeans_iters=2
+    )
+    in_query = ivfpq_topk(
+        q, e, dim=64, n_lists=16, m=8, k_codes=16, kmeans_iters=2,
+        **params,
+    ).collect()
+    _sim.TRAIN_METRICS["lloyd_rounds"] = 0
+    probe1 = ann_probe(t, q, **params).collect()
+    probe_rounds = _sim.TRAIN_METRICS["lloyd_rounds"]
+    by_q_exp: dict = {}
+    for r in in_query:
+        by_q_exp.setdefault(r["query_id"], set()).add(
+            (r["neighbor_id"], r["cos_sim"], r["rank"])
+        )
+    by_q_got: dict = {}
+    for r in probe1:
+        by_q_got.setdefault(r["query_id"], set()).add(
+            (r["neighbor_id"], r["cos_sim"], r["rank"])
+        )
+    # append each query vector under a fresh id; refresh = encode-only
+    fresh = q.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    t.commit_append(fresh)
+    _sim.TRAIN_METRICS["lloyd_rounds"] = 0
+    ann_index_refresh(t)
+    refresh_rounds = _sim.TRAIN_METRICS["lloyd_rounds"]
+    probe2 = ann_probe(t, q, **params).collect()
+    found_dup = {
+        r["query_id"]
+        for r in probe2
+        if r["neighbor_id"] == r["query_id"] + 1000000
+    }
+    t.delete_where(F.col("vec_id") >= 1000000)
+    probe3 = ann_probe(t, q, **params).collect()
+    gone_ok = {
+        r["query_id"]
+        for r in probe3
+        if r["neighbor_id"] >= 1000000
+    }
+    n3 = {}
+    for r in probe3:
+        n3[r["query_id"]] = n3.get(r["query_id"], 0) + 1
+    rows = [
+        (
+            int(qid),
+            int(by_q_got.get(qid) == by_q_exp[qid]),
+            int(probe_rounds == 0),
+            int(refresh_rounds == 0),
+            int(qid in found_dup),
+            int(qid not in gone_ok and n3.get(qid, 0) == 5),
+        )
+        for qid in sorted(by_q_exp)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "query_id long, identical_topk int, probe_no_training int, "
+        "refresh_no_training int, fresh_visible int, deleted_gone int",
+    )

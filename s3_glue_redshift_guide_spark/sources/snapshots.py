@@ -1153,6 +1153,7 @@ class SnapshotTable:
         row_tracking=_UNSET,
         row_ids_seed: dict | None = None,
         ndv=_UNSET,
+        ann=_UNSET,
         copied_update: dict | None = None,
         types=_UNSET,
         defaults=_UNSET,
@@ -1286,6 +1287,12 @@ class SnapshotTable:
             ndv = base.get("ndv")
         if ndv:
             extra["ndv"] = ndv
+        # persisted ANN index (llm/ann_index.py): quantizer + code
+        # sidecars carry like ndv; VACUUM sweeps unreferenced ann_ dirs
+        if ann is _UNSET:
+            ann = base.get("ann")
+        if ann:
+            extra["ann"] = ann
         # COPY INTO's ingested-source ledger: carries like the txn map
         # (replay detection must survive interleaved commits)
         copied = base.get("copied", {})
@@ -5095,6 +5102,7 @@ class SnapshotTable:
         reachable_dv: set[str] = set()
         reachable_bloom: set[str] = set()
         reachable_ndv: set[str] = set()
+        reachable_ann: set[str] = set()
 
         def _union(m: dict) -> None:
             reachable.update(m["files"])
@@ -5109,6 +5117,9 @@ class SnapshotTable:
             reachable_ndv.update(
                 (m.get("ndv") or {}).get("sidecars", [])
             )
+            a = m.get("ann")
+            if a and a.get("dir"):
+                reachable_ann.add(a["dir"])
 
         for v in keep_versions:
             try:
@@ -5207,6 +5218,14 @@ class SnapshotTable:
                         f.startswith("ndv_")
                         and os.path.isdir(p)
                         and p not in reachable_ndv
+                    ):
+                        if not dry_run:
+                            shutil.rmtree(p, ignore_errors=True)
+                        deleted.append(p)
+                    elif (
+                        f.startswith("ann_")
+                        and os.path.isdir(p)
+                        and p not in reachable_ann
                     ):
                         if not dry_run:
                             shutil.rmtree(p, ignore_errors=True)

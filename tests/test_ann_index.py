@@ -1,0 +1,101 @@
+"""Persisted ANN index (llm/ann_index.py): build/refresh/probe
+lifecycle, manifest carry, VACUUM reachability, and the zero-training
+probe contract."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_glue_redshift_guide_spark.llm import similarity as sim
+from s3_glue_redshift_guide_spark.llm.ann_index import (
+    ann_index_build,
+    ann_index_refresh,
+    ann_probe,
+)
+from s3_glue_redshift_guide_spark.sources.snapshots import (
+    SnapshotTable,
+    load_manifest,
+)
+
+DIM = 8
+
+
+def _vecs(spark, n=40, start=0):
+    return spark.range(start, start + n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda j: (
+                F.sin(F.col("id") * 0.7 + j * 1.3) + 0.001 * j
+            ).cast("double"),
+        ).alias("embedding"),
+    )
+
+
+@pytest.fixture(scope="module")
+def indexed(spark):
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="annidx_"))
+    t.commit_append(_vecs(spark))
+    ann_index_build(t, dim=DIM, n_lists=4, m=4, k_codes=8)
+    return t
+
+
+def test_probe_trains_nothing_and_matches_inquery(spark, indexed):
+    from s3_glue_redshift_guide_spark.llm.similarity import ivfpq_topk
+
+    q = _vecs(spark, 5)
+    expected = sorted(
+        map(tuple, ivfpq_topk(
+            q, _vecs(spark), dim=DIM, k=3, n_lists=4, n_probe=2,
+            m=4, k_codes=8,
+        ).collect())
+    )
+    sim.TRAIN_METRICS["lloyd_rounds"] = 0
+    got = sorted(
+        map(tuple, ann_probe(indexed, q, k=3, n_probe=2).collect())
+    )
+    assert sim.TRAIN_METRICS["lloyd_rounds"] == 0
+    assert got == expected
+
+
+def test_refresh_is_encode_only_and_incremental(spark, indexed):
+    t = indexed
+    ann0 = load_manifest(t.root, t.current_version())["ann"]
+    # no churn: cursor advance only, no new generation
+    t.add_constraint("c_noop", "vec_id IS NOT NULL")
+    ann_index_refresh(t)
+    ann1 = load_manifest(t.root, t.current_version())["ann"]
+    assert ann1["codes"] == ann0["codes"]
+    # churn: one new generation holding exactly the appended rows
+    t.commit_append(_vecs(spark, 3, start=500))
+    sim.TRAIN_METRICS["lloyd_rounds"] = 0
+    ann_index_refresh(t)
+    assert sim.TRAIN_METRICS["lloyd_rounds"] == 0
+    ann2 = load_manifest(t.root, t.current_version())["ann"]
+    assert len(ann2["codes"]) == len(ann0["codes"]) + 1
+    gen = spark.read.parquet(ann2["codes"][-1])
+    assert sorted(r["neighbor_id"] for r in gen.collect()) == [
+        500, 501, 502
+    ]
+    # the fresh vectors are probe-visible (each equals its source row)
+    got = ann_probe(t, _vecs(spark, 3, start=500), k=3, n_probe=2)
+    assert got.count() == 9
+
+
+def test_vacuum_keeps_referenced_index_and_sweeps_orphans(
+    spark, indexed
+):
+    t = indexed
+    ann = load_manifest(t.root, t.current_version())["ann"]
+    orphan = os.path.join(t.root, "_indexes", "ann_orphan")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "junk"), "w") as f:
+        f.write("x")
+    deleted = t.vacuum(retain_versions=50)
+    assert orphan in deleted
+    assert os.path.isdir(ann["dir"])  # referenced: survives
+    assert not os.path.isdir(orphan)
