@@ -80,7 +80,7 @@ _PRIORITY = [
     "rollup_incremental_facts", "etl_workflow_e2e",
     # -- (c) new round-8 rows: next in line for round 9 (positions 50+) ----
     "src_partition_range_pruning", "sql_create_table_dml",
-    "llm_ann_index_probe",
+    "llm_ann_index_probe", "sink_sql_merge_stream",
     # -- (d) deferred r3 rows with continuous indirect evidence ------------
     "q1_pricing_summary", "llm_jaccard_pairs", "llm_minhash_pairs",
     "llm_topk_similarity", "llm_text_stats", "plan_audit_facts",

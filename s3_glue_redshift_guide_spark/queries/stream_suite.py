@@ -488,3 +488,84 @@ def ev_stream_full_outer_join(spark, sf_dir):
     return spark.createDataFrame(
         rows, "user_id long, click_id long, buy_id long"
     )
+
+
+@query(
+    "sink_sql_merge_stream",
+    oracle="""
+    SELECT k, status, src, 1 AS replay_noop FROM (
+      SELECT o_orderkey AS k, o_orderstatus AS status, 'B1' AS src
+      FROM orders WHERE o_orderkey < 1000
+      UNION ALL
+      SELECT o_orderkey, 'U2', 'B2' FROM orders
+      WHERE o_orderkey >= 1000 AND o_orderkey < 3000)
+    """,
+)
+def sink_sql_merge_stream(spark, sf_dir):
+    """Streaming sink through the WAREHOUSE-SQL surface (round 8,
+    VERDICT-r7 directive #7): a real 2-epoch file-source stream drives
+    a parameterized ``MERGE INTO`` statement per micro-batch through
+    ``snapshot_sql`` (``streaming/sql_sink.py``) — the reference's
+    "load the warehouse over SQL" posture in streaming mode. Epoch 2's
+    keys collide with epoch 1's on [1000, 2000): the MERGE's matched
+    branch must win (epoch-ordered upsert). A FORCED REPLAY of the
+    last epoch (Structured Streaming redelivers the final batch after
+    every restart) is then applied by hand: the banked txn watermark
+    detects it and the table version must NOT move — exactly-once
+    visible state, the same idempotence contract as the staged-COPY
+    sink, now for SQL MERGE."""
+    import os as _os
+
+    from ..catalog import load_table as _lt
+    from ..sources.snapshots import SnapshotTable
+    from ..streaming.sql_sink import foreach_batch_merge_sql
+
+    o = _lt(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="spark_sqlmerge_stream_")
+    inbox = _os.path.join(base, "inbox")
+    ckpt = _os.path.join(base, "ckpt")
+    root = _os.path.join(base, "table")
+    _os.makedirs(inbox)
+    batch1 = o.filter(F.col("o_orderkey") < 2000).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit("B1").alias("src"),
+    )
+    batch2 = o.filter(
+        (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 3000)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("U2").alias("status"),
+        F.lit("B2").alias("src"),
+    )
+    sink = foreach_batch_merge_sql(
+        root,
+        f"MERGE INTO pysnapshot.`{root}` AS t "
+        "USING {batch} AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET status = s.status, src = s.src "
+        "WHEN NOT MATCHED THEN INSERT *",
+        app_id="sqlmerge_demo",
+    )
+
+    def _drain_once() -> None:
+        q = (
+            spark.readStream.schema(batch1.schema)
+            .parquet(inbox)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batch1.coalesce(1).write.mode("append").parquet(inbox)
+    _drain_once()
+    batch2.coalesce(1).write.mode("append").parquet(inbox)
+    _drain_once()
+    t = SnapshotTable(spark, root)
+    v_before = t.current_version()
+    sink(batch2, 1)  # forced replay of the final epoch
+    replay_noop = int(t.current_version() == v_before)
+    return t.read().select(
+        "k", "status", "src", F.lit(replay_noop).alias("replay_noop")
+    )

@@ -2062,6 +2062,7 @@ class SnapshotTable:
         insert_not_matched=True,
         when_not_matched_by_source_delete=None,
         when_matched_update_condition=None,
+        txn_update: dict | None = None,
     ) -> int:
         """Three-branch MERGE INTO as ONE merge-on-read commit (the
         Delta MERGE shape, executed with deletion vectors instead of
@@ -2169,6 +2170,15 @@ class SnapshotTable:
                     cur,
                     self._merged_stats(cur, new, None),
                     op="MERGE",
+                    txn_update=txn_update,
+                )
+            if txn_update:
+                # empty no-op epoch: the idempotence watermark must
+                # still advance atomically (a replay would otherwise
+                # re-run forever on restart loops)
+                return self._publish(
+                    m["files"], cur, m.get("stats") or {},
+                    txn_update=txn_update, op="MERGE",
                 )
             return cur
         track = bool(m.get("row_tracking"))
@@ -2387,6 +2397,11 @@ class SnapshotTable:
             if p is not None and p.limit(1).count() > 0
         ]
         if not affected and not parts:
+            if txn_update:
+                return self._publish(
+                    m["files"], cur, m.get("stats") or {},
+                    txn_update=txn_update, op="MERGE",
+                )
             return cur  # nothing matched, nothing to insert
         dv = {f: list(v) for f, v in m["dv"].items()}
         for f in affected:
@@ -2409,6 +2424,7 @@ class SnapshotTable:
             schema_map=sm,
             op="MERGE",
             types=self._merged_types(m, *parts),
+            txn_update=txn_update,
         )
 
     def materialize_deletes(self) -> int:

@@ -126,7 +126,9 @@ _WHEN = re.compile(
 )
 
 
-def _merge(spark: SparkSession, m: re.Match, clock) -> int:
+def _merge(
+    spark: SparkSession, m: re.Match, clock, txn_update=None
+) -> int:
     t = SnapshotTable(spark, m.group("root"), clock=clock)
     talias, salias = m.group("t"), m.group("s")
     src_sql = m.group("src")
@@ -221,7 +223,7 @@ def _merge(spark: SparkSession, m: re.Match, clock) -> int:
     if not matched_any and "when_not_matched_by_source_delete" not in kw \
             and kw["insert_not_matched"] is False:
         raise ValueError("MERGE with no WHEN clauses is a no-op")
-    return t.merge_mor(source, on=on, **kw)
+    return t.merge_mor(source, on=on, txn_update=txn_update, **kw)
 
 
 _UPDATE = re.compile(
@@ -437,16 +439,20 @@ def _where_eq(where: str) -> dict:
     return eq
 
 
-def snapshot_sql(spark: SparkSession, sql: str, clock=None):
+def snapshot_sql(
+    spark: SparkSession, sql: str, clock=None, txn_update=None
+):
     """Execute one warehouse-SQL statement against a pysnapshot table.
 
     Returns what the underlying method returns: the new version (int)
     for MERGE / UPDATE / DELETE / RESTORE, the compaction facts dict
     for OPTIMIZE, the deleted-path list for VACUUM, a DataFrame for
-    DESCRIBE HISTORY, and the summary dict for DESCRIBE DETAIL."""
+    DESCRIBE HISTORY, and the summary dict for DESCRIBE DETAIL.
+    ``txn_update`` ({app_id: batch_id}) rides MERGE commits atomically
+    — the idempotent-writer hook the streaming SQL sink uses."""
     m = _MERGE.match(sql)
     if m:
-        return _merge(spark, m, clock)
+        return _merge(spark, m, clock, txn_update=txn_update)
     m = _CREATE_TABLE.match(sql)
     if m:
         return _create_table(spark, m, clock)

@@ -541,3 +541,37 @@ def test_sql_insert_column_list_and_arity_guard(spark):
         snapshot_sql(
             spark, f"CREATE TABLE pysnapshot.`{root}` (x INT)"
         )
+
+
+# ------------------------------------- streaming SQL MERGE sink (r8) --
+def test_foreach_batch_merge_sql_idempotent_replay(spark):
+    from s3_glue_redshift_guide_spark.streaming.sql_sink import (
+        foreach_batch_merge_sql,
+    )
+
+    root = _tmp("sqlsink")
+    sink = foreach_batch_merge_sql(
+        root,
+        f"MERGE INTO pysnapshot.`{root}` AS t "
+        "USING {batch} AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *",
+        app_id="t_sink",
+    )
+    t = SnapshotTable(spark, root)
+    sink(_kv(spark, 5), 0)
+    assert _rows(t) == [(i, 2 * i) for i in range(5)]
+    v1 = t.current_version()
+    # replay of epoch 0: watermark detects, zero commits
+    sink(_kv(spark, 5), 0)
+    assert t.current_version() == v1
+    # epoch 1 updates a key and inserts another
+    upd = spark.createDataFrame([(1, 111), (9, 99)], "k long, v long")
+    sink(upd, 1)
+    got = dict(_rows(t))
+    assert got[1] == 111 and got[9] == 99 and len(got) == 6
+    # an EMPTY epoch still advances the watermark atomically
+    sink(upd.limit(0), 2)
+    assert t.txn_watermark("t_sink") == 2
+    sink(upd, 2)  # replayed: must not re-apply
+    assert t.txn_watermark("t_sink") == 2
