@@ -233,6 +233,14 @@ def run_table_format_suite(
             },
         ),
     )
+    # per-phase wall profile of the LAST merge run (VERDICT r7 #5):
+    # ambiguity check / matched-row materialization / sidecar write /
+    # post+insert file writes / publish — which staged pass dominates
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        MERGE_METRICS,
+    )
+
+    extras: dict = {"tf_merge_mor_phases": dict(MERGE_METRICS)}
 
     # 3. CDF range read over an append+update+delete history,
     # through the connector's per-file change partitions
@@ -288,7 +296,7 @@ def run_table_format_suite(
     )
 
     shutil.rmtree(base, ignore_errors=True)
-    return timings
+    return timings, extras
 
 
 def _sf1_dir() -> str | None:
@@ -335,7 +343,7 @@ def main() -> None:
     # table-format block (VERDICT r6 #4): OPTIMIZE / MOR MERGE / CDF /
     # connector clustered write / bloom lookup — recorded per round so
     # the snapshot layer trends like the relational core
-    tf = run_table_format_suite(spark, sf_dir)
+    tf, tf_extras = run_table_format_suite(spark, sf_dir)
     out["table_format"] = {
         "value": round(sum(tf.values()), 3),
         "unit": "sec",
@@ -343,6 +351,7 @@ def main() -> None:
         "runs_per_query": 2,
         "sf": float(sf),
         "load_avg_1m_at_start": _load_1m(),
+        **tf_extras,
     }
     sf1 = _sf1_dir()
     if sf1 and float(sf) < 1.0:
@@ -371,13 +380,14 @@ def main() -> None:
         # snapshot layer (single timed run per op keeps the whole bench
         # inside the driver's time budget; the ops' absolute costs are
         # seconds-scale, so one run still ranks a regression)
-        tf1 = run_table_format_suite(spark, sf1, runs=1)
+        tf1, tf1_extras = run_table_format_suite(spark, sf1, runs=1)
         out["sf1"]["table_format"] = {
             "value": round(sum(tf1.values()), 3),
             "unit": "sec",
             "queries": tf1,
             "runs_per_query": 1,
             "sf": 1.0,
+            **tf1_extras,
         }
     print(json.dumps(out))
     spark.stop()

@@ -340,6 +340,12 @@ LOG_METRICS = {
     "checkpoint_reads": 0,
 }
 
+#: per-phase wall timings of the most recent ``merge_mor`` call —
+#: the MOR merge is the table layer's cost center (BENCH table-format
+#: block), and a single total hides which staged pass dominates.
+#: Reset at each merge entry; read by bench.py's tf_merge_mor_phases.
+MERGE_METRICS: dict[str, float] = {}
+
 
 def _pointer_path(root: str) -> str:
     return os.path.join(root, "_manifests", "_last_checkpoint.json")
@@ -2201,6 +2207,10 @@ class SnapshotTable:
             else ()
         )
         mapped = self._apply_schema_map(tagged, m["schema"], keep=keep)
+        import time as _mtime
+
+        MERGE_METRICS.clear()
+        _ph0 = _mtime.perf_counter()
         # ambiguity guard: >1 source row per join key is an error IF any
         # target row carries that key (Delta's multiple-matches error)
         dup_keys = (
@@ -2225,6 +2235,9 @@ class SnapshotTable:
                 "target row on " + str(on) + " — deduplicate the "
                 "source first (the merge would be ambiguous)"
             )
+        MERGE_METRICS["ambiguity_check_sec"] = round(
+            _mtime.perf_counter() - _ph0, 3
+        )
         for c in m.get("identity") or {}:
             if when_matched_update and c in when_matched_update:
                 raise ValueError(
@@ -2254,7 +2267,21 @@ class SnapshotTable:
                 else F.lit(True)
             )
         )
-        touched = joined.filter(del_cond | upd_cond)
+        # ONE full-table pass detects and MATERIALIZES the matched
+        # rows (localCheckpoint, O(matched rows) storage): tombstones
+        # AND post-images both derive from this frame, so the join
+        # never re-scans the table for the post-image pass (pre-r8 it
+        # re-ran the whole join against the written sidecar — churned
+        # files read twice) and nondeterministic clause conditions are
+        # pinned by the materialization itself.
+        _ph0 = _mtime.perf_counter()
+        touched = joined.filter(del_cond | upd_cond).localCheckpoint(
+            eager=True
+        )
+        MERGE_METRICS["detect_matched_sec"] = round(
+            _mtime.perf_counter() - _ph0, 3
+        )
+        _ph0 = _mtime.perf_counter()
         tomb = touched.select("__dv_file", "__dv_pos")
         if (
             when_not_matched_by_source_delete is not None
@@ -2286,18 +2313,17 @@ class SnapshotTable:
             .distinct()
             .collect()
         ]
+        MERGE_METRICS["sidecar_write_sec"] = round(
+            _mtime.perf_counter() - _ph0, 3
+        )
         target_cols = [
             c for c in mapped.columns
             if c not in ("__dv_file", "__dv_pos", ROW_ID_COL)
         ]
-        # post-images: pinned to the written sidecar, source values
-        # re-attached by key (deterministic: keys are the join identity)
+        # post-images: derived from the MATERIALIZED touched frame (the
+        # same rows the sidecar was written from — one pass, pinned)
         post = None
         if when_matched_update is not None:
-            sidecar = self._dv_rows({"_": [dvdir]})
-            pinned = joined.join(
-                sidecar, ["__dv_file", "__dv_pos"], "left_semi"
-            )
             # GENERATED columns the update clause didn't explicitly
             # assign are dropped so the write path recomputes them from
             # the updated inputs (same recompute rule as update_where);
@@ -2307,7 +2333,7 @@ class SnapshotTable:
                 for g in self._generated()
                 if g in target_cols and g not in when_matched_update
             }
-            pre = pinned.filter(~del_cond)
+            pre = touched.filter(~del_cond)
             out_cols = [c for c in target_cols if c not in regen]
             if track:
                 # row tracking: the post-image keeps the pre-image's
@@ -2333,6 +2359,9 @@ class SnapshotTable:
             )
         inserts = None
         if ins_on:
+            # one column-pruned anti-join pass; materialized so the
+            # emptiness probe and the file write share the evaluation
+            # (and identity-id assignment happens exactly once)
             unmatched = src.join(
                 mapped.select(*on), key_cond, "left_anti"
             )
@@ -2384,13 +2413,16 @@ class SnapshotTable:
                         + F.lit(step) * F.monotonically_increasing_id()
                     ).cast("long"),
                 )
+            inserts = inserts.localCheckpoint(eager=True)
         # The update and insert branches write SEPARATELY: after the
         # generated-column drop their column sets can differ (post
         # recomputes a gen column the source happens to supply, or vice
         # versa), and a unioned write would surface NULLs for the
         # missing side and fail the writer-side validation. Each branch
         # passes through the same `_write_files` choke point, both file
-        # lists land in the one atomic manifest.
+        # lists land in the one atomic manifest. Both derive from
+        # materialized frames, so the emptiness probes cost no re-scan.
+        _ph0 = _mtime.perf_counter()
         parts = [
             p
             for p in (post, inserts)
@@ -2409,6 +2441,9 @@ class SnapshotTable:
         new: list[str] = []
         for p in parts:
             new += self._write_files(p)
+        MERGE_METRICS["post_insert_write_sec"] = round(
+            _mtime.perf_counter() - _ph0, 3
+        )
         # only the insert branch can extend the schema (post-images
         # project a subset of the existing target columns)
         sm = (
@@ -2416,7 +2451,8 @@ class SnapshotTable:
             if inserts is not None and any(p is inserts for p in parts)
             else _UNSET
         )
-        return self._publish(
+        _ph0 = _mtime.perf_counter()
+        v_out = self._publish(
             m["files"] + new,
             cur,
             self._merged_stats(cur, new, None),
@@ -2426,6 +2462,10 @@ class SnapshotTable:
             types=self._merged_types(m, *parts),
             txn_update=txn_update,
         )
+        MERGE_METRICS["publish_sec"] = round(
+            _mtime.perf_counter() - _ph0, 3
+        )
+        return v_out
 
     def materialize_deletes(self) -> int:
         """Fold accumulated deletion vectors into rewritten files (the
