@@ -295,7 +295,8 @@ _SELECT = re.compile(
     rf"^\s*SELECT\s+\*\s+FROM\s+{_TBL}"
     r"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)"
     r"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'"
-    r"|\s+TAG\s+'(?P<tag>[^']+)')?"
+    r"|\s+TAG\s+'(?P<tag>[^']+)'"
+    r"|\s+BRANCH\s+'(?P<branch>[^']+)')?"
     r"(?:\s+WHERE\s+(?P<where>.*))?\s*$",
     re.I | re.S,
 )
@@ -604,6 +605,13 @@ def snapshot_sql(
     m = _SELECT.match(sql)
     if m:
         t = SnapshotTable(spark, m.group("root"), clock=clock)
+        if m.group("branch"):
+            # the READ side of write-audit-publish: audit a staged
+            # branch's state in SQL before fast-forwarding it to main
+            df = t.branch(m.group("branch")).read()
+            if m.group("where"):
+                df = df.filter(F.expr(m.group("where")))
+            return df
         as_of_ts = None
         if m.group("ts"):
             from datetime import datetime, timezone

@@ -575,3 +575,24 @@ def test_foreach_batch_merge_sql_idempotent_replay(spark):
     assert t.txn_watermark("t_sink") == 2
     sink(upd, 2)  # replayed: must not re-apply
     assert t.txn_watermark("t_sink") == 2
+
+
+def test_sql_select_branch_reads_wap_staging(spark):
+    root = _tmp("selbr")
+    t = SnapshotTable(spark, root)
+    t.commit_append(_kv(spark, 5))
+    b = t.create_branch("audit")
+    b.commit_append(_kv(spark, 3, start=100))
+    main_rows = snapshot_sql(
+        spark, f"SELECT * FROM pysnapshot.`{root}`"
+    ).count()
+    branch_rows = snapshot_sql(
+        spark, f"SELECT * FROM pysnapshot.`{root}` BRANCH 'audit'"
+    ).count()
+    assert (main_rows, branch_rows) == (5, 8)
+    got = snapshot_sql(
+        spark,
+        f"SELECT * FROM pysnapshot.`{root}` BRANCH 'audit' "
+        "WHERE k >= 100",
+    )
+    assert got.count() == 3
