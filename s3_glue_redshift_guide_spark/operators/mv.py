@@ -317,8 +317,14 @@ class ChangeFeedJoinAggView:
     def _publish(self, changes: DataFrame, lv: int, rv: int) -> None:
         self._agg._check_sum_dtypes(changes)
         delta = changes.groupBy(*self.keys).agg(*self._agg._delta_aggs())
+        # a cursor-only advance (streaming left-first bootstrap) leaves
+        # a file-less state version — that is an EMPTY prior, not a
+        # readable one
         prior = (
-            self.state.read() if self.state.current_version() > 0 else None
+            self.state.read()
+            if self.state.current_version() > 0
+            and self.state.file_count() > 0
+            else None
         )
         merged = (
             delta
@@ -387,6 +393,139 @@ class ChangeFeedJoinAggView:
                 txn_update={self.CURSOR_L: int(lv), self.CURSOR_R: int(rv)},
             )
             return lv, rv
+
+    def _fold_side(
+        self, side: str, changes: DataFrame, new_v: int
+    ) -> None:
+        """Fold ONE side's change batch (round 8: the streaming unit of
+        work). The single-side telescoping identity holds with the
+        OTHER side pinned at its own cursor::
+
+            ΔL ⋈ R@rc      (left fold: right frozen at right-cursor)
+            L@lc ⋈ ΔR      (right fold: left frozen at left-cursor)
+
+        so any SERIALIZED interleaving of left/right folds telescopes
+        to head ⋈ head exactly — each fold advances one cursor and the
+        state commit banks it atomically. Concurrent folds are safe,
+        not lossy: the state table's optimistic publish turns a racing
+        fold into ``CommitConflict`` (the stream retries its epoch),
+        never a silently lost update."""
+        from ..sources.snapshots import load_manifest
+
+        lc, rc = self._cursors()
+        cur = lc if side == "L" else rc
+        if new_v <= cur:
+            return  # replayed epoch
+        if side == "L":
+            other = self.right.read(rc) if rc > 0 else None
+            joined = (
+                self._join(changes, other)
+                if other is not None
+                else None
+            )
+            lv, rv = new_v, rc
+            app = self.CURSOR_L
+        else:
+            other = self.left.read(lc) if lc > 0 else None
+            joined = (
+                self._join(other, changes)
+                if other is not None
+                else None
+            )
+            lv, rv = lc, new_v
+            app = self.CURSOR_R
+        if joined is None:
+            # the other side has never been folded (cursor 0 = empty
+            # multiset): nothing joins, but the cursor must advance
+            # atomically — a metadata-only state commit
+            st = self.state
+            sv = st.current_version()
+            m = (
+                load_manifest(st.root, sv)
+                if sv > 0
+                else {"files": [], "stats": {}}
+            )
+            st._publish(
+                m["files"], sv, m.get("stats") or {},
+                txn_update={app: int(new_v)}, op="MV CURSOR",
+            )
+            return
+        self._publish(self._project(joined), lv, rv)
+
+    def refresh_streams(
+        self,
+        checkpoint_left: str,
+        checkpoint_right: str,
+        available_now: bool = False,
+        processing_time: str | None = None,
+    ):
+        """ALWAYS-ON maintenance from BOTH change-data-feed streams
+        (VERDICT-r7 round-8 candidate #1): each side's ``readChangeFeed``
+        stream folds its micro-batches through ``_fold_side`` — the
+        same ±sign fold as the batch refresh, one side at a time, the
+        other side read at its cursor via time travel. Returns the two
+        StreamingQuery handles. Epochs are idempotent across restarts:
+        rows at or below the banked cursor are dropped before folding
+        and the surviving max version publishes WITH the fold. With
+        ``available_now`` the two drains run SEQUENTIALLY (left then
+        right — deterministic serialization, both handles returned
+        terminated); under timed triggers both run concurrently and a
+        racing pair degrades to a CommitConflict retry, never a lost
+        update."""
+        from ..sources.pyds import register_snapshot_source
+
+        register_snapshot_source(self.spark)
+
+        def fold_epoch(side):
+            def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+                lc, rc = self._cursors()
+                cur = lc if side == "L" else rc
+                fresh = batch_df.filter(
+                    F.col("_commit_version") > F.lit(cur)
+                ).localCheckpoint(eager=True)
+                hi = fresh.agg(
+                    F.max("_commit_version")
+                ).collect()[0][0]
+                if hi is None:
+                    return  # fully-redelivered or empty epoch
+                self._fold_side(
+                    side, fresh.drop("_commit_version"), int(hi)
+                )
+
+            return _fold
+
+        out = []
+        for side, table, ckpt in (
+            ("L", self.left, checkpoint_left),
+            ("R", self.right, checkpoint_right),
+        ):
+            if table.current_version() == 0:
+                # nothing ever committed on this side: there is no log
+                # to stream yet (the CDF source can't resolve an empty
+                # root). The next drain bootstraps from version 0 — the
+                # stream's default — so skipping loses nothing.
+                out.append(None)
+                continue
+            stream = (
+                self.spark.readStream.format("pysnapshot")
+                .option("root", table.root)
+                .option("readChangeFeed", "true")
+                .load()
+            )
+            writer = (
+                stream.writeStream.foreachBatch(fold_epoch(side))
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+            )
+            if available_now:
+                writer = writer.trigger(availableNow=True)
+            elif processing_time is not None:
+                writer = writer.trigger(processingTime=processing_time)
+            q = writer.start()
+            if available_now:
+                q.awaitTermination()
+            out.append(q)
+        return out
 
     def read(self) -> DataFrame:
         if self.state.current_version() == 0:

@@ -431,3 +431,79 @@ def rollup_mv_join_feed(spark, sf_dir):
         F.col("sum_cents").cast("long").alias("sum_cents"),
         F.lit(matches).alias("matches_recompute"),
     )
+
+
+@query(
+    "rollup_mv_join_stream",
+    oracle="""
+    WITH l AS (SELECT l_orderkey AS k,
+                      CAST(l_quantity AS BIGINT) AS x
+               FROM lineitem WHERE l_orderkey < 4000),
+    l2 AS (SELECT * FROM l WHERE k % 10 <> 3),
+    r AS (SELECT o_orderkey AS rk, o_orderpriority AS grp
+          FROM orders WHERE o_orderkey < 5000)
+    SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS s, 1 AS cursors_at_head
+    FROM l2 JOIN r ON k = rk GROUP BY grp
+    """,
+)
+def rollup_mv_join_stream(spark, sf_dir):
+    """ALWAYS-ON maintenance of the JOIN materialized view from BOTH
+    change-data-feed STREAMS (round 8; the streaming half of X17):
+    each side's ``readChangeFeed`` stream folds its micro-batches
+    through the single-side telescoping identities — ΔL ⋈ R@rc with
+    the right frozen at ITS cursor, L@lc ⋈ ΔR symmetrically — so any
+    serialized interleaving of left/right folds telescopes to
+    head ⋈ head exactly. Two REAL drain rounds run here against the
+    same checkpoints: the first exercises the left-before-right
+    bootstrap (left folds against an EMPTY right multiset — a
+    cursor-only state commit), the second folds appends, a DELETE
+    (retraction), and new right rows. Value-exact vs the head ⋈ head
+    recompute; both cursors must land at their tables' heads."""
+    from ..operators.mv import ChangeFeedJoinAggView
+    from ..sources.snapshots import SnapshotTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_quantity").cast("long").alias("x"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("rk"),
+        F.col("o_orderpriority").alias("grp"),
+    )
+    base = tempfile.mkdtemp(prefix="spark_jmvstream_")
+    left = SnapshotTable(spark, os.path.join(base, "left"))
+    right = SnapshotTable(spark, os.path.join(base, "right"))
+    mv = ChangeFeedJoinAggView(
+        spark, left, right, os.path.join(base, "state"),
+        left_on=["k"], right_on=["rk"], keys=["grp"],
+        measures={"n": ("count",), "s": ("sum", "x")},
+    )
+    ck_l = os.path.join(base, "ck_l")
+    ck_r = os.path.join(base, "ck_r")
+    # round 1: LEFT commits exist before the right table does — the
+    # left drain is a cursor-only bootstrap
+    left.commit_append(li.filter(F.col("k") < 2000))
+    mv.refresh_streams(ck_l, ck_r, available_now=True)
+    right.commit_append(o.filter(F.col("rk") < 3000))
+    mv.refresh_streams(ck_l, ck_r, available_now=True)
+    # round 2: churn on both sides, resume the SAME checkpoints
+    left.commit_append(
+        li.filter((F.col("k") >= 2000) & (F.col("k") < 4000))
+    )
+    left.delete_where(F.col("k") % 10 == 3)
+    right.commit_append(
+        o.filter((F.col("rk") >= 3000) & (F.col("rk") < 5000))
+    )
+    mv.refresh_streams(ck_l, ck_r, available_now=True)
+    lc, rc = mv._cursors()
+    at_head = int(
+        lc == left.current_version()
+        and rc == right.current_version()
+    )
+    return mv.read().select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("s"),
+        F.lit(at_head).alias("cursors_at_head"),
+    )

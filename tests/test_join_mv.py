@@ -144,3 +144,58 @@ def test_float_sum_rejected(spark):
     )
     with pytest.raises(ValueError, match="not exactly retractable"):
         mv.refresh()
+
+
+# ------------------------------------------ streaming maintenance (r8)
+def test_streaming_join_mv_matches_recompute(spark):
+    """Two CDF streams fold through the single-side telescoping
+    identities (ΔL ⋈ R@rc, L@lc ⋈ ΔR); after draining both, the state
+    equals the head ⋈ head recompute — including deletes."""
+    left, right, mv = _fixture(spark)
+    ckpt_l = tempfile.mkdtemp(prefix="jmv_ck_l_")
+    ckpt_r = tempfile.mkdtemp(prefix="jmv_ck_r_")
+    right.commit_append(
+        _rows(spark, [(1, "a"), (2, "b")], "rk long, grp string")
+    )
+    left.commit_append(
+        _rows(spark, [(1, 10), (1, 20), (2, 30)], "k long, x long")
+    )
+    mv.refresh_streams(ckpt_l, ckpt_r, available_now=True)
+    _assert_matches(mv, left, right)
+    # churn on both sides, then resume the SAME checkpoints: only the
+    # new commits fold (cursor idempotence across restarts)
+    left.commit_append(_rows(spark, [(2, 5)], "k long, x long"))
+    left.delete_where(F.col("x") == 10)
+    right.commit_append(
+        _rows(spark, [(3, "a")], "rk long, grp string")
+    )
+    left.commit_append(_rows(spark, [(3, 7)], "k long, x long"))
+    mv.refresh_streams(ckpt_l, ckpt_r, available_now=True)
+    _assert_matches(mv, left, right)
+    lc, rc = mv._cursors()
+    assert lc == left.current_version()
+    assert rc == right.current_version()
+    # an idle drain folds nothing and moves no cursor
+    sv = mv.state.current_version()
+    mv.refresh_streams(ckpt_l, ckpt_r, available_now=True)
+    assert mv.state.current_version() == sv
+
+
+def test_streaming_join_mv_left_first_bootstrap(spark):
+    """Left stream drains before the right table has EVER folded: the
+    left fold joins an empty right multiset (cursor-only advance), and
+    the later right fold restores exactness via L@lc ⋈ ΔR."""
+    left, right, mv = _fixture(spark)
+    ckpt_l = tempfile.mkdtemp(prefix="jmv_ck2_l_")
+    ckpt_r = tempfile.mkdtemp(prefix="jmv_ck2_r_")
+    left.commit_append(
+        _rows(spark, [(1, 10), (2, 30)], "k long, x long")
+    )
+    mv.refresh_streams(ckpt_l, ckpt_r, available_now=True)
+    lc, rc = mv._cursors()
+    assert (lc, rc) == (1, 0)  # cursor advanced, nothing folded
+    right.commit_append(
+        _rows(spark, [(1, "a"), (2, "b")], "rk long, grp string")
+    )
+    mv.refresh_streams(ckpt_l, ckpt_r, available_now=True)
+    _assert_matches(mv, left, right)
