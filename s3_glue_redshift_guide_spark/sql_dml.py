@@ -304,6 +304,14 @@ _SELECT = re.compile(
 _CREATE_TABLE = re.compile(
     rf"^\s*CREATE\s+TABLE\s+{_TBL}\s*\((?P<rest>.*)$", re.I | re.S
 )
+_CTAS = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+{_TBL}\s+(?P<rest>(?:PARTITIONED|"
+    r"TBLPROPERTIES|AS)\s.*)$",
+    re.I | re.S,
+)
+_SHOW_PROPS = re.compile(
+    rf"^\s*SHOW\s+TBLPROPERTIES\s+{_TBL}\s*$", re.I
+)
 _INSERT = re.compile(
     rf"^\s*INSERT\s+INTO\s+{_TBL}"
     r"(?:\s*\((?P<cols>[\w\s,]+)\))?"
@@ -363,8 +371,10 @@ def _props_dict(props: str) -> dict:
     return out
 
 
-def _create_table(spark: SparkSession, m: re.Match, clock) -> int:
-    schema, rest = _balanced(m.group("rest"))
+def _table_opts(rest: str):
+    """Parse the optional ``PARTITIONED BY (...) TBLPROPERTIES (...)``
+    clauses (balanced-paren aware — transform specs nest parens);
+    returns (spec, props, remainder)."""
     rest = rest.strip()
     spec = None
     mm = re.match(
@@ -382,11 +392,33 @@ def _create_table(spark: SparkSession, m: re.Match, clock) -> int:
         inside, rest = _balanced(mm.group("rest"))
         props = _props_dict(inside)
         rest = rest.strip()
+    return spec, props, rest
+
+
+def _create_table(spark: SparkSession, m: re.Match, clock) -> int:
+    schema, rest = _balanced(m.group("rest"))
+    spec, props, rest = _table_opts(rest)
     if rest:
         raise ValueError(f"unparsed CREATE TABLE tail: {rest!r}")
     return SnapshotTable(
         spark, m.group("root"), clock=clock
     ).create_table(schema, partition_by=spec, properties=props)
+
+
+def _ctas(spark: SparkSession, m: re.Match, clock) -> int:
+    """CREATE TABLE ... AS SELECT: the schema is the SELECT's, declared
+    on the new table (so enforcement/reads behave exactly as an
+    explicit CREATE), then the result lands as the first data commit —
+    v1 metadata + v2 data, both through existing methods."""
+    spec, props, rest = _table_opts(m.group("rest"))
+    sel = re.match(r"^AS\s+(?P<select>SELECT\s+.*)$", rest, re.I | re.S)
+    if not sel:
+        raise ValueError(f"unparsed CREATE TABLE tail: {rest[:80]!r}")
+    df = spark.sql(sel.group("select"))
+    t = SnapshotTable(spark, m.group("root"), clock=clock)
+    schema = ", ".join(f"`{n}` {dt}" for n, dt in df.dtypes)
+    t.create_table(schema, partition_by=spec, properties=props)
+    return t.commit_append(df)
 
 
 def _insert(spark: SparkSession, m: re.Match, clock) -> int:
@@ -454,9 +486,27 @@ def snapshot_sql(
     m = _MERGE.match(sql)
     if m:
         return _merge(spark, m, clock, txn_update=txn_update)
+    m = _CTAS.match(sql)
+    if m:
+        return _ctas(spark, m, clock)
     m = _CREATE_TABLE.match(sql)
     if m:
         return _create_table(spark, m, clock)
+    m = _SHOW_PROPS.match(sql)
+    if m:
+        from .sources.snapshots import load_manifest
+
+        t = SnapshotTable(spark, m.group("root"), clock=clock)
+        v = t.current_version()
+        props = (
+            load_manifest(t.root, v).get("properties") or {}
+            if v > 0
+            else {}
+        )
+        return spark.createDataFrame(
+            sorted(props.items()) or [("", "")],
+            "key string, value string",
+        ).filter("key <> ''")
     m = _INSERT.match(sql)
     if m:
         return _insert(spark, m, clock)
@@ -631,8 +681,8 @@ def snapshot_sql(
         return df
     raise ValueError(
         "unrecognized statement (supported: CREATE TABLE ... "
-        "[PARTITIONED BY] [TBLPROPERTIES], INSERT INTO ... "
-        "VALUES/SELECT, MERGE INTO, UPDATE, DELETE FROM, OPTIMIZE "
+        "[PARTITIONED BY] [TBLPROPERTIES] [AS SELECT], INSERT INTO "
+        "... VALUES/SELECT, MERGE INTO, UPDATE, DELETE FROM, OPTIMIZE "
         "[WHERE] [ZORDER BY], DESCRIBE HISTORY, DESCRIBE DETAIL, "
         "RESTORE ... TO VERSION AS OF, VACUUM ... RETAIN n VERSIONS, "
         "REORG TABLE ... APPLY (PURGE), ALTER TABLE ... ADD/DROP "

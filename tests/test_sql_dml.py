@@ -596,3 +596,35 @@ def test_sql_select_branch_reads_wap_staging(spark):
         "WHERE k >= 100",
     )
     assert got.count() == 3
+
+
+def test_sql_ctas_and_show_tblproperties(spark):
+    root = _tmp("ctas")
+    _kv(spark, 10).createOrReplaceTempView("ctas_src")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE pysnapshot.`{root}` "
+        "PARTITIONED BY (bucket(k, 2)) "
+        "TBLPROPERTIES ('owner'='etl') "
+        "AS SELECT k, v * 10 AS v10 FROM ctas_src",
+    )
+    t = SnapshotTable(spark, root)
+    assert t.current_version() == 2  # v1 CREATE, v2 the data
+    got = snapshot_sql(spark, f"SELECT * FROM pysnapshot.`{root}`")
+    assert dict(got.dtypes) == {"k": "bigint", "v10": "bigint"}
+    assert got.count() == 10
+    files = t.partition_pruned_files({})
+    assert all("__part_bucket_k_2=" in f for f in files)
+    props = {
+        r["key"]: r["value"]
+        for r in snapshot_sql(
+            spark, f"SHOW TBLPROPERTIES pysnapshot.`{root}`"
+        ).collect()
+    }
+    assert props == {"owner": "etl"}
+    # empty-props table shows zero rows
+    root2 = _tmp("ctas2")
+    snapshot_sql(spark, f"CREATE TABLE pysnapshot.`{root2}` (k INT)")
+    assert snapshot_sql(
+        spark, f"SHOW TBLPROPERTIES pysnapshot.`{root2}`"
+    ).count() == 0
