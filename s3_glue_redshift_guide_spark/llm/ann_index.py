@@ -153,6 +153,60 @@ def ann_index_refresh(table: SnapshotTable) -> int:
     )
 
 
+def _deduped_scan(spark, ann) -> DataFrame:
+    """The banked code generations with newest-generation shadowing
+    applied (a re-encoded id's older codes drop out)."""
+    gens = [
+        spark.read.parquet(p).withColumn("__gen", F.lit(i))
+        for i, p in enumerate(ann["codes"])
+    ]
+    scan = gens[0]
+    for g in gens[1:]:
+        scan = scan.unionAll(g)
+    if len(gens) == 1:
+        return scan.drop("__gen")
+    return (
+        scan.groupBy("neighbor_id")
+        .agg(
+            F.max_by(
+                F.struct("list_id", "codes"), F.col("__gen")
+            ).alias("__s")
+        )
+        .select(
+            "neighbor_id",
+            F.col("__s.list_id").alias("list_id"),
+            F.col("__s.codes").alias("codes"),
+        )
+    )
+
+
+def ann_index_optimize(table: SnapshotTable) -> int:
+    """Compact the code generations into ONE sidecar (shadowing
+    resolved at compaction time), so probes go back to a shuffle-free
+    scan — the OPTIMIZE of the index lifecycle. No-op at one
+    generation; superseded sidecars become unreferenced once the
+    commit lands and VACUUM sweeps them with the next unreferenced
+    ``ann_`` dir."""
+    cur = table.current_version()
+    m_head = load_manifest(table.root, cur)
+    ann = dict(m_head.get("ann") or {})
+    if not ann:
+        raise ValueError("no ANN index banked — run ann_index_build")
+    if len(ann["codes"]) <= 1:
+        return cur
+    compacted = os.path.join(
+        ann["dir"], f"codes_compact_{uuid.uuid4().hex[:8]}"
+    )
+    _deduped_scan(table.spark, ann).write.mode(
+        "errorifexists"
+    ).parquet(compacted)
+    ann["codes"] = [compacted]
+    return table._publish(
+        m_head["files"], cur, m_head["stats"], ann=ann,
+        op="ANN OPTIMIZE",
+    )
+
+
 def ann_probe(
     table: SnapshotTable,
     queries: DataFrame,
@@ -171,27 +225,9 @@ def ann_probe(
     with open(ann["quantizer"]) as f:
         q = json.load(f)
     spark = table.spark
-    gens = [
-        spark.read.parquet(p).withColumn("__gen", F.lit(i))
-        for i, p in enumerate(ann["codes"])
-    ]
-    scan = gens[0]
-    for g in gens[1:]:
-        scan = scan.unionAll(g)
-    if len(gens) > 1:
-        # a re-encoded id's NEWEST generation shadows older ones —
-        # one groupBy over (id, 8-byte codes) scalar rows
-        scan = scan.groupBy("neighbor_id").agg(
-            F.max_by(
-                F.struct("list_id", "codes"), F.col("__gen")
-            ).alias("__s")
-        ).select(
-            "neighbor_id",
-            F.col("__s.list_id").alias("list_id"),
-            F.col("__s.codes").alias("codes"),
-        )
-    else:
-        scan = scan.drop("__gen")
+    # newest generation shadows re-encoded ids; at one generation (or
+    # after ann_index_optimize compacts) this is a shuffle-free scan
+    scan = _deduped_scan(spark, ann)
     corpus_vecs = table.read().select(
         F.col(ann["id_col"]).alias("neighbor_id"),
         F.col(ann["vec_col"]).alias("cv"),

@@ -99,3 +99,29 @@ def test_vacuum_keeps_referenced_index_and_sweeps_orphans(
     assert orphan in deleted
     assert os.path.isdir(ann["dir"])  # referenced: survives
     assert not os.path.isdir(orphan)
+
+
+def test_optimize_compacts_generations_probe_unchanged(spark, indexed):
+    t = indexed
+    from s3_glue_redshift_guide_spark.llm.ann_index import (
+        ann_index_optimize,
+    )
+
+    # ensure >1 generation exists (the refresh test may have run first,
+    # but module fixture order isn't guaranteed — make churn here)
+    t.commit_append(_vecs(spark, 2, start=900))
+    ann_index_refresh(t)
+    q = _vecs(spark, 4)
+    before = sorted(
+        map(tuple, ann_probe(t, q, k=3, n_probe=2).collect())
+    )
+    ann_index_optimize(t)
+    ann = load_manifest(t.root, t.current_version())["ann"]
+    assert len(ann["codes"]) == 1
+    after = sorted(
+        map(tuple, ann_probe(t, q, k=3, n_probe=2).collect())
+    )
+    assert after == before
+    # idempotent: second optimize is a no-op commit-wise
+    v = t.current_version()
+    assert ann_index_optimize(t) == v
