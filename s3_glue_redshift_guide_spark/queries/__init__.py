@@ -81,7 +81,7 @@ _PRIORITY = [
     # -- (c) new round-8 rows: next in line for round 9 (positions 50+) ----
     "src_partition_range_pruning", "sql_create_table_dml",
     "llm_ann_index_probe", "sink_sql_merge_stream",
-    "rollup_mv_join_stream",
+    "rollup_mv_join_stream", "src_partition_drop_metadata",
     # -- (d) deferred r3 rows with continuous indirect evidence ------------
     "q1_pricing_summary", "llm_jaccard_pairs", "llm_minhash_pairs",
     "llm_topk_similarity", "llm_text_stats", "plan_audit_facts",

@@ -3201,3 +3201,77 @@ def src_partition_range_pruning(spark, sf_dir):
         "rows_range long, day_span_exact int, "
         "month_era_excluded int, halfopen_exact int",
     )
+
+
+@query(
+    "src_partition_drop_metadata",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM events
+                 WHERE NOT (ts >= TIMESTAMP '2024-01-05'
+                            AND ts < TIMESTAMP '2024-01-06'))
+                AS BIGINT) AS rows_after,
+           CAST((SELECT count(*) FROM events
+                 WHERE ts >= TIMESTAMP '2024-01-05'
+                   AND ts < TIMESTAMP '2024-01-06')
+                AS BIGINT) AS rows_dropped_cdf,
+           1 AS zero_new_files, 1 AS bytes_untouched,
+           1 AS prespec_guard
+    """,
+)
+def src_partition_drop_metadata(spark, sf_dir):
+    """METADATA-ONLY partition delete (round 8; Iceberg's ALTER TABLE
+    DROP PARTITION / Delta's partition-aligned DELETE fast path):
+    dropping ``day_ts = 2024-01-05`` on a day-partitioned events table
+    removes that day's files from the manifest in ONE commit with zero
+    data IO — facts prove no file was written (the post-drop manifest
+    is a strict subset of the pre-drop one) and no byte moved (the
+    dropped files still sit on disk untouched, reclaimable by VACUUM).
+    The change feed reports the dropped rows as ordinary deletes via
+    the manifest diff. A table holding ANY file without the requested
+    segment refuses the call (provable completeness — the guard is
+    fact-checked on a pre-spec layout)."""
+    import tempfile as _tf
+
+    from ..sources.snapshots import SnapshotTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    t = SnapshotTable(spark, _tf.mkdtemp(prefix="spark_pdrop_"))
+    t.set_partition_spec(["day(ts)"])
+    t.commit_append(ev)
+    before = set(t.partition_pruned_files({}))
+    v = t.drop_partitions({"day_ts": "2024-01-05"})
+    after = set(t.partition_pruned_files({}, version=v))
+    dropped = before - after
+    zero_new = int(after < before and not (after - before))
+    import os as _os
+
+    untouched = int(
+        bool(dropped) and all(_os.path.exists(f) for f in dropped)
+    )
+    cdf = t.read_changes(v - 1, v)
+    rows_dropped = cdf.filter(
+        F.col("_change_type") == "delete"
+    ).count()
+    # pre-spec layouts refuse: provable completeness
+    t2 = SnapshotTable(spark, _tf.mkdtemp(prefix="spark_pdrop2_"))
+    t2.commit_append(ev.limit(10))  # no spec: no segments
+    try:
+        t2.drop_partitions({"day_ts": "2024-01-05"})
+        guard = 0
+    except ValueError:
+        guard = 1
+    return spark.createDataFrame(
+        [
+            (
+                t.read().count(),
+                rows_dropped,
+                zero_new,
+                untouched,
+                guard,
+            )
+        ],
+        "rows_after long, rows_dropped_cdf long, zero_new_files int, "
+        "bytes_untouched int, prespec_guard int",
+    )

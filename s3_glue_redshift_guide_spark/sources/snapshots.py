@@ -3427,6 +3427,50 @@ class SnapshotTable:
             kw["evolution"] = ev
         return self._publish(m["files"], cur, m["stats"], **kw)
 
+    def drop_partitions(self, eq: dict) -> int:
+        """METADATA-ONLY partition delete (Iceberg/Hive's ``ALTER TABLE
+        DROP PARTITION``, Delta's partition-aligned DELETE fast path):
+        ``eq`` maps PATH KEYS — the raw column name for identity
+        entries, the derived key (``day_ts``, ``bucket_k_8``) for
+        transforms — to partition-DOMAIN values; every file whose path
+        banks exactly those values drops from the manifest in one
+        commit with ZERO data IO (no reads, no rewrites, no deletion
+        vectors — the dropped bytes reclaim at the next VACUUM, and
+        the change feed reports the rows as deletes via the ordinary
+        manifest diff). A visible file MISSING any requested segment
+        (pre-spec layout, connector write without the key) fails the
+        call: a metadata delete must be provably complete — silently
+        keeping half a partition would under-delete. Values are
+        matched through ``encode_partition_value``; predicates in the
+        RAW domain (``ts = X``) belong to ``delete_where``."""
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError("no table at this root")
+        m = load_manifest(self.root, cur)
+        want = {k: encode_partition_value(v) for k, v in eq.items()}
+        keep, dropped = [], []
+        for f in m["files"]:
+            pv = partition_values_from_path(f)
+            missing = [k for k in want if k not in pv]
+            if missing:
+                raise ValueError(
+                    f"file {f!r} lacks partition segment(s) "
+                    f"{missing} — a metadata-only delete cannot "
+                    "prove completeness over it; use delete_where"
+                )
+            if all(pv[k] == v for k, v in want.items()):
+                dropped.append(f)
+            else:
+                keep.append(f)
+        if not dropped:
+            return cur
+        return self._publish(
+            keep,
+            cur,
+            {f: s for f, s in m["stats"].items() if f in set(keep)},
+            op="DROP PARTITIONS",
+        )
+
     #: see module-level ``partition_values_from_path`` (shared with the
     #: pysnapshot connector's planning-time partition pruning)
     partition_values = staticmethod(

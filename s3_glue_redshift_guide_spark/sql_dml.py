@@ -333,6 +333,11 @@ _ALTER_TYPE = re.compile(
     r"TYPE\s+(?P<type>\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*$",
     re.I,
 )
+_DROP_PARTITION = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+DROP\s+PARTITION\s*"
+    r"\((?P<kvs>[^)]*)\)\s*$",
+    re.I | re.S,
+)
 _SET_PROPS = re.compile(
     rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+SET\s+TBLPROPERTIES\s*"
     r"\((?P<props>.*)\)\s*$",
@@ -525,6 +530,23 @@ def snapshot_sql(
         return SnapshotTable(
             spark, m.group("root"), clock=clock
         ).widen_column(m.group("col"), m.group("type").lower())
+    m = _DROP_PARTITION.match(sql)
+    if m:
+        eq = {}
+        for kv in _split_top(m.group("kvs")):
+            mm = re.match(
+                r"(\w+)\s*=\s*(?:'([^']*)'|(\S+))\s*$", kv.strip()
+            )
+            if not mm:
+                raise ValueError(
+                    f"DROP PARTITION takes key = literal terms; got "
+                    f"{kv!r}"
+                )
+            k, s_lit, raw = mm.groups()
+            eq[k] = s_lit if s_lit is not None else raw
+        return SnapshotTable(
+            spark, m.group("root"), clock=clock
+        ).drop_partitions(eq)
     m = _SET_PROPS.match(sql)
     if m:
         return SnapshotTable(

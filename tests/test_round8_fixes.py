@@ -252,3 +252,46 @@ def test_renamed_identity_column_not_misresolved_as_transform(spark):
         for r in t.read().filter(F.col("id") == 3).collect()
     }
     assert got == {3}
+
+
+# ------------------------------------- metadata partition drop (r8) --
+def test_drop_partitions_sql_and_semantics(spark):
+    t = _t(spark, "r8pdrop_")
+    t.set_partition_spec(["day(ts)", "bucket(k, 2)"])
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 5, 3)),
+            (2, dt.datetime(2024, 1, 5, 9)),
+            (3, dt.datetime(2024, 1, 6, 3)),
+        ],
+        "k long, ts timestamp_ntz",
+    )
+    t.commit_append(df)
+    v0 = t.current_version()
+    # SQL verb drops a whole day (both buckets)
+    snapshot_sql(
+        spark,
+        f"ALTER TABLE pysnapshot.`{t.root}` "
+        "DROP PARTITION (day_ts='2024-01-05')",
+    )
+    assert [r["k"] for r in t.read().collect()] == [3]
+    # composite: (day, bucket) drops exactly the keys hashing to the
+    # requested bucket within the requested day
+    t2 = _t(spark, "r8pdrop2_")
+    t2.set_partition_spec(["day(ts)", "bucket(k, 2)"])
+    t2.commit_append(df)
+
+    def bucket_of(k):
+        return spark.range(1).select(
+            F.pmod(F.hash(F.lit(k).cast("long")), F.lit(2))
+        ).collect()[0][0]
+
+    b1 = bucket_of(1)
+    t2.drop_partitions({"day_ts": "2024-01-05", "bucket_k_2": b1})
+    survivors = {3} | ({2} if bucket_of(2) != b1 else set())
+    assert {r["k"] for r in t2.read().collect()} == survivors
+    # time travel still reads the dropped day at the prior version
+    assert t.read(version=v0).count() == 3
+    # no-match drop is a version no-op
+    v = t.current_version()
+    assert t.drop_partitions({"day_ts": "1999-01-01"}) == v
