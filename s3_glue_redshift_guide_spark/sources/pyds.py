@@ -426,6 +426,9 @@ class SnapshotManifestReader(DataSourceReader):
         # planning time — an O(files) string walk, zero file opens
         self.part_eq: dict[str, list] = {}  # col -> encoded literals
         self.part_raw: dict[str, list] = {}  # col -> raw literals
+        # col -> [list of alternatives, ...]: each pushed IN filter
+        # contributes one any-of list (multiple INs AND-compose)
+        self.part_in: dict[str, list] = {}
         # banked path-key -> transform record; None on manifests that
         # predate the record (resolve_path_key falls back to the name
         # heuristic there)
@@ -456,8 +459,11 @@ class SnapshotManifestReader(DataSourceReader):
             elif isinstance(f, (LessThan, LessThanOrEqual)):
                 self._narrow(col, None, f.value)
             elif isinstance(f, In):
-                # sound relaxation: IN (v1..vn) ⊆ [min(v), max(v)] — a
-                # file outside the hull can't hold any listed value
+                # sound relaxation for zone maps: IN (v1..vn) ⊆
+                # [min(v), max(v)] — a file outside the hull can't hold
+                # any listed value. Partition segments get the EXACT
+                # any-of check (scattered IN lists prune per value,
+                # which the hull can't).
                 vals = [_json_scalar_value(v) for v in f.value or ()]
                 if vals and all(
                     not isinstance(v, (list, dict, tuple, set))
@@ -468,6 +474,8 @@ class SnapshotManifestReader(DataSourceReader):
                         self._narrow(col, min(vals), max(vals))
                     except TypeError:
                         pass  # mixed-domain list: no narrowing
+                    if col:
+                        self.part_in.setdefault(col, []).append(vals)
             elif isinstance(f, StringStartsWith):
                 p = f.value
                 if isinstance(p, str) and p:
@@ -544,7 +552,9 @@ class SnapshotManifestReader(DataSourceReader):
         )
         if self.null_req:
             keep = [f for f in keep if self._null_admits(f)]
-        if self.part_eq or (self.bounds and self.transform_keys):
+        if self.part_eq or self.part_in or (
+            self.bounds and self.transform_keys
+        ):
             # partition-spec pruning: a file whose __part_ path segment
             # banks a DIFFERENT value for a pushed equality provably
             # holds no matching row (identity partitioning — the
@@ -584,6 +594,21 @@ class SnapshotManifestReader(DataSourceReader):
                         pv[alias] != v for v in literals
                     ):
                         return False
+        # IN lists on identity segments: exact any-of — the file's
+        # banked value must appear in EVERY pushed list
+        for col, val_lists in self.part_in.items():
+            for name in (col, *self.aliases.get(col, [])):
+                if name not in pv:
+                    continue
+                for vals in val_lists:
+                    opts = {
+                        e
+                        for v in vals
+                        if (e := encode_partition_value(v))
+                        is not None
+                    }
+                    if len(opts) == len(vals) and pv[name] not in opts:
+                        return False
         # TRANSFORM layouts (hidden partitioning): reverse-map each
         # path key (day_ts -> day(ts)) and push the raw equality
         # literal through the transform in PURE PYTHON — there is no
@@ -606,6 +631,22 @@ class SnapshotManifestReader(DataSourceReader):
                     if t is None:
                         continue  # undecidable literal: conservative
                     if enc != encode_partition_value(t):
+                        return False
+                # IN lists through ANY transform (exact per-option
+                # equality — monotonicity not required, so bucket
+                # prunes too); one undecidable option keeps the file
+                for vals in self.part_in.get(e["col"]) or ():
+                    opts = set()
+                    decidable = True
+                    for v in vals:
+                        t = _py_transform(
+                            e, v, self.types.get(e["col"])
+                        )
+                        if t is None:
+                            decidable = False
+                            break
+                        opts.add(encode_partition_value(t))
+                    if decidable and enc not in opts:
                         return False
                 # range bounds through MONOTONE transforms (day/month/
                 # trunc): lo <= x <= hi implies T(lo) <= T(x) <= T(hi),

@@ -3490,6 +3490,7 @@ class SnapshotTable:
         eq: dict,
         version: int | None = None,
         ranges: dict | None = None,
+        any_of: dict | None = None,
     ) -> list[str]:
         """The visible files that CAN hold rows matching the
         ``{col: value}`` equality predicate — and, via ``ranges``
@@ -3497,7 +3498,10 @@ class SnapshotTable:
         open), range predicates pushed through MONOTONE transforms:
         ``ts BETWEEN a AND b`` on a day-partitioned table keeps
         exactly the day-span's partitions straight from the manifest
-        walk, no zone maps required. Decided purely from the partition
+        walk, no zone maps required. ``any_of`` ({col: [v1, v2, ...]})
+        is IN-list pruning: exact per-option equality through ANY
+        transform (bucket included — monotonicity isn't needed), so a
+        scattered ``day IN (...)`` keeps exactly the listed days. Decided purely from the partition
         tuples encoded in the file paths — an O(files) string walk
         with zero file opens, the manifest-level pruning that makes
         ``WHERE day = X`` touch one partition's files out of thousands.
@@ -3577,6 +3581,26 @@ class SnapshotTable:
                     range_cache[key] = (lo, hi, numeric)
             return range_cache[key]
 
+        anyof_cache: dict[str, frozenset | None] = {}
+
+        def _anyof_admits(key: str, enc: str) -> bool:
+            if key not in anyof_cache:
+                e = resolve_path_key(key, m, known)
+                vals = (any_of or {}).get(e["col"])
+                if vals is None:
+                    anyof_cache[key] = None
+                else:
+                    anyof_cache[key] = frozenset(
+                        encode_partition_value(
+                            v
+                            if e["fn"] == "identity"
+                            else self._transformed_literal(e, v, m)
+                        )
+                        for v in vals
+                    )
+            opts = anyof_cache[key]
+            return opts is None or enc in opts
+
         def _range_admits(key: str, enc: str) -> bool:
             rb = _range_bounds(key)
             if rb is None:
@@ -3608,6 +3632,9 @@ class SnapshotTable:
                         ok = False
                         break
                 if ranges and not _range_admits(k, enc):
+                    ok = False
+                    break
+                if any_of and not _anyof_admits(k, enc):
                     ok = False
                     break
             if ok:

@@ -430,3 +430,57 @@ def test_connector_range_prune_day(spark):
         .count()
     )
     assert got == 30
+
+
+# ----------------------------------------------- IN-list pruning ----
+def test_anyof_prune_engine_and_connector(spark):
+    """IN-list pruning is exact per-option equality through ANY
+    transform — a scattered day IN (...) keeps exactly the listed
+    days (the zone-map hull would keep the whole span)."""
+    t = _table(spark, ["day(ts)"])
+    t.commit_append(_frame(spark, 80))  # days 06-01..06-08
+    days = [dt.datetime(2022, 6, 2), dt.datetime(2022, 6, 7)]
+    files = t.partition_pruned_files({}, any_of={"ts": days})
+    assert len(files) == 2
+    assert all(
+        "__part_day_ts=2022-06-02" in f
+        or "__part_day_ts=2022-06-07" in f
+        for f in files
+    )
+    # bucket prunes from IN too (equality per option, no monotonicity)
+    tb = _table(spark, ["bucket(k, 8)"])
+    tb.commit_append(_frame(spark, 80))
+    keep = tb.partition_pruned_files({}, any_of={"k": [3, 45]})
+    assert 0 < len(keep) < tb.file_count()
+    # connector planning: pushed In prunes identity and transform keys
+    import pyarrow as pa
+    from pyspark.sql.datasource import In
+
+    from s3_glue_redshift_guide_spark.sources.pyds import (
+        SnapshotManifestReader,
+    )
+
+    r = SnapshotManifestReader({"root": t.root})
+    r.pushFilters([In(("ts",), tuple(days))])
+    r.stats = {}  # isolate the partition walk from zone maps
+    assert len(r.partitions()) == 2
+    rb = SnapshotManifestReader(
+        {"root": tb.root}, types={"k": pa.int64()}
+    )
+    rb.pushFilters([In(("k",), (3, 45))])
+    rb.stats = {}
+    assert 0 < len(rb.partitions()) < tb.file_count()
+    # end-to-end correctness through the registered source
+    from s3_glue_redshift_guide_spark.sources.pyds import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    got = (
+        spark.read.format("pysnapshot")
+        .option("root", tb.root)
+        .load()
+        .filter(F.col("k").isin(3, 45))
+        .count()
+    )
+    assert got == 2
