@@ -207,6 +207,48 @@ def ann_index_optimize(table: SnapshotTable) -> int:
     )
 
 
+def ann_refresh_stream(
+    table: SnapshotTable,
+    checkpoint: str,
+    available_now: bool = False,
+    processing_time: str | None = None,
+):
+    """ALWAYS-ON index maintenance: the table's change-data-feed
+    stream triggers ``ann_index_refresh`` once per micro-batch that
+    carries inserts — the refresh itself reads the manifest diff, so
+    the stream is purely the SCHEDULER (epoch payload is discarded; a
+    redelivered epoch makes the refresh a covered-version no-op).
+    Same zero-Lloyd-rounds contract as the batch refresh."""
+    from ..sources.pyds import register_snapshot_source
+
+    spark = table.spark
+    register_snapshot_source(spark)
+
+    def maybe_refresh(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.limit(1).count() > 0:
+            ann_index_refresh(table)
+
+    stream = (
+        spark.readStream.format("pysnapshot")
+        .option("root", table.root)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    writer = (
+        stream.writeStream.foreachBatch(maybe_refresh)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
 def ann_probe(
     table: SnapshotTable,
     queries: DataFrame,

@@ -250,8 +250,8 @@ _DETAIL = re.compile(
     rf"^\s*DESCRIBE\s+DETAIL\s+{_TBL}\s*$", re.I
 )
 _RESTORE = re.compile(
-    rf"^\s*RESTORE\s+{_TBL}\s+TO\s+VERSION\s+AS\s+OF\s+"
-    r"(?P<v>\d+)\s*$",
+    rf"^\s*RESTORE\s+{_TBL}\s+TO\s+(?:VERSION\s+AS\s+OF\s+"
+    r"(?P<v>\d+)|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')\s*$",
     re.I,
 )
 _VACUUM = re.compile(
@@ -598,9 +598,20 @@ def snapshot_sql(
         ).detail()
     m = _RESTORE.match(sql)
     if m:
-        return SnapshotTable(
-            spark, m.group("root"), clock=clock
-        ).restore(int(m.group("v")))
+        t = SnapshotTable(spark, m.group("root"), clock=clock)
+        if m.group("ts"):
+            from datetime import datetime, timezone
+
+            from .sources.snapshots import version_as_of
+
+            target = version_as_of(
+                t.root,
+                datetime.fromisoformat(m.group("ts"))
+                .replace(tzinfo=timezone.utc)
+                .timestamp(),
+            )
+            return t.restore(target)
+        return t.restore(int(m.group("v")))
     m = _VACUUM.match(sql)
     if m:
         t = SnapshotTable(spark, m.group("root"), clock=clock)

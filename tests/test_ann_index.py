@@ -125,3 +125,45 @@ def test_optimize_compacts_generations_probe_unchanged(spark, indexed):
     # idempotent: second optimize is a no-op commit-wise
     v = t.current_version()
     assert ann_index_optimize(t) == v
+
+
+def test_restore_timestamp_sql_and_ann_refresh_stream(spark):
+    """RESTORE ... TO TIMESTAMP AS OF resolves through version_as_of;
+    ann_refresh_stream keeps the index covered as the table commits."""
+    from s3_glue_redshift_guide_spark.llm.ann_index import (
+        ann_refresh_stream,
+    )
+    from s3_glue_redshift_guide_spark.sql_dml import snapshot_sql
+
+    ticks = iter(float(i) for i in range(1, 30))
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="annstream_"),
+        clock=lambda: next(ticks),
+    )
+    t.commit_append(_vecs(spark, 20))
+    ann_index_build(t, dim=DIM, n_lists=4, m=4, k_codes=8)
+    ckpt = tempfile.mkdtemp(prefix="annstream_ck_")
+    ann_refresh_stream(t, ckpt, available_now=True)
+    # a new commit, then the stream drains again: index covers head
+    t.commit_append(_vecs(spark, 3, start=700))
+    sim.TRAIN_METRICS["lloyd_rounds"] = 0
+    ann_refresh_stream(t, ckpt, available_now=True)
+    assert sim.TRAIN_METRICS["lloyd_rounds"] == 0
+    ann = load_manifest(t.root, t.current_version())["ann"]
+    # the refresh commit itself advances head by one, so coverage is
+    # exactly the pre-refresh head (which includes the 700-block)
+    assert int(ann["covered_version"]) == t.current_version() - 1
+    got = ann_probe(t, _vecs(spark, 2, start=700), k=2, n_probe=2)
+    assert got.count() == 4
+    # RESTORE TIMESTAMP AS OF rewinds to the pre-append version
+    v_before = 2  # v1 append, v2 ann build
+    import datetime as _dt
+
+    ts = _dt.datetime.fromtimestamp(
+        2.5, tz=_dt.timezone.utc
+    ).replace(tzinfo=None).isoformat()
+    snapshot_sql(
+        spark,
+        f"RESTORE pysnapshot.`{t.root}` TO TIMESTAMP AS OF '{ts}'",
+    )
+    assert t.read().count() == 20  # the 700-block is gone
