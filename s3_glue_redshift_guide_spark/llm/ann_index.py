@@ -184,9 +184,13 @@ def ann_index_optimize(table: SnapshotTable) -> int:
     """Compact the code generations into ONE sidecar (shadowing
     resolved at compaction time), so probes go back to a shuffle-free
     scan — the OPTIMIZE of the index lifecycle. No-op at one
-    generation; superseded sidecars become unreferenced once the
-    commit lands and VACUUM sweeps them with the next unreferenced
-    ``ann_`` dir."""
+    generation. The compacted index lands in a FRESH ``ann_`` dir
+    (quantizer copied alongside): the reachability unit VACUUM sweeps
+    is the dir, so reusing the old one would keep every superseded
+    generation on disk forever — this way the old dir ages out with
+    the manifests that reference it."""
+    import shutil
+
     cur = table.current_version()
     m_head = load_manifest(table.root, cur)
     ann = dict(m_head.get("ann") or {})
@@ -194,13 +198,19 @@ def ann_index_optimize(table: SnapshotTable) -> int:
         raise ValueError("no ANN index banked — run ann_index_build")
     if len(ann["codes"]) <= 1:
         return cur
-    compacted = os.path.join(
-        ann["dir"], f"codes_compact_{uuid.uuid4().hex[:8]}"
+    d = os.path.join(
+        table.root, "_indexes", f"ann_{uuid.uuid4().hex}"
     )
+    os.makedirs(d, exist_ok=True)
+    qpath = os.path.join(d, "quantizer.json")
+    shutil.copyfile(ann["quantizer"], qpath)
+    compacted = os.path.join(d, "codes_0")
     _deduped_scan(table.spark, ann).write.mode(
         "errorifexists"
     ).parquet(compacted)
-    ann["codes"] = [compacted]
+    ann.update(
+        {"dir": d, "quantizer": qpath, "codes": [compacted]}
+    )
     return table._publish(
         m_head["files"], cur, m_head["stats"], ann=ann,
         op="ANN OPTIMIZE",

@@ -167,3 +167,26 @@ def test_restore_timestamp_sql_and_ann_refresh_stream(spark):
         f"RESTORE pysnapshot.`{t.root}` TO TIMESTAMP AS OF '{ts}'",
     )
     assert t.read().count() == 20  # the 700-block is gone
+
+
+def test_optimize_moves_to_fresh_dir_and_old_ages_out(spark):
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="annopt_"))
+    t.commit_append(_vecs(spark, 20))
+    ann_index_build(t, dim=DIM, n_lists=4, m=4, k_codes=8)
+    old_dir = load_manifest(t.root, t.current_version())["ann"]["dir"]
+    t.commit_append(_vecs(spark, 2, start=300))
+    ann_index_refresh(t)
+    from s3_glue_redshift_guide_spark.llm.ann_index import (
+        ann_index_optimize,
+    )
+
+    ann_index_optimize(t)
+    new_dir = load_manifest(t.root, t.current_version())["ann"]["dir"]
+    assert new_dir != old_dir
+    # within retention both dirs are reachable; past it the old dir
+    # (and its superseded generations) reclaims, the new one survives
+    deleted = t.vacuum(retain_versions=1)
+    assert old_dir in deleted and not os.path.isdir(old_dir)
+    assert os.path.isdir(new_dir)
+    got = ann_probe(t, _vecs(spark, 2), k=2, n_probe=2)
+    assert got.count() == 4
