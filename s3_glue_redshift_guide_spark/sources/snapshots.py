@@ -2188,8 +2188,59 @@ class SnapshotTable:
                 )
             return cur
         track = bool(m.get("row_tracking"))
+        import time as _mtime
+
+        MERGE_METRICS.clear()
+        # Delta's MERGE file pruning: a file whose banked key range
+        # cannot intersect the SOURCE's key hull provably holds no
+        # matched row, no ambiguous key, and no key the insert
+        # anti-join could collide with — it skips the staged scan
+        # entirely and rides the manifest untouched. Disabled when NOT
+        # MATCHED BY SOURCE is on (that branch must see every target
+        # row); absent stats keep their files (zone_prune is
+        # conservative). A merge touching 0.1% of a 100 TB table now
+        # reads ~0.1% of it.
+        _ph0 = _mtime.perf_counter()
+        cand_files = m["files"]
+        if when_not_matched_by_source_delete is None or (
+            when_not_matched_by_source_delete is False
+        ):
+            hull = src.agg(
+                *[
+                    F.min(f"__src_{k}").alias(f"__lo_{i}")
+                    for i, k in enumerate(on)
+                ],
+                *[
+                    F.max(f"__src_{k}").alias(f"__hi_{i}")
+                    for i, k in enumerate(on)
+                ],
+            ).collect()[0]
+            bounds = {}
+            for i, k in enumerate(on):
+                lo = _json_scalar_value(hull[f"__lo_{i}"])
+                hi = _json_scalar_value(hull[f"__hi_{i}"])
+                if lo is not None or hi is not None:
+                    bounds[k] = (lo, hi)
+            if bounds:
+                aliases = {}
+                for ent in m.get("schema") or []:
+                    if ent["name"] in bounds and ent.get("prior"):
+                        aliases[ent["name"]] = list(ent["prior"])
+                cand_files = zone_prune(
+                    m["files"], m["stats"], bounds, aliases
+                )
+                if not cand_files:
+                    # nothing can match: one arbitrary file keeps the
+                    # frames non-degenerate (provably matchless — the
+                    # joins yield nothing from it)
+                    cand_files = m["files"][:1]
+        MERGE_METRICS["files_total"] = len(m["files"])
+        MERGE_METRICS["files_scanned"] = len(cand_files)
+        MERGE_METRICS["source_hull_sec"] = round(
+            _mtime.perf_counter() - _ph0, 3
+        )
         visible = self._masked_read(
-            m["files"], m["dv"], keep_provenance=track, manifest=m
+            cand_files, m["dv"], keep_provenance=track, manifest=m
         )
         if track:
             visible = visible.drop("__fp", "__pos")
@@ -2207,9 +2258,6 @@ class SnapshotTable:
             else ()
         )
         mapped = self._apply_schema_map(tagged, m["schema"], keep=keep)
-        import time as _mtime
-
-        MERGE_METRICS.clear()
         _ph0 = _mtime.perf_counter()
         # ambiguity guard: >1 source row per join key is an error IF any
         # target row carries that key (Delta's multiple-matches error)

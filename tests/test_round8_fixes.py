@@ -295,3 +295,56 @@ def test_drop_partitions_sql_and_semantics(spark):
     # no-match drop is a version no-op
     v = t.current_version()
     assert t.drop_partitions({"day_ts": "1999-01-01"}) == v
+
+
+# -------------------------------------- merge source-hull pruning ----
+def test_merge_prunes_files_outside_source_key_hull(spark):
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        MERGE_METRICS,
+    )
+
+    t = _t(spark, "r8mprune_")
+    # 4 key-ranged files: [0,25), [25,50), [50,75), [75,100)
+    for lo in (0, 25, 50, 75):
+        t.commit_append(
+            spark.range(lo, lo + 25).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).coalesce(1),
+            stats_cols=["k"],  # zone maps on the merge key
+        )
+    src = spark.createDataFrame(
+        [(30, 999), (44, 888)], "k long, v long"
+    )
+    t.merge_mor(
+        src, on=["k"], when_matched_update={"v": F.col("__src_v")}
+    )
+    # only the [25,50) file intersects the source hull
+    assert MERGE_METRICS["files_total"] == 4
+    assert MERGE_METRICS["files_scanned"] == 1
+    got = dict(
+        (r["k"], r["v"]) for r in t.read().collect()
+    )
+    assert got[30] == 999 and got[44] == 888 and len(got) == 100
+    # inserts outside every file's range still land
+    t.merge_mor(
+        spark.createDataFrame([(500, 1)], "k long, v long"), on=["k"]
+    )
+    assert t.read().count() == 101
+    # NOT MATCHED BY SOURCE needs every target row: pruning disabled
+    t2 = _t(spark, "r8mprune2_")
+    for lo in (0, 25):
+        t2.commit_append(
+            spark.range(lo, lo + 25).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).coalesce(1),
+            stats_cols=["k"],
+        )
+    t2.merge_mor(
+        spark.createDataFrame([(30, 1)], "k long, v long"),
+        on=["k"],
+        when_matched_update={"v": F.col("__src_v")},
+        when_not_matched_by_source_delete=True,
+        insert_not_matched=False,
+    )
+    assert MERGE_METRICS["files_scanned"] == 2  # no pruning
+    assert {r["k"] for r in t2.read().collect()} == {30}
