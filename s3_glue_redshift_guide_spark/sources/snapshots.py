@@ -1980,7 +1980,15 @@ class SnapshotTable:
             else ()
         )
         mapped = self._apply_schema_map(tagged, m["schema"], keep=keep)
-        matched = mapped.filter(predicate)
+        # The matched rows MATERIALIZE once (localCheckpoint, O(matched)
+        # storage): the tombstone sidecar AND the post-images both
+        # derive from this one frame, so the predicate evaluates exactly
+        # once — a nondeterministic predicate (sampling, rand()-derived)
+        # can no longer tombstone one row-set and insert post-images of
+        # a different one (the pre-r8 pinning re-joined the table
+        # against the written sidecar: same guarantee, but the touched
+        # files were read twice).
+        matched = mapped.filter(predicate).localCheckpoint(eager=True)
         dvdir = os.path.join(self.root, "deletes", _uuid.uuid4().hex)
         matched.select("__dv_file", "__dv_pos").write.mode(
             "errorifexists"
@@ -1994,19 +2002,7 @@ class SnapshotTable:
         ]
         if not affected:
             return cur  # nothing matched
-        # Post-images derive from the WRITTEN SIDECAR, not from a second
-        # evaluation of the predicate: re-running ``matched`` for the
-        # insert half would let a nondeterministic predicate (sampling,
-        # rand()-derived) tombstone one row-set and insert post-images
-        # of a DIFFERENT one — a torn update. Joining the base rows back
-        # on the durable (file, pos) pairs pins both halves to the exact
-        # rows the sidecar committed; base files are immutable, so the
-        # re-scan is positionally identical. Broadcast only while the
-        # sidecar is point-delete sized (same gate as the read path).
-        sidecar = self._dv_rows({"_": [dvdir]})
-        pinned = mapped.join(
-            sidecar, ["__dv_file", "__dv_pos"], "left_semi"
-        )
+        pinned = matched
         if track:
             # row tracking: the post-image KEEPS the pre-image's
             # permanent id (physical __row_id if an earlier rewrite
