@@ -2198,9 +2198,20 @@ class SnapshotTable:
         # reads ~0.1% of it.
         _ph0 = _mtime.perf_counter()
         cand_files = m["files"]
-        if when_not_matched_by_source_delete is None or (
-            when_not_matched_by_source_delete is False
+        aliased_keys = set(on)
+        for ent in m.get("schema") or []:
+            if ent["name"] in set(on):
+                aliased_keys |= set(ent.get("prior", []))
+        stats_cover_keys = any(
+            k in st for st in m["stats"].values() for k in aliased_keys
+        )
+        if stats_cover_keys and (
+            when_not_matched_by_source_delete is None
+            or when_not_matched_by_source_delete is False
         ):
+            # computing the source hull costs one extra evaluation of
+            # the source — only worth it when at least one file banks
+            # stats for a merge key (otherwise nothing can prune)
             hull = src.agg(
                 *[
                     F.min(f"__src_{k}").alias(f"__lo_{i}")
