@@ -1444,27 +1444,28 @@ class SnapshotDataWriter(DataSourceArrowWriter):
             d = pc.dictionary_encode(batch.column(i))
             if e["fn"] != "identity":
                 src_t = batch.schema.field(i).type
-                derived = []
-                for v in d.dictionary:
-                    pv = v.as_py()
-                    t = (
-                        None
-                        if pv is None
-                        else _py_transform(e, pv, src_t)
-                    )
-                    if pv is not None and t is None:
-                        raise ValueError(
-                            f"cannot derive {self.partition_spec} "
-                            f"value from {pv!r} ({src_t}) in the "
-                            "Arrow task — write via "
-                            "SnapshotTable.commit_append"
+                derived_arr = _vectorized_transform(e, d.dictionary, src_t)
+                if derived_arr is None:
+                    derived = []
+                    for v in d.dictionary:
+                        pv = v.as_py()
+                        t = (
+                            None
+                            if pv is None
+                            else _py_transform(e, pv, src_t)
                         )
-                    derived.append(t)
+                        if pv is not None and t is None:
+                            raise ValueError(
+                                f"cannot derive {self.partition_spec} "
+                                f"value from {pv!r} ({src_t}) in the "
+                                "Arrow task — write via "
+                                "SnapshotTable.commit_append"
+                            )
+                        derived.append(t)
+                    derived_arr = pa.array(derived)
                 # null indices stay null: a NULL source value derives
                 # a NULL partition value (its own composite code)
-                d = pc.dictionary_encode(
-                    pa.array(derived).take(d.indices)
-                )
+                d = pc.dictionary_encode(derived_arr.take(d.indices))
             k = len(d.dictionary)
             ind = pc.fill_null(d.indices.cast(pa.int64()), k)
             codes = (
@@ -2303,3 +2304,95 @@ def spark_murmur3_long(value: int, seed: int = 42) -> int | None:
     h1 = _mix_h1(h1, _mix_k1(v & _M32))
     h1 = _mix_h1(h1, _mix_k1((v >> 32) & _M32))
     return _to_signed32(_fmix(h1, 8))
+
+
+def _np_bucket(vals, long_layout: bool, n: int):
+    """Vectorized Murmur3_x86_32 bucket assignment over a numpy integer
+    array — the same bit-for-bit pipeline as ``spark_murmur3[_long]``
+    but one numpy pass instead of a Python loop per value. The hot case
+    is a bucket() transform on a high-cardinality key (every value
+    distinct, so the per-distinct-value amortization buys nothing);
+    uint32 wraparound does the ``& _M32`` masking for free. Parity with
+    the scalar twin (and through it with ``F.hash``) is pinned in
+    tests/test_partition_transforms.py."""
+    import numpy as np
+
+    M = np.uint32
+
+    def mix_k1(k1):
+        k1 = k1 * M(0xCC9E2D51)
+        k1 = (k1 << M(15)) | (k1 >> M(17))
+        return k1 * M(0x1B873593)
+
+    def mix_h1(h1, k1):
+        h1 = h1 ^ k1
+        h1 = (h1 << M(13)) | (h1 >> M(19))
+        return h1 * M(5) + M(0xE6546B64)
+
+    u = vals.astype(np.uint64)  # two's-complement low bits, like & mask
+    h1 = np.full(vals.shape, 42, dtype=np.uint32)
+    h1 = mix_h1(h1, mix_k1((u & np.uint64(0xFFFFFFFF)).astype(M)))
+    if long_layout:
+        h1 = mix_h1(h1, mix_k1((u >> np.uint64(32)).astype(M)))
+    h1 = h1 ^ M(8 if long_layout else 4)
+    h1 ^= h1 >> M(16)
+    h1 = h1 * M(0x85EBCA6B)
+    h1 ^= h1 >> M(13)
+    h1 = h1 * M(0xC2B2AE35)
+    h1 ^= h1 >> M(16)
+    signed = h1.astype(np.int64)
+    signed[signed >= (1 << 31)] -= 1 << 32
+    # numpy % takes the divisor's sign, same as Spark's pmod for n > 0
+    return signed % n
+
+
+def _vectorized_transform(entry: dict, dictionary, src_t):
+    """Vectorized twin of the per-distinct-value ``_py_transform`` loop
+    over a dictionary array: numpy Murmur3 for bucket, exact numpy
+    floor-division for trunc (integer math — no double detour, so
+    parity holds past 2^53), Arrow ``strftime`` for day/month (tz-aware
+    columns cast tz-less first = the same naive-UTC wall domain the
+    scalar twin normalizes to). Returns None when the dtype has no
+    vector path — the caller falls back to the exact scalar loop, so
+    this is purely a throughput lever, never a semantics fork."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    fn = entry["fn"]
+    if fn in ("day", "month") and (
+        pa.types.is_timestamp(src_t) or pa.types.is_date(src_t)
+    ):
+        arr = dictionary
+        if pa.types.is_timestamp(src_t):
+            if src_t.tz is not None:
+                arr = arr.cast(pa.timestamp(src_t.unit))
+        else:
+            arr = arr.cast(pa.timestamp("us"))
+        return pc.strftime(
+            arr, format="%Y-%m-%d" if fn == "day" else "%Y-%m"
+        )
+    if fn not in ("trunc", "bucket") or not pa.types.is_integer(src_t):
+        return None
+    if dictionary.null_count:
+        return None  # defensive: scalar loop handles mixed-null dicts
+    import numpy as np
+
+    vals = dictionary.to_numpy(zero_copy_only=False)
+    if fn == "trunc":
+        n = entry["n"]
+        return pa.array(
+            (vals.astype(np.int64) // n) * n, type=pa.int64()
+        )
+    if pa.types.is_int64(src_t):
+        long_layout = True
+    elif (
+        pa.types.is_int32(src_t)
+        or pa.types.is_int16(src_t)
+        or pa.types.is_int8(src_t)
+    ):
+        long_layout = False
+    else:
+        return None  # unsigned widths: no JVM hash twin — scalar path
+    return pa.array(
+        _np_bucket(vals, long_layout, entry["n"]), type=pa.int64()
+    )

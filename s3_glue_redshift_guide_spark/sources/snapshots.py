@@ -338,6 +338,7 @@ LOG_METRICS = {
     "manifest_reads": 0,
     "listdir_scans": 0,
     "checkpoint_reads": 0,
+    "checkpoint_part_reads": 0,
 }
 
 #: per-phase wall timings of the most recent ``merge_mor`` call —
@@ -419,12 +420,106 @@ def _checkpoint_path(root: str, version: int) -> str:
     return os.path.join(root, "_manifests", f"ckpt_v{version}.json")
 
 
+#: rows per parquet STATE PART. The history axis is capped by
+#: ``CHECKPOINT_HISTORY_WINDOW``; the state axis (one row per LIVE file
+#: — ~100k at 100 TB with 1 GB files) is written as multi-part PARQUET
+#: sidecars instead of inline JSON (Delta's multi-part checkpoint
+#: shape): columnar, compressed, and splittable, so a reader — or a
+#: distributed planner — can consume the live-file set part-by-part
+#: instead of parsing one monolithic ever-rewritten JSON blob. The JSON
+#: checkpoint keeps only metadata-scale keys + the part list.
+CHECKPOINT_STATE_PART_ROWS = 100_000
+
+#: manifest keys that scale with the live-file count — these move to
+#: the parquet state parts; everything else (schema map, spec, props,
+#: protocol, constraints, ...) is metadata-scale and stays JSON.
+_STATE_FILE_AXES = ("files", "stats", "dv")
+
+
+def _state_part_path(root: str, version: int, i: int) -> str:
+    return os.path.join(
+        root, "_manifests", f"ckpt_v{version}.state.{i:04d}.parquet"
+    )
+
+
+def _write_state_parts(root: str, version: int, state: dict) -> list[str]:
+    """Bank the per-file axes of ``state`` as parquet part files; returns
+    the part file names. One row per live file: (path, stats json, dv
+    json) — json-encoded cells keep the parquet schema fixed while the
+    banked stats stay schema-free, exactly like the manifest itself."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = list(state.get("files") or [])
+    stats = state.get("stats") or {}
+    dv = state.get("dv") or {}
+    parts: list[str] = []
+    n = max(1, CHECKPOINT_STATE_PART_ROWS)
+    for i in range(0, max(len(files), 1), n):
+        chunk = files[i : i + n]
+        tbl = pa.table(
+            {
+                "path": pa.array(chunk, type=pa.string()),
+                "stats": pa.array(
+                    [
+                        json.dumps(stats[f]) if f in stats else None
+                        for f in chunk
+                    ],
+                    type=pa.string(),
+                ),
+                "dv": pa.array(
+                    [
+                        json.dumps(dv[f]) if dv.get(f) else None
+                        for f in chunk
+                    ],
+                    type=pa.string(),
+                ),
+            }
+        )
+        dst = _state_part_path(root, version, len(parts))
+        tmp = dst + f".tmp.{uuid.uuid4().hex}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, dst)
+        parts.append(os.path.basename(dst))
+    return parts
+
+
+def _load_state_parts(root: str, c: dict) -> dict | None:
+    """Reassemble the head-manifest state from a multi-part checkpoint;
+    None if any part is missing/unreadable (degrade to manifest walk)."""
+    import pyarrow.parquet as pq
+
+    state = dict(c.get("state_meta") or {})
+    files: list[str] = []
+    stats: dict = {}
+    dv: dict = {}
+    for part in c.get("state_parts") or []:
+        tbl = pq.read_table(
+            os.path.join(root, "_manifests", part)
+        ).to_pydict()
+        LOG_METRICS["checkpoint_part_reads"] += 1
+        files.extend(tbl["path"])
+        for f, s, d in zip(tbl["path"], tbl["stats"], tbl["dv"]):
+            if s is not None:
+                stats[f] = json.loads(s)
+            if d is not None:
+                dv[f] = json.loads(d)
+    state["files"] = files
+    state["stats"] = stats
+    state["dv"] = dv
+    state.setdefault("schema", None)
+    return state
+
+
 def load_checkpoint(root: str) -> dict | None:
     """The newest consolidated checkpoint (via the pointer), or None.
     Shape: ``{"version": K, "state": <full manifest dict of K>,
     "history": [[v, ts, op, n_files, n_added, n_removed, n_dv], ...]}``
-    over every version readable when it was written. A cache: any
-    read failure degrades to the manifest-walk paths."""
+    over every version readable when it was written. On disk the state's
+    per-file axes live in parquet part files (``state_parts``) and are
+    reassembled here; pre-part checkpoints with inline ``state`` still
+    load. A cache: any read failure degrades to the manifest-walk
+    paths."""
     ptr = _read_pointer(root)
     ck = (ptr or {}).get("checkpoint")
     if not ck:
@@ -435,8 +530,10 @@ def load_checkpoint(root: str) -> dict | None:
         LOG_METRICS["checkpoint_reads"] += 1
         if not isinstance(c, dict) or "version" not in c:
             return None
+        if "state" not in c and "state_parts" in c:
+            c["state"] = _load_state_parts(root, c)
         return c
-    except (OSError, ValueError, json.JSONDecodeError):
+    except (OSError, ValueError, json.JSONDecodeError, KeyError):
         return None
 
 
@@ -499,12 +596,22 @@ def write_checkpoint(root: str, version: int) -> None:
         return  # head manifest unreadable: nothing to consolidate
     if len(hist) > CHECKPOINT_HISTORY_WINDOW:
         hist = hist[-CHECKPOINT_HISTORY_WINDOW:]
+    # the per-file axes go to parquet part files (written first — the
+    # JSON referencing them is the publish step; orphaned parts from a
+    # crash here are reclaimed by the next superseding checkpoint)
+    parts = _write_state_parts(root, version, state)
     tmp = _checkpoint_path(root, version) + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(
             {
                 "version": version,
-                "state": state,
+                "state_meta": {
+                    k: v
+                    for k, v in state.items()
+                    if k not in _STATE_FILE_AXES
+                },
+                "state_parts": parts,
+                "state_rows": len(state.get("files") or []),
                 "history": hist,
                 "history_floor": int(hist[0][0]) if hist else None,
             },
@@ -512,15 +619,18 @@ def write_checkpoint(root: str, version: int) -> None:
         )
     os.replace(tmp, _checkpoint_path(root, version))
     _advance_pointer(root, version, checkpoint=version)
-    # older checkpoints are superseded — reclaim them
+    # older checkpoints (and their state parts) are superseded — reclaim
     mdir = os.path.join(root, "_manifests")
     for fn in os.listdir(mdir):
-        if fn.startswith("ckpt_v") and fn.endswith(".json"):
-            try:
-                cv = int(fn[len("ckpt_v"):-5])
-            except ValueError:
+        if fn.startswith("ckpt_v"):
+            digits = fn[len("ckpt_v"):]
+            digits = digits[: next(
+                (i for i, ch in enumerate(digits) if not ch.isdigit()),
+                len(digits),
+            )]
+            if not digits:
                 continue
-            if cv < version:
+            if int(digits) < version:
                 try:
                     os.unlink(os.path.join(mdir, fn))
                 except OSError:
@@ -5431,7 +5541,7 @@ class SnapshotTable:
         # which only costs the next reader a full walk.
         mdir = os.path.join(self.root, "_manifests")
         for fn in os.listdir(mdir):
-            if fn.startswith("ckpt_v") and fn.endswith(".json"):
+            if fn.startswith("ckpt_v"):
                 try:
                     os.unlink(os.path.join(mdir, fn))
                 except OSError:

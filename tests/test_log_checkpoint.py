@@ -202,3 +202,74 @@ def test_checkpoint_history_cap_keeps_size_flat(spark):
         _os.path.join(t.root, "_manifests", "_last_checkpoint.json")
     )
     assert [tuple(r) for r in t.history().collect()] == rows
+
+
+def test_multipart_parquet_state(spark):
+    """The checkpoint's state axis is multi-part PARQUET, not inline
+    JSON: with the part size forced to 3 rows a 20-commit table's
+    checkpoint splits its live-file set across ceil(n_files/3) parts,
+    load_checkpoint reassembles a state identical to the head manifest
+    (files, stats, dv), and the JSON blob itself holds no per-file
+    data — its size is flat in the file axis."""
+    prev = snap_mod.CHECKPOINT_STATE_PART_ROWS
+    snap_mod.CHECKPOINT_STATE_PART_ROWS = 3
+    try:
+        t = _mk_table(spark, 20, pfx="parts")
+        t.delete_where(F.col("k") == 5)  # a DV so the dv axis is live
+        snap_mod.write_checkpoint(t.root, t.current_version())
+    finally:
+        snap_mod.CHECKPOINT_STATE_PART_ROWS = prev
+    ck = load_checkpoint(t.root)
+    head = load_manifest(t.root, t.current_version())
+    assert ck["state"]["files"] == head["files"]
+    assert ck["state"]["stats"] == head["stats"]
+    assert {k: v for k, v in ck["state"]["dv"].items() if v} == {
+        k: v for k, v in head["dv"].items() if v
+    }
+    # multiple parts on disk, reads counted, JSON free of file lists
+    parts = ck["state_parts"]
+    assert len(parts) >= 2
+    with open(
+        os.path.join(t.root, "_manifests", f"ckpt_v{ck['version']}.json")
+    ) as f:
+        raw = json.load(f)
+    assert "state" not in raw and raw["state_rows"] == len(head["files"])
+    _reset_metrics()
+    assert load_checkpoint(t.root)["state"]["files"] == head["files"]
+    assert LOG_METRICS["checkpoint_part_reads"] == len(parts)
+
+
+def test_multipart_state_degrades_on_missing_part(spark):
+    """A missing/corrupt part file degrades load_checkpoint to None —
+    readers fall back to the manifest walk, never a torn state."""
+    prev = snap_mod.CHECKPOINT_STATE_PART_ROWS
+    snap_mod.CHECKPOINT_STATE_PART_ROWS = 3
+    try:
+        t = _mk_table(spark, 20, pfx="degrade")
+        snap_mod.write_checkpoint(t.root, t.current_version())
+    finally:
+        snap_mod.CHECKPOINT_STATE_PART_ROWS = prev
+    ck = load_checkpoint(t.root)
+    victim = os.path.join(t.root, "_manifests", ck["state_parts"][-1])
+    os.unlink(victim)
+    assert load_checkpoint(t.root) is None
+    # the cache being gone costs a walk, not correctness
+    assert t.read().count() == 200
+
+
+def test_superseded_state_parts_reclaimed(spark):
+    """A newer checkpoint reclaims the older checkpoint's part files
+    along with its JSON."""
+    prev = snap_mod.CHECKPOINT_STATE_PART_ROWS
+    snap_mod.CHECKPOINT_STATE_PART_ROWS = 3
+    try:
+        t = _mk_table(spark, 25, pfx="reclaim")
+    finally:
+        snap_mod.CHECKPOINT_STATE_PART_ROWS = prev
+    mdir = os.path.join(t.root, "_manifests")
+    leftovers = [
+        fn for fn in os.listdir(mdir)
+        if fn.startswith("ckpt_v10.")
+    ]
+    assert leftovers == []
+    assert load_checkpoint(t.root)["version"] == 20

@@ -484,3 +484,57 @@ def test_anyof_prune_engine_and_connector(spark):
         .count()
     )
     assert got == 2
+
+
+def test_vectorized_transform_matches_scalar_twin():
+    """The numpy fast path in the connector writer derives the SAME
+    partition values as the per-value scalar twin for every transform
+    and admissible dtype — including negative keys, int64 extremes
+    (past 2^53, where a double detour would diverge), int32 columns'
+    4-byte hash layout, and tz-aware timestamps."""
+    import random
+
+    import pyarrow as pa
+
+    from s3_glue_redshift_guide_spark.sources.pyds import (
+        _py_transform,
+        _vectorized_transform,
+    )
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        parse_spec_entry,
+    )
+
+    rng = random.Random(8)
+    longs = (
+        [rng.randint(-(2**63), 2**63 - 1) for _ in range(500)]
+        + [0, -1, 1, 2**62 + 12345, -(2**62), 2**53 + 1, -(2**53) - 7]
+    )
+    ints = [rng.randint(-(2**31), 2**31 - 1) for _ in range(500)]
+    for fn, n in (("bucket", 16), ("bucket", 7), ("trunc", 1000)):
+        e = parse_spec_entry(f"{fn}(k, {n})")
+        for vals, t in ((longs, pa.int64()), (ints, pa.int32())):
+            arr = pa.array(vals, type=t)
+            vec = _vectorized_transform(e, arr, t)
+            assert vec is not None
+            assert vec.to_pylist() == [
+                _py_transform(e, v, t) for v in vals
+            ]
+    # day/month over tz-aware ns timestamps: naive-UTC wall parity
+    base = dt.datetime(2024, 3, 9, 22, 30, tzinfo=dt.timezone.utc)
+    stamps = [
+        base + dt.timedelta(hours=h * 7, minutes=h) for h in range(200)
+    ]
+    t = pa.timestamp("ns", tz="UTC")
+    arr = pa.array(stamps, type=t)
+    for fn in ("day", "month"):
+        e = parse_spec_entry(f"{fn}(ts)")
+        vec = _vectorized_transform(e, arr, t)
+        assert vec is not None
+        assert vec.to_pylist() == [
+            _py_transform(e, v, t) for v in stamps
+        ]
+    # strings have no vector path: fall back, never a wrong answer
+    e = parse_spec_entry("bucket(s, 4)")
+    assert _vectorized_transform(
+        e, pa.array(["a", "b"]), pa.string()
+    ) is None
