@@ -82,6 +82,8 @@ _PRIORITY = [
     "src_partition_range_pruning", "sql_create_table_dml",
     "llm_ann_index_probe", "sink_sql_merge_stream",
     "rollup_mv_join_stream", "src_partition_drop_metadata",
+    "sql_explain_show_create", "sink_auto_compact",
+    "src_convert_in_place",
     # -- (d) deferred r3 rows with continuous indirect evidence ------------
     "q1_pricing_summary", "llm_jaccard_pairs", "llm_minhash_pairs",
     "llm_topk_similarity", "llm_text_stats", "plan_audit_facts",

@@ -1108,3 +1108,109 @@ def sink_connector_transform_write(spark, sf_dir):
         "total_rows long, rows_day long, rows_user long, "
         "all_files_compliant int, hash_parity int",
     )
+
+
+@query(
+    "sink_auto_compact",
+    oracle="""
+    WITH src AS (SELECT o_orderkey AS k FROM orders
+                 WHERE o_orderkey < 450)
+    SELECT 1 AS final_files, 2 AS n_optimize_commits,
+           CAST((SELECT count(*) FROM src) AS BIGINT) AS n_rows,
+           CAST((SELECT sum(k) FROM src) AS BIGINT) AS sum_k,
+           1 AS day_a_compacted, 2 AS day_b_untouched,
+           9 AS unarmed_files
+    """,
+)
+def sink_auto_compact(spark, sf_dir):
+    """autoCompact (round 8, the ``auto.compact`` table property —
+    Delta's autoCompact): after each append, any partition the append
+    TOUCHED that holds >= ``auto.compact.min.files`` files under
+    ``auto.compact.small.bytes`` compacts synchronously as one
+    ordinary OPTIMIZE commit (rows identical, old versions keep the
+    old layout, CDF empty by carry-forward cancellation). Nine tiny
+    appends under min.files=5 leave ONE visible file with exactly two
+    OPTIMIZE commits in the history (fragmentation crosses the
+    threshold twice); the same nine appends on an UNARMED table leave
+    nine files — small files are THE operational scale-killer a 100 TB
+    ingest pipeline must keep ahead of, and the trigger reads only
+    manifest-banked sizes (zero stat calls on the hot append path).
+    The partitioned variant proves SCOPE: four appends to day A
+    compact A to one file while day B's two under-threshold files are
+    never rewritten (``sources/snapshots.py::_maybe_auto_compact``)."""
+    import tempfile as _tf
+
+    from ..sources.snapshots import (
+        SnapshotTable,
+        load_manifest,
+        partition_values_from_path,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    ).filter(F.col("k") < 450)
+    # nine 50-key slices, one file each
+    t = SnapshotTable(spark, _tf.mkdtemp(prefix="spark_ac_"))
+    t.commit_append(o.filter(F.col("k") < 50).coalesce(1))
+    t.set_tblproperties(
+        {"auto.compact": "true", "auto.compact.min.files": "5"}
+    )
+    for i in range(1, 9):
+        t.commit_append(
+            o.filter(
+                (F.col("k") >= i * 50) & (F.col("k") < (i + 1) * 50)
+            ).coalesce(1)
+        )
+    d = t.detail()
+    ops = [r["operation"] for r in t.history().collect()]
+    agg = t.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("s"),
+    ).collect()[0]
+    # unarmed control: the same appends just fragment
+    t2 = SnapshotTable(spark, _tf.mkdtemp(prefix="spark_ac0_"))
+    for i in range(9):
+        t2.commit_append(
+            o.filter(
+                (F.col("k") >= i * 50) & (F.col("k") < (i + 1) * 50)
+            ).coalesce(1)
+        )
+    # partitioned scope: day A compacts, day B untouched
+    tp = SnapshotTable(spark, _tf.mkdtemp(prefix="spark_acp_"))
+    tp.create_table(
+        "k BIGINT, day STRING",
+        partition_by=["day"],
+        properties={
+            "auto.compact": "true",
+            "auto.compact.min.files": "4",
+        },
+    )
+    def batch(lo, day):
+        return spark.range(lo, lo + 3).select(
+            F.col("id").alias("k"), F.lit(day).alias("day")
+        ).coalesce(1)
+    for i in range(4):
+        tp.commit_append(batch(i * 10, "A"))
+    tp.commit_append(batch(100, "B"))
+    tp.commit_append(batch(110, "B"))
+    per: dict = {}
+    for f in load_manifest(tp.root, tp.current_version())["files"]:
+        per.setdefault(
+            partition_values_from_path(f).get("day"), []
+        ).append(f)
+    return spark.createDataFrame(
+        [
+            (
+                d["n_files"],
+                sum(1 for op in ops if op == "OPTIMIZE"),
+                agg["n"],
+                agg["s"],
+                len(per.get("A", [])),
+                len(per.get("B", [])),
+                t2.detail()["n_files"],
+            )
+        ],
+        "final_files int, n_optimize_commits int, n_rows bigint, "
+        "sum_k bigint, day_a_compacted int, day_b_untouched int, "
+        "unarmed_files int",
+    )

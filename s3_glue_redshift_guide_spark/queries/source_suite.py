@@ -3275,3 +3275,89 @@ def src_partition_drop_metadata(spark, sf_dir):
         "rows_after long, rows_dropped_cdf long, zero_new_files int, "
         "bytes_untouched int, prespec_guard int",
     )
+
+
+# ---------------- CONVERT TO snapshot (S69) ----------------------------
+@query(
+    "src_convert_in_place",
+    oracle="""
+    WITH src AS (SELECT o_orderkey, o_custkey FROM orders
+                 WHERE o_orderkey < 800)
+    SELECT 4 AS n_files, 1 AS paths_identical, 1 AS bytes_untouched,
+           CAST((SELECT count(*) FROM src) AS BIGINT) AS converted_rows,
+           0 AS zone_false_keeps, 1 AS dml_live,
+           CAST((SELECT count(*) FROM src) AS BIGINT) AS time_travel_rows,
+           1 AS op_labeled
+    """,
+)
+def src_convert_in_place(spark, sf_dir):
+    """CONVERT TO SNAPSHOT (round 8 — Delta's CONVERT TO DELTA /
+    Iceberg migrate): an existing PLAIN parquet directory becomes a
+    snapshot table IN PLACE through one SQL statement. v1 references
+    the discovered files exactly where they lie (``paths_identical``;
+    mtimes prove zero bytes rewritten), the optional STATS FOR COLUMNS
+    clause banks footer min/max so zone pruning works from the first
+    read (``zone_false_keeps``: an out-of-range probe keeps zero
+    files), and the log is fully live from v1 — a merge-on-read DELETE
+    lands as v2 while v1 still time-travels to the converted set. The
+    migration story for a 100 TB parquet lake: one footer pass, no
+    data movement, every table feature (MERGE/CDF/OPTIMIZE/branches)
+    available immediately (``sources/snapshots.py::convert_parquet_dir``,
+    ``sql_dml.py::_CONVERT``)."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..sql_dml import snapshot_sql
+    from ..sources.snapshots import SnapshotTable, load_manifest
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).filter(F.col("o_orderkey") < 800)
+    n_src = src.count()
+    d = _tf.mkdtemp(prefix="spark_convert_")
+    src.repartition(4).write.mode("overwrite").parquet(d)
+    before = {
+        _os.path.join(wr, f): _os.path.getmtime(_os.path.join(wr, f))
+        for wr, _x, fs in _os.walk(d)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    v = snapshot_sql(
+        spark,
+        f"CONVERT TO SNAPSHOT parquet.`{d}` "
+        "STATS FOR COLUMNS o_orderkey",
+    )
+    t = SnapshotTable(spark, d)
+    m = load_manifest(d, 1)
+    paths_identical = int(
+        v == 1 and sorted(m["files"]) == sorted(before)
+    )
+    bytes_untouched = int(
+        all(_os.path.getmtime(p) == ts for p, ts in before.items())
+    )
+    converted_rows = t.read().count()
+    keep, _total = t.pruned_files("o_orderkey", 10_000_000, None)
+    zone_false_keeps = len(keep)
+    t.delete_where(F.col("o_orderkey") % 2 == 0)
+    dml_live = int(
+        t.read().count()
+        == src.filter(F.col("o_orderkey") % 2 != 0).count()
+    )
+    ops = [r["operation"] for r in t.history().collect()]
+    return spark.createDataFrame(
+        [
+            (
+                len(m["files"]),
+                paths_identical,
+                bytes_untouched,
+                converted_rows,
+                zone_false_keeps,
+                dml_live,
+                t.read(1).count(),
+                int(ops[-1] == "CONVERT"),
+            )
+        ],
+        "n_files int, paths_identical int, bytes_untouched int, "
+        "converted_rows bigint, zone_false_keeps int, dml_live int, "
+        "time_travel_rows bigint, op_labeled int",
+    )

@@ -747,3 +747,128 @@ def sql_create_table_dml(spark, sf_dir):
         "strict_from_birth int, add_column_nulls int, "
         "widened int, renamed int",
     )
+
+
+@query(
+    "sql_explain_show_create",
+    oracle="""
+    WITH base AS (SELECT o_orderkey AS k,
+                         o_orderdate AS ts
+                  FROM orders WHERE o_orderkey < 400)
+    SELECT 1 AS ddl_roundtrip, 1 AS constraint_replayed,
+           4 AS files_total, 2 AS partition_pruned_span,
+           2 AS files_scanned, 1 AS residual_kept,
+           1 AS zone_pruned_exactly, 6 AS head_version,
+           CAST((SELECT count(*) FROM base) AS BIGINT) AS src_rows
+    """,
+)
+def sql_explain_show_create(spark, sf_dir):
+    """SHOW CREATE TABLE + EXPLAIN SELECT (round 8): the two
+    observability verbs a warehouse user runs before trusting a table.
+    SHOW CREATE TABLE emits EXECUTABLE DDL — replaying it (root
+    rewritten) reproduces the schema, transform partition spec,
+    properties, AND the CHECK constraint, proven by the replayed
+    table rejecting a violating insert. EXPLAIN SELECT reports
+    plan-time scan facts from pure metadata — a day-span BETWEEN on a
+    day-partitioned layout schedules exactly the span's files
+    (``files_scanned``), the unpushable conjunct lands in
+    ``residual`` (it still row-filters at scan), and a banked-stats
+    value range zone-prunes to exactly one file. EXPLAIN never reads
+    table data — its only scheduler activity is the 1-row frames that
+    push transform literals through the write-side expressions (cached
+    per (key, literal)). ``sql_dml.snapshot_sql`` dispatches both."""
+    import tempfile as _tf
+
+    from ..sql_dml import snapshot_sql
+    from ..sources.snapshots import SnapshotTable
+
+    src = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 400
+    )
+    src_rows = src.count()
+    root = _tf.mkdtemp(prefix="spark_sqlexp_")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE pysnapshot.`{root}` (k BIGINT, ts TIMESTAMP_NTZ)"
+        " PARTITIONED BY (day(ts)) TBLPROPERTIES ('owner'='etl')",
+    )
+    snapshot_sql(
+        spark,
+        f"ALTER TABLE pysnapshot.`{root}` ADD CONSTRAINT nonneg "
+        "CHECK (k >= 0)",
+    )
+    for d in (5, 6, 7, 8):
+        snapshot_sql(
+            spark,
+            f"INSERT INTO pysnapshot.`{root}` VALUES "
+            f"({d}, TIMESTAMP '2024-01-0{d} 10:00:00'), "
+            f"({d * 100}, TIMESTAMP '2024-01-0{d} 11:00:00')",
+        )
+    ddl = snapshot_sql(
+        spark, f"SHOW CREATE TABLE pysnapshot.`{root}`"
+    ).collect()[0]["createtab_stmt"]
+    root2 = _tf.mkdtemp(prefix="spark_sqlexp2_")
+    for stmt in ddl.replace(root, root2).split(";\n"):
+        snapshot_sql(spark, stmt)
+    t, t2 = SnapshotTable(spark, root), SnapshotTable(spark, root2)
+    d1, d2 = t.detail(), t2.detail()
+    ddl_roundtrip = int(
+        d1["partition_spec"] == d2["partition_spec"] == ["day(ts)"]
+        and d1["properties"] == d2["properties"]
+        and dict(t2.read().dtypes)
+        == {"k": "bigint", "ts": "timestamp_ntz"}
+    )
+    try:
+        snapshot_sql(
+            spark,
+            f"INSERT INTO pysnapshot.`{root2}` VALUES "
+            "(-1, TIMESTAMP '2024-01-05 00:00:00')",
+        )
+        constraint_replayed = 0
+    except ValueError:
+        constraint_replayed = 1
+    # EXPLAIN is metadata-only: no job may reach the scheduler
+    r = snapshot_sql(
+        spark,
+        f"EXPLAIN SELECT * FROM pysnapshot.`{root}` WHERE ts BETWEEN "
+        "'2024-01-06 00:00:00' AND '2024-01-07 23:00:00' "
+        "AND k % 2 = 0",
+    ).collect()[0]
+    residual_kept = int(r["residual"] == "k % 2 = 0")
+    # banked-stats zone pruning on a second, stats-carrying table
+    zr = _tf.mkdtemp(prefix="spark_sqlexpz_")
+    tz = SnapshotTable(spark, zr)
+    for lo in (0, 1000, 2000):
+        tz.commit_append(
+            spark.range(lo, lo + 10).select(
+                F.col("id").alias("k")
+            ).coalesce(1),
+            stats_cols=["k"],
+        )
+    z = snapshot_sql(
+        spark, f"EXPLAIN SELECT * FROM pysnapshot.`{zr}` WHERE k >= 1800"
+    ).collect()[0]
+    zone_ok = int(
+        z["files_total"] == 3
+        and z["files_after_zone_prune"] == 1
+        and z["files_scanned"] == 1
+    )
+    return spark.createDataFrame(
+        [
+            (
+                ddl_roundtrip,
+                constraint_replayed,
+                r["files_total"],
+                r["files_after_partition_prune"],
+                r["files_scanned"],
+                residual_kept,
+                zone_ok,
+                t.current_version(),
+                src_rows,
+            )
+        ],
+        "ddl_roundtrip int, constraint_replayed int, files_total int, "
+        "partition_pruned_span int, files_scanned int, "
+        "residual_kept int, zone_pruned_exactly int, head_version int, "
+        "src_rows bigint",
+    )

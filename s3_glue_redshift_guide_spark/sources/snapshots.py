@@ -430,6 +430,25 @@ def _checkpoint_path(root: str, version: int) -> str:
 #: checkpoint keeps only metadata-scale keys + the part list.
 CHECKPOINT_STATE_PART_ROWS = 100_000
 
+#: autoCompact defaults (armed per table by the ``auto.compact``
+#: property; each overridable by ``auto.compact.small.bytes`` /
+#: ``auto.compact.target.bytes`` / ``auto.compact.min.files``): a
+#: partition an append just touched compacts when it holds at least
+#: MIN_FILES files under SMALL_BYTES, bin-packing into TARGET_BYTES
+#: outputs — Delta's autoCompact thresholds.
+AUTO_COMPACT_SMALL_BYTES = 32 << 20
+AUTO_COMPACT_TARGET_BYTES = 128 << 20
+AUTO_COMPACT_MIN_FILES = 8
+
+#: VACUUM's protection window for files NO readable manifest has ever
+#: referenced: they may be a concurrent writer's staged-but-unpublished
+#: files (data lands before the manifest publish), so they only collect
+#: once older than this (mtime-based, wall-clock). Files that aged out
+#: of the log are provably dead and collect immediately regardless.
+#: Delta's vacuum retention-check / Iceberg remove_orphan_files
+#: ``older_than`` default, sized down from their 7 days.
+VACUUM_ORPHAN_GRACE_SECONDS = 24 * 3600.0
+
 #: manifest keys that scale with the live-file count — these move to
 #: the parquet state parts; everything else (schema map, spec, props,
 #: protocol, constraints, ...) is metadata-scale and stays JSON.
@@ -1823,7 +1842,7 @@ class SnapshotTable:
                 else _UNSET
             )
             try:
-                return self._publish(
+                v = self._publish(
                     m["files"] + new,
                     cur,
                     self._merged_stats(cur, new, stats_cols),
@@ -1835,9 +1854,74 @@ class SnapshotTable:
                 )
             except CommitConflict:
                 continue
+            self._maybe_auto_compact(new)
+            return v
         raise CommitConflict(
             "5 consecutive manifest conflicts — giving up"
         )
+
+    def _maybe_auto_compact(self, new_files: list[str]) -> None:
+        """Delta's autoCompact, armed by the ``auto.compact`` table
+        property: after a successful append, synchronously compact any
+        partition this append touched that has accumulated at least
+        ``auto.compact.min.files`` files under
+        ``auto.compact.small.bytes`` — one ordinary OPTIMIZE commit per
+        fragmented partition (rows identical, CDF empty by carry-
+        forward cancellation, old versions keep the old layout). Scoped
+        to the TOUCHED partition tuples by exact path-segment match, so
+        the post-append sweep is O(touched partitions), never a
+        whole-table walk; unpartitioned tables consider the whole
+        visible set. Best-effort: a racing writer's CommitConflict
+        abandons the compaction (the data is already safely committed;
+        the next append retries it), and the trigger reads only BANKED
+        sizes — zero stat calls on the hot append path."""
+        cur = self.current_version()
+        m = load_manifest(self.root, cur)
+        props = m.get("properties") or {}
+        if str(props.get("auto.compact", "")).lower() != "true":
+            return
+        small_b = int(
+            props.get("auto.compact.small.bytes", AUTO_COMPACT_SMALL_BYTES)
+        )
+        target_b = int(
+            props.get(
+                "auto.compact.target.bytes", AUTO_COMPACT_TARGET_BYTES
+            )
+        )
+        min_f = int(
+            props.get("auto.compact.min.files", AUTO_COMPACT_MIN_FILES)
+        )
+        sizes = m.get("sizes") or {}
+        if m.get("partition_spec"):
+            touched = {
+                tuple(sorted(partition_values_from_path(f).items()))
+                for f in new_files
+            }
+            scopes = [
+                [
+                    f
+                    for f in m["files"]
+                    if tuple(
+                        sorted(partition_values_from_path(f).items())
+                    )
+                    == key
+                ]
+                for key in touched
+            ]
+        else:
+            scopes = [list(m["files"])]
+        for cand in scopes:
+            small = [
+                f for f in cand if sizes.get(f, small_b) < small_b
+            ]
+            if len(small) < max(2, min_f):
+                continue
+            try:
+                self.optimize_small_files(
+                    small_b, target_b, candidate_files=cand
+                )
+            except CommitConflict:
+                return
 
     def commit_rewrite(
         self,
@@ -3030,6 +3114,7 @@ class SnapshotTable:
         target_bytes: int,
         z_cols: tuple[str, str] | None = None,
         where_eq: dict | None = None,
+        candidate_files: list[str] | None = None,
     ) -> dict[str, int]:
         """Transactional OPTIMIZE (Delta's compaction-as-a-commit): plan
         from METADATA only — file sizes read from the MANIFEST (every
@@ -3064,7 +3149,12 @@ class SnapshotTable:
             for f in files
         }
         candidates = files
-        if where_eq:
+        if candidate_files is not None:
+            # caller-scoped OPTIMIZE (auto-compaction passes the exact
+            # partition's files): intersect with the head's visible set
+            # so a racing rewrite can't resurrect a replaced file
+            candidates = [f for f in candidate_files if f in set(files)]
+        elif where_eq:
             # partition-scoped OPTIMIZE (Delta's OPTIMIZE ... WHERE):
             # only the named partition's files are candidates — the
             # daily shape is "compact today's partition", O(one
@@ -5338,12 +5428,108 @@ class SnapshotTable:
             "tags": sorted(self.tags()),
         }
 
+    @classmethod
+    def convert_parquet_dir(
+        cls,
+        spark: SparkSession,
+        path: str,
+        stats_cols: list[str] | None = None,
+        clock=None,
+    ) -> "SnapshotTable":
+        """CONVERT TO snapshot (Delta's ``CONVERT TO DELTA`` / Iceberg's
+        ``migrate``): wrap a transaction log around an EXISTING plain
+        parquet directory IN PLACE — zero data rewritten, zero bytes
+        moved. v1 is a manifest listing the discovered files where they
+        lie (recursive walk, so Hive/``__part_`` partition layouts
+        convert too); ``stats_cols`` banks footer min/max + null/row
+        counts for data skipping (the only read this performs: footers,
+        never data pages). From v1 on the directory IS a snapshot table
+        — time travel, MERGE, DVs, CDF, OPTIMIZE all apply; new commits
+        write under ``data/`` while the originals stay referenced by
+        absolute path. VACUUM only sweeps the table's own ``data/`` and
+        sidecar dirs, so originals that age out of the log keep their
+        bytes — the conservative posture a migration wants (the source
+        stays intact until the operator deletes it)."""
+        t = cls(spark, path, clock=clock)
+        if t.current_version() > 0:
+            raise ValueError(
+                f"{path!r} is already a snapshot table "
+                f"(version {t.current_version()})"
+            )
+        files = sorted(
+            os.path.join(wr, f)
+            for wr, _dirs, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+            and os.sep + "_manifests" not in wr
+        )
+        if not files:
+            raise ValueError(f"no parquet files under {path!r}")
+        stats = (
+            t._footer_stats(files, sorted(stats_cols))
+            if stats_cols
+            else {f: {} for f in files}
+        )
+        t._publish(files, 0, stats, op="CONVERT")
+        return t
+
+    def create_table_ddl(self) -> str:
+        """SHOW CREATE TABLE: the DDL that recreates this table's
+        CURRENT contract — schema from the logical read schema (so
+        renames/widenings are applied, exactly what a new writer must
+        match), partition spec / properties / CHECK constraints from
+        the head manifest. The emitted text is EXECUTABLE through
+        ``sql_dml.snapshot_sql`` statement-by-statement (constraints
+        ride as ALTER TABLE statements after the CREATE); contract
+        features the dispatcher has no DDL verb for (identity /
+        generated / default columns) surface as trailing ``--``
+        comment lines rather than silently vanishing, mirroring
+        Spark's own SHOW CREATE TABLE warnings for unsupported
+        features."""
+        v = self.current_version()
+        if v == 0:
+            raise ValueError(
+                "SHOW CREATE TABLE on an empty log: no schema exists "
+                "until the first commit"
+            )
+        m = load_manifest(self.root, v)
+        cols = ",\n  ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in self.read(v).schema.fields
+        )
+        stmt = f"CREATE TABLE pysnapshot.`{self.root}` (\n  {cols}\n)"
+        spec = m.get("partition_spec") or []
+        if spec:
+            stmt += "\nPARTITIONED BY (" + ", ".join(spec) + ")"
+        props = m.get("properties") or {}
+        if props:
+            stmt += "\nTBLPROPERTIES (" + ", ".join(
+                f"'{k}' = '{val}'" for k, val in sorted(props.items())
+            ) + ")"
+        stmts = [stmt]
+        for name, expr in sorted((m.get("constraints") or {}).items()):
+            stmts.append(
+                f"ALTER TABLE pysnapshot.`{self.root}` ADD CONSTRAINT {name} "
+                f"CHECK ({expr})"
+            )
+        notes = []
+        for c in sorted(m.get("identity") or {}):
+            notes.append(f"-- identity column: {c}")
+        for c, e in sorted((m.get("generated") or {}).items()):
+            notes.append(f"-- generated column: {c} AS {e}")
+        for c, d in sorted((m.get("defaults") or {}).items()):
+            notes.append(f"-- column default: {c} = {d}")
+        return ";\n".join(stmts) + (
+            "\n" + "\n".join(notes) if notes else ""
+        )
+
     def vacuum(
         self,
         retain_versions: int = 1,
         retain_seconds: float | None = None,
         now: float | None = None,
         dry_run: bool = False,
+        orphan_grace_seconds: float | None = None,
     ) -> list[str]:
         """Garbage-collect data files unreachable from the newest
         ``retain_versions`` manifests (and drop the older manifests) —
@@ -5370,7 +5556,22 @@ class SnapshotTable:
         absolute path, so reachability unions over every branch log;
         branch-local data/sidecar dirs are swept against the same union
         (dropping a branch's log is what makes its unpublished files
-        collectable)."""
+        collectable).
+
+        IN-FLIGHT WRITER PROTECTION (``orphan_grace_seconds``, default
+        ``VACUUM_ORPHAN_GRACE_SECONDS``): data files and sidecars the
+        log has NEVER referenced are either a crashed commit's leftovers
+        or a CONCURRENT writer's staged files whose manifest publish
+        hasn't happened yet — indistinguishable from the outside. A
+        file that aged OUT of the log is provably dead and reclaims
+        immediately, but never-referenced files are kept until their
+        mtime is older than the grace window (Delta's "don't VACUUM
+        below the default retention" rule, Iceberg's
+        remove_orphan_files ``older_than``); a vacuum racing a slow
+        writer therefore cannot delete files out from under the commit
+        that is about to publish them. Dropped-branch dirs (log gone)
+        are exempt: dropping the log is the deliberate delete, and no
+        in-flight writer can target a log that no longer exists."""
         import shutil
         import time as _time
 
@@ -5395,6 +5596,28 @@ class SnapshotTable:
         reachable_bloom: set[str] = set()
         reachable_ndv: set[str] = set()
         reachable_ann: set[str] = set()
+        # everything ANY readable manifest has ever referenced — the
+        # committed/in-flight discriminator for the orphan grace window
+        # (manifest truncation runs after the sweep, so the whole log
+        # is still readable here)
+        ever_files: set[str] = set()
+        ever_dv: set[str] = set()
+        ever_idx: set[str] = set()
+
+        def _union_ever(m: dict) -> None:
+            ever_files.update(m["files"])
+            ever_dv.update(
+                d for lst in m.get("dv", {}).values() for d in lst
+            )
+            ever_idx.update(
+                s
+                for percol in (m.get("blooms") or {}).values()
+                for s in percol.values()
+            )
+            ever_idx.update((m.get("ndv") or {}).get("sidecars", []))
+            a = m.get("ann")
+            if a and a.get("dir"):
+                ever_idx.add(a["dir"])
 
         def _union(m: dict) -> None:
             reachable.update(m["files"])
@@ -5412,14 +5635,20 @@ class SnapshotTable:
             a = m.get("ann")
             if a and a.get("dir"):
                 reachable_ann.add(a["dir"])
+            _union_ever(m)
 
-        for v in keep_versions:
+        keep_set_main = set(keep_versions)
+        for v in range(1, cur + 1):
             try:
-                _union(load_manifest(self.root, v))
+                m = load_manifest(self.root, v)
             except LogTruncated:
                 # a tag created before tag-pinning existed may point at
                 # an already-collected version — nothing to retain
                 continue
+            if v in keep_set_main:
+                _union(m)
+            else:
+                _union_ever(m)
         # every live branch is a GC root: its whole log stays readable
         # until the branch is dropped, and its manifests reference main
         # files by absolute path
@@ -5462,6 +5691,27 @@ class SnapshotTable:
                     except LogTruncated:
                         continue
         deleted: list[str] = []
+        grace = (
+            VACUUM_ORPHAN_GRACE_SECONDS
+            if orphan_grace_seconds is None
+            else orphan_grace_seconds
+        )
+        # the orphan horizon compares against FILE MTIMES, which are
+        # wall-clock — always real time, never the injectable logical
+        # clock (tests force collection with orphan_grace_seconds=0)
+        orphan_horizon = _time.time() - grace
+
+        def _collectable(p: str, ever: set, protected: bool) -> bool:
+            """Unreachable ⇒ delete, UNLESS the path was never
+            committed anywhere and is younger than the grace window —
+            that's potentially a racing writer's staged file."""
+            if not protected or p in ever:
+                return True
+            try:
+                return os.path.getmtime(p) < orphan_horizon
+            except OSError:
+                return False
+
         # sweep main's data dir AND every branch dir under _branches
         # (including dropped branches whose logs are gone — their
         # orphaned files are exactly what must reclaim) against the
@@ -5474,12 +5724,19 @@ class SnapshotTable:
             else []
         )
         for sroot in sweep_roots:
+            # a root with no live log cannot have an in-flight writer:
+            # dropped-branch leftovers collect without the grace window
+            prot = os.path.isdir(os.path.join(sroot, "_manifests"))
             data_root = os.path.join(sroot, "data")
             if os.path.isdir(data_root):
                 for walk_root, _dirs, fs in os.walk(data_root):
                     for f in fs:
                         p = os.path.join(walk_root, f)
-                        if f.endswith(".parquet") and p not in reachable:
+                        if (
+                            f.endswith(".parquet")
+                            and p not in reachable
+                            and _collectable(p, ever_files, prot)
+                        ):
                             if not dry_run:
                                 os.unlink(p)
                             deleted.append(p)
@@ -5488,7 +5745,9 @@ class SnapshotTable:
             if os.path.isdir(dv_root):
                 for d in os.listdir(dv_root):
                     full = os.path.join(dv_root, d)
-                    if full not in reachable_dv:
+                    if full not in reachable_dv and _collectable(
+                        full, ever_dv, prot
+                    ):
                         if not dry_run:
                             shutil.rmtree(full, ignore_errors=True)
                         deleted.append(full)
@@ -5502,6 +5761,7 @@ class SnapshotTable:
                     if (
                         f.endswith(".bloom.json")
                         and p not in reachable_bloom
+                        and _collectable(p, ever_idx, prot)
                     ):
                         if not dry_run:
                             os.unlink(p)
@@ -5510,6 +5770,7 @@ class SnapshotTable:
                         f.startswith("ndv_")
                         and os.path.isdir(p)
                         and p not in reachable_ndv
+                        and _collectable(p, ever_idx, prot)
                     ):
                         if not dry_run:
                             shutil.rmtree(p, ignore_errors=True)
@@ -5518,6 +5779,7 @@ class SnapshotTable:
                         f.startswith("ann_")
                         and os.path.isdir(p)
                         and p not in reachable_ann
+                        and _collectable(p, ever_idx, prot)
                     ):
                         if not dry_run:
                             shutil.rmtree(p, ignore_errors=True)

@@ -343,6 +343,17 @@ _SET_PROPS = re.compile(
     r"\((?P<props>.*)\)\s*$",
     re.I | re.S,
 )
+_SHOW_CREATE = re.compile(
+    rf"^\s*SHOW\s+CREATE\s+TABLE\s+{_TBL}\s*$", re.I
+)
+_CONVERT = re.compile(
+    r"^\s*CONVERT\s+TO\s+SNAPSHOT\s+parquet\s*\.\s*`(?P<path>[^`]+)`"
+    r"(?:\s+STATS\s+FOR\s+COLUMNS\s+(?P<cols>\w+(?:\s*,\s*\w+)*))?\s*$",
+    re.I,
+)
+_EXPLAIN = re.compile(
+    r"^\s*EXPLAIN\s+(?P<stmt>SELECT\s.*)$", re.I | re.S
+)
 
 
 def _balanced(s: str) -> tuple[str, str]:
@@ -457,6 +468,176 @@ def _insert(spark: SparkSession, m: re.Match, clock) -> int:
 #: same "compact under 32 MiB into ~128 MiB outputs" shape Delta uses
 OPTIMIZE_SMALL = 32 << 20
 OPTIMIZE_TARGET = 128 << 20
+
+
+def _split_conjuncts(where: str) -> list[str]:
+    """Split a WHERE clause on top-level ANDs, BETWEEN-aware (the AND
+    inside ``x BETWEEN a AND b`` belongs to the BETWEEN) and
+    paren-aware (ANDs inside parens stay with their conjunct)."""
+    out: list[str] = []
+    buf: list[str] = []
+    depth, between = 0, False
+    for tok in re.split(r"(\bAND\b|[()])", where, flags=re.I):
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif re.fullmatch(r"AND", tok.strip(), flags=re.I) and depth == 0:
+            if between:
+                between = False  # the BETWEEN's own AND
+            else:
+                if "".join(buf).strip():
+                    out.append("".join(buf).strip())
+                buf = []
+                continue
+        elif re.search(r"\bBETWEEN\b", tok, flags=re.I):
+            between = True
+        buf.append(tok)
+    if "".join(buf).strip():
+        out.append("".join(buf).strip())
+    return out
+
+
+def _lit(s_lit, raw):
+    """A parsed literal in the zone-map/partition stat domain: quoted
+    strings stay strings (dates/timestamps compare as ISO text, the
+    domain the manifests bank), bare tokens parse numeric."""
+    if s_lit is not None:
+        return s_lit
+    try:
+        return int(raw)
+    except ValueError:
+        try:
+            return float(raw)
+        except ValueError:
+            return raw
+
+
+def _parse_pushable(where: str):
+    """Split a WHERE conjunction into prune-pushable terms — equality,
+    IN lists, BETWEEN / one-sided ranges — plus the residual conjuncts
+    the planner can't push (they still row-filter at scan, exactly as
+    in the SELECT path). Strict < / > push as inclusive bounds:
+    pruning at partition/zone grain may widen, never narrow."""
+    eq: dict = {}
+    any_of: dict = {}
+    ranges: dict = {}
+    residual: list[str] = []
+    for c in _split_conjuncts(where):
+        m = re.match(r"^(\w+)\s*=\s*(?:'([^']*)'|(\S+))$", c)
+        if m:
+            eq[m.group(1)] = _lit(m.group(2), m.group(3))
+            continue
+        m = re.match(r"^(\w+)\s+IN\s*\((.*)\)$", c, re.I | re.S)
+        if m:
+            opts = []
+            ok = True
+            for x in _split_top(m.group(2)):
+                mm = re.match(r"^(?:'([^']*)'|(\S+))$", x.strip())
+                if not mm:
+                    ok = False
+                    break
+                opts.append(_lit(mm.group(1), mm.group(2)))
+            if ok:
+                any_of[m.group(1)] = opts
+                continue
+        m = re.match(
+            r"^(\w+)\s+BETWEEN\s+(?:'([^']*)'|(\S+))\s+AND\s+"
+            r"(?:'([^']*)'|(\S+))$",
+            c,
+            re.I,
+        )
+        if m:
+            ranges[m.group(1)] = (
+                _lit(m.group(2), m.group(3)),
+                _lit(m.group(4), m.group(5)),
+            )
+            continue
+        m = re.match(r"^(\w+)\s*(<=|>=|<|>)\s*(?:'([^']*)'|(\S+))$", c)
+        if m:
+            col, op = m.group(1), m.group(2)
+            v = _lit(m.group(3), m.group(4))
+            lo, hi = ranges.get(col, (None, None))
+            if op in (">", ">="):
+                lo = v
+            else:
+                hi = v
+            ranges[col] = (lo, hi)
+            continue
+        residual.append(c)
+    return eq, any_of, ranges, residual
+
+
+def _explain(spark: SparkSession, m: re.Match, clock):
+    """EXPLAIN SELECT: the PLAN-TIME scan facts — from metadata only,
+    zero Spark jobs, zero file opens. Answers the question a 100 TB
+    user asks before running anything: how many of the snapshot's
+    files would this predicate actually schedule, through partition
+    pruning (hidden-partitioning transforms included) and through
+    log-banked zone maps, and which conjuncts can't prune and ride as
+    row-level residuals."""
+    from .sources.snapshots import load_manifest, version_as_of
+
+    if m.group("branch"):
+        raise ValueError("EXPLAIN does not support BRANCH reads")
+    t = SnapshotTable(spark, m.group("root"), clock=clock)
+    if m.group("v"):
+        v = int(m.group("v"))
+    elif m.group("ts"):
+        from datetime import datetime, timezone
+
+        v = version_as_of(
+            t.root,
+            datetime.fromisoformat(m.group("ts"))
+            .replace(tzinfo=timezone.utc)
+            .timestamp(),
+        )
+    elif m.group("tag"):
+        v = t.tags()[m.group("tag")]
+    else:
+        v = t.current_version()
+    man = load_manifest(t.root, v)
+    total = len(man["files"])
+    where = (m.group("where") or "").strip()
+    if where:
+        eq, any_of, ranges, residual = _parse_pushable(where)
+    else:
+        eq, any_of, ranges, residual = {}, {}, {}, []
+    part_keep = set(
+        t.partition_pruned_files(
+            eq, version=v, ranges=ranges, any_of=any_of
+        )
+    )
+    zone_keep = set(man["files"])
+    bounds = dict(ranges)
+    for col, val in eq.items():
+        bounds.setdefault(col, (val, val))
+    for col, opts in any_of.items():
+        if opts and col not in bounds:
+            try:
+                bounds[col] = (min(opts), max(opts))
+            except TypeError:
+                pass  # mixed-type IN list: zone maps sit this one out
+    for col, (lo, hi) in bounds.items():
+        keep, _ = t.pruned_files(col, lo, hi, version=v)
+        zone_keep &= set(keep)
+    pushed = sorted(eq) + sorted(any_of) + sorted(ranges)
+    return spark.createDataFrame(
+        [
+            (
+                v,
+                total,
+                len(part_keep),
+                len(zone_keep),
+                len(part_keep & zone_keep),
+                ", ".join(pushed),
+                " AND ".join(residual),
+            )
+        ],
+        "version int, files_total int, files_after_partition_prune "
+        "int, files_after_zone_prune int, files_scanned int, "
+        "pushed_prune_cols string, residual string",
+    )
 
 
 def _where_eq(where: str) -> dict:
@@ -685,6 +866,37 @@ def snapshot_sql(
         return SnapshotTable(
             spark, m.group("root"), clock=clock
         ).partitions()
+    m = _CONVERT.match(sql)
+    if m:
+        cols = (
+            [c.strip() for c in m.group("cols").split(",")]
+            if m.group("cols")
+            else None
+        )
+        return SnapshotTable.convert_parquet_dir(
+            spark, m.group("path"), stats_cols=cols, clock=clock
+        ).current_version()
+    m = _SHOW_CREATE.match(sql)
+    if m:
+        return spark.createDataFrame(
+            [
+                (
+                    SnapshotTable(
+                        spark, m.group("root"), clock=clock
+                    ).create_table_ddl(),
+                )
+            ],
+            "createtab_stmt string",
+        )
+    m = _EXPLAIN.match(sql)
+    if m:
+        inner = _SELECT.match(m.group("stmt"))
+        if not inner:
+            raise ValueError(
+                "EXPLAIN supports SELECT * FROM '<root>' [VERSION AS "
+                "OF n | TIMESTAMP AS OF 'ts' | TAG 'name'] [WHERE ...]"
+            )
+        return _explain(spark, inner, clock)
     m = _SELECT.match(sql)
     if m:
         t = SnapshotTable(spark, m.group("root"), clock=clock)
@@ -721,6 +933,8 @@ def snapshot_sql(
         "REORG TABLE ... APPLY (PURGE), ALTER TABLE ... ADD/DROP "
         "CONSTRAINT / ADD COLUMN / RENAME COLUMN / ALTER COLUMN TYPE "
         "/ SET TBLPROPERTIES / CREATE TAG, COPY INTO ... FROM, "
+        "SHOW CREATE TABLE, EXPLAIN SELECT, CONVERT TO SNAPSHOT "
+        "parquet.`dir`, "
         "SELECT * FROM ... [VERSION AS OF n | TIMESTAMP AS OF 'ts' | "
         "TAG 'name'] [WHERE ...]): " + sql[:120]
     )

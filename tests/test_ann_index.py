@@ -95,7 +95,11 @@ def test_vacuum_keeps_referenced_index_and_sweeps_orphans(
     os.makedirs(orphan, exist_ok=True)
     with open(os.path.join(orphan, "junk"), "w") as f:
         f.write("x")
+    # a fresh never-referenced dir could be a racing writer's staging:
+    # the default orphan grace keeps it; explicit grace=0 sweeps it
     deleted = t.vacuum(retain_versions=50)
+    assert orphan not in deleted and os.path.isdir(orphan)
+    deleted = t.vacuum(retain_versions=50, orphan_grace_seconds=0.0)
     assert orphan in deleted
     assert os.path.isdir(ann["dir"])  # referenced: survives
     assert not os.path.isdir(orphan)

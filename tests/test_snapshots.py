@@ -685,3 +685,35 @@ def test_check_constraints_enforced_on_every_write(spark, tmp_path):
         .withColumn("o_orderkey", F.col("o_orderkey") + 100_000)
         .coalesce(1)
     )
+
+
+def test_vacuum_orphan_grace_protects_inflight_writes(spark):
+    """A file in data/ that NO manifest has ever referenced is
+    indistinguishable from a racing writer's staged-but-unpublished
+    output — VACUUM must not unlink it until it is older than the
+    orphan grace window. Files that aged OUT of the log stay
+    immediately collectable (they are provably dead), and grace=0
+    restores unconditional sweeping for crash-cleanup jobs."""
+    import os
+
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_og_"))
+    t.commit_append(o.filter(F.col("o_orderkey") < 100).repartition(2))
+    t.commit_rewrite(t.read(1).coalesce(1))  # v1's two files age out
+    # simulate a concurrent writer: staged parquet, publish not yet run
+    staged = os.path.join(t.root, "data", "staged-inflight.parquet")
+    o.limit(5).coalesce(1).write.mode("overwrite").parquet(staged + ".d")
+    src = next(
+        f for f in os.listdir(staged + ".d") if f.endswith(".parquet")
+    )
+    os.rename(os.path.join(staged + ".d", src), staged)
+    deleted = t.vacuum(retain_versions=1)
+    # the two ever-referenced v1 files reclaim; the fresh orphan stays
+    assert len(deleted) == 2
+    assert os.path.exists(staged)
+    # dry-run agrees with the real sweep's grace decision
+    assert staged not in t.vacuum(retain_versions=1, dry_run=True)
+    # explicit zero grace: the orphan is now collectable
+    deleted = t.vacuum(retain_versions=1, orphan_grace_seconds=0.0)
+    assert staged in deleted
+    assert not os.path.exists(staged)

@@ -628,3 +628,103 @@ def test_sql_ctas_and_show_tblproperties(spark):
     assert snapshot_sql(
         spark, f"SHOW TBLPROPERTIES pysnapshot.`{root2}`"
     ).count() == 0
+
+
+def test_sql_show_create_table_roundtrip(spark):
+    """SHOW CREATE TABLE emits EXECUTABLE DDL: replaying the emitted
+    statements (root rewritten) onto a fresh log reproduces the
+    schema, transform partition spec, properties, and CHECK
+    constraints — and the replayed constraint actually enforces."""
+    root = _tmp("showcre")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE pysnapshot.`{root}` "
+        "(k BIGINT, v BIGINT, ts TIMESTAMP_NTZ) "
+        "PARTITIONED BY (day(ts), bucket(k, 4)) "
+        "TBLPROPERTIES ('retention.versions'='5')",
+    )
+    snapshot_sql(
+        spark,
+        f"ALTER TABLE pysnapshot.`{root}` ADD CONSTRAINT nonneg "
+        "CHECK (k >= 0)",
+    )
+    ddl = snapshot_sql(
+        spark, f"SHOW CREATE TABLE pysnapshot.`{root}`"
+    ).collect()[0]["createtab_stmt"]
+    assert "PARTITIONED BY (day(ts), bucket(k, 4))" in ddl
+    root2 = _tmp("showcre2")
+    for stmt in ddl.replace(root, root2).split(";\n"):
+        snapshot_sql(spark, stmt)
+    t2 = SnapshotTable(spark, root2)
+    d1, d2 = SnapshotTable(spark, root).detail(), t2.detail()
+    for key in ("partition_spec", "properties", "n_constraints"):
+        assert d1[key] == d2[key]
+    got = snapshot_sql(spark, f"SELECT * FROM pysnapshot.`{root2}`")
+    assert dict(got.dtypes) == {
+        "k": "bigint", "v": "bigint", "ts": "timestamp_ntz"
+    }
+    with pytest.raises(ValueError, match="nonneg"):
+        snapshot_sql(
+            spark,
+            f"INSERT INTO pysnapshot.`{root2}` VALUES "
+            "(-1, 1, TIMESTAMP '2024-01-05 00:00:00')",
+        )
+
+
+def test_sql_explain_scan_facts(spark):
+    """EXPLAIN SELECT reports plan-time prune counts from metadata
+    only: a day-span BETWEEN prunes the transform layout to the span's
+    partitions, zone maps catch a value-range conjunct, and an
+    unpushable conjunct lands in residual."""
+    root = _tmp("explain")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE pysnapshot.`{root}` (k BIGINT, ts TIMESTAMP_NTZ)"
+        " PARTITIONED BY (day(ts))",
+    )
+    for d in (5, 6, 7, 8):
+        snapshot_sql(
+            spark,
+            f"INSERT INTO pysnapshot.`{root}` VALUES "
+            f"({d}, TIMESTAMP '2024-01-0{d} 10:00:00'), "
+            f"({d * 100}, TIMESTAMP '2024-01-0{d} 11:00:00')",
+        )
+    r = snapshot_sql(
+        spark,
+        f"EXPLAIN SELECT * FROM pysnapshot.`{root}` WHERE "
+        "ts BETWEEN '2024-01-06 00:00:00' AND '2024-01-07 23:00:00' "
+        "AND k % 2 = 0",
+    ).collect()[0]
+    assert r["files_total"] == 4
+    assert r["files_after_partition_prune"] == 2  # the 2-day span
+    assert r["files_scanned"] == 2
+    assert r["pushed_prune_cols"] == "ts"
+    assert r["residual"] == "k % 2 = 0"
+    # zone maps prune a value range when the files bank stats — files
+    # WITHOUT banked stats stay conservatively kept (the 4 insert
+    # files above have no k stats, so only the new commit can prune)
+    zr = _tmp("explainz")
+    tz = SnapshotTable(spark, zr)
+    for lo in (0, 1000, 2000):
+        tz.commit_append(
+            spark.range(lo, lo + 10).select(
+                F.col("id").alias("k")
+            ).coalesce(1),
+            stats_cols=["k"],
+        )
+    r = snapshot_sql(
+        spark,
+        f"EXPLAIN SELECT * FROM pysnapshot.`{zr}` WHERE k >= 1800",
+    ).collect()[0]
+    assert r["files_total"] == 3
+    assert r["files_after_zone_prune"] == 1
+    assert r["files_scanned"] == 1
+    assert r["residual"] == ""
+    # EXPLAIN runs against time travel too
+    r = snapshot_sql(
+        spark,
+        f"EXPLAIN SELECT * FROM pysnapshot.`{root}` VERSION AS OF 5",
+    ).collect()[0]
+    assert (r["version"], r["files_total"], r["files_scanned"]) == (
+        5, 4, 4
+    )
