@@ -83,7 +83,8 @@ _PRIORITY = [
     "llm_ann_index_probe", "sink_sql_merge_stream",
     "rollup_mv_join_stream", "src_partition_drop_metadata",
     "sql_explain_show_create", "sink_auto_compact",
-    "src_convert_in_place",
+    "src_convert_in_place", "src_dml_rebase", "llm_stream_near_dup",
+    "sink_replace_where",
     # -- (d) deferred r3 rows with continuous indirect evidence ------------
     "q1_pricing_summary", "llm_jaccard_pairs", "llm_minhash_pairs",
     "llm_topk_similarity", "llm_text_stats", "plan_audit_facts",

@@ -2552,3 +2552,145 @@ def llm_ann_index_probe(spark, sf_dir):
         "query_id long, identical_topk int, probe_no_training int, "
         "refresh_no_training int, fresh_visible int, deleted_gone int",
     )
+
+
+# ------------------------------------------------------------------ T24 --
+_SQL_NEARDUP_STREAM = f"""
+    WITH e1 AS (SELECT doc_id AS doc, text FROM documents
+                WHERE doc_id < 40),
+    e2 AS (SELECT doc_id + 1000000 AS doc, text FROM documents
+           WHERE doc_id < 10
+           UNION ALL
+           SELECT doc_id, text FROM documents
+           WHERE doc_id >= 40 AND doc_id < 60),
+    t1 AS (SELECT doc, {_SQL_TOKS} AS t FROM e1),
+    s1 AS (SELECT doc, {_SQL_SHINGLES} AS s FROM t1),
+    x1 AS (SELECT doc, len(s) AS n_sh, unnest(s) AS shingle FROM s1),
+    k1 AS (SELECT * FROM x1
+           QUALIFY count(*) OVER (PARTITION BY shingle)
+                   <= {JACCARD_MAX_SHINGLE_FREQ}),
+    p1 AS (SELECT a.doc AS doc_new, b.doc AS doc_match,
+                  round(count(*)::DOUBLE /
+                        (any_value(a.n_sh) + any_value(b.n_sh)
+                         - count(*)), 6) AS j
+           FROM k1 a JOIN k1 b
+             ON a.shingle = b.shingle AND a.doc < b.doc
+           GROUP BY 1, 2),
+    drop1 AS (SELECT DISTINCT doc_match AS doc FROM p1 WHERE j >= 0.2),
+    surv1 AS (SELECT doc FROM e1
+              WHERE doc NOT IN (SELECT doc FROM drop1)),
+    t2 AS (SELECT doc, {_SQL_TOKS} AS t FROM e2),
+    s2 AS (SELECT doc, {_SQL_SHINGLES} AS s FROM t2),
+    x2 AS (SELECT doc, len(s) AS n_sh, unnest(s) AS shingle,
+                  1 AS is_delta FROM s2),
+    xc AS (SELECT doc, n_sh, shingle, 0 AS is_delta FROM x1
+           WHERE doc IN (SELECT doc FROM surv1)),
+    cx AS (SELECT * FROM xc UNION ALL SELECT * FROM x2),
+    k2 AS (SELECT * FROM cx
+           QUALIFY count(*) OVER (PARTITION BY shingle)
+                   <= {JACCARD_MAX_SHINGLE_FREQ}),
+    p2 AS (SELECT d.doc AS doc_new, m.doc AS doc_match,
+                  m.is_delta AS mdelta,
+                  round(count(*)::DOUBLE /
+                        (any_value(d.n_sh) + any_value(m.n_sh)
+                         - count(*)), 6) AS j
+           FROM k2 d JOIN k2 m ON d.shingle = m.shingle
+           WHERE d.is_delta = 1
+             AND (m.is_delta = 0 OR d.doc < m.doc)
+           GROUP BY 1, 2, 3),
+    drop2 AS (SELECT DISTINCT
+                CASE WHEN mdelta = 1 THEN doc_match ELSE doc_new END
+                  AS doc
+              FROM p2 WHERE j >= 0.2),
+    surv2 AS (SELECT doc FROM e2
+              WHERE doc NOT IN (SELECT doc FROM drop2))
+    SELECT doc, 1 AS replay_noop, 1 AS empty_epoch_advanced
+    FROM (SELECT doc FROM surv1 UNION ALL SELECT doc FROM surv2)
+    """
+
+
+@query("llm_stream_near_dup", oracle=_SQL_NEARDUP_STREAM)
+def llm_stream_near_dup(spark, sf_dir):
+    """Streaming near-duplicate filtering (round 8 — the R10 delta
+    dedup as an ALWAYS-ON stream, ``streaming/neardup.py``): a real
+    2-epoch file-source stream folds each micro-batch through
+    ``jaccard_delta_pairs`` against the STANDING index (a snapshot
+    table banking each accepted doc's shingle set — the corpus side is
+    a column read, never a re-featurization), keep-first policy (drop
+    on a match to the index or to a smaller-id batchmate). Epoch 2
+    carries 10 EXACT copies of epoch-1 docs (Jaccard 1.0 — all must
+    drop against the index) plus 20 fresh docs. A FORCED REPLAY of the
+    final epoch is a watermark-detected no-op (version pinned), and an
+    ALL-DUPLICATE epoch still advances the watermark through a
+    metadata-only commit (rows pinned, version +1) — the two
+    exactly-once edges a restart loop exercises. Oracle: the full
+    two-fold keep-first computation in SQL, value-exact on the
+    surviving doc ids."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..sources.snapshots import SnapshotTable
+    from ..streaming.neardup import StreamingNearDupFilter
+
+    docs = _docs(spark, sf_dir)
+    base = _tf.mkdtemp(prefix="spark_neardup_stream_")
+    inbox = _os.path.join(base, "inbox")
+    ckpt = _os.path.join(base, "ckpt")
+    root = _os.path.join(base, "index")
+    _os.makedirs(inbox)
+    e1 = docs.filter(F.col("doc_id") < 40).select("doc_id", "text")
+    e2 = (
+        docs.filter(F.col("doc_id") < 10)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") >= 40) & (F.col("doc_id") < 60)
+            ).select("doc_id", "text")
+        )
+    )
+    f = StreamingNearDupFilter(
+        spark,
+        root,
+        n=3,
+        threshold=0.2,
+        max_shingle_freq=JACCARD_MAX_SHINGLE_FREQ,
+    )
+
+    def _drain_once() -> None:
+        q = (
+            spark.readStream.schema(e1.schema)
+            .parquet(inbox)
+            .writeStream.foreachBatch(f.process_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    e1.coalesce(1).write.mode("append").parquet(inbox)
+    _drain_once()
+    e2.coalesce(1).write.mode("append").parquet(inbox)
+    _drain_once()
+    t = SnapshotTable(spark, root)
+    v_before = t.current_version()
+    rows_before = t.read().count()
+    f.process_batch(e2, 1)  # forced replay of the final epoch
+    replay_noop = int(t.current_version() == v_before)
+    # an all-duplicate epoch: copies of already-accepted docs under
+    # fresh ids — zero rows land, the watermark still advances
+    dupes = t.read().select(
+        (F.col("doc") + 5000000).alias("doc_id"), "text"
+    ).limit(10)
+    f.process_batch(dupes, 2)
+    empty_epoch_advanced = int(
+        t.current_version() == v_before + 1
+        and t.read().count() == rows_before
+        and int(t.txn_watermark(f.app_id)) == 2
+    )
+    return t.read().select(
+        "doc",
+        F.lit(replay_noop).alias("replay_noop"),
+        F.lit(empty_epoch_advanced).alias("empty_epoch_advanced"),
+    )

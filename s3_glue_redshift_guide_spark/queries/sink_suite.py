@@ -1214,3 +1214,76 @@ def sink_auto_compact(spark, sf_dir):
         "sum_k bigint, day_a_compacted int, day_b_untouched int, "
         "unarmed_files int",
     )
+
+
+@query(
+    "sink_replace_where",
+    oracle="""
+    WITH base AS (SELECT o_orderkey AS k, o_orderkey % 4 AS grp
+                  FROM orders WHERE o_orderkey < 400),
+    repl AS (SELECT o_orderkey + 10000 AS k, CAST(2 AS BIGINT) AS grp
+             FROM orders WHERE o_orderkey < 50)
+    SELECT k, grp, 1 AS outside_rejected, 1 AS single_commit,
+           1 AS history_labeled,
+           CAST((SELECT count(*) FROM base) AS BIGINT) AS v1_rows
+    FROM (SELECT k, grp FROM base WHERE grp <> 2
+          UNION ALL SELECT k, grp FROM repl)
+    """,
+)
+def sink_replace_where(spark, sf_dir):
+    """``INSERT INTO ... REPLACE WHERE`` (round 8 — Delta's
+    replaceWhere): atomically replace exactly the rows matching the
+    predicate with the query result, in ONE merge-on-read commit
+    (tombstones + new files, single manifest — readers see the old
+    window or the new one, never a mix). The daily
+    partition-re-materialization shape: O(matched rows) sidecar + the
+    new rows' write, untouched files never move. An incoming row
+    OUTSIDE the predicate window is rejected before anything stages
+    (``outside_rejected``) — the replace cannot write outside the
+    window it clears. ``single_commit`` pins version +1 for the whole
+    replace; v1 still time-travels to the pre-replace state
+    (``sources/snapshots.py::replace_where``)."""
+    import tempfile as _tf
+
+    from ..sql_dml import snapshot_sql
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 4).alias("grp"),
+    ).filter(F.col("k") < 400)
+    root = _tf.mkdtemp(prefix="spark_replwhere_")
+    t = SnapshotTable(spark, root)
+    t.commit_append(o.repartition(2))
+    v1_rows = t.read(1).count()
+    # an out-of-window row must abort before anything stages
+    try:
+        t.replace_where(
+            F.col("grp") == 2,
+            spark.sql(
+                "SELECT CAST(1 AS BIGINT) AS k, CAST(3 AS BIGINT) AS grp"
+            ),
+        )
+        outside_rejected = 0
+    except ValueError:
+        outside_rejected = int(t.current_version() == 1)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "rw_orders"
+    )
+    v = snapshot_sql(
+        spark,
+        f"INSERT INTO pysnapshot.`{root}` REPLACE WHERE grp = 2 "
+        "SELECT o_orderkey + 10000, 2 FROM rw_orders "
+        "WHERE o_orderkey < 50",
+    )
+    single_commit = int(v == 2)
+    ops = [r["operation"] for r in t.history().collect()]
+    history_labeled = int(ops[0] == "REPLACE WHERE")  # newest first
+    return t.read().select(
+        "k",
+        "grp",
+        F.lit(outside_rejected).alias("outside_rejected"),
+        F.lit(single_commit).alias("single_commit"),
+        F.lit(history_labeled).alias("history_labeled"),
+        F.lit(v1_rows).alias("v1_rows"),
+    )

@@ -3361,3 +3361,118 @@ def src_convert_in_place(spark, sf_dir):
         "converted_rows bigint, zone_false_keeps int, dml_live int, "
         "time_travel_rows bigint, op_labeled int",
     )
+
+
+# ---------------- write-serializable DML rebase (S70) ------------------
+@query(
+    "src_dml_rebase",
+    oracle="""
+    WITH src AS (SELECT o_orderkey AS k FROM orders
+                 WHERE o_orderkey < 300),
+         app AS (SELECT o_orderkey AS k FROM orders
+                 WHERE o_orderkey BETWEEN 1000 AND 1299)
+    SELECT 3 AS head_after_delete,
+           CAST((SELECT count(*) FROM src WHERE k % 2 <> 0)
+                + (SELECT count(*) FROM app) AS BIGINT) AS rows_after,
+           CAST((SELECT count(*) FROM app WHERE k % 2 = 0) AS BIGINT)
+             AS surviving_appended_evens,
+           1 AS rewrite_conflicts, 1 AS concurrent_delete_conflicts,
+           CAST((SELECT count(*) FROM src) AS BIGINT) AS v1_rows
+    """,
+)
+def src_dml_rebase(spark, sf_dir):
+    """Write-serializable DML rebase (round 8 — Delta's WriteSerializable
+    conflict rules): a MOR DELETE that loses the manifest race to a
+    concurrent PURE APPEND re-publishes on top of the new head instead
+    of failing — the delete serializes BEFORE the append, so the
+    appended rows (including ones matching the predicate!) are not
+    subject to it, exactly the result of running the two serially.
+    Anything that touched rows the delete READ refuses the rebase: a
+    concurrent REWRITE (positions into replaced files cannot remap) and
+    a concurrent DELETE (rebasing over a same-row tombstone could
+    resurrect it as a post-image — no serial order produces that) both
+    surface CommitConflict with nothing half-applied. The race is
+    injected by wrapping ``_publish`` so the concurrent commit lands
+    between the victim's read and its publish — the exact window a
+    1000-executor streaming ingest + background GDPR delete collide in
+    (``sources/snapshots.py::_dml_rebase_ok``)."""
+    import tempfile as _tf
+
+    from ..sources import snapshots as _snap
+    from ..sources.snapshots import CommitConflict, SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    base = o.filter(F.col("k") < 300)
+    appended = o.filter(F.col("k").between(1000, 1299))
+    v1_rows = base.count()
+
+    def race_once(root, action):
+        orig = SnapshotTable._publish
+        state = {"fired": False}
+
+        def racy(self, *a, **kw):
+            if not state["fired"]:
+                state["fired"] = True
+                action(SnapshotTable(spark, root))
+            return orig(self, *a, **kw)
+
+        SnapshotTable._publish = racy
+        return orig
+
+    t = SnapshotTable(spark, _tf.mkdtemp(prefix="spark_rebase_"))
+    t.commit_append(base.coalesce(2))
+    orig = race_once(
+        t.root, lambda h: h.commit_append(appended.coalesce(1))
+    )
+    try:
+        head = t.delete_where(F.col("k") % 2 == 0)
+    finally:
+        SnapshotTable._publish = orig
+    survivors = t.read()
+    rows_after = survivors.count()
+    surviving_evens = survivors.filter(
+        (F.col("k") >= 1000) & (F.col("k") % 2 == 0)
+    ).count()
+    # a concurrent rewrite refuses the rebase
+    t2 = SnapshotTable(spark, _tf.mkdtemp(prefix="spark_rebase2_"))
+    t2.commit_append(base.coalesce(2))
+    orig = race_once(
+        t2.root, lambda h: h.commit_rewrite(h.read().coalesce(1))
+    )
+    try:
+        t2.delete_where(F.col("k") % 2 == 0)
+        rewrite_conflicts = 0
+    except CommitConflict:
+        rewrite_conflicts = 1
+    finally:
+        SnapshotTable._publish = orig
+    # a concurrent delete (same-row hazard) refuses too
+    t3 = SnapshotTable(spark, _tf.mkdtemp(prefix="spark_rebase3_"))
+    t3.commit_append(base.coalesce(2))
+    orig = race_once(
+        t3.root, lambda h: h.delete_where(F.col("k") == 7)
+    )
+    try:
+        t3.delete_where(F.col("k") % 2 == 0)
+        dd_conflicts = 0
+    except CommitConflict:
+        dd_conflicts = 1
+    finally:
+        SnapshotTable._publish = orig
+    return spark.createDataFrame(
+        [
+            (
+                head,
+                rows_after,
+                surviving_evens,
+                rewrite_conflicts,
+                dd_conflicts,
+                t.read(1).count(),
+            )
+        ],
+        "head_after_delete int, rows_after bigint, "
+        "surviving_appended_evens bigint, rewrite_conflicts int, "
+        "concurrent_delete_conflicts int, v1_rows bigint",
+    )

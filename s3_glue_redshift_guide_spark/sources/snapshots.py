@@ -1710,6 +1710,7 @@ class SnapshotTable:
         op: str = "APPEND",
         _copied_update: dict | None = None,
         cluster_by: tuple[str, str] | None = None,
+        txn_update: dict | None = None,
     ) -> int:
         """Append with AUTOMATIC CONFLICT RESOLUTION (Delta's semantics:
         two appends never truly conflict): on ``CommitConflict`` the
@@ -1851,6 +1852,7 @@ class SnapshotTable:
                     op=op,
                     copied_update=_copied_update,
                     types=self._merged_types(m, df),
+                    txn_update=txn_update,
                 )
             except CommitConflict:
                 continue
@@ -1956,6 +1958,33 @@ class SnapshotTable:
             txn_update=txn_update,
             op=op,
             types=self._merged_types(m, df),
+        )
+
+    def commit_txn(self, txn_update: dict, op: str = "TXN") -> int:
+        """Metadata-only commit advancing idempotence watermark(s) (the
+        Delta txn action with no data change): an EMPTY streaming epoch
+        must still mark itself processed or a restart replays it
+        forever. Retries on conflict — the file set re-publishes from
+        the fresh head each time (nothing of ours moves)."""
+        for _ in range(5):
+            cur = self.current_version()
+            m = (
+                load_manifest(self.root, cur)
+                if cur > 0
+                else {"files": [], "stats": {}}
+            )
+            try:
+                return self._publish(
+                    m["files"],
+                    cur,
+                    m.get("stats") or {},
+                    txn_update=txn_update,
+                    op=op,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            "5 consecutive manifest conflicts — giving up"
         )
 
     def txn_watermark(self, app_id: str):
@@ -2079,6 +2108,80 @@ class SnapshotTable:
         )
 
     # ------------------------------------- merge-on-read DELETE (DVs) --
+    def _dml_rebase_ok(self, read_m: dict, head_m: dict) -> bool:
+        """Whether a conflicted MOR DML (delete_where / update_where)
+        may REBASE onto ``head_m`` instead of failing — Delta's
+        write-serializable allowance: the DML serializes BEFORE the
+        concurrent commit, which is sound exactly when that commit
+        was a PURE ADD (append / COPY INTO / connector write). Rows it
+        appended are then simply not subject to this DML, the same
+        result as running the DML first. Anything that touched rows
+        the DML read — a removed file (rewrite/compaction/CoW), a DV
+        change on a read file (concurrent delete/update may have hit
+        the SAME rows; rebasing could resurrect a deleted row as our
+        post-image, which no serial order produces) — or a changed
+        writer contract (constraints/generated/identity/spec/schema
+        map/enforcement the staged output wasn't validated against)
+        refuses the rebase and surfaces the CommitConflict."""
+        head_files = set(head_m["files"])
+        if set(read_m["files"]) - head_files:
+            return False
+        rdv, hdv = read_m.get("dv", {}), head_m.get("dv", {})
+        for f in read_m["files"]:
+            if (rdv.get(f) or []) != (hdv.get(f) or []):
+                return False
+        for k in (
+            "constraints",
+            "generated",
+            "identity",
+            "partition_spec",
+            "evolution",
+            "schema",
+        ):
+            if (read_m.get(k) or None) != (head_m.get(k) or None):
+                return False
+        return True
+
+    def _publish_with_rebase(
+        self,
+        read_m: dict,
+        base_v: int,
+        new_files: list[str],
+        dv_sidecar: str | None = None,
+        affected: list[str] | None = None,
+        **pub_kwargs,
+    ) -> int:
+        """Publish a MOR DML commit (tombstone sidecar + optional new
+        files ON TOP of the base's file set) with write-serializable
+        rebase: on CommitConflict, re-target the new head when
+        ``_dml_rebase_ok`` allows it (concurrent pure adds), else
+        surface the conflict. The staged data writes exactly once —
+        each retry is a metadata-only re-publish."""
+        base_m, bv = read_m, base_v
+        for _ in range(5):
+            dv = _UNSET
+            if dv_sidecar is not None:
+                dv = {f: list(v) for f, v in base_m["dv"].items()}
+                for f in affected or []:
+                    dv.setdefault(f, []).append(dv_sidecar)
+            try:
+                return self._publish(
+                    base_m["files"] + new_files,
+                    bv,
+                    self._merged_stats(bv, new_files, None),
+                    dv=dv,
+                    **pub_kwargs,
+                )
+            except CommitConflict:
+                head_v = self.current_version()
+                head_m = load_manifest(self.root, head_v)
+                if not self._dml_rebase_ok(read_m, head_m):
+                    raise
+                base_m, bv = head_m, head_v
+        raise CommitConflict(
+            "5 consecutive manifest conflicts — giving up"
+        )
+
     def delete_where(self, predicate) -> int:
         """DELETE as a DELETION-VECTOR commit (merge-on-read): data files
         stay byte-identical; the commit writes one sidecar of (file,
@@ -2129,11 +2232,12 @@ class SnapshotTable:
         ]
         if not affected:
             return cur  # nothing matched: no commit
-        dv = {f: list(v) for f, v in m["dv"].items()}
-        for f in affected:
-            dv.setdefault(f, []).append(dvdir)
-        return self._publish(
-            m["files"], cur, m["stats"], dv=dv, op="DELETE"
+        # publish with WRITE-SERIALIZABLE rebase: a concurrent pure
+        # append advances the head without invalidating this delete
+        # (it serializes before the append — appended rows are not
+        # subject to it); anything that touched read rows conflicts.
+        return self._publish_with_rebase(
+            m, cur, [], dv_sidecar=dvdir, affected=affected, op="DELETE"
         )
 
     def update_where(self, predicate, assignments: dict) -> int:
@@ -2236,17 +2340,116 @@ class SnapshotTable:
         if regen:
             post = post.drop(*regen)
         new = self._write_files(post)
-        dv = {f: list(v) for f, v in m["dv"].items()}
-        for f in affected:
-            dv.setdefault(f, []).append(dvdir)
-        return self._publish(
-            m["files"] + new,
+        # the same write-serializable rebase as delete_where: the
+        # update's tombstones + post-images publish on top of a
+        # concurrent pure append; anything touching read rows raises
+        return self._publish_with_rebase(
+            m,
             cur,
-            self._merged_stats(cur, new, None),
-            dv=dv,
+            new,
+            dv_sidecar=dvdir,
+            affected=affected,
             schema_map=self._extend_schema_map(m, post),
             op="UPDATE",
             types=self._merged_types(m, post),
+        )
+
+    def truncate(self) -> int:
+        """TRUNCATE TABLE — a METADATA-ONLY delete of every row: the
+        new version has an empty file list (zero reads, zero rewrites,
+        zero deletion vectors); the schema and writer contracts
+        (constraints / defaults / identity / spec / properties) carry
+        forward, prior versions still time-travel, and the bytes
+        reclaim at the next VACUUM — warehouse TRUNCATE semantics at
+        manifest-swap cost, the same zero-IO posture as partition
+        DROP."""
+        for _ in range(5):
+            cur = self.current_version()
+            if cur == 0:
+                raise ValueError(
+                    "no table at this root (create it first)"
+                )
+            try:
+                return self._publish([], cur, {}, dv={}, op="TRUNCATE")
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            "5 consecutive manifest conflicts — giving up"
+        )
+
+    def replace_where(self, predicate, df: DataFrame) -> int:
+        """Delta's ``replaceWhere`` (SQL: ``INSERT INTO ... REPLACE
+        WHERE``): atomically replace exactly the rows matching
+        ``predicate`` with ``df``, in ONE merge-on-read commit —
+        deletion-vector tombstones for the matched rows plus the new
+        rows' files publish in a single manifest, so readers see the
+        old window or the new window, never a mix and never neither.
+        Every incoming row must satisfy ``predicate`` (the Delta
+        contract — otherwise the "replace" would write outside the
+        window it just cleared; validated on the incoming frame before
+        anything stages). Cost is O(matched rows) for the sidecar +
+        the new rows' write — a partition-window reload (the daily
+        re-materialization shape) never rewrites untouched files.
+        Publishes through the write-serializable rebase: concurrent
+        pure appends don't invalidate it."""
+        import uuid as _uuid
+
+        cur = self.current_version()
+        m = (
+            load_manifest(self.root, cur)
+            if cur > 0
+            else {"files": [], "dv": {}, "schema": None, "stats": {}}
+        )
+        self._enforce_schema(m, df)
+        predicate = F.lit(True) if predicate is None else predicate
+        outside = df.filter(
+            ~predicate.eqNullSafe(F.lit(True))
+        ).count()
+        if outside:
+            raise ValueError(
+                f"REPLACE WHERE: {outside} incoming row(s) do not "
+                "satisfy the predicate — the replacement must stay "
+                "inside the window it clears"
+            )
+        affected: list[str] = []
+        dvdir = None
+        if m["files"]:
+            visible = self._masked_read(m["files"], m["dv"], manifest=m)
+            tagged = visible.withColumns(
+                {
+                    "__dv_file": self._plain_path(
+                        F.col("_metadata.file_path")
+                    ),
+                    "__dv_pos": F.col("_metadata.row_index"),
+                }
+            )
+            mapped = self._apply_schema_map(
+                tagged, m["schema"], keep=("__dv_file", "__dv_pos")
+            )
+            matched = mapped.filter(predicate).select(
+                "__dv_file", "__dv_pos"
+            )
+            dvdir = os.path.join(
+                self.root, "deletes", _uuid.uuid4().hex
+            )
+            matched.write.mode("errorifexists").parquet(dvdir)
+            affected = [
+                r["__dv_file"]
+                for r in self.spark.read.parquet(dvdir)
+                .select("__dv_file")
+                .distinct()
+                .collect()
+            ]
+        new = self._write_files(df)
+        return self._publish_with_rebase(
+            m,
+            cur,
+            new,
+            dv_sidecar=dvdir if affected else None,
+            affected=affected,
+            schema_map=self._extend_schema_map(m, df),
+            op="REPLACE WHERE",
+            types=self._merged_types(m, df),
         )
 
     def merge_mor(
@@ -2361,10 +2564,13 @@ class SnapshotTable:
                         ).cast("long"),
                     )
                 new = self._write_files(ins)
-                return self._publish(
-                    new,
+                # empty-table insert branch, rebase-aware: a racing
+                # first append must not be dropped by publishing the
+                # insert files alone
+                return self._publish_with_rebase(
+                    m,
                     cur,
-                    self._merged_stats(cur, new, None),
+                    new,
                     op="MERGE",
                     txn_update=txn_update,
                 )
@@ -2684,9 +2890,6 @@ class SnapshotTable:
                     txn_update=txn_update, op="MERGE",
                 )
             return cur  # nothing matched, nothing to insert
-        dv = {f: list(v) for f, v in m["dv"].items()}
-        for f in affected:
-            dv.setdefault(f, []).append(dvdir)
         new: list[str] = []
         for p in parts:
             new += self._write_files(p)
@@ -2701,11 +2904,16 @@ class SnapshotTable:
             else _UNSET
         )
         _ph0 = _mtime.perf_counter()
-        v_out = self._publish(
-            m["files"] + new,
+        # write-serializable rebase (as in delete/update): the MERGE
+        # serializes before a concurrent pure append — a key both
+        # insert is the append's concern under that order, exactly
+        # Delta's blind-append allowance under WriteSerializable
+        v_out = self._publish_with_rebase(
+            m,
             cur,
-            self._merged_stats(cur, new, None),
-            dv=dv,
+            new,
+            dv_sidecar=dvdir if affected else None,
+            affected=affected,
             schema_map=sm,
             op="MERGE",
             types=self._merged_types(m, *parts),
@@ -5479,13 +5687,12 @@ class SnapshotTable:
         renames/widenings are applied, exactly what a new writer must
         match), partition spec / properties / CHECK constraints from
         the head manifest. The emitted text is EXECUTABLE through
-        ``sql_dml.snapshot_sql`` statement-by-statement (constraints
-        ride as ALTER TABLE statements after the CREATE); contract
-        features the dispatcher has no DDL verb for (identity /
-        generated / default columns) surface as trailing ``--``
-        comment lines rather than silently vanishing, mirroring
-        Spark's own SHOW CREATE TABLE warnings for unsupported
-        features."""
+        ``sql_dml.snapshot_sql`` statement-by-statement: constraints
+        ride as ALTER TABLE statements after the CREATE, and identity /
+        generated / default columns emit as their column clauses
+        (``GENERATED ALWAYS AS IDENTITY (START WITH ...)`` continues
+        past the banked high-water mark so a replayed log never
+        re-issues taken ids)."""
         v = self.current_version()
         if v == 0:
             raise ValueError(
@@ -5493,10 +5700,27 @@ class SnapshotTable:
                 "until the first commit"
             )
         m = load_manifest(self.root, v)
-        cols = ",\n  ".join(
-            f"{f.name} {f.dataType.simpleString()}"
-            for f in self.read(v).schema.fields
-        )
+        gens = m.get("generated") or {}
+        dfls = m.get("defaults") or {}
+        ident = m.get("identity") or {}
+        col_lines = []
+        for f in self.read(v).schema.fields:
+            line = f"{f.name} {f.dataType.simpleString()}"
+            if f.name in ident:
+                meta = ident[f.name]
+                # START WITH continues past the banked high-water mark:
+                # a replayed log must never re-issue taken ids
+                line += (
+                    " GENERATED ALWAYS AS IDENTITY (START WITH "
+                    f"{int(meta['high']) + int(meta['step'])} "
+                    f"INCREMENT BY {int(meta['step'])})"
+                )
+            elif f.name in gens:
+                line += f" GENERATED ALWAYS AS ({gens[f.name]})"
+            elif f.name in dfls:
+                line += f" DEFAULT {dfls[f.name]}"
+            col_lines.append(line)
+        cols = ",\n  ".join(col_lines)
         stmt = f"CREATE TABLE pysnapshot.`{self.root}` (\n  {cols}\n)"
         spec = m.get("partition_spec") or []
         if spec:
@@ -5512,16 +5736,7 @@ class SnapshotTable:
                 f"ALTER TABLE pysnapshot.`{self.root}` ADD CONSTRAINT {name} "
                 f"CHECK ({expr})"
             )
-        notes = []
-        for c in sorted(m.get("identity") or {}):
-            notes.append(f"-- identity column: {c}")
-        for c, e in sorted((m.get("generated") or {}).items()):
-            notes.append(f"-- generated column: {c} AS {e}")
-        for c, d in sorted((m.get("defaults") or {}).items()):
-            notes.append(f"-- column default: {c} = {d}")
-        return ";\n".join(stmts) + (
-            "\n" + "\n".join(notes) if notes else ""
-        )
+        return ";\n".join(stmts)
 
     def vacuum(
         self,

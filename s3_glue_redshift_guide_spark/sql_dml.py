@@ -318,6 +318,11 @@ _INSERT = re.compile(
     r"\s+(?P<body>VALUES\s+.*|SELECT\s+.*)$",
     re.I | re.S,
 )
+_REPLACE_WHERE = re.compile(
+    rf"^\s*INSERT\s+INTO\s+{_TBL}\s+REPLACE\s+WHERE\s+"
+    r"(?P<where>.+?)\s+(?P<body>VALUES\s+.*|SELECT\s+.*)$",
+    re.I | re.S,
+)
 _ADD_COLUMN = re.compile(
     rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+ADD\s+COLUMN\s+(?P<name>\w+)\s+"
     r"(?P<type>\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*$",
@@ -331,6 +336,23 @@ _RENAME_COLUMN = re.compile(
 _ALTER_TYPE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+ALTER\s+COLUMN\s+(?P<col>\w+)\s+"
     r"TYPE\s+(?P<type>\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*$",
+    re.I,
+)
+_DROP_COLUMN = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+DROP\s+COLUMN\s+(?P<name>\w+)\s*$",
+    re.I,
+)
+_TRUNCATE = re.compile(
+    rf"^\s*TRUNCATE\s+TABLE\s+{_TBL}\s*$", re.I
+)
+_SET_DEFAULT = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+ALTER\s+COLUMN\s+(?P<col>\w+)\s+"
+    r"SET\s+DEFAULT\s+(?P<expr>.+)$",
+    re.I | re.S,
+)
+_DROP_DEFAULT = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+ALTER\s+COLUMN\s+(?P<col>\w+)\s+"
+    r"DROP\s+DEFAULT\s*$",
     re.I,
 )
 _DROP_PARTITION = re.compile(
@@ -411,14 +433,116 @@ def _table_opts(rest: str):
     return spec, props, rest
 
 
+def _split_cols(schema: str) -> list[str]:
+    """Top-level comma split of a column list, aware of BOTH paren
+    nesting (decimal(10,2), generated exprs) and angle-bracket nesting
+    (map<string,int>, array<struct<...>>)."""
+    out, buf, depth = [], [], 0
+    for ch in schema:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+_COL_CLAUSE = re.compile(r"\b(GENERATED|DEFAULT)\b", re.I)
+
+
+def _parse_column_clauses(schema: str):
+    """Strip per-column ``DEFAULT <expr>`` / ``GENERATED ALWAYS AS
+    (expr)`` / ``GENERATED ALWAYS AS IDENTITY [(START WITH n
+    [INCREMENT BY m])]`` clauses out of a CREATE TABLE column list —
+    returns (plain DDL for create_table, defaults, generated,
+    identities). Clause keywords are only honored at nesting depth 0,
+    so a struct field named ``default`` or an expr containing the word
+    stays untouched."""
+    cols: list[str] = []
+    defaults: dict[str, str] = {}
+    generated: dict[str, str] = {}
+    identities: dict[str, tuple[int, int]] = {}
+    for c in _split_cols(schema):
+        mm = _COL_CLAUSE.search(c)
+        # keyword inside <> or () nesting is part of a type/expr
+        while mm and (
+            c[: mm.start()].count("(") - c[: mm.start()].count(")") > 0
+            or c[: mm.start()].count("<") - c[: mm.start()].count(">")
+            > 0
+        ):
+            mm = _COL_CLAUSE.search(c, mm.end())
+        base, clause = (
+            (c[: mm.start()].strip(), c[mm.start():].strip())
+            if mm
+            else (c, "")
+        )
+        nm = re.match(r"^`?(\w+)`?\s+(.+)$", base, re.S)
+        if not nm:
+            raise ValueError(f"cannot parse column definition: {c!r}")
+        name = nm.group(1)
+        cols.append(f"`{name}` {nm.group(2).strip()}")
+        if not clause:
+            continue
+        im = re.match(
+            r"^GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+            r"(?:\s*\(\s*START\s+WITH\s+(?P<start>-?\d+)"
+            r"(?:\s+INCREMENT\s+BY\s+(?P<step>-?\d+))?\s*\))?\s*$",
+            clause,
+            re.I,
+        )
+        if im:
+            identities[name] = (
+                int(im.group("start") or 1),
+                int(im.group("step") or 1),
+            )
+            continue
+        gm = re.match(
+            r"^GENERATED\s+ALWAYS\s+AS\s*\((?P<rest>.*)$",
+            clause,
+            re.I | re.S,
+        )
+        if gm:
+            expr, tail = _balanced(gm.group("rest"))
+            if tail.strip():
+                raise ValueError(
+                    f"unparsed tail after generated expr: {tail!r}"
+                )
+            generated[name] = expr.strip()
+            continue
+        dm = re.match(r"^DEFAULT\s+(?P<expr>.+)$", clause, re.I | re.S)
+        if dm:
+            defaults[name] = dm.group("expr").strip()
+            continue
+        raise ValueError(f"unrecognized column clause: {clause!r}")
+    return ", ".join(cols), defaults, generated, identities
+
+
 def _create_table(spark: SparkSession, m: re.Match, clock) -> int:
     schema, rest = _balanced(m.group("rest"))
     spec, props, rest = _table_opts(rest)
     if rest:
         raise ValueError(f"unparsed CREATE TABLE tail: {rest!r}")
-    return SnapshotTable(
-        spark, m.group("root"), clock=clock
-    ).create_table(schema, partition_by=spec, properties=props)
+    plain, defaults, generated, identities = _parse_column_clauses(
+        schema
+    )
+    t = SnapshotTable(spark, m.group("root"), clock=clock)
+    v = t.create_table(plain, partition_by=spec, properties=props)
+    # column contracts register as follow-on metadata commits through
+    # the same methods their ALTER verbs use (each validates itself)
+    for name, expr in generated.items():
+        v = t.add_generated_column(name, expr)
+    for name, expr in defaults.items():
+        v = t.add_column_default(name, expr)
+    for name, (start, step) in identities.items():
+        v = t.add_identity_column(name, start=start, step=step)
+    return v
 
 
 def _ctas(spark: SparkSession, m: re.Match, clock) -> int:
@@ -564,6 +688,19 @@ def _parse_pushable(where: str):
                 hi = v
             ranges[col] = (lo, hi)
             continue
+        m = re.match(r"^(\w+)\s+LIKE\s+'([^'%_]+)%'$", c, re.I)
+        if m:
+            # prefix LIKE prunes as a lexicographic range — the same
+            # [prefix, next-prefix) bound the connector derives from a
+            # pushed StringStartsWith (the residual LIKE still
+            # row-filters at scan)
+            from .sources.pyds import _prefix_upper
+
+            col, p = m.group(1), m.group(2)
+            up = _prefix_upper(p)
+            ranges[col] = (p, up)
+            residual.append(c)
+            continue
         residual.append(c)
     return eq, any_of, ranges, residual
 
@@ -693,6 +830,24 @@ def snapshot_sql(
             sorted(props.items()) or [("", "")],
             "key string, value string",
         ).filter("key <> ''")
+    m = _REPLACE_WHERE.match(sql)
+    if m:
+        t = SnapshotTable(spark, m.group("root"), clock=clock)
+        src = spark.sql(m.group("body"))
+        dts = dict(t.read().dtypes)
+        cols = list(dts)
+        if len(src.columns) != len(cols):
+            raise ValueError(
+                f"REPLACE WHERE arity mismatch: {len(src.columns)} "
+                f"values for {len(cols)} columns"
+            )
+        aligned = src.select(
+            *[
+                F.col(src.columns[i]).cast(dts[c]).alias(c)
+                for i, c in enumerate(cols)
+            ]
+        )
+        return t.replace_where(F.expr(m.group("where")), aligned)
     m = _INSERT.match(sql)
     if m:
         return _insert(spark, m, clock)
@@ -711,6 +866,26 @@ def snapshot_sql(
         return SnapshotTable(
             spark, m.group("root"), clock=clock
         ).widen_column(m.group("col"), m.group("type").lower())
+    m = _DROP_COLUMN.match(sql)
+    if m:
+        return SnapshotTable(
+            spark, m.group("root"), clock=clock
+        ).drop_column(m.group("name"))
+    m = _TRUNCATE.match(sql)
+    if m:
+        return SnapshotTable(
+            spark, m.group("root"), clock=clock
+        ).truncate()
+    m = _SET_DEFAULT.match(sql)
+    if m:
+        return SnapshotTable(
+            spark, m.group("root"), clock=clock
+        ).add_column_default(m.group("col"), m.group("expr").strip())
+    m = _DROP_DEFAULT.match(sql)
+    if m:
+        return SnapshotTable(
+            spark, m.group("root"), clock=clock
+        ).drop_column_default(m.group("col"))
     m = _DROP_PARTITION.match(sql)
     if m:
         eq = {}
@@ -934,7 +1109,8 @@ def snapshot_sql(
         "CONSTRAINT / ADD COLUMN / RENAME COLUMN / ALTER COLUMN TYPE "
         "/ SET TBLPROPERTIES / CREATE TAG, COPY INTO ... FROM, "
         "SHOW CREATE TABLE, EXPLAIN SELECT, CONVERT TO SNAPSHOT "
-        "parquet.`dir`, "
+        "parquet.`dir`, TRUNCATE TABLE, DROP COLUMN, SET/DROP "
+        "DEFAULT, INSERT INTO ... REPLACE WHERE, "
         "SELECT * FROM ... [VERSION AS OF n | TIMESTAMP AS OF 'ts' | "
         "TAG 'name'] [WHERE ...]): " + sql[:120]
     )

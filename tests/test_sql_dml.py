@@ -156,7 +156,9 @@ def test_sql_rejects_non_equi_on_and_garbage(spark):
             "ON t.k > s.k WHEN MATCHED THEN DELETE",
         )
     with pytest.raises(ValueError, match="unrecognized"):
-        snapshot_sql(spark, f"TRUNCATE TABLE pysnapshot.`{t.root}`")
+        snapshot_sql(
+            spark, f"GRANT SELECT ON pysnapshot.`{t.root}` TO alice"
+        )
 
 
 def test_sql_string_literal_aliases_untouched(spark):
@@ -728,3 +730,138 @@ def test_sql_explain_scan_facts(spark):
     assert (r["version"], r["files_total"], r["files_scanned"]) == (
         5, 4, 4
     )
+
+
+def test_sql_explain_like_prefix_prunes(spark):
+    """`col LIKE 'prefix%'` prunes as the lexicographic range
+    [prefix, next-prefix) against banked string stats — the same bound
+    the connector derives from a pushed StringStartsWith — while the
+    LIKE itself stays a row-level residual."""
+    root = _tmp("explainlike")
+    t = SnapshotTable(spark, root)
+    for grp in ("alpha", "beta", "gamma"):
+        t.commit_append(
+            spark.range(5).select(
+                F.concat(F.lit(grp + "_"), F.col("id")).alias("name")
+            ).coalesce(1),
+            stats_cols=["name"],
+        )
+    r = snapshot_sql(
+        spark,
+        f"EXPLAIN SELECT * FROM pysnapshot.`{root}` "
+        "WHERE name LIKE 'beta%'",
+    ).collect()[0]
+    assert r["files_total"] == 3
+    assert r["files_after_zone_prune"] == 1
+    assert r["files_scanned"] == 1
+    assert r["pushed_prune_cols"] == "name"
+    assert r["residual"] == "name LIKE 'beta%'"
+
+
+def test_sql_create_table_column_clauses_roundtrip(spark):
+    """CREATE TABLE accepts per-column DEFAULT / GENERATED ALWAYS AS
+    (expr) / GENERATED ALWAYS AS IDENTITY clauses (each registering
+    through its existing method), complex types survive the clause
+    split (map<string,int>), and SHOW CREATE TABLE emits the clauses
+    back EXECUTABLY — identity numbering continues past the banked
+    high-water mark on replay."""
+    root = _tmp("colclauses")
+    snapshot_sql(
+        spark,
+        f"""CREATE TABLE pysnapshot.`{root}` (
+          id BIGINT GENERATED ALWAYS AS IDENTITY
+             (START WITH 10 INCREMENT BY 2),
+          k BIGINT,
+          doubled BIGINT GENERATED ALWAYS AS (k * 2),
+          tag STRING DEFAULT 'unset',
+          m MAP<STRING,INT>
+        )""",
+    )
+    t = SnapshotTable(spark, root)
+    snapshot_sql(
+        spark, f"INSERT INTO pysnapshot.`{root}` (k) VALUES (5), (6)"
+    )
+    rows = sorted(
+        (r["id"], r["k"], r["doubled"], r["tag"])
+        for r in t.read().collect()
+    )
+    assert rows == [(10, 5, 10, "unset"), (12, 6, 12, "unset")]
+    ddl = snapshot_sql(
+        spark, f"SHOW CREATE TABLE pysnapshot.`{root}`"
+    ).collect()[0]["createtab_stmt"]
+    assert "GENERATED ALWAYS AS IDENTITY (START WITH 14" in ddl
+    assert "GENERATED ALWAYS AS (k * 2)" in ddl
+    assert "DEFAULT 'unset'" in ddl and "map<string,int>" in ddl
+    root2 = _tmp("colclauses2")
+    for stmt in ddl.replace(root, root2).split(";\n"):
+        snapshot_sql(spark, stmt)
+    snapshot_sql(
+        spark, f"INSERT INTO pysnapshot.`{root2}` (k) VALUES (9)"
+    )
+    t2 = SnapshotTable(spark, root2)
+    got = t2.read().collect()[0]
+    assert (got["id"], got["doubled"], got["tag"]) == (14, 18, "unset")
+    # SET / DROP DEFAULT verbs map to the existing methods
+    snapshot_sql(
+        spark,
+        f"ALTER TABLE pysnapshot.`{root2}` ALTER COLUMN tag "
+        "SET DEFAULT 'other'",
+    )
+    assert snapshot_sql(
+        spark, f"SHOW CREATE TABLE pysnapshot.`{root2}`"
+    ).collect()[0]["createtab_stmt"].count("DEFAULT 'other'") == 1
+    snapshot_sql(
+        spark,
+        f"ALTER TABLE pysnapshot.`{root2}` ALTER COLUMN tag "
+        "DROP DEFAULT",
+    )
+    assert t2.detail()["n_defaults"] == 0
+
+
+def test_sql_replace_where(spark):
+    """INSERT INTO ... REPLACE WHERE: one-commit window replacement,
+    out-of-window rows rejected before anything stages."""
+    t = SnapshotTable(spark, _tmp("replw"))
+    t.commit_append(_kv(spark, 20))
+    spark.range(100, 103).select(
+        F.col("id").alias("k"), F.lit(-1).cast("bigint").alias("v")
+    ).createOrReplaceTempView("rw_src")
+    v = snapshot_sql(
+        spark,
+        f"INSERT INTO pysnapshot.`{t.root}` REPLACE WHERE k >= 10 "
+        "SELECT * FROM rw_src",
+    )
+    assert v == 2
+    assert _rows(t) == [(k, 2 * k) for k in range(10)] + [
+        (100, -1), (101, -1), (102, -1)
+    ]
+    # an out-of-window row aborts with nothing staged
+    with pytest.raises(ValueError, match="REPLACE WHERE"):
+        snapshot_sql(
+            spark,
+            f"INSERT INTO pysnapshot.`{t.root}` REPLACE WHERE k > 500 "
+            "SELECT * FROM rw_src",
+        )
+    assert t.current_version() == 2
+    # time travel still reads the pre-replace window
+    assert t.read(1).count() == 20
+
+
+def test_sql_truncate_and_drop_column(spark):
+    """TRUNCATE TABLE is a metadata-only empty-file-list commit (zero
+    IO, contracts survive, prior versions time-travel); ALTER TABLE
+    DROP COLUMN maps to the field-id-map drop."""
+    t = SnapshotTable(spark, _tmp("trunc"))
+    t.commit_append(_kv(spark, 10))
+    t.add_constraint("nonneg", "k >= 0")
+    snapshot_sql(spark, f"TRUNCATE TABLE pysnapshot.`{t.root}`")
+    assert t.read().count() == 0
+    assert t.read(1).count() == 10          # history intact
+    assert t.detail()["n_constraints"] == 1  # contract survives
+    # the table is immediately writable under the same contract
+    t.commit_append(_kv(spark, 3, start=50))
+    assert t.read().count() == 3
+    snapshot_sql(
+        spark, f"ALTER TABLE pysnapshot.`{t.root}` DROP COLUMN v"
+    )
+    assert t.read().columns == ["k"]
