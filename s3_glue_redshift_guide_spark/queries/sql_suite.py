@@ -872,3 +872,102 @@ def sql_explain_show_create(spark, sf_dir):
         "residual_kept int, zone_pruned_exactly int, head_version int, "
         "src_rows bigint",
     )
+
+
+@query(
+    "sql_table_changes_tvf",
+    oracle="""
+    WITH v2 AS (SELECT o_orderkey AS k FROM orders
+                WHERE o_orderkey >= 200 AND o_orderkey < 400)
+    SELECT k, change_type, commit_version,
+           1 AS wap_cycle, 1 AS clustered_prunes
+    FROM (
+      SELECT k, 'insert' AS change_type, 2 AS commit_version FROM v2
+      UNION ALL
+      SELECT k, 'delete', 3 FROM v2 WHERE k % 3 = 0
+    )
+    """,
+)
+def sql_table_changes_tvf(spark, sf_dir):
+    """``SELECT * FROM table_changes(tbl, start[, end])`` (round 8 —
+    Delta's CDF TVF): PER-COMMIT row-level changes of commits
+    start..end, straight off the manifest diffs (O(churn) per commit,
+    never O(table)) — here commits 2..3 surface v2's inserts and v3's
+    MOR deletes, value-exact. Alongside: the WAP cycle in pure SQL
+    (CREATE BRANCH → branch write → SELECT ... BRANCH audit → FAST
+    FORWARD TO BRANCH → DROP BRANCH; main is pinned until the
+    publish), and CREATE TABLE ... CLUSTER BY (a, b) — the liquid
+    posture where EVERY append z-clusters itself so either-column
+    probes prune files without per-write opt-in
+    (``sql_dml.py::_TABLE_CHANGES/_CREATE_BRANCH/_table_opts``)."""
+    import tempfile as _tf
+
+    from ..sql_dml import snapshot_sql
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    root = _tf.mkdtemp(prefix="spark_tvf_")
+    t = SnapshotTable(spark, root)
+    t.commit_append(o.filter(F.col("k") < 200).coalesce(1))         # v1
+    t.commit_append(
+        o.filter((F.col("k") >= 200) & (F.col("k") < 400)).coalesce(1)
+    )                                                               # v2
+    t.delete_where((F.col("k") >= 200) & (F.col("k") % 3 == 0))     # v3
+    ch = snapshot_sql(
+        spark,
+        f"SELECT * FROM table_changes(pysnapshot.`{root}`, 2, 3)",
+    ).select(
+        "k",
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").cast("int").alias("commit_version"),
+    )
+    # WAP cycle in SQL: main pinned until the fast-forward publishes
+    snapshot_sql(
+        spark, f"ALTER TABLE pysnapshot.`{root}` CREATE BRANCH wap"
+    )
+    t.branch("wap").commit_append(
+        o.filter((F.col("k") >= 5000) & (F.col("k") < 5100)).coalesce(1)
+    )
+    staged = snapshot_sql(
+        spark, f"SELECT * FROM pysnapshot.`{root}` BRANCH 'wap'"
+    ).count()
+    main_before = t.read().count()
+    snapshot_sql(
+        spark,
+        f"ALTER TABLE pysnapshot.`{root}` FAST FORWARD TO BRANCH wap",
+    )
+    snapshot_sql(
+        spark, f"ALTER TABLE pysnapshot.`{root}` DROP BRANCH wap"
+    )
+    wap_cycle = int(
+        staged > main_before
+        and t.read().count() == staged
+        and t.branches() == {}
+    )
+    # CLUSTER BY: either-column probes prune on an ordinary append
+    croot = _tf.mkdtemp(prefix="spark_tvfc_")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE pysnapshot.`{croot}` (a BIGINT, b BIGINT) "
+        "CLUSTER BY (a, b)",
+    )
+    tc = SnapshotTable(spark, croot)
+    tc.commit_append(
+        spark.range(4096).select(
+            F.col("id").alias("a"),
+            ((F.col("id") * 2654435761) % 4096).alias("b"),
+        ).repartition(8),
+        stats_cols=["a", "b"],
+    )
+    ka, total = tc.pruned_files("a", 100, 120)
+    kb, _ = tc.pruned_files("b", 100, 120)
+    clustered = int(total >= 4 and len(ka) < total and len(kb) < total)
+    return ch.select(
+        "k",
+        "change_type",
+        "commit_version",
+        F.lit(wap_cycle).alias("wap_cycle"),
+        F.lit(clustered).alias("clustered_prunes"),
+    )

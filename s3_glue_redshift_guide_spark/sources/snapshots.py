@@ -1814,9 +1814,20 @@ class SnapshotTable:
                     )
             if new is None:
                 order_within = None
-                if cluster_by is not None:
+                eff_cluster = cluster_by
+                if eff_cluster is None:
+                    # liquid-clustering posture: the `cluster.by`
+                    # table property makes EVERY append lay itself out
+                    # along the declared Morton key — callers don't
+                    # opt in write-by-write, the table declares it once
+                    cb = (m.get("properties") or {}).get("cluster.by")
+                    if cb:
+                        cb_cols = [c.strip() for c in cb.split(",")]
+                        if len(cb_cols) == 2:
+                            eff_cluster = (cb_cols[0], cb_cols[1])
+                if eff_cluster is not None:
                     order_within = self._z_order_within(
-                        df, *cluster_by
+                        df, *eff_cluster
                     )
                     if order_within and not self._partition_spec():
                         # each file owns a contiguous curve segment:
@@ -2402,6 +2413,10 @@ class SnapshotTable:
         )
         self._enforce_schema(m, df)
         predicate = F.lit(True) if predicate is None else predicate
+        # pin the incoming frame: the validation below and the write
+        # must see the SAME rows — a nondeterministic source could
+        # otherwise pass the window check yet write rows outside it
+        df = df.localCheckpoint(eager=True)
         outside = df.filter(
             ~predicate.eqNullSafe(F.lit(True))
         ).count()

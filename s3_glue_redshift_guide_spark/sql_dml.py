@@ -338,6 +338,25 @@ _ALTER_TYPE = re.compile(
     r"TYPE\s+(?P<type>\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*$",
     re.I,
 )
+_TABLE_CHANGES = re.compile(
+    rf"^\s*SELECT\s+\*\s+FROM\s+table_changes\s*\(\s*{_TBL}\s*,\s*"
+    r"(?P<from>\d+)\s*(?:,\s*(?P<to>\d+)\s*)?\)\s*$",
+    re.I,
+)
+_CREATE_BRANCH = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+CREATE\s+BRANCH\s+(?P<name>\w+)"
+    r"(?:\s+AS\s+OF\s+VERSION\s+(?P<v>\d+))?\s*$",
+    re.I,
+)
+_DROP_BRANCH = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+DROP\s+BRANCH\s+(?P<name>\w+)\s*$",
+    re.I,
+)
+_FAST_FORWARD = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+FAST\s+FORWARD\s+TO\s+BRANCH\s+"
+    r"(?P<name>\w+)\s*$",
+    re.I,
+)
 _DROP_COLUMN = re.compile(
     rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+DROP\s+COLUMN\s+(?P<name>\w+)\s*$",
     re.I,
@@ -410,9 +429,12 @@ def _props_dict(props: str) -> dict:
 
 
 def _table_opts(rest: str):
-    """Parse the optional ``PARTITIONED BY (...) TBLPROPERTIES (...)``
-    clauses (balanced-paren aware — transform specs nest parens);
-    returns (spec, props, remainder)."""
+    """Parse the optional ``PARTITIONED BY (...) CLUSTER BY (...)
+    TBLPROPERTIES (...)`` clauses (balanced-paren aware — transform
+    specs nest parens); returns (spec, props, remainder). ``CLUSTER
+    BY (a, b)`` lands as the ``cluster.by`` table property — the
+    declaration that makes every subsequent append lay itself out
+    along the Morton key of the two columns."""
     rest = rest.strip()
     spec = None
     mm = re.match(
@@ -422,6 +444,19 @@ def _table_opts(rest: str):
         inside, rest = _balanced(mm.group("rest"))
         spec = [e.strip() for e in _split_top(inside)]
         rest = rest.strip()
+    cluster = None
+    mm = re.match(
+        r"^CLUSTER\s+BY\s*\((?P<rest>.*)$", rest, re.I | re.S
+    )
+    if mm:
+        inside, rest = _balanced(mm.group("rest"))
+        cluster = [e.strip() for e in _split_top(inside)]
+        if len(cluster) != 2:
+            raise ValueError(
+                "CLUSTER BY takes exactly two columns (the Morton "
+                f"key is 2-D): got {cluster!r}"
+            )
+        rest = rest.strip()
     props = None
     mm = re.match(
         r"^TBLPROPERTIES\s*\((?P<rest>.*)$", rest, re.I | re.S
@@ -430,20 +465,31 @@ def _table_opts(rest: str):
         inside, rest = _balanced(mm.group("rest"))
         props = _props_dict(inside)
         rest = rest.strip()
+    if cluster:
+        props = dict(props or {})
+        props["cluster.by"] = ",".join(cluster)
     return spec, props, rest
 
 
 def _split_cols(schema: str) -> list[str]:
     """Top-level comma split of a column list, aware of BOTH paren
     nesting (decimal(10,2), generated exprs) and angle-bracket nesting
-    (map<string,int>, array<struct<...>>)."""
-    out, buf, depth = [], [], 0
+    (map<string,int>, array<struct<...>>). The two nestings track
+    SEPARATELY, and angles only count outside parens — a comparison
+    ``>`` inside a DEFAULT/GENERATED expression (``if(a > b, 1, 2)``)
+    must not close a phantom angle bracket and leak its commas to the
+    top level."""
+    out, buf, paren, angle = [], [], 0, 0
     for ch in schema:
-        if ch in "(<":
-            depth += 1
-        elif ch in ")>":
-            depth -= 1
-        elif ch == "," and depth == 0:
+        if ch == "(":
+            paren += 1
+        elif ch == ")":
+            paren -= 1
+        elif ch == "<" and paren == 0:
+            angle += 1
+        elif ch == ">" and paren == 0 and angle > 0:
+            angle -= 1
+        elif ch == "," and paren == 0 and angle == 0:
             out.append("".join(buf).strip())
             buf = []
             continue
@@ -866,6 +912,41 @@ def snapshot_sql(
         return SnapshotTable(
             spark, m.group("root"), clock=clock
         ).widen_column(m.group("col"), m.group("type").lower())
+    m = _TABLE_CHANGES.match(sql)
+    if m:
+        # Delta's table_changes(tbl, start[, end]): PER-COMMIT changes
+        # of commits start..end — intermediate churn attributed to its
+        # commit, not telescoped away; end defaults to the head
+        t = SnapshotTable(spark, m.group("root"), clock=clock)
+        start = int(m.group("from"))
+        if start < 1:
+            raise ValueError("table_changes: start version must be >= 1")
+        end = (
+            int(m.group("to"))
+            if m.group("to")
+            else t.current_version()
+        )
+        return t.read_change_feed(start - 1, end)
+    m = _CREATE_BRANCH.match(sql)
+    if m:
+        SnapshotTable(
+            spark, m.group("root"), clock=clock
+        ).create_branch(
+            m.group("name"),
+            int(m.group("v")) if m.group("v") else None,
+        )
+        return 1
+    m = _DROP_BRANCH.match(sql)
+    if m:
+        SnapshotTable(
+            spark, m.group("root"), clock=clock
+        ).drop_branch(m.group("name"))
+        return 1
+    m = _FAST_FORWARD.match(sql)
+    if m:
+        return SnapshotTable(
+            spark, m.group("root"), clock=clock
+        ).fast_forward(m.group("name"))
     m = _DROP_COLUMN.match(sql)
     if m:
         return SnapshotTable(

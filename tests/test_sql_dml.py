@@ -302,6 +302,9 @@ def test_sql_create_tag_as_of_version(spark):
 
 def test_sql_unrecognized_raises(spark):
     with pytest.raises(ValueError, match="unrecognized"):
+        snapshot_sql(spark, "GRANT ALL ON pysnapshot.`/nope` TO bob")
+    # TRUNCATE is recognized now, but a missing table still fails fast
+    with pytest.raises(ValueError, match="no table"):
         snapshot_sql(spark, "TRUNCATE TABLE pysnapshot.`/nope`")
 
 
@@ -865,3 +868,99 @@ def test_sql_truncate_and_drop_column(spark):
         spark, f"ALTER TABLE pysnapshot.`{t.root}` DROP COLUMN v"
     )
     assert t.read().columns == ["k"]
+
+
+def test_sql_table_changes_and_branch_verbs(spark):
+    """table_changes(tbl, start[, end]) surfaces the CDF in SQL
+    (Delta's TVF: commits start..end = manifest diff (start-1, end]);
+    CREATE/DROP BRANCH and FAST FORWARD TO BRANCH drive the WAP cycle
+    in SQL."""
+    t = SnapshotTable(spark, _tmp("tvf"))
+    t.commit_append(_kv(spark, 5))            # v1
+    t.commit_append(_kv(spark, 5, start=5))   # v2
+    t.delete_where(F.col("k") == 7)           # v3
+    ch = snapshot_sql(
+        spark,
+        f"SELECT * FROM table_changes(pysnapshot.`{t.root}`, 2, 3)",
+    )
+    got = sorted(
+        (r["k"], r["_change_type"]) for r in ch.collect()
+    )
+    assert got == [
+        (5, "insert"), (6, "insert"), (7, "delete"), (7, "insert"),
+        (8, "insert"), (9, "insert"),
+    ]
+    # end defaults to head
+    assert (
+        snapshot_sql(
+            spark,
+            f"SELECT * FROM table_changes(pysnapshot.`{t.root}`, 3)",
+        ).count()
+        == 1
+    )
+    # WAP in SQL: branch, write on it, audit, fast-forward, drop
+    snapshot_sql(
+        spark, f"ALTER TABLE pysnapshot.`{t.root}` CREATE BRANCH wap"
+    )
+    t.branch("wap").commit_append(_kv(spark, 3, start=100))
+    staged = snapshot_sql(
+        spark, f"SELECT * FROM pysnapshot.`{t.root}` BRANCH 'wap'"
+    )
+    assert staged.count() == 12
+    assert t.read().count() == 9   # main unchanged until publish
+    snapshot_sql(
+        spark,
+        f"ALTER TABLE pysnapshot.`{t.root}` FAST FORWARD TO BRANCH wap",
+    )
+    assert t.read().count() == 12
+    snapshot_sql(
+        spark, f"ALTER TABLE pysnapshot.`{t.root}` DROP BRANCH wap"
+    )
+    assert t.branches() == {}
+
+
+def test_sql_create_table_cluster_by(spark):
+    """CREATE TABLE ... CLUSTER BY (a, b): the declaration makes EVERY
+    append z-cluster itself — per-file zone maps cover bounded ranges
+    in BOTH columns without callers opting in write-by-write."""
+    root = _tmp("clusterby")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE pysnapshot.`{root}` (a BIGINT, b BIGINT) "
+        "CLUSTER BY (a, b)",
+    )
+    t = SnapshotTable(spark, root)
+    assert t.detail()["properties"]["cluster.by"] == "a,b"
+    t.commit_append(
+        spark.range(4096).select(
+            F.col("id").alias("a"),
+            ((F.col("id") * 2654435761) % 4096).alias("b"),
+        ).repartition(8),
+        stats_cols=["a", "b"],
+    )
+    # clustered layout: a mid-range probe on EITHER column prunes
+    keep_a, total = t.pruned_files("a", 100, 120)
+    keep_b, _ = t.pruned_files("b", 100, 120)
+    assert total >= 4
+    assert len(keep_a) < total and len(keep_b) < total
+    # SHOW CREATE carries the declaration (as the banked property)
+    ddl = snapshot_sql(
+        spark, f"SHOW CREATE TABLE pysnapshot.`{root}`"
+    ).collect()[0]["createtab_stmt"]
+    assert "'cluster.by' = 'a,b'" in ddl
+
+
+def test_sql_column_clause_split_survives_comparisons(spark):
+    """A comparison `>` inside a DEFAULT/GENERATED expression must not
+    close a phantom angle bracket and leak the expr's commas to the
+    column split."""
+    root = _tmp("cmpclause")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE pysnapshot.`{root}` "
+        "(k BIGINT, v BIGINT DEFAULT if(1 > 2, 3, 4), "
+        "m MAP<STRING,INT>)",
+    )
+    snapshot_sql(spark, f"INSERT INTO pysnapshot.`{root}` (k) VALUES (9)")
+    got = SnapshotTable(spark, root).read().collect()[0]
+    assert (got["k"], got["v"]) == (9, 4)
