@@ -2380,6 +2380,12 @@ def _vectorized_transform(entry: dict, dictionary, src_t):
     vals = dictionary.to_numpy(zero_copy_only=False)
     if fn == "trunc":
         n = entry["n"]
+        # int64-min guard: (v // n) * n for v near -2^63 floors BELOW
+        # int64 and numpy would silently wrap where the scalar twin
+        # returns the exact Python int — fall back rather than fork
+        # semantics (the guard costs one .min() over distinct values)
+        if len(vals) and (int(vals.min()) // n) * n < -(1 << 63):
+            return None
         return pa.array(
             (vals.astype(np.int64) // n) * n, type=pa.int64()
         )

@@ -440,6 +440,12 @@ AUTO_COMPACT_SMALL_BYTES = 32 << 20
 AUTO_COMPACT_TARGET_BYTES = 128 << 20
 AUTO_COMPACT_MIN_FILES = 8
 
+#: newest below-window manifests VACUUM reads to build the
+#: ever-referenced set (the committed/in-flight discriminator for the
+#: orphan grace): far enough that any file referenced ONLY beyond it is
+#: ancient and collects via the mtime branch anyway.
+VACUUM_EVER_WALK_CAP = 10_000
+
 #: VACUUM's protection window for files NO readable manifest has ever
 #: referenced: they may be a concurrent writer's staged-but-unpublished
 #: files (data lands before the manifest publish), so they only collect
@@ -452,7 +458,7 @@ VACUUM_ORPHAN_GRACE_SECONDS = 24 * 3600.0
 #: manifest keys that scale with the live-file count — these move to
 #: the parquet state parts; everything else (schema map, spec, props,
 #: protocol, constraints, ...) is metadata-scale and stays JSON.
-_STATE_FILE_AXES = ("files", "stats", "dv")
+_STATE_FILE_AXES = ("files", "stats", "dv", "sizes", "row_ids", "blooms")
 
 
 def _state_part_path(root: str, version: int, i: int) -> str:
@@ -464,14 +470,22 @@ def _state_part_path(root: str, version: int, i: int) -> str:
 def _write_state_parts(root: str, version: int, state: dict) -> list[str]:
     """Bank the per-file axes of ``state`` as parquet part files; returns
     the part file names. One row per live file: (path, stats json, dv
-    json) — json-encoded cells keep the parquet schema fixed while the
-    banked stats stay schema-free, exactly like the manifest itself."""
+    json, size, row_ids json, blooms json) — json-encoded cells keep
+    the parquet schema fixed while the banked shapes stay schema-free,
+    exactly like the manifest itself. Blooms invert from the
+    manifest's col→file→sidecar to per-file {col: sidecar} rows."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     files = list(state.get("files") or [])
     stats = state.get("stats") or {}
     dv = state.get("dv") or {}
+    sizes = state.get("sizes") or {}
+    row_ids = state.get("row_ids") or {}
+    per_file_blooms: dict[str, dict] = {}
+    for col, percol in (state.get("blooms") or {}).items():
+        for f, sidecar in percol.items():
+            per_file_blooms.setdefault(f, {})[col] = sidecar
     parts: list[str] = []
     n = max(1, CHECKPOINT_STATE_PART_ROWS)
     for i in range(0, max(len(files), 1), n):
@@ -489,6 +503,27 @@ def _write_state_parts(root: str, version: int, state: dict) -> list[str]:
                 "dv": pa.array(
                     [
                         json.dumps(dv[f]) if dv.get(f) else None
+                        for f in chunk
+                    ],
+                    type=pa.string(),
+                ),
+                "size": pa.array(
+                    [sizes.get(f) for f in chunk], type=pa.int64()
+                ),
+                "row_ids": pa.array(
+                    [
+                        json.dumps(row_ids[f])
+                        if f in row_ids
+                        else None
+                        for f in chunk
+                    ],
+                    type=pa.string(),
+                ),
+                "blooms": pa.array(
+                    [
+                        json.dumps(per_file_blooms[f])
+                        if f in per_file_blooms
+                        else None
                         for f in chunk
                     ],
                     type=pa.string(),
@@ -512,20 +547,46 @@ def _load_state_parts(root: str, c: dict) -> dict | None:
     files: list[str] = []
     stats: dict = {}
     dv: dict = {}
+    sizes: dict = {}
+    row_ids: dict = {}
+    blooms: dict = {}
+    # armed-but-empty bloom columns keep their skeleton entries
+    for col in state.get("bloom_cols") or {}:
+        blooms[col] = {}
     for part in c.get("state_parts") or []:
         tbl = pq.read_table(
             os.path.join(root, "_manifests", part)
         ).to_pydict()
         LOG_METRICS["checkpoint_part_reads"] += 1
         files.extend(tbl["path"])
-        for f, s, d in zip(tbl["path"], tbl["stats"], tbl["dv"]):
+        for f, s, d, sz, rid, bl in zip(
+            tbl["path"],
+            tbl["stats"],
+            tbl["dv"],
+            tbl.get("size", [None] * len(tbl["path"])),
+            tbl.get("row_ids", [None] * len(tbl["path"])),
+            tbl.get("blooms", [None] * len(tbl["path"])),
+        ):
             if s is not None:
                 stats[f] = json.loads(s)
             if d is not None:
                 dv[f] = json.loads(d)
+            if sz is not None:
+                sizes[f] = int(sz)
+            if rid is not None:
+                row_ids[f] = json.loads(rid)
+            if bl is not None:
+                for col, sidecar in json.loads(bl).items():
+                    blooms.setdefault(col, {})[f] = sidecar
     state["files"] = files
     state["stats"] = stats
     state["dv"] = dv
+    if sizes:
+        state["sizes"] = sizes
+    if row_ids:
+        state["row_ids"] = row_ids
+    if blooms:
+        state["blooms"] = blooms
     state.setdefault("schema", None)
     return state
 
@@ -1867,7 +1928,14 @@ class SnapshotTable:
                 )
             except CommitConflict:
                 continue
-            self._maybe_auto_compact(new)
+            try:
+                self._maybe_auto_compact(new)
+            except Exception:
+                # the append is already durable — a compaction hiccup
+                # (malformed auto.compact.* property, racing vacuum
+                # stat failure) must not make a committed write look
+                # failed: a caller's retry would double-ingest
+                pass
             return v
         raise CommitConflict(
             "5 consecutive manifest conflicts — giving up"
@@ -2148,6 +2216,12 @@ class SnapshotTable:
             "partition_spec",
             "evolution",
             "schema",
+            # banked reader types: a rebased UPDATE/MERGE republishes
+            # the types it computed from its READ manifest — rebasing
+            # over a concurrent widen/extension would silently revert
+            # the head's type contract (int claimed for a file holding
+            # bigints = miscast reads), so any types change conflicts
+            "types",
         ):
             if (read_m.get(k) or None) != (head_m.get(k) or None):
                 return False
@@ -2441,20 +2515,26 @@ class SnapshotTable:
             mapped = self._apply_schema_map(
                 tagged, m["schema"], keep=("__dv_file", "__dv_pos")
             )
-            matched = mapped.filter(predicate).select(
-                "__dv_file", "__dv_pos"
+            # pin once (update_where's posture): the tombstone set is
+            # decided exactly here; the sidecar writes only when rows
+            # actually matched — an empty replace window must not
+            # stage an orphan directory per call
+            matched = (
+                mapped.filter(predicate)
+                .select("__dv_file", "__dv_pos")
+                .localCheckpoint(eager=True)
             )
-            dvdir = os.path.join(
-                self.root, "deletes", _uuid.uuid4().hex
-            )
-            matched.write.mode("errorifexists").parquet(dvdir)
             affected = [
                 r["__dv_file"]
-                for r in self.spark.read.parquet(dvdir)
-                .select("__dv_file")
+                for r in matched.select("__dv_file")
                 .distinct()
                 .collect()
             ]
+            if affected:
+                dvdir = os.path.join(
+                    self.root, "deletes", _uuid.uuid4().hex
+                )
+                matched.write.mode("errorifexists").parquet(dvdir)
         new = self._write_files(df)
         return self._publish_with_rebase(
             m,
@@ -3376,7 +3456,8 @@ class SnapshotTable:
             # caller-scoped OPTIMIZE (auto-compaction passes the exact
             # partition's files): intersect with the head's visible set
             # so a racing rewrite can't resurrect a replaced file
-            candidates = [f for f in candidate_files if f in set(files)]
+            fset = set(files)
+            candidates = [f for f in candidate_files if f in fset]
         elif where_eq:
             # partition-scoped OPTIMIZE (Delta's OPTIMIZE ... WHERE):
             # only the named partition's files are candidates — the
@@ -5868,17 +5949,29 @@ class SnapshotTable:
             _union_ever(m)
 
         keep_set_main = set(keep_versions)
-        for v in range(1, cur + 1):
+        for v in keep_versions:
             try:
-                m = load_manifest(self.root, v)
+                _union(load_manifest(self.root, v))
             except LogTruncated:
                 # a tag created before tag-pinning existed may point at
                 # an already-collected version — nothing to retain
                 continue
+        # ever-referenced info below the keep window, BOUNDED: only the
+        # newest VACUUM_EVER_WALK_CAP below-window manifests walk. The
+        # ever-set exists to distinguish committed-but-aged-out files
+        # (delete now) from possibly-in-flight ones (grace); a file
+        # referenced only by manifests older than the cap is ancient —
+        # its mtime predates the grace horizon, so the mtime branch
+        # deletes it identically, just via the other test. Keeps a
+        # first-ever vacuum on a 500k-version log from reading the
+        # whole log.
+        for v in range(max(1, lo - VACUUM_EVER_WALK_CAP), lo):
             if v in keep_set_main:
-                _union(m)
-            else:
-                _union_ever(m)
+                continue
+            try:
+                _union_ever(load_manifest(self.root, v))
+            except LogTruncated:
+                continue
         # every live branch is a GC root: its whole log stays readable
         # until the branch is dropped, and its manifests reference main
         # files by absolute path

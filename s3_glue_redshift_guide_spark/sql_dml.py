@@ -479,9 +479,13 @@ def _split_cols(schema: str) -> list[str]:
     ``>`` inside a DEFAULT/GENERATED expression (``if(a > b, 1, 2)``)
     must not close a phantom angle bracket and leak its commas to the
     top level."""
-    out, buf, paren, angle = [], [], 0, 0
+    out, buf, paren, angle, in_str = [], [], 0, 0, False
     for ch in schema:
-        if ch == "(":
+        if ch == "'":
+            in_str = not in_str  # quote-aware, like _split_top
+        elif in_str:
+            pass  # a ',', '(' or '>' inside a string literal is text
+        elif ch == "(":
             paren += 1
         elif ch == ")":
             paren -= 1
@@ -660,7 +664,9 @@ def _split_conjuncts(where: str) -> list[str]:
                     out.append("".join(buf).strip())
                 buf = []
                 continue
-        elif re.search(r"\bBETWEEN\b", tok, flags=re.I):
+        elif re.search(r"\bBETWEEN\b", tok, flags=re.I) and depth == 0:
+            # a parenthesized BETWEEN keeps its AND inside the parens —
+            # flagging it would swallow the NEXT top-level AND
             between = True
         buf.append(tok)
     if "".join(buf).strip():

@@ -273,3 +273,29 @@ def test_superseded_state_parts_reclaimed(spark):
     ]
     assert leftovers == []
     assert load_checkpoint(t.root)["version"] == 20
+
+
+def test_multipart_state_carries_all_per_file_axes(spark):
+    """sizes / row_ids / blooms are per-file-scale too — they ride the
+    parquet parts, not the JSON, and reassemble bit-identically."""
+    prev = snap_mod.CHECKPOINT_STATE_PART_ROWS
+    snap_mod.CHECKPOINT_STATE_PART_ROWS = 3
+    try:
+        t = _mk_table(spark, 12, pfx="axes")
+        t.enable_row_tracking() if hasattr(
+            t, "enable_row_tracking"
+        ) else None
+        snap_mod.write_checkpoint(t.root, t.current_version())
+    finally:
+        snap_mod.CHECKPOINT_STATE_PART_ROWS = prev
+    ck = load_checkpoint(t.root)
+    head = load_manifest(t.root, t.current_version())
+    assert ck["state"].get("sizes") == head.get("sizes")
+    assert ck["state"].get("row_ids") == head.get("row_ids")
+    assert ck["state"].get("blooms") == head.get("blooms")
+    with open(
+        os.path.join(t.root, "_manifests", f"ckpt_v{ck['version']}.json")
+    ) as f:
+        raw = json.load(f)
+    for axis in ("sizes", "row_ids", "blooms"):
+        assert axis not in (raw.get("state_meta") or {})

@@ -538,3 +538,23 @@ def test_vectorized_transform_matches_scalar_twin():
     assert _vectorized_transform(
         e, pa.array(["a", "b"]), pa.string()
     ) is None
+
+
+def test_vectorized_trunc_int64_min_falls_back():
+    """(v // n) * n floors BELOW int64 for v near the minimum — numpy
+    would wrap where the scalar twin returns the exact Python int, so
+    the vector path must decline (fall back), never fork semantics."""
+    import pyarrow as pa
+
+    from s3_glue_redshift_guide_spark.sources.pyds import (
+        _py_transform,
+        _vectorized_transform,
+    )
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        parse_spec_entry,
+    )
+
+    e = parse_spec_entry("trunc(k, 1000)")
+    arr = pa.array([-(2**63), 0, 7], type=pa.int64())
+    assert _vectorized_transform(e, arr, pa.int64()) is None
+    assert _py_transform(e, -(2**63), pa.int64()) == -9223372036854776000

@@ -964,3 +964,31 @@ def test_sql_column_clause_split_survives_comparisons(spark):
     snapshot_sql(spark, f"INSERT INTO pysnapshot.`{root}` (k) VALUES (9)")
     got = SnapshotTable(spark, root).read().collect()[0]
     assert (got["k"], got["v"]) == (9, 4)
+
+
+def test_sql_clause_split_quotes_and_paren_between(spark):
+    """A comma/paren inside a quoted DEFAULT literal must not split the
+    column list; a parenthesized BETWEEN must not swallow the next
+    top-level AND in EXPLAIN's conjunct split."""
+    from s3_glue_redshift_guide_spark.sql_dml import (
+        _parse_column_clauses,
+        _split_conjuncts,
+    )
+
+    plain, defaults, _g, _i = _parse_column_clauses(
+        "k BIGINT, tag STRING DEFAULT 'a,b', u STRING DEFAULT '(x'"
+    )
+    assert plain == "`k` BIGINT, `tag` STRING, `u` STRING"
+    assert defaults == {"tag": "'a,b'", "u": "'(x'"}
+    assert _split_conjuncts("(a BETWEEN 1 AND 2) AND k = 5") == [
+        "(a BETWEEN 1 AND 2)", "k = 5"
+    ]
+    # executable end-to-end
+    root = _tmp("quotedefault")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE pysnapshot.`{root}` "
+        "(k BIGINT, tag STRING DEFAULT 'a,b')",
+    )
+    snapshot_sql(spark, f"INSERT INTO pysnapshot.`{root}` (k) VALUES (1)")
+    assert SnapshotTable(spark, root).read().collect()[0]["tag"] == "a,b"
