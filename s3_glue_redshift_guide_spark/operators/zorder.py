@@ -135,3 +135,112 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def z_value_n(cols: list[Column]) -> Column:
+    """N-way Morton interleave: column ``j`` of N owns bit positions
+    ``i*N + j`` for the low ``floor(63/N)`` bits of each value — the
+    generalization Delta's multi-column OPTIMIZE ZORDER BY needs.
+    For N == 2 this delegates to the doubling-steps ``z_value`` (16
+    bits/column, bit-identical to the 2-D oracle); for N >= 3 each bit
+    places with an explicit shift/or chain (B*N expression nodes, B =
+    bits/column — ~63 nodes at N=3, all whole-stage-codegen'd integer
+    ops). Inputs must already be range-normalized onto the full
+    [0, 2^bits) range (``normalize_to_bits_n``) or narrow columns
+    contribute no high bits and lose all locality."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("z-order needs at least two columns")
+    if n == 2:
+        return z_value(cols[0], cols[1])
+    bits = 63 // n
+    out = None
+    for j, c in enumerate(cols):
+        x = c.cast("bigint").bitwiseAND(F.lit((1 << bits) - 1))
+        for i in range(bits):
+            placed = F.shiftleft(
+                F.shiftright(x, i).bitwiseAND(F.lit(1)), i * n + j
+            )
+            out = placed if out is None else out.bitwiseOR(placed)
+    return out
+
+
+def z_bits_for(n_cols: int) -> int:
+    """Bits per column in the N-way interleave (16 for the 2-D fast
+    path, floor(63/N) otherwise)."""
+    return Z_BITS if n_cols == 2 else 63 // n_cols
+
+
+def normalize_to_bits_n(c: Column, cmin: Column, cmax: Column,
+                        n_cols: int) -> Column:
+    """``normalize_to_bits`` parameterized by the interleave width."""
+    top = (1 << z_bits_for(n_cols)) - 1
+    span = F.greatest((cmax - cmin).cast("bigint"), F.lit(1))
+    scaled = (c - cmin).cast("bigint") * F.lit(top)
+    return F.floor(scaled / span).cast("bigint")
+
+
+def z_order_key_n(df: DataFrame, cols: list[str]) -> DataFrame:
+    """``z_order_key`` for any number of columns: one 1-row broadcast
+    carries every column's min/max, the key lands as ``__z``."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).cast("bigint").alias(f"__lo_{c}"))
+        aggs.append(F.max(c).cast("bigint").alias(f"__hi_{c}"))
+    lims = df.agg(*aggs)
+    normed = [
+        normalize_to_bits_n(
+            F.col(c), F.col(f"__lo_{c}"), F.col(f"__hi_{c}"), len(cols)
+        )
+        for c in cols
+    ]
+    drop = [f"__lo_{c}" for c in cols] + [f"__hi_{c}" for c in cols]
+    return (
+        df.crossJoin(F.broadcast(lims))
+        .withColumn("__z", z_value_n(normed))
+        .drop(*drop)
+    )
+
+
+def write_zordered_n(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 8
+) -> None:
+    """``write_zordered`` for any number of columns — each output file
+    owns a contiguous N-D curve segment, so footer stats prune filters
+    on ANY of the clustered columns."""
+    (
+        z_order_key_n(df, cols)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def sql_z_query_n(table: str, cols: list[str]) -> str:
+    """DuckDB mirror of the N-way normalized interleave (generic bit
+    placement, signed-64-bit arithmetic) for oracle registration."""
+    n = len(cols)
+    bits = z_bits_for(n)
+    top = (1 << bits) - 1
+    lims = ", ".join(
+        f"CAST(min({c}) AS BIGINT) AS lo_{j}, "
+        f"CAST(max({c}) AS BIGINT) AS hi_{j}"
+        for j, c in enumerate(cols)
+    )
+    norms = ", ".join(
+        f"CAST(floor(CAST({c} - lo_{j} AS BIGINT) * {top} "
+        f"/ greatest(hi_{j} - lo_{j}, 1)) AS BIGINT) AS n_{j}"
+        for j, c in enumerate(cols)
+    )
+    terms = " | ".join(
+        f"(((n_{j} >> {i}) & 1) << {i * n + j})"
+        for j in range(n)
+        for i in range(bits)
+    )
+    sel = ", ".join(cols)
+    return f"""
+    WITH lim AS (SELECT {lims} FROM {table}),
+    nrm AS (SELECT {sel}, {norms} FROM {table}, lim)
+    SELECT {sel}, ({terms}) AS zval FROM nrm"""

@@ -85,6 +85,7 @@ _PRIORITY = [
     "sql_explain_show_create", "sink_auto_compact",
     "src_convert_in_place", "src_dml_rebase", "llm_stream_near_dup",
     "sink_replace_where", "sql_table_changes_tvf",
+    "sink_zorder_n_layout", "stats_histogram_estimate",
     # -- (d) deferred r3 rows with continuous indirect evidence ------------
     "q1_pricing_summary", "llm_jaccard_pairs", "llm_minhash_pairs",
     "llm_topk_similarity", "llm_text_stats", "plan_audit_facts",

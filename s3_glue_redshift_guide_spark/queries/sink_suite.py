@@ -1287,3 +1287,46 @@ def sink_replace_where(spark, sf_dir):
         F.lit(history_labeled).alias("history_labeled"),
         F.lit(v1_rows).alias("v1_rows"),
     )
+
+
+from ..operators.zorder import (  # noqa: E402
+    sql_z_query_n,
+    write_zordered_n,
+    z_order_key_n,
+)
+
+
+@query(
+    "sink_zorder_n_layout",
+    oracle=sql_z_query_n(
+        "(SELECT o_orderkey, o_custkey, o_orderkey % 97 AS o_bucket "
+        "FROM orders)",
+        ["o_orderkey", "o_custkey", "o_bucket"],
+    ),
+)
+def sink_zorder_n_layout(spark, sf_dir):
+    """N-column Z-order layout (round 8 — Delta's multi-column
+    OPTIMIZE ZORDER BY): three columns interleave with the generic
+    N-way bit placement (21 bits each at N=3;
+    ``operators/zorder.py::z_value_n`` — the 2-D case stays on the
+    doubling-steps fast path, bit-parity pinned), the write
+    range-partitions + sorts on the key so each file owns a contiguous
+    3-D curve segment, and the oracle mirrors normalization + bit
+    placement in SQL — round-trip fidelity AND the transform are
+    hash-checked bit-exact. Footer-stat pruning on EVERY clustered
+    dimension is asserted in tests/test_zorder_n.py."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_orderkey") % 97).alias("o_bucket"),
+    )
+    path = tempfile.mkdtemp(prefix="spark_zorder_n_")
+    write_zordered_n(
+        o, path, ["o_orderkey", "o_custkey", "o_bucket"], n_files=8
+    )
+    back = spark.read.parquet(path)
+    return z_order_key_n(
+        back, ["o_orderkey", "o_custkey", "o_bucket"]
+    ).select(
+        "o_orderkey", "o_custkey", "o_bucket", F.col("__z").alias("zval")
+    )

@@ -179,3 +179,86 @@ def stats_join_advisor(spark, sf_dir):
         "plan_flipped_to_broadcast int, bigbig_advised_shuffle int, "
         "n_rows bigint, checksum bigint",
     )
+
+
+@query(
+    "stats_histogram_estimate",
+    oracle="""
+    WITH src AS (SELECT o_totalprice FROM orders)
+    SELECT 32 AS n_bins, 1 AS bounds_monotone, 1 AS metadata_commit,
+           1 AS mid_estimate_close, 1 AS full_range_exact,
+           1 AS survives_optimize,
+           CAST((SELECT count(*) FROM src) AS BIGINT) AS rows_banked
+    """,
+)
+def stats_histogram_estimate(spark, sf_dir):
+    """Equi-height column HISTOGRAMS (round 8 — Redshift ANALYZE /
+    Spark CBO histogram parity): ``ANALYZE ... WITH HISTOGRAM`` banks
+    exact percentile bin boundaries in ONE scan; range selectivity
+    then answers from METADATA (``estimate_rows`` — the number a
+    join-order/broadcast decision needs at planning time, no data
+    touched). Facts: the banked 32-bin boundaries are monotone, the
+    ANALYZE commit adds zero files (pure metadata), a mid-range
+    estimate lands within 10% of the exact count (equi-height bins
+    bound the interpolation error by one bin ≈ 3%), the full-range
+    estimate recovers the exact row count, and the histogram CARRIES
+    through an OPTIMIZE rewrite (rewrites don't change the
+    distribution)."""
+    import tempfile as _tf
+
+    from ..sql_dml import snapshot_sql
+    from ..sources.snapshots import SnapshotTable, load_manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = _tf.mkdtemp(prefix="spark_hist_")
+    t = SnapshotTable(spark, root)
+    t.commit_append(o.repartition(3))
+    v = snapshot_sql(
+        spark,
+        f"ANALYZE TABLE pysnapshot.`{root}` COMPUTE STATISTICS "
+        "FOR COLUMNS o_totalprice WITH HISTOGRAM",
+    )
+    m = load_manifest(root, v)
+    h = m["histograms"]["o_totalprice"]
+    bounds = h["bounds"]
+    n_bins = len(bounds) - 1
+    monotone = int(
+        all(bounds[i] <= bounds[i + 1] for i in range(n_bins))
+    )
+    metadata_commit = int(
+        v == 2 and m["files"] == load_manifest(root, 1)["files"]
+    )
+    lo, hi = bounds[8], bounds[24]  # a genuine mid slice
+    est = t.estimate_rows("o_totalprice", lo, hi)
+    exact = o.filter(
+        F.col("o_totalprice").between(lo, hi)
+    ).count()
+    mid_close = int(abs(est - exact) <= 0.10 * max(exact, 1))
+    full = t.estimate_rows("o_totalprice")
+    full_exact = int(abs(full - h["rows"]) < 1e-6)
+    t.optimize_small_files(1 << 30, 1 << 30)
+    survives = int(
+        "o_totalprice"
+        in (
+            load_manifest(root, t.current_version()).get("histograms")
+            or {}
+        )
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_bins,
+                monotone,
+                metadata_commit,
+                mid_close,
+                full_exact,
+                survives,
+                h["rows"],
+            )
+        ],
+        "n_bins int, bounds_monotone int, metadata_commit int, "
+        "mid_estimate_close int, full_range_exact int, "
+        "survives_optimize int, rows_banked bigint",
+    )

@@ -1350,6 +1350,7 @@ class SnapshotTable:
         row_ids_seed: dict | None = None,
         ndv=_UNSET,
         ann=_UNSET,
+        histograms=_UNSET,
         copied_update: dict | None = None,
         types=_UNSET,
         defaults=_UNSET,
@@ -1483,6 +1484,13 @@ class SnapshotTable:
             ndv = base.get("ndv")
         if ndv:
             extra["ndv"] = ndv
+        # equi-height histograms (ANALYZE ... WITH HISTOGRAM) carry
+        # forward like NDV — advisory statistics with a banked as_of
+        # version, so consumers can judge staleness themselves
+        if histograms is _UNSET:
+            histograms = base.get("histograms")
+        if histograms:
+            extra["histograms"] = histograms
         # persisted ANN index (llm/ann_index.py): quantizer + code
         # sidecars carry like ndv; VACUUM sweeps unreferenced ann_ dirs
         if ann is _UNSET:
@@ -4744,6 +4752,84 @@ class SnapshotTable:
     #: Datasketches HLL precision for ANALYZE sketches (2^12 registers,
     #: ~1.6% relative standard error — the Spark default).
     NDV_LGK = 12
+
+    def analyze_histograms(
+        self, cols: list[str], n_bins: int = 32
+    ) -> int:
+        """ANALYZE ... WITH HISTOGRAM: bank EXACT equi-height bin
+        boundaries per column (one ``percentile`` aggregate over the
+        table — a single scan at ANALYZE time, like Redshift/Spark
+        CBO's column histograms), so range-predicate selectivity
+        becomes a metadata lookup (``estimate_rows``). The histogram is
+        advisory: it carries forward through every commit with a banked
+        ``as_of`` version + row count, so consumers can judge staleness
+        against the head (appends skew it until the next ANALYZE;
+        rewrites don't change the distribution at all)."""
+        if n_bins < 1:
+            raise ValueError("n_bins must be >= 1")
+        cur = self.current_version()
+        m = load_manifest(self.root, cur)
+        if not m["files"]:
+            raise ValueError("ANALYZE WITH HISTOGRAM on an empty table")
+        probs = ",".join(
+            str(i / n_bins) for i in range(n_bins + 1)
+        )
+        df = self.read(cur)
+        row = df.agg(
+            *[
+                F.expr(f"percentile({c}, array({probs}))").alias(c)
+                for c in cols
+            ]
+        ).collect()[0]
+        hist = dict(m.get("histograms") or {})
+        n_rows = self.metadata_count(cur)
+        for c in cols:
+            hist[c] = {
+                "bounds": [float(v) for v in row[c]],
+                "as_of": cur,
+                "rows": int(n_rows),
+            }
+        return self._publish(
+            m["files"], cur, m["stats"], histograms=hist, op="ANALYZE"
+        )
+
+    def estimate_rows(self, col: str, lo=None, hi=None) -> float:
+        """Histogram selectivity estimate for ``lo <= col <= hi``
+        (either side None = unbounded) — each equi-height bin holds
+        rows/n_bins rows; partial overlaps interpolate linearly inside
+        the bin; a zero-width (point-mass) bin counts fully when its
+        point is in range. Pure metadata — the planning-time row
+        estimate a join-order/broadcast decision wants, no scan."""
+        cur = self.current_version()
+        h = (load_manifest(self.root, cur).get("histograms") or {}).get(
+            col
+        )
+        if h is None:
+            raise ValueError(
+                f"no histogram for {col!r}: run "
+                "analyze_histograms([...]) first"
+            )
+        b = h["bounds"]
+        n = len(b) - 1
+        per = h["rows"] / n
+        total = 0.0
+        for i in range(n):
+            left, right = b[i], b[i + 1]
+            if hi is not None and left > hi:
+                break
+            if lo is not None and right < lo:
+                continue
+            if right <= left:
+                # point-mass bin: in range iff the point is
+                if (lo is None or lo <= left) and (
+                    hi is None or left <= hi
+                ):
+                    total += per
+                continue
+            lo_c = left if lo is None else max(left, lo)
+            hi_c = right if hi is None else min(right, hi)
+            total += per * max(0.0, (hi_c - lo_c) / (right - left))
+        return total
 
     def analyze_columns(self, cols: list[str]) -> int:
         """ANALYZE (AWS Glue column statistics / Redshift ANALYZE

@@ -285,7 +285,8 @@ _CREATE_TAG = re.compile(
 )
 _ANALYZE = re.compile(
     rf"^\s*ANALYZE\s+TABLE\s+{_TBL}\s+COMPUTE\s+STATISTICS\s+"
-    r"FOR\s+COLUMNS\s+(?P<cols>\w+(?:\s*,\s*\w+)*)\s*$",
+    r"FOR\s+COLUMNS\s+(?P<cols>\w+(?:\s*,\s*\w+)*)"
+    r"(?P<hist>\s+WITH\s+HISTOGRAM(?:\s*\(\s*(?P<bins>\d+)\s*\))?)?\s*$",
     re.I,
 )
 _SHOW_PARTS = re.compile(
@@ -1120,9 +1121,13 @@ def snapshot_sql(
     m = _ANALYZE.match(sql)
     if m:
         cols = [c.strip() for c in m.group("cols").split(",")]
-        return SnapshotTable(
-            spark, m.group("root"), clock=clock
-        ).analyze_columns(cols)
+        t = SnapshotTable(spark, m.group("root"), clock=clock)
+        if m.group("hist"):
+            return t.analyze_histograms(
+                cols,
+                n_bins=int(m.group("bins")) if m.group("bins") else 32,
+            )
+        return t.analyze_columns(cols)
     m = _SHOW_PARTS.match(sql)
     if m:
         return SnapshotTable(

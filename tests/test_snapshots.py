@@ -347,10 +347,14 @@ def test_optimize_zorder_clusters_both_dimensions(spark):
         )
     sizes = [os.path.getsize(f) for f in t._load_manifest(6)]
     total = sum(sizes)
+    # 8+ output files: with only ~4, one point probe occasionally
+    # lands inside every file's (coarse) curve segment under unlucky
+    # range-sampling — smaller segments make both-dimension pruning
+    # robust, which is the property under test
     facts = t.optimize_small_files(
-        max(sizes) + 1, total // 4, z_cols=("o_custkey", "o_orderkey")
+        max(sizes) + 1, total // 8, z_cols=("o_custkey", "o_orderkey")
     )
-    assert facts["n_small"] == 6 and facts["n_files_after"] >= 3
+    assert facts["n_small"] == 6 and facts["n_files_after"] >= 6
     # post-OPTIMIZE manifest stats: a mid-range point in either
     # dimension must be admitted by fewer files than exist
     kept_k, n = t.pruned_files(
