@@ -39,46 +39,20 @@ for _m in _MODULES:
 
 # Registry iteration order is the order the grading driver checks queries
 # in; the driver verifies exactly the FIRST 50 entries per round. Round
-# 8's window (VERDICT r7 directive #1): (a) the SEVEN rows that
-# registered after the r7 window froze and have never been
-# driver-sampled — the A10 TPC-H completions plus the connector
-# transform-layout write; (b) FORTY-THREE of the 49 queries whose
-# newest driver evidence is round 3 — four rounds of engine churn
-# since their last hard signal — filling the window to exactly 50.
-# (c) NEW round-8 feature rows queue immediately after the window
-# (positions 50+, first in line for round 9 — the contiguity
-# invariant tests/test_registry_window.py enforces); (d) behind
-# them, the six deferred r3-evidence rows: five are re-measured by
-# bench.py at two SFs EVERY round (q1_pricing_summary,
-# llm_jaccard_pairs, llm_minhash_pairs, llm_topk_similarity,
-# llm_text_stats) and the sixth (plan_audit_facts) is re-executed
-# by the pytest plan-audit sweep each session, so they carry the
-# least rotation risk of the cohort.
+# 9's window (VERDICT r8 directive #1): (a) the FIFTEEN rows that
+# registered after the r8 window froze and have never been
+# driver-sampled — S62-S72 / Q4-Q6 / L10 / T23 / T24 / X20 / C4; (b) NEW
+# round-9 feature rows, so they get driver evidence the round they land;
+# (c) the SIX rows whose newest driver evidence is round 3 (five of
+# them bench-re-measured at two SFs every round, the sixth re-executed
+# by the pytest plan-audit sweep — but their last driver *hash* check
+# is now 6 rounds old); (d) the 49-query round-4-evidence cohort, in
+# registry order, filling the window to 50 and queueing contiguously
+# after it for round 10 (the contiguity invariant
+# tests/test_registry_window.py enforces covers only never-verified
+# rows; already-verified r4 rows may straddle the boundary freely).
 _PRIORITY = [
-    # -- (a) never driver-sampled round-7 additions (7) --------------------
-    "q4_priority_census", "q7_volume_shipping", "q14_promo_effect",
-    "q17_small_qty_revenue", "q18_large_volume_customers",
-    "q19_discounted_revenue", "sink_connector_transform_write",
-    # -- (b) round-3-stale regression re-checks (43) -----------------------
-    "llm_exact_dedup", "llm_simhash_pairs", "llm_dedup_components",
-    "llm_contamination", "llm_tfidf_top_terms", "llm_quality_scores",
-    "llm_lang_id", "llm_quality_filter", "llm_stratified_sample",
-    "llm_lsh_topk", "llm_ivf_topk", "llm_embedding_near_dup",
-    "llm_semantic_dedup", "llm_multimodal_features",
-    "llm_sequence_packing", "llm_pii_scrub", "llm_mixture_weights",
-    "llm_doc_sample_per_source", "llm_embed_centroids",
-    "udf_udtf_sentences", "agg_histogram",
-    "dq_profile", "dq_constraints",
-    "ts_gap_fill", "ts_resample_ohlc", "ts_funnel",
-    "ts_retention_cohort", "ts_zscore_anomaly", "ts_rolling_1h",
-    "sink_bucketed_readback",
-    "src_csv_roundtrip", "src_schema_inference",
-    "src_partition_discovery", "src_schema_evolution",
-    "src_incremental_bookmark", "sink_staged_copy",
-    "src_orc_roundtrip", "src_text_source", "sink_compaction_facts",
-    "ev_stream_interval_join", "ev_stream_stateful_sessions",
-    "rollup_incremental_facts", "etl_workflow_e2e",
-    # -- (c) new round-8 rows: next in line for round 9 (positions 50+) ----
+    # -- (a) never driver-sampled round-8 additions (15) -------------------
     "src_partition_range_pruning", "sql_create_table_dml",
     "llm_ann_index_probe", "sink_sql_merge_stream",
     "rollup_mv_join_stream", "src_partition_drop_metadata",
@@ -86,9 +60,32 @@ _PRIORITY = [
     "src_convert_in_place", "src_dml_rebase", "llm_stream_near_dup",
     "sink_replace_where", "sql_table_changes_tvf",
     "sink_zorder_n_layout", "stats_histogram_estimate",
-    # -- (d) deferred r3 rows with continuous indirect evidence ------------
+    # -- (b) new round-9 feature rows (append here as they land) -----------
+    # -- (c) round-3-evidence stragglers (6) -------------------------------
     "q1_pricing_summary", "llm_jaccard_pairs", "llm_minhash_pairs",
     "llm_topk_similarity", "llm_text_stats", "plan_audit_facts",
+    # -- (d) round-4-evidence cohort (49): first ~29 fill the window, ------
+    # -- the rest queue for round 10 ---------------------------------------
+    "q5_regional_revenue", "q3_shipping_priority",
+    "llm_corpus_clean_pipeline", "llm_fuzzy_name_pairs",
+    "llm_unigram_logprob", "rollup_distinct_users",
+    "src_json_roundtrip", "src_partition_pruning", "src_xml_roundtrip",
+    "ts_event_transitions", "sink_jdbc_roundtrip", "sink_scd1_stream",
+    "llm_binaryfile_features", "llm_fuzzy_name_pairs_dist2",
+    "sk_countmin_heavy_hitters", "llm_dedup_delta",
+    "sink_zorder_layout", "sink_cdc_apply", "sink_scd2_history",
+    "src_dataskip_index", "join_bloom_prefilter", "cur_span_scrub",
+    "llm_pq_topk", "rollup_quantile_state", "llm_ivfpq_topk",
+    "llm_contamination_bloom", "llm_quality_classifier",
+    "join_scd2_pointintime", "llm_normalized_dedup",
+    "llm_vocab_oov", "src_time_travel", "sink_snapshot_stream",
+    "src_surgical_delete", "sink_snapshot_merge", "src_change_feed",
+    "src_manifest_pruning", "llm_weighted_sample", "llm_frame_sample",
+    "ev_stream_dedup_watermark", "src_snapshot_incremental",
+    "src_file_metadata", "dq_observe_metrics", "agg_grouping_sets",
+    "fn_try_safe", "udf_arrow_scalar", "src_python_datasource",
+    "sink_snapshot_optimize", "llm_word_bigrams",
+    "src_stream_datasource",
 ]
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
 _ordered.update({n: q for n, q in REGISTRY.items() if n not in _ordered})
