@@ -1891,9 +1891,20 @@ class SnapshotTable:
                     # opt in write-by-write, the table declares it once
                     cb = (m.get("properties") or {}).get("cluster.by")
                     if cb:
-                        cb_cols = [c.strip() for c in cb.split(",")]
-                        if len(cb_cols) == 2:
-                            eff_cluster = (cb_cols[0], cb_cols[1])
+                        cb_cols = [
+                            c.strip() for c in cb.split(",") if c.strip()
+                        ]
+                        if len(cb_cols) != 2:
+                            # SET TBLPROPERTIES can bypass the CLUSTER
+                            # BY arity check — failing silently here
+                            # would drop the declared layout on every
+                            # subsequent append
+                            raise ValueError(
+                                "table property cluster.by must name "
+                                f"exactly 2 comma-separated columns, got "
+                                f"{cb!r}"
+                            )
+                        eff_cluster = (cb_cols[0], cb_cols[1])
                 if eff_cluster is not None:
                     order_within = self._z_order_within(
                         df, *eff_cluster
@@ -4784,6 +4795,14 @@ class SnapshotTable:
         hist = dict(m.get("histograms") or {})
         n_rows = self.metadata_count(cur)
         for c in cols:
+            if row[c] is None or any(v is None for v in row[c]):
+                # percentile ignores NULLs, so partial NULLs are fine;
+                # an all-NULL column yields NULL bounds — name it
+                # instead of surfacing float(None)'s TypeError
+                raise ValueError(
+                    f"cannot build a histogram for column {c!r}: "
+                    "all values are NULL"
+                )
             hist[c] = {
                 "bounds": [float(v) for v in row[c]],
                 "as_of": cur,
@@ -5863,15 +5882,16 @@ class SnapshotTable:
         t._publish(files, 0, stats, op="CONVERT")
         return t
 
-    def create_table_ddl(self) -> str:
-        """SHOW CREATE TABLE: the DDL that recreates this table's
-        CURRENT contract — schema from the logical read schema (so
-        renames/widenings are applied, exactly what a new writer must
-        match), partition spec / properties / CHECK constraints from
-        the head manifest. The emitted text is EXECUTABLE through
-        ``sql_dml.snapshot_sql`` statement-by-statement: constraints
-        ride as ALTER TABLE statements after the CREATE, and identity /
-        generated / default columns emit as their column clauses
+    def create_table_statements(self) -> list[str]:
+        """SHOW CREATE TABLE: the DDL statements that recreate this
+        table's CURRENT contract — schema from the logical read schema
+        (so renames/widenings are applied, exactly what a new writer
+        must match), partition spec / properties / CHECK constraints
+        from the head manifest. Each list element is EXECUTABLE through
+        ``sql_dml.snapshot_sql`` one at a time: constraints ride as
+        ALTER TABLE statements after the CREATE (an expression may
+        contain ';' so callers must not re-split the joined form), and
+        identity / generated / default columns emit as their column clauses
         (``GENERATED ALWAYS AS IDENTITY (START WITH ...)`` continues
         past the banked high-water mark so a replayed log never
         re-issues taken ids)."""
@@ -5909,8 +5929,15 @@ class SnapshotTable:
             stmt += "\nPARTITIONED BY (" + ", ".join(spec) + ")"
         props = m.get("properties") or {}
         if props:
+            # SQL-escape embedded quotes so the emitted text replays
+            # through snapshot_sql verbatim (a value like it's would
+            # otherwise truncate the literal)
             stmt += "\nTBLPROPERTIES (" + ", ".join(
-                f"'{k}' = '{val}'" for k, val in sorted(props.items())
+                "'{}' = '{}'".format(
+                    str(k).replace("'", "''"),
+                    str(val).replace("'", "''"),
+                )
+                for k, val in sorted(props.items())
             ) + ")"
         stmts = [stmt]
         for name, expr in sorted((m.get("constraints") or {}).items()):
@@ -5918,7 +5945,15 @@ class SnapshotTable:
                 f"ALTER TABLE pysnapshot.`{self.root}` ADD CONSTRAINT {name} "
                 f"CHECK ({expr})"
             )
-        return ";\n".join(stmts)
+        return stmts
+
+    def create_table_ddl(self) -> str:
+        """SHOW CREATE TABLE as one string. Joined on ';\\n' for
+        display; statement-by-statement replay should iterate
+        ``create_table_statements()`` instead — a constraint expression
+        is free to contain ';' or newlines, which no flat-text
+        separator can survive."""
+        return ";\n".join(self.create_table_statements())
 
     def vacuum(
         self,

@@ -647,8 +647,24 @@ OPTIMIZE_TARGET = 128 << 20
 
 def _split_conjuncts(where: str) -> list[str]:
     """Split a WHERE clause on top-level ANDs, BETWEEN-aware (the AND
-    inside ``x BETWEEN a AND b`` belongs to the BETWEEN) and
-    paren-aware (ANDs inside parens stay with their conjunct)."""
+    inside ``x BETWEEN a AND b`` belongs to the BETWEEN), paren-aware
+    (ANDs inside parens stay with their conjunct) and quote-aware (an
+    AND or paren inside a string literal like ``name = 'A AND B'`` is
+    literal text, not an operator — same contract as _split_top)."""
+    # mask string literals so the token split can't see their contents;
+    # \x00 placeholders carry no word chars or parens, then unmask per
+    # conjunct at the end
+    lits: list[str] = []
+
+    def _mask(m: "re.Match[str]") -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    where = re.sub(r"'[^']*'", _mask, where)
+
+    def _unmask(s: str) -> str:
+        return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], s)
+
     out: list[str] = []
     buf: list[str] = []
     depth, between = 0, False
@@ -662,7 +678,7 @@ def _split_conjuncts(where: str) -> list[str]:
                 between = False  # the BETWEEN's own AND
             else:
                 if "".join(buf).strip():
-                    out.append("".join(buf).strip())
+                    out.append(_unmask("".join(buf).strip()))
                 buf = []
                 continue
         elif re.search(r"\bBETWEEN\b", tok, flags=re.I) and depth == 0:
@@ -671,7 +687,7 @@ def _split_conjuncts(where: str) -> list[str]:
             between = True
         buf.append(tok)
     if "".join(buf).strip():
-        out.append("".join(buf).strip())
+        out.append(_unmask("".join(buf).strip()))
     return out
 
 

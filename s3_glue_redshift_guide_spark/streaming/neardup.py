@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..llm.dedup import _doc_shingle_sets, jaccard_delta_pairs
-from ..sources.snapshots import SnapshotTable
+from ..sources.snapshots import SnapshotTable, load_manifest
 
 
 class StreamingNearDupFilter:
@@ -78,9 +78,16 @@ class StreamingNearDupFilter:
             batch, "doc", "text", self.n
         ).localCheckpoint(eager=True)
         cur = t.current_version()
+        # an all-duplicate (or empty) FIRST epoch publishes a
+        # metadata-only v1 with zero files and no schema; gate the
+        # corpus read on the manifest actually carrying files so a
+        # later non-empty epoch doesn't wedge on a schemaless read
+        has_files = cur > 0 and bool(
+            load_manifest(self.root, cur).get("files")
+        )
         corpus_sets = (
             t.read().select("doc", "sh")
-            if cur > 0
+            if has_files
             else self.spark.createDataFrame(
                 [], "doc bigint, sh array<string>"
             )
