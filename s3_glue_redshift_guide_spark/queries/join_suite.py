@@ -391,3 +391,97 @@ def join_aqe_skew(spark, sf_dir):
         [(row["n_rows"], row["weighted_cents"], skew)],
         "n_rows bigint, weighted_cents bigint, skew_split int",
     )
+
+
+# ------------- J10: shuffle-free co-partitioned snapshot join ----------
+@query(
+    "join_copartitioned_snapshots",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)  AS n_orders,
+           CAST(sum(nl) AS BIGINT)   AS n_lines,
+           CAST(round(sum(rev), 2) AS DOUBLE) AS revenue,
+           0 AS shuffle_exchanges
+    FROM (
+        SELECT l_orderkey,
+               count(*) AS nl,
+               sum(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderkey % 4 = 1
+        GROUP BY l_orderkey
+    )
+    """,
+)
+def join_copartitioned_snapshots(spark, sf_dir):
+    """Shuffle-FREE fact⋈fact join over two co-bucketed snapshot tables
+    (SURVEY §2 J10 / VERDICT-r8 directive #2, the storage-partitioned-
+    join posture): both tables declare ``bucket.by = key:8``, every
+    commit routes through Spark's native bucketed writer (murmur3
+    bucket-id file names), and ``register_bucketed_view`` surfaces the
+    CURRENT snapshot to the session catalog as a partitioned+bucketed
+    table — one ``_cv`` partition per commit, bucket files coalesced
+    across commits by bucket id. Catalyst then sees both sides hash-
+    distributed on the key and elides the Exchange for BOTH the join
+    and the per-key aggregate; ``shuffle_exchanges`` is counted from
+    the EXECUTED plan at runtime and the oracle pins it to 0. At 100 TB
+    this is the difference between re-shuffling two fact tables and
+    streaming co-located bucket pairs: zero network for the join, and
+    the layout is maintained incrementally — each append adds bucket
+    files, no global rewrite (``sources/snapshots.py::_bucket_spec``,
+    ``register_bucketed_view``). Both tables take TWO commits so the
+    multi-commit bucket-union path is what's measured."""
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from ..sources.snapshots import SnapshotTable
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 4 == 1
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    to = SnapshotTable(spark, _tf.mkdtemp(prefix="copart_o_"))
+    to.set_tblproperties({"bucket.by": "o_orderkey:8"})
+    to.commit_append(o.filter(F.col("o_orderkey") % 8 < 4))
+    to.commit_append(o.filter(F.col("o_orderkey") % 8 >= 4))
+    tl = SnapshotTable(spark, _tf.mkdtemp(prefix="copart_l_"))
+    tl.set_tblproperties({"bucket.by": "l_orderkey:8"})
+    tl.commit_append(li.filter(F.col("l_orderkey") % 8 < 4))
+    tl.commit_append(li.filter(F.col("l_orderkey") % 8 >= 4))
+    sfx = _uuid.uuid4().hex[:8]
+    va = to.register_bucketed_view(f"copart_orders_{sfx}")
+    vb = tl.register_bucketed_view(f"copart_lineitem_{sfx}")
+    per_key = (
+        spark.table(vb)
+        .join(
+            spark.table(va),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("nl"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rev"),
+        )
+    )
+    facts = per_key.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("nl").cast("long").alias("n_lines"),
+        F.round(F.sum("rev"), 2).alias("revenue"),
+    )
+    row = facts.collect()[0]
+    # the plan fact comes from the EXECUTED per-key plan: with both
+    # scans reporting the bucket distribution there is no
+    # hash-partitioning Exchange anywhere — join and aggregate both
+    # reuse the storage layout (the global facts agg above is a
+    # SinglePartition gather, not a hash shuffle)
+    plan = per_key._jdf.queryExecution().executedPlan().toString()
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert "Bucketed: true" in plan, "bucketed scan did not engage"
+    return spark.createDataFrame(
+        [(row["n_orders"], row["n_lines"], row["revenue"], n_shuffles)],
+        "n_orders bigint, n_lines bigint, revenue double, "
+        "shuffle_exchanges int",
+    )

@@ -1271,6 +1271,35 @@ class SnapshotTable:
                 .partitionBy(*pcols)
                 .parquet(d)
             )
+        elif (bspec := self._bucket_spec()) is not None:
+            # declared hash-bucket layout: route through Spark's NATIVE
+            # bucketed writer (the only writer that stamps the
+            # murmur3 bucket id into the file name, the contract the
+            # catalog bucketed scan trusts). The scratch table is
+            # external (path option), so dropping it keeps the files;
+            # repartition(n, col) uses the same murmur3-pmod mapping as
+            # bucketBy, so each task owns exactly one bucket and writes
+            # exactly ONE file — no task×bucket small-file blowup.
+            # Rewrite paths (CoW delete, MERGE post-images) pass through
+            # here too: re-hashing retained rows lands them back in
+            # their original buckets, so the layout survives DML.
+            bcol, n_buckets = bspec
+            if bcol not in df.columns:
+                raise ValueError(
+                    f"bucket.by column {bcol!r} missing from the "
+                    "write batch"
+                )
+            scratch = f"pysnap_bkt_{uuid.uuid4().hex[:12]}"
+            (
+                df.repartition(n_buckets, F.col(bcol))
+                .write.format("parquet")
+                .mode("errorifexists")
+                .option("path", d)
+                .bucketBy(n_buckets, bcol)
+                .sortBy(bcol)
+                .saveAsTable(scratch)
+            )
+            self.spark.sql(f"DROP TABLE IF EXISTS `{scratch}`")
         else:
             if order_within is not None:
                 df = df.sortWithinPartitions(*order_within)
@@ -3802,6 +3831,129 @@ class SnapshotTable:
         if cur == 0:
             return []
         return load_manifest(self.root, cur).get("partition_spec") or []
+
+    def _bucket_spec(self) -> tuple[str, int] | None:
+        """The declared hash-bucket layout, from the ``bucket.by``
+        table property (``"col:n"``). When set, every write routes
+        through Spark's NATIVE bucketed writer so the emitted files
+        carry the murmur3 bucket-id file-name contract the catalog
+        bucketed scan trusts — the precondition for
+        ``register_bucketed_view``'s shuffle-free co-partitioned joins
+        (Spark's storage-partitioned-join posture, expressed through
+        the session catalog because a Python DataSource cannot report
+        a partitioning to Catalyst). Malformed values raise — a
+        silently dropped layout would shuffle every downstream join."""
+        cur = self.current_version()
+        if cur == 0:
+            return None
+        props = load_manifest(self.root, cur).get("properties") or {}
+        bb = props.get("bucket.by")
+        if not bb:
+            return None
+        if props.get("cluster.by"):
+            raise ValueError(
+                "bucket.by and cluster.by are mutually exclusive "
+                "layouts: buckets fix file membership by key hash, "
+                "clustering by curve range"
+            )
+        parts = [p.strip() for p in str(bb).split(":")]
+        if len(parts) != 2 or not parts[0]:
+            raise ValueError(
+                f"table property bucket.by must be 'col:n', got {bb!r}"
+            )
+        try:
+            n = int(parts[1])
+        except ValueError:
+            n = 0
+        if not 1 <= n <= 4096:
+            raise ValueError(
+                f"bucket.by bucket count must be 1..4096, got {bb!r}"
+            )
+        return parts[0], n
+
+    def register_bucketed_view(self, name: str) -> str:
+        """Register the table's CURRENT snapshot as a session-catalog
+        BUCKETED table, so joins/aggregations between co-bucketed
+        snapshot tables elide their shuffle entirely (Spark's bucketed
+        scan reports the hash distribution to Catalyst; two tables
+        bucketed ``col:n`` on the same n join with ZERO Exchange — at
+        100 TB, fact⋈fact on the bucket key without re-shuffling either
+        side). Layout: one ``_cv=<i>`` partition per commit directory,
+        each holding SYMLINKS to that commit's live files (snapshot
+        isolation — dead files in the same dir are simply not linked;
+        on an object store this materializes as a manifest listing, the
+        Hive symlink-manifest pattern). The bucketed scan coalesces
+        files of the same bucket id across partitions into one read
+        split, so multi-commit tables keep the property.
+
+        Refused (fall back to the connector read, which handles them):
+        renamed/dropped columns (catalog reads see physical names),
+        merge-on-read deletion vectors (invisible to a plain scan), and
+        type widening (files narrower than the reader schema)."""
+        bspec = self._bucket_spec()
+        if bspec is None:
+            raise ValueError(
+                "no bucket.by table property: SET TBLPROPERTIES "
+                "('bucket.by'='col:n') before writing"
+            )
+        bcol, n_buckets = bspec
+        cur = self.current_version()
+        m = load_manifest(self.root, cur)
+        for key, why in (
+            ("schema", "renamed/dropped columns"),
+            ("dv", "merge-on-read deletion vectors"),
+            ("types", "widened reader types"),
+        ):
+            if m.get(key):
+                raise ValueError(
+                    f"bucketed readback cannot represent {why}; read "
+                    "through the connector instead"
+                )
+        files = m["files"]
+        if not files:
+            raise ValueError("bucketed readback of an empty table")
+        bad = [
+            f
+            for f in files
+            if not re.search(r"_\d{5}\.", os.path.basename(f))
+        ]
+        if bad:
+            raise ValueError(
+                "file(s) lack the bucket-id name contract (written "
+                f"before bucket.by was set?): {bad[:3]}"
+            )
+        groups: dict[str, list[str]] = {}
+        for f in files:
+            groups.setdefault(os.path.dirname(f), []).append(f)
+        view_root = os.path.join(
+            self.root, "_bucket_views", uuid.uuid4().hex[:12]
+        )
+        for i, d in enumerate(sorted(groups)):
+            pd = os.path.join(view_root, f"_cv={i}")
+            os.makedirs(pd)
+            for f in groups[d]:
+                os.symlink(
+                    os.path.abspath(f),
+                    os.path.join(pd, os.path.basename(f)),
+                )
+        schema = self.read(cur).schema
+        cols_sql = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in schema.fields
+        )
+        self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        self.spark.sql(
+            f"CREATE TABLE `{name}` ({cols_sql}, `_cv` INT) "
+            f"USING PARQUET PARTITIONED BY (_cv) "
+            f"CLUSTERED BY (`{bcol}`) SORTED BY (`{bcol}`) "
+            f"INTO {n_buckets} BUCKETS "
+            f"LOCATION '{view_root}'"
+        )
+        for i in range(len(groups)):
+            self.spark.sql(
+                f"ALTER TABLE `{name}` ADD PARTITION (_cv={i})"
+            )
+        return name
 
     def _check_spec_types(
         self, entries: list[dict], dts: dict, raw: list[str]

@@ -1,0 +1,137 @@
+"""Bucketed snapshot layout → shuffle-free co-partitioned joins
+(VERDICT-r8 directive #2, the storage-partitioned-join posture).
+
+The contract under test: a table with the ``bucket.by = col:n``
+property writes every commit through Spark's native bucketed writer,
+``register_bucketed_view`` surfaces the live snapshot as a catalog
+bucketed table, and a join of two co-bucketed tables runs with ZERO
+hash-partitioning Exchange — plus the refusal cases where the catalog
+scan cannot represent snapshot semantics (renames, deletion vectors).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_glue_redshift_guide_spark.sources.snapshots import SnapshotTable
+
+
+def _bucketed(spark, col, n, prefix):
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix=prefix))
+    t.set_tblproperties({"bucket.by": f"{col}:{n}"})
+    return t
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cobucketed_join_has_zero_shuffle(spark):
+    ta = _bucketed(spark, "k", 4, "cp_a_")
+    ta.commit_append(
+        spark.createDataFrame([(i, i * 10) for i in range(50)], "k int, a int")
+    )
+    ta.commit_append(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(50, 100)], "k int, a int"
+        )
+    )
+    tb = _bucketed(spark, "k", 4, "cp_b_")
+    tb.commit_append(
+        spark.createDataFrame([(i, i * 3) for i in range(80)], "k int, b int")
+    )
+    va = ta.register_bucketed_view("cpj_a")
+    vb = tb.register_bucketed_view("cpj_b")
+    j = (
+        spark.table(va)
+        .select("k", "a")
+        .join(spark.table(vb).select("k", "b"), "k")
+        .groupBy("k")
+        .agg(F.sum(F.col("a") + F.col("b")).alias("s"))
+    )
+    rows = j.collect()
+    assert len(rows) == 80
+    assert sum(r.s for r in rows) == sum(i * 13 for i in range(80))
+    p = _plan(j)
+    assert "Bucketed: true" in p
+    # join AND per-key aggregate both ride the storage distribution
+    assert p.count("Exchange hashpartitioning") == 0
+
+
+def test_bucketed_view_isolates_dead_files_after_delete(spark):
+    t = _bucketed(spark, "k", 4, "cp_del_")
+    t.commit_append(
+        spark.createDataFrame([(i, i) for i in range(40)], "k int, v int")
+    )
+    t.delete_where(F.col("k") % 2 == 0)  # MOR tombstones first...
+    t.materialize_deletes()  # ...folded into a bucketed CoW rewrite
+    v = t.register_bucketed_view("cpj_del")
+    got = sorted(r.k for r in spark.table(v).select("k").collect())
+    assert got == [i for i in range(40) if i % 2 == 1]
+    # the rewrite kept the bucket contract: rejoining on k still
+    # elides the shuffle
+    j = spark.table(v).join(spark.table(v).select("k"), "k")
+    j.collect()
+    assert _plan(j).count("Exchange hashpartitioning") == 0
+
+
+def test_bucketed_view_refuses_renames_and_dv(spark):
+    t = _bucketed(spark, "k", 4, "cp_ref_")
+    t.commit_append(
+        spark.createDataFrame([(1, 2)], "k int, v int")
+    )
+    t.rename_column("v", "w")
+    with pytest.raises(ValueError, match="renamed"):
+        t.register_bucketed_view("cpj_refuse1")
+
+    t2 = _bucketed(spark, "k", 4, "cp_dv_")
+    t2.commit_append(
+        spark.createDataFrame([(i, i) for i in range(10)], "k int, v int")
+    )
+    t2.delete_where(F.col("k") == 3)  # MOR: leaves a DV sidecar
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t2.register_bucketed_view("cpj_refuse2")
+
+
+def test_bucket_property_validation(spark):
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="cp_val_"))
+    t.set_tblproperties({"bucket.by": "k"})  # missing :n
+    with pytest.raises(ValueError, match="bucket.by"):
+        t.commit_append(spark.createDataFrame([(1,)], "k int"))
+
+    t2 = SnapshotTable(spark, tempfile.mkdtemp(prefix="cp_val2_"))
+    t2.set_tblproperties({"bucket.by": "k:8", "cluster.by": "k,v"})
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t2.commit_append(spark.createDataFrame([(1, 2)], "k int, v int"))
+
+
+def test_pre_bucket_files_refused_in_view(spark):
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="cp_pre_"))
+    t.commit_append(spark.createDataFrame([(1, 2)], "k int, v int"))
+    t.set_tblproperties({"bucket.by": "k:4"})
+    with pytest.raises(ValueError, match="bucket-id"):
+        t.register_bucketed_view("cpj_pre")
+
+
+def test_bucketed_files_carry_bucket_ids(spark):
+    t = _bucketed(spark, "k", 4, "cp_ids_")
+    t.commit_append(
+        spark.createDataFrame([(i, i) for i in range(20)], "k int, v int")
+    )
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        load_manifest,
+    )
+
+    m = load_manifest(t.root, t.current_version())
+    import re
+
+    ids = {
+        re.search(r"_(\d{5})\.", os.path.basename(f)).group(1)
+        for f in m["files"]
+    }
+    assert len(ids) == len(m["files"])  # one file per bucket
+    assert ids <= {f"{i:05d}" for i in range(4)}
