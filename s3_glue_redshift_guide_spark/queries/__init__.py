@@ -61,7 +61,7 @@ _PRIORITY = [
     "sink_replace_where", "sql_table_changes_tvf",
     "sink_zorder_n_layout", "stats_histogram_estimate",
     # -- (b) new round-9 feature rows (append here as they land) -----------
-    "join_copartitioned_snapshots",
+    "join_copartitioned_snapshots", "sink_merge_file_skipping",
     # -- (c) round-3-evidence stragglers (6) -------------------------------
     "q1_pricing_summary", "llm_jaccard_pairs", "llm_minhash_pairs",
     "llm_topk_similarity", "llm_text_stats", "plan_audit_facts",
