@@ -243,6 +243,17 @@ _OPTIMIZE = re.compile(
     r"\s*$",
     re.I | re.S,
 )
+_ANN_BUILD = re.compile(
+    rf"^\s*CREATE\s+ANN\s+INDEX\s+ON\s+{_TBL}\s*"
+    r"\(\s*(?P<vec>\w+)\s*\)\s*WITH\s*\((?P<opts>.*)\)\s*$",
+    re.I | re.S,
+)
+_ANN_REFRESH = re.compile(
+    rf"^\s*REFRESH\s+ANN\s+INDEX\s+ON\s+{_TBL}\s*$", re.I
+)
+_ANN_OPTIMIZE = re.compile(
+    rf"^\s*OPTIMIZE\s+ANN\s+INDEX\s+ON\s+{_TBL}\s*$", re.I
+)
 _HISTORY = re.compile(
     rf"^\s*DESCRIBE\s+HISTORY\s+{_TBL}\s*$", re.I
 )
@@ -1030,6 +1041,62 @@ def snapshot_sql(
             else F.lit(True)
         )
         return t.delete_where(pred)
+    m = _ANN_BUILD.match(sql)
+    if m:
+        # CREATE ANN INDEX ON tbl (vec_col) WITH (dim = 64, ...) —
+        # the one maintenance family that was method-only until r9;
+        # the SQL path delegates verbatim, so SQL ≡ method
+        # byte-identically (deterministic training)
+        from .llm.ann_index import ann_index_build
+
+        opts: dict = {}
+        for kv in _split_top(m.group("opts")):
+            mm = re.match(
+                r"^(\w+)\s*=\s*(?:'([^']*)'|(\S+))$", kv.strip()
+            )
+            if not mm:
+                raise ValueError(
+                    f"CREATE ANN INDEX WITH option {kv.strip()!r}: "
+                    "use key = value"
+                )
+            opts[mm.group(1).lower()] = (
+                mm.group(2) if mm.group(2) is not None else mm.group(3)
+            )
+        if "dim" not in opts:
+            raise ValueError(
+                "CREATE ANN INDEX requires WITH (dim = <n>, ...)"
+            )
+        unknown = set(opts) - {
+            "dim", "id_col", "n_lists", "m", "k_codes", "iters"
+        }
+        if unknown:
+            raise ValueError(
+                f"CREATE ANN INDEX: unknown option(s) {sorted(unknown)}"
+            )
+        return ann_index_build(
+            SnapshotTable(spark, m.group("root"), clock=clock),
+            dim=int(opts["dim"]),
+            id_col=str(opts.get("id_col", "vec_id")),
+            vec_col=m.group("vec"),
+            n_lists=int(opts.get("n_lists", 16)),
+            m=int(opts.get("m", 8)),
+            k_codes=int(opts.get("k_codes", 16)),
+            kmeans_iters=int(opts.get("iters", 2)),
+        )
+    m = _ANN_REFRESH.match(sql)
+    if m:
+        from .llm.ann_index import ann_index_refresh
+
+        return ann_index_refresh(
+            SnapshotTable(spark, m.group("root"), clock=clock)
+        )
+    m = _ANN_OPTIMIZE.match(sql)
+    if m:
+        from .llm.ann_index import ann_index_optimize
+
+        return ann_index_optimize(
+            SnapshotTable(spark, m.group("root"), clock=clock)
+        )
     m = _OPTIMIZE.match(sql)
     if m:
         t = SnapshotTable(spark, m.group("root"), clock=clock)
@@ -1220,5 +1287,7 @@ def snapshot_sql(
         "parquet.`dir`, TRUNCATE TABLE, DROP COLUMN, SET/DROP "
         "DEFAULT, INSERT INTO ... REPLACE WHERE, "
         "SELECT * FROM ... [VERSION AS OF n | TIMESTAMP AS OF 'ts' | "
-        "TAG 'name'] [WHERE ...]): " + sql[:120]
+        "TAG 'name'] [WHERE ...], CREATE ANN INDEX ON tbl (col) WITH "
+        "(dim = n, ...), REFRESH ANN INDEX ON tbl, OPTIMIZE ANN "
+        "INDEX ON tbl): " + sql[:120]
     )
