@@ -458,6 +458,8 @@ class ChangeFeedJoinAggView:
         checkpoint_right: str,
         available_now: bool = False,
         processing_time: str | None = None,
+        max_versions_per_trigger: int | None = None,
+        sides: tuple[str, ...] = ("L", "R"),
     ):
         """ALWAYS-ON maintenance from BOTH change-data-feed streams
         (VERDICT-r7 round-8 candidate #1): each side's ``readChangeFeed``
@@ -471,7 +473,15 @@ class ChangeFeedJoinAggView:
         right — deterministic serialization, both handles returned
         terminated); under timed triggers both run concurrently and a
         racing pair degrades to a CommitConflict retry, never a lost
-        update."""
+        update. ``max_versions_per_trigger`` caps the BACKLOG each
+        epoch folds on BOTH feeds (the source's admission control): a
+        week-long outage replays as bounded epochs instead of one
+        giant catch-up batch whose join state must fit memory at once.
+        ``sides`` restricts the drain (operational single-side
+        catch-up; also how the crash tests serialize a kill BETWEEN
+        the two folds) — a half-drained pair is a CONSISTENT view
+        (each fold telescopes independently), just stale on the
+        undrained side."""
         from ..sources.pyds import register_snapshot_source
 
         register_snapshot_source(self.spark)
@@ -499,6 +509,9 @@ class ChangeFeedJoinAggView:
             ("L", self.left, checkpoint_left),
             ("R", self.right, checkpoint_right),
         ):
+            if side not in sides:
+                out.append(None)
+                continue
             if table.current_version() == 0:
                 # nothing ever committed on this side: there is no log
                 # to stream yet (the CDF source can't resolve an empty
@@ -506,12 +519,17 @@ class ChangeFeedJoinAggView:
                 # stream's default — so skipping loses nothing.
                 out.append(None)
                 continue
-            stream = (
+            reader = (
                 self.spark.readStream.format("pysnapshot")
                 .option("root", table.root)
                 .option("readChangeFeed", "true")
-                .load()
             )
+            if max_versions_per_trigger is not None:
+                reader = reader.option(
+                    "maxVersionsPerTrigger",
+                    str(int(max_versions_per_trigger)),
+                )
+            stream = reader.load()
             writer = (
                 stream.writeStream.foreachBatch(fold_epoch(side))
                 .option("checkpointLocation", ckpt)

@@ -776,11 +776,15 @@ class _AdmissionControlMixin:
 
     The reader tracks its own planning cursor (``initialOffset`` /
     ``partitions`` / ``commit`` all advance it) because the Python
-    DataSource API's ``latestOffset`` takes no start offset. Honest
-    caveat: on a RESTART whose last batch already committed, the first
-    ``latestOffset`` fires before the engine reveals the checkpointed
-    position, so that one batch is uncapped; every subsequent batch is
-    capped. A fresh (no-checkpoint) start is capped from batch one."""
+    DataSource API's ``latestOffset`` takes no start offset. Under the
+    availableNow single-batch fallback the engine probes
+    ``latestOffset`` BEFORE ``initialOffset`` on a fresh start (traced
+    empirically, round 9), so an unset cursor falls back to
+    ``startingVersion`` — fresh starts are capped from batch one;
+    checkpointed restarts arrive with the cursor already restored and
+    cap normally. One capped batch per availableNow RUN: catch-up
+    loops drains on the same checkpoint (see
+    tests/test_join_mv.py::test_backlog_cap_bounds_each_fold)."""
 
     def _init_admission(self, options) -> None:
         cap = options.get("maxversionspertrigger")
@@ -805,6 +809,16 @@ class _AdmissionControlMixin:
     def latestOffset(self) -> dict:
         head = latest_version(self.root)
         cur = self._cursor
+        if cur is None:
+            # FRESH start under the availableNow single-batch fallback:
+            # the engine probes latestOffset BEFORE initialOffset
+            # (traced empirically), so the planning cursor is unset and
+            # the admission cap would silently not engage on exactly
+            # the run most likely to face a huge backlog — the first
+            # drain of an existing table. The true base of a fresh
+            # stream IS startingVersion; checkpointed restarts arrive
+            # with the cursor already restored, so they never hit this.
+            cur = self._start_version
         if self._max_versions is not None and cur is not None:
             head = min(head, cur + self._max_versions)
         if self._max_files is not None and cur is not None and head > cur:

@@ -199,3 +199,89 @@ def test_streaming_join_mv_left_first_bootstrap(spark):
     )
     mv.refresh_streams(ckpt_l, ckpt_r, available_now=True)
     _assert_matches(mv, left, right)
+
+
+def test_crash_between_the_two_folds_restart_exactly_once(spark):
+    """VERDICT-r8 directive #6: kill AFTER the left feed's fold commits
+    but BEFORE the right feed drains (sides=('L',) serializes the
+    kill), restart both feeds on the SAME checkpoints — the right side
+    catches up, the left side replays nothing, and the state equals
+    the head ⋈ head recompute. Then lose a checkpoint entirely (full
+    epoch redelivery): the cursor filter drops every replayed row, the
+    state version does not move — exactly-once under the hardest
+    replay."""
+    left, right, mv = _fixture(spark)
+    ckpt_l = tempfile.mkdtemp(prefix="jmv_cr_l_")
+    ckpt_r = tempfile.mkdtemp(prefix="jmv_cr_r_")
+    right.commit_append(
+        _rows(spark, [(1, "a"), (2, "b")], "rk long, grp string")
+    )
+    left.commit_append(
+        _rows(spark, [(1, 10), (2, 30)], "k long, x long")
+    )
+    mv.refresh_streams(ckpt_l, ckpt_r, available_now=True)
+    _assert_matches(mv, left, right)
+    # churn both sides, then CRASH between the folds: only L drains
+    left.commit_append(_rows(spark, [(1, 5)], "k long, x long"))
+    right.commit_append(_rows(spark, [(3, "c")], "rk long, grp string"))
+    left.commit_append(_rows(spark, [(3, 7)], "k long, x long"))
+    mv.refresh_streams(
+        ckpt_l, ckpt_r, available_now=True, sides=("L",)
+    )
+    lc, rc = mv._cursors()
+    assert lc == left.current_version()
+    assert rc == 1  # right never drained this round
+    # the half-drained state is CONSISTENT: L@lc ⋈ R@rc exactly
+    got = mv.read().select("grp", "n", "s")
+    want = (
+        left.read()
+        .join(right.read(rc), F.col("k") == F.col("rk"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("s"),
+        )
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # RESTART both feeds, same checkpoints: right catches up, left
+    # replays nothing, exactness restored
+    mv.refresh_streams(ckpt_l, ckpt_r, available_now=True)
+    _assert_matches(mv, left, right)
+    # hardest replay: brand-new checkpoints redeliver EVERY epoch;
+    # the cursor filter must fold nothing and move nothing
+    sv = mv.state.current_version()
+    mv.refresh_streams(
+        tempfile.mkdtemp(prefix="jmv_cr_l2_"),
+        tempfile.mkdtemp(prefix="jmv_cr_r2_"),
+        available_now=True,
+    )
+    assert mv.state.current_version() == sv
+    _assert_matches(mv, left, right)
+
+
+def test_backlog_cap_bounds_each_fold(spark):
+    """maxVersionsPerTrigger on BOTH feeds (VERDICT-r8 directive #6):
+    a 3-commit backlog with cap 1 folds one version per drain — the
+    cursor advances stepwise and catch-up completes over repeated
+    drains, each epoch's join state bounded by one commit's churn."""
+    left, right, mv = _fixture(spark)
+    ckpt_l = tempfile.mkdtemp(prefix="jmv_cap_l_")
+    ckpt_r = tempfile.mkdtemp(prefix="jmv_cap_r_")
+    right.commit_append(
+        _rows(spark, [(1, "a"), (2, "b"), (3, "c")], "rk long, grp string")
+    )
+    for batch in ([(1, 10)], [(2, 20)], [(3, 30)]):
+        left.commit_append(_rows(spark, batch, "k long, x long"))
+    assert left.current_version() == 3
+    cursors = []
+    for _ in range(3):
+        mv.refresh_streams(
+            ckpt_l,
+            ckpt_r,
+            available_now=True,
+            max_versions_per_trigger=1,
+        )
+        cursors.append(mv._cursors()[0])
+    assert cursors == [1, 2, 3]  # one version per drain, no skips
+    _assert_matches(mv, left, right)

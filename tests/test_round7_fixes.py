@@ -391,15 +391,20 @@ def test_streamed_cdf_pairs_update_images(spark):
             for r in paired.collect()
         )
 
-    q = (
-        stream.writeStream.foreachBatch(on_batch)
-        .option(
-            "checkpointLocation", _tmp(f"ck_{_uuid.uuid4().hex[:6]}")
+    # with the admission cap ACTUALLY engaging on fresh starts
+    # (round-9 fix), each availableNow run under the single-batch
+    # fallback processes one capped batch — drain once per backlog
+    # version on the SAME checkpoint, exactly how a capped catch-up
+    # runs in production
+    ck = _tmp(f"ck_{_uuid.uuid4().hex[:6]}")
+    for _ in range(t.current_version() - v0):
+        q = (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+        q.awaitTermination(120)
     want = sorted(
         (r["k"], r["v"], r["_change_type"])
         for r in t.read_changes_images(v0, t.current_version())
