@@ -62,7 +62,7 @@ _PRIORITY = [
     "sink_zorder_n_layout", "stats_histogram_estimate",
     # -- (b) new round-9 feature rows (append here as they land) -----------
     "join_copartitioned_snapshots", "sink_merge_file_skipping",
-    "llm_ann_sql_lifecycle",
+    "llm_ann_sql_lifecycle", "sql_select_snapshot_q5",
     # -- (c) round-3-evidence stragglers (6) -------------------------------
     "q1_pricing_summary", "llm_jaccard_pairs", "llm_minhash_pairs",
     "llm_topk_similarity", "llm_text_stats", "plan_audit_facts",

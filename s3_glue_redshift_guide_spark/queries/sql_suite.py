@@ -971,3 +971,79 @@ def sql_table_changes_tvf(spark, sf_dir):
         F.lit(wap_cycle).alias("wap_cycle"),
         F.lit(clustered).alias("clustered_prunes"),
     )
+
+
+# --------- Q7: the q5 star shape as PURE SQL over snapshot tables ------
+@query(
+    "sql_select_snapshot_q5",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           n.n_name AS nation_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+               AS revenue,
+           count(*) AS n_rows
+    FROM lineitem l
+    JOIN orders o     ON l.l_orderkey = o.o_orderkey
+    JOIN customer c   ON o.o_custkey = c.c_custkey
+    JOIN supplier s   ON l.l_suppkey = s.s_suppkey
+    JOIN nation n     ON s.s_nationkey = n.n_nationkey
+    JOIN region r     ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def sql_select_snapshot_q5(spark, sf_dir):
+    """READ-COMPLETE warehouse SQL surface (VERDICT-r8 directive #7 /
+    SURVEY §2 Q7): the flagship q5 star join — 6 tables, date-window
+    filter, two-key aggregate — runs as ONE pure SQL string whose
+    table references are ``pysnapshot.`root``` snapshot tables, no
+    DataFrame API in the query text. ``sql_dml._select_general``
+    rewrites each reference to a connector-backed temp view
+    (content-addressed, literal-masked) and hands the whole statement
+    to Spark SQL, so Catalyst plans the star exactly as it does over
+    session views: filters and column pruning push into the connector
+    scan (planning-time manifest/zone pruning included), constant-size
+    dims broadcast. A warehouse user never switches APIs: DML landed
+    in r7/r8, SELECT closes the loop."""
+    import tempfile as _tf
+
+    from ..sources.snapshots import SnapshotTable
+
+    roots = {}
+    for name in (
+        "lineitem", "orders", "customer", "supplier", "nation", "region"
+    ):
+        t = SnapshotTable(
+            spark, _tf.mkdtemp(prefix=f"sqlsel_{name}_")
+        )
+        t.commit_append(load_table(spark, sf_dir, name))
+        roots[name] = t.root
+    from ..sql_dml import snapshot_sql
+
+    return snapshot_sql(
+        spark,
+        f"""
+        SELECT r.r_name AS region_name,
+               n.n_name AS nation_name,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(12,2))))
+                    AS DOUBLE) AS revenue,
+               count(*) AS n_rows
+        FROM pysnapshot.`{roots["lineitem"]}` l
+        JOIN pysnapshot.`{roots["orders"]}` o
+             ON l.l_orderkey = o.o_orderkey
+        JOIN pysnapshot.`{roots["customer"]}` c
+             ON o.o_custkey = c.c_custkey
+        JOIN pysnapshot.`{roots["supplier"]}` s
+             ON l.l_suppkey = s.s_suppkey
+        JOIN pysnapshot.`{roots["nation"]}` n
+             ON s.s_nationkey = n.n_nationkey
+        JOIN pysnapshot.`{roots["region"]}` r
+             ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+        GROUP BY r.r_name, n.n_name
+        """,
+    )

@@ -1274,6 +1274,10 @@ def snapshot_sql(
         if m.group("where"):
             df = df.filter(F.expr(m.group("where")))
         return df
+    if re.match(r"^\s*(SELECT|WITH)\b", sql, re.I) and re.search(
+        r"pysnapshot\s*\.", sql, re.I
+    ):
+        return _select_general(spark, sql)
     raise ValueError(
         "unrecognized statement (supported: CREATE TABLE ... "
         "[PARTITIONED BY] [TBLPROPERTIES] [AS SELECT], INSERT INTO "
@@ -1291,3 +1295,70 @@ def snapshot_sql(
         "(dim = n, ...), REFRESH ANN INDEX ON tbl, OPTIMIZE ANN "
         "INDEX ON tbl): " + sql[:120]
     )
+
+
+# --------------- general SELECT over snapshot tables (Q7, round 9) -----
+_SNAP_REF = re.compile(
+    r"pysnapshot\s*\.\s*`(?P<root>[^`]+)`"
+    r"(?:\s+(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'"
+    r"|TAG\s+'(?P<tag>[^']+)'"
+    r"|BRANCH\s+'(?P<branch>[^']+)'))?",
+    re.I,
+)
+
+
+def _select_general(spark: SparkSession, sql: str):
+    """ARBITRARY SELECT / WITH statements over snapshot tables — the
+    read-complete warehouse surface (VERDICT-r8 directive #7): every
+    ``pysnapshot.`root`` reference (optionally suffixed ``VERSION AS
+    OF n`` / ``TIMESTAMP AS OF 'ts'`` / ``TAG 'name'`` / ``BRANCH
+    'name'``) is swapped for a temp view reading through the
+    CONNECTOR (``format("pysnapshot")``), then the whole statement
+    runs through Spark SQL — full projections, joins, aggregates,
+    windows, CTEs, with Catalyst pushing filters/columns into the
+    connector scan (planning-time partition/zone/bloom pruning
+    included). View names are content-addressed on (root, ref) so
+    repeated references share one view and re-runs are idempotent.
+    String literals are masked before the rewrite — a quoted
+    'pysnapshot.`x`' is data, not a table reference."""
+    import hashlib
+
+    from .sources.pyds import register_snapshot_source
+
+    register_snapshot_source(spark)
+    lits: list[str] = []
+
+    def _mask(m: "re.Match[str]") -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    masked = re.sub(r"'[^']*'", _mask, sql)
+
+    def _unmask(s: str) -> str:
+        return re.sub(
+            r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], s
+        )
+
+    def _view(m: "re.Match[str]") -> str:
+        groups = {
+            g: _unmask(m.group(g) or "").strip("'")
+            for g in ("root", "v", "ts", "tag", "branch")
+        }
+        key = "|".join(groups[g] for g in sorted(groups))
+        name = "__pysnap_" + hashlib.sha1(key.encode()).hexdigest()[:12]
+        r = spark.read.format("pysnapshot").option(
+            "root", groups["root"]
+        )
+        for opt, val in (
+            ("version", groups["v"]),
+            ("timestampAsOf", groups["ts"]),
+            ("tag", groups["tag"]),
+            ("branch", groups["branch"]),
+        ):
+            if val:
+                r = r.option(opt, val)
+        r.load().createOrReplaceTempView(name)
+        return name
+
+    return spark.sql(_unmask(_SNAP_REF.sub(_view, masked)))

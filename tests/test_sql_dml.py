@@ -992,3 +992,47 @@ def test_sql_clause_split_quotes_and_paren_between(spark):
     )
     snapshot_sql(spark, f"INSERT INTO pysnapshot.`{root}` (k) VALUES (1)")
     assert SnapshotTable(spark, root).read().collect()[0]["tag"] == "a,b"
+
+
+# ------------- general SELECT over snapshot tables (round 9) -----------
+def test_select_general_join_cte_and_time_travel(spark):
+    import tempfile
+
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+
+    a = SnapshotTable(spark, tempfile.mkdtemp(prefix="selg2_a_"))
+    a.commit_append(
+        spark.createDataFrame([(1, "x"), (2, "y")], "k int, s string")
+    )
+    b = SnapshotTable(spark, tempfile.mkdtemp(prefix="selg2_b_"))
+    b.commit_append(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (1, 30)], "k int, v int"
+        )
+    )
+    got = snapshot_sql(
+        spark,
+        "WITH t AS (SELECT b.k, b.v FROM "
+        f"pysnapshot.`{b.root}` b WHERE b.v > 15) "
+        f"SELECT a.s AS label, sum(t.v) AS total "
+        f"FROM pysnapshot.`{a.root}` a JOIN t ON a.k = t.k "
+        "GROUP BY a.s ORDER BY label",
+    ).collect()
+    assert [(r.label, r.total) for r in got] == [("x", 30), ("y", 20)]
+    # literal masking: a quoted 'pysnapshot.`fake`' is data
+    n = snapshot_sql(
+        spark,
+        f"SELECT count(*) AS n FROM pysnapshot.`{a.root}` "
+        "WHERE s <> 'pysnapshot.`fake`'",
+    ).collect()[0].n
+    assert n == 2
+    # time travel inside a general SELECT
+    a.commit_append(spark.createDataFrame([(3, "z")], "k int, s string"))
+    n1 = snapshot_sql(
+        spark,
+        "SELECT count(*) AS n FROM "
+        f"pysnapshot.`{a.root}` VERSION AS OF 1",
+    ).collect()[0].n
+    assert n1 == 2
