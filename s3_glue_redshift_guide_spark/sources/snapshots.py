@@ -3902,7 +3902,6 @@ class SnapshotTable:
         for key, why in (
             ("schema", "renamed/dropped columns"),
             ("dv", "merge-on-read deletion vectors"),
-            ("types", "widened reader types"),
         ):
             if m.get(key):
                 raise ValueError(
@@ -3912,6 +3911,36 @@ class SnapshotTable:
         files = m["files"]
         if not files:
             raise ValueError("bucketed readback of an empty table")
+        if m.get("types"):
+            # banked reader types (DDL-declared or widened): the
+            # catalog scan reads files at their PHYSICAL types, so it
+            # can only serve tables where every file already matches
+            # the banked width — an actually-widened narrow file would
+            # fail the vectorized reader mid-query. One footer read
+            # per file, registration-time only (in production these
+            # widths would be banked per-file at write time).
+            import pyarrow.parquet as _pq
+
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            banked = {
+                k: v.lower() for k, v in m["types"].items()
+            }
+            for f in files:
+                phys = from_arrow_schema(
+                    _pq.ParquetFile(f).schema_arrow
+                )
+                for fld in phys.fields:
+                    want = banked.get(fld.name)
+                    got = fld.dataType.simpleString().lower()
+                    if want is not None and got != want:
+                        raise ValueError(
+                            "bucketed readback cannot represent "
+                            f"widened reader types: {fld.name!r} is "
+                            f"{got} in {os.path.basename(f)} but "
+                            f"{want} in the banked schema; read "
+                            "through the connector instead"
+                        )
         bad = [
             f
             for f in files

@@ -318,7 +318,7 @@ _CREATE_TABLE = re.compile(
 )
 _CTAS = re.compile(
     rf"^\s*CREATE\s+TABLE\s+{_TBL}\s+(?P<rest>(?:PARTITIONED|"
-    r"TBLPROPERTIES|AS)\s.*)$",
+    r"CLUSTERED|CLUSTER|TBLPROPERTIES|AS)\s.*)$",
     re.I | re.S,
 )
 _SHOW_PROPS = re.compile(
@@ -441,12 +441,15 @@ def _props_dict(props: str) -> dict:
 
 
 def _table_opts(rest: str):
-    """Parse the optional ``PARTITIONED BY (...) CLUSTER BY (...)
-    TBLPROPERTIES (...)`` clauses (balanced-paren aware — transform
-    specs nest parens); returns (spec, props, remainder). ``CLUSTER
-    BY (a, b)`` lands as the ``cluster.by`` table property — the
-    declaration that makes every subsequent append lay itself out
-    along the Morton key of the two columns."""
+    """Parse the optional ``PARTITIONED BY (...) [CLUSTERED BY (col)
+    INTO n BUCKETS | CLUSTER BY (...)] TBLPROPERTIES (...)`` clauses
+    (balanced-paren aware — transform specs nest parens); returns
+    (spec, props, remainder). ``CLUSTER BY (a, b)`` lands as the
+    ``cluster.by`` table property — every subsequent append lays
+    itself out along the Morton key; ``CLUSTERED BY (col) INTO n
+    BUCKETS`` (the Hive/Spark declaration) lands as ``bucket.by`` —
+    every append routes through the native bucketed writer for
+    shuffle-free co-partitioned joins (S73)."""
     rest = rest.strip()
     spec = None
     mm = re.match(
@@ -456,6 +459,19 @@ def _table_opts(rest: str):
         inside, rest = _balanced(mm.group("rest"))
         spec = [e.strip() for e in _split_top(inside)]
         rest = rest.strip()
+    bucket = None
+    mm = re.match(
+        r"^CLUSTERED\s+BY\s*\((?P<col>\w+)\s*\)\s+INTO\s+"
+        r"(?P<n>\d+)\s+BUCKETS\s*(?P<rest>.*)$",
+        rest,
+        re.I | re.S,
+    )
+    if mm:
+        # Hive/Spark's bucketed-table declaration → the bucket.by
+        # property: every append routes through the native bucketed
+        # writer and register_bucketed_view serves shuffle-free joins
+        bucket = f"{mm.group('col')}:{int(mm.group('n'))}"
+        rest = mm.group("rest").strip()
     cluster = None
     mm = re.match(
         r"^CLUSTER\s+BY\s*\((?P<rest>.*)$", rest, re.I | re.S
@@ -469,6 +485,11 @@ def _table_opts(rest: str):
                 f"key is 2-D): got {cluster!r}"
             )
         rest = rest.strip()
+    if bucket and cluster:
+        raise ValueError(
+            "CLUSTERED BY ... INTO n BUCKETS and CLUSTER BY are "
+            "mutually exclusive layouts"
+        )
     props = None
     mm = re.match(
         r"^TBLPROPERTIES\s*\((?P<rest>.*)$", rest, re.I | re.S
@@ -480,6 +501,9 @@ def _table_opts(rest: str):
     if cluster:
         props = dict(props or {})
         props["cluster.by"] = ",".join(cluster)
+    if bucket:
+        props = dict(props or {})
+        props["bucket.by"] = bucket
     return spec, props, rest
 
 

@@ -135,3 +135,65 @@ def test_bucketed_files_carry_bucket_ids(spark):
     }
     assert len(ids) == len(m["files"])  # one file per bucket
     assert ids <= {f"{i:05d}" for i in range(4)}
+
+
+def test_create_table_clustered_by_sets_bucket_property(spark):
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        load_manifest,
+    )
+    from s3_glue_redshift_guide_spark.sql_dml import snapshot_sql
+
+    root = tempfile.mkdtemp(prefix="cp_ddl_") + "/t"
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE pysnapshot.`{root}` (k int, v int) "
+        "CLUSTERED BY (k) INTO 4 BUCKETS",
+    )
+    t = SnapshotTable(spark, root)
+    m = load_manifest(root, t.current_version())
+    assert (m.get("properties") or {}).get("bucket.by") == "k:4"
+    t.commit_append(
+        spark.createDataFrame([(i, i) for i in range(20)], "k int, v int")
+    )
+    v = t.register_bucketed_view("cpj_ddl")
+    assert spark.table(v).count() == 20
+
+
+def test_ctas_clustered_by_writes_bucketed(spark):
+    from s3_glue_redshift_guide_spark.sql_dml import snapshot_sql
+
+    spark.createDataFrame(
+        [(i, i * 2) for i in range(16)], "k int, v int"
+    ).createOrReplaceTempView("cp_ctas_src")
+    root = tempfile.mkdtemp(prefix="cp_ctas_") + "/t"
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE pysnapshot.`{root}` "
+        "CLUSTERED BY (k) INTO 4 BUCKETS "
+        "AS SELECT k, v FROM cp_ctas_src",
+    )
+    t = SnapshotTable(spark, root)
+    v = t.register_bucketed_view("cpj_ctas")
+    assert spark.table(v).count() == 16
+
+
+def test_clustered_by_and_cluster_by_conflict(spark):
+    from s3_glue_redshift_guide_spark.sql_dml import snapshot_sql
+
+    root = tempfile.mkdtemp(prefix="cp_ddl2_") + "/t"
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        snapshot_sql(
+            spark,
+            f"CREATE TABLE pysnapshot.`{root}` (k int, v int) "
+            "CLUSTERED BY (k) INTO 4 BUCKETS CLUSTER BY (k, v)",
+        )
+
+
+def test_actually_widened_table_refused_in_view(spark):
+    t = _bucketed(spark, "k", 4, "cp_wide_")
+    t.commit_append(
+        spark.createDataFrame([(1, 2)], "k int, v int")
+    )
+    t.widen_column("v", "bigint")  # metadata-only: files stay int32
+    with pytest.raises(ValueError, match="widened"):
+        t.register_bucketed_view("cpj_wide")
