@@ -1322,12 +1322,15 @@ def snapshot_sql(
 
 
 # --------------- general SELECT over snapshot tables (Q7, round 9) -----
+#: quoted operands also match their masked form (\x00N\x00): the
+#: rewrite runs over literal-MASKED text, so ``TIMESTAMP AS OF '...'``
+#: arrives as a placeholder and unmasks inside ``_view``
 _SNAP_REF = re.compile(
     r"pysnapshot\s*\.\s*`(?P<root>[^`]+)`"
     r"(?:\s+(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
-    r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'"
-    r"|TAG\s+'(?P<tag>[^']+)'"
-    r"|BRANCH\s+'(?P<branch>[^']+)'))?",
+    r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']+'|\x00\d+\x00)"
+    r"|TAG\s+(?P<tag>'[^']+'|\x00\d+\x00)"
+    r"|BRANCH\s+(?P<branch>'[^']+'|\x00\d+\x00)))?",
     re.I,
 )
 
@@ -1371,6 +1374,16 @@ def _select_general(spark: SparkSession, sql: str):
         }
         key = "|".join(groups[g] for g in sorted(groups))
         name = "__pysnap_" + hashlib.sha1(key.encode()).hexdigest()[:12]
+        if groups["ts"]:
+            # the connector takes epoch seconds; the SQL form is ISO
+            # text (UTC, matching the RESTORE/_SELECT verbs)
+            from datetime import datetime, timezone
+
+            groups["ts"] = str(
+                datetime.fromisoformat(groups["ts"])
+                .replace(tzinfo=timezone.utc)
+                .timestamp()
+            )
         r = spark.read.format("pysnapshot").option(
             "root", groups["root"]
         )

@@ -1036,3 +1036,44 @@ def test_select_general_join_cte_and_time_travel(spark):
         f"pysnapshot.`{a.root}` VERSION AS OF 1",
     ).collect()[0].n
     assert n1 == 2
+
+
+def test_select_general_timestamp_tag_branch_refs(spark):
+    import tempfile
+
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(
+        spark,
+        tempfile.mkdtemp(prefix="selg3_"),
+        clock=iter(range(100, 200)).__next__,
+    )
+    t.commit_append(spark.createDataFrame([(1,), (2,)], "k int"))
+    t.create_tag("v1")
+    t.commit_append(spark.createDataFrame([(3,)], "k int"))
+    n_tag = snapshot_sql(
+        spark,
+        f"SELECT count(*) AS n FROM pysnapshot.`{t.root}` TAG 'v1'",
+    ).collect()[0].n
+    assert n_tag == 2
+    # timestamp travel: the injected clock stamps commit 1 at t=100
+    # (as-of picks the newest version stamped <= the cutoff)
+    n_ts = snapshot_sql(
+        spark,
+        "SELECT count(*) AS n FROM "
+        f"pysnapshot.`{t.root}` TIMESTAMP AS OF '1970-01-01T00:01:40'",
+    ).collect()[0].n
+    assert n_ts == 2
+    t.create_branch("wip")
+    t.branch("wip").commit_append(
+        spark.createDataFrame([(9,)], "k int")
+    )
+    n_branch = snapshot_sql(
+        spark,
+        "SELECT max(k) AS m FROM "
+        f"pysnapshot.`{t.root}` BRANCH 'wip'",
+    ).collect()[0].m
+    assert n_branch == 9
+    assert t.read().count() == 3  # main untouched
