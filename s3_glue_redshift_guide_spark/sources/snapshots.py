@@ -1289,17 +1289,30 @@ class SnapshotTable:
                     f"bucket.by column {bcol!r} missing from the "
                     "write batch"
                 )
+            if order_within is not None:
+                # OPTIMIZE ZORDER and bucket.by both claim the in-file
+                # order; silently dropping either would break its
+                # pruning contract
+                raise ValueError(
+                    "bucket.by fixes file membership and in-file "
+                    "order (sortBy on the bucket column); a Z-order "
+                    "write clause cannot compose with it"
+                )
             scratch = f"pysnap_bkt_{uuid.uuid4().hex[:12]}"
-            (
-                df.repartition(n_buckets, F.col(bcol))
-                .write.format("parquet")
-                .mode("errorifexists")
-                .option("path", d)
-                .bucketBy(n_buckets, bcol)
-                .sortBy(bcol)
-                .saveAsTable(scratch)
-            )
-            self.spark.sql(f"DROP TABLE IF EXISTS `{scratch}`")
+            try:
+                (
+                    df.repartition(n_buckets, F.col(bcol))
+                    .write.format("parquet")
+                    .mode("errorifexists")
+                    .option("path", d)
+                    .bucketBy(n_buckets, bcol)
+                    .sortBy(bcol)
+                    .saveAsTable(scratch)
+                )
+            finally:
+                # external table: dropping keeps the files; on a failed
+                # write this also unregisters the half-created entry
+                self.spark.sql(f"DROP TABLE IF EXISTS `{scratch}`")
         else:
             if order_within is not None:
                 df = df.sortWithinPartitions(*order_within)

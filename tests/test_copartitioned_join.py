@@ -197,3 +197,21 @@ def test_actually_widened_table_refused_in_view(spark):
     t.widen_column("v", "bigint")  # metadata-only: files stay int32
     with pytest.raises(ValueError, match="widened"):
         t.register_bucketed_view("cpj_wide")
+
+
+def test_zorder_write_clause_conflicts_with_buckets(spark):
+    t = _bucketed(spark, "k", 4, "cp_zc_")
+    t.commit_append(
+        spark.createDataFrame(
+            [(i, i) for i in range(10)], "k int, v int"
+        )
+    )
+    with pytest.raises(ValueError, match="Z-order"):
+        t.commit_append(
+            spark.createDataFrame([(11, 11)], "k int, v int"),
+            cluster_by=("k", "v"),
+        )
+    # plain compaction still flows through the bucketed writer
+    t.optimize_small_files(1 << 30, 1 << 30)
+    v = t.register_bucketed_view("cpj_zc")
+    assert spark.table(v).count() == 10
