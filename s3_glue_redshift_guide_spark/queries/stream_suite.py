@@ -32,6 +32,32 @@ from ..streaming.stateful import sessionize_stream
 from .registry import query
 
 
+def _drain_capped(df: DataFrame, tag: str, n_drains: int) -> DataFrame:
+    """Drain an ADMISSION-CAPPED stream: under the Python-source
+    availableNow fallback each start processes ONE capped batch, so a
+    capped backlog drains by looping starts on the SAME checkpoint
+    (the production catch-up shape). foreachBatch is the sink — the
+    memory sink cannot recover from a checkpoint, foreachBatch can —
+    and each epoch's rows accumulate driver-side (the same
+    materialization the memory sink performs)."""
+    ck = tempfile.mkdtemp(prefix=f"spark_ckpt_{tag}_")
+    rows: list = []
+
+    def _collect(batch_df: DataFrame, epoch_id: int) -> None:
+        rows.extend(batch_df.collect())
+
+    for _ in range(n_drains):
+        q = (
+            df.writeStream.foreachBatch(_collect)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 def _drain(df: DataFrame, tag: str) -> DataFrame:
     """Run a streaming frame to completion (availableNow) into a uniquely
     named memory sink; return the sink's contents."""
@@ -275,9 +301,13 @@ def src_stream_change_feed(spark, sf_dir):
         .option("maxVersionsPerTrigger", "1")
         .load()
     )
-    streamed = _drain(stream, "cdf").select(
-        "o_orderkey", "price", "_change_type", "_commit_version"
-    )
+    # round-9: the fresh-start admission fix makes the cap REAL under
+    # the availableNow fallback — one capped batch per start, so the
+    # 3-version backlog drains as three 1-version epochs on one
+    # checkpoint (previously the first batch was silently uncapped)
+    streamed = _drain_capped(
+        stream, "cdf", t.current_version()
+    ).select("o_orderkey", "price", "_change_type", "_commit_version")
     # the BATCH per-commit feed (SnapshotTable.read_change_feed) must
     # replay the exact same multiset — unioned in, so the oracle checks
     # both the streaming and the table-level CDF APIs in one row
