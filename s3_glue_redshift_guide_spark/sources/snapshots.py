@@ -6422,6 +6422,26 @@ class SnapshotTable:
                         if not dry_run:
                             shutil.rmtree(p, ignore_errors=True)
                         deleted.append(p)
+            # bucketed-view symlink farms (register_bucketed_view):
+            # ephemeral registration artifacts, never referenced by
+            # any manifest — a farm older than the grace window
+            # sweeps (a consumer must re-register after VACUUM anyway:
+            # collected data files would leave its links dangling);
+            # younger farms stay, they may back a just-registered view
+            bv_root = os.path.join(sroot, "_bucket_views")
+            if os.path.isdir(bv_root):
+                for d in sorted(os.listdir(bv_root)):
+                    full = os.path.join(bv_root, d)
+                    try:
+                        old = (
+                            os.path.getmtime(full) < orphan_horizon
+                        )
+                    except OSError:
+                        old = False
+                    if old:
+                        if not dry_run:
+                            shutil.rmtree(full, ignore_errors=True)
+                        deleted.append(full)
         if dry_run:
             return deleted
         keep_set = set(keep_versions)

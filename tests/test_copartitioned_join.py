@@ -215,3 +215,21 @@ def test_zorder_write_clause_conflicts_with_buckets(spark):
     t.optimize_small_files(1 << 30, 1 << 30)
     v = t.register_bucketed_view("cpj_zc")
     assert spark.table(v).count() == 10
+
+
+def test_vacuum_sweeps_aged_view_farms_keeps_fresh(spark):
+    t = _bucketed(spark, "k", 4, "cp_vac_")
+    t.commit_append(
+        spark.createDataFrame([(i, i) for i in range(8)], "k int, v int")
+    )
+    t.register_bucketed_view("cpj_vac1")
+    farms = os.path.join(t.root, "_bucket_views")
+    assert len(os.listdir(farms)) == 1
+    # fresh farm survives the default grace window
+    t.vacuum(retain_versions=1)
+    assert len(os.listdir(farms)) == 1
+    # aged farm (grace 0) sweeps; a re-register serves again
+    t.vacuum(retain_versions=1, orphan_grace_seconds=0)
+    assert os.listdir(farms) == []
+    v = t.register_bucketed_view("cpj_vac2")
+    assert spark.table(v).count() == 8
