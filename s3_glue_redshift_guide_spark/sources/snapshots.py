@@ -1833,6 +1833,12 @@ class SnapshotTable:
         new: list[str] | None = None
         cons_checked = set(self._constraints())
         spec_at_write = self._partition_spec()
+        cur0 = self.current_version()
+        bspec_at_write = (
+            (load_manifest(self.root, cur0).get("properties") or {})
+            if cur0 > 0
+            else {}
+        ).get("bucket.by")
         ident_at_write: dict[str, int] | None = None
         for _ in range(5):
             cur = self.current_version()
@@ -1911,6 +1917,20 @@ class SnapshotTable:
                     "concurrently with this append; the staged files "
                     f"were laid out under {spec_at_write or 'no spec'} "
                     "— retry the write"
+                )
+            # same contract for the bucket layout: staged files carry
+            # (or lack) a murmur3 bucket mapping baked at write time —
+            # publishing them under a DIFFERENT head bucket.by would
+            # poison every bucketed-readback join (the only mutable
+            # window is an empty table; set_tblproperties refuses the
+            # change once files exist)
+            head_bspec = (m.get("properties") or {}).get("bucket.by")
+            if new is not None and head_bspec != bspec_at_write:
+                raise CommitConflict(
+                    f"bucket.by changed concurrently with this append "
+                    f"({bspec_at_write!r} -> {head_bspec!r}); the "
+                    "staged files were laid out under the old spec — "
+                    "retry the write"
                 )
             # COPY INTO race: a concurrent writer landed (some of) the
             # same source files while we staged — publishing would
@@ -4187,7 +4207,25 @@ class SnapshotTable:
             if cur > 0
             else {"files": [], "stats": {}}
         )
-        merged = {**(m.get("properties") or {}), **props}
+        old_props = m.get("properties") or {}
+        if (
+            "bucket.by" in props
+            and m["files"]
+            and props["bucket.by"] != old_props.get("bucket.by")
+        ):
+            # the bucket spec IS the join-time hash mapping: changing
+            # it over files written under a different (or no) spec
+            # would make the bucketed readback serve a WRONG murmur3
+            # mapping — joins silently losing matches. cluster.by may
+            # change freely (it shapes future layout only; pruning is
+            # stat-based, never mapping-based).
+            raise ValueError(
+                "bucket.by cannot change on a table with existing "
+                "files (the banked files were laid out under "
+                f"{old_props.get('bucket.by')!r}); rewrite the table "
+                "(CTAS) to re-bucket"
+            )
+        merged = {**old_props, **props}
         kw: dict = {"properties": merged, "op": "SET TBLPROPERTIES"}
         ev = props.get("schema.enforcement")
         if ev is not None:

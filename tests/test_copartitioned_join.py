@@ -109,12 +109,20 @@ def test_bucket_property_validation(spark):
         t2.commit_append(spark.createDataFrame([(1, 2)], "k int, v int"))
 
 
-def test_pre_bucket_files_refused_in_view(spark):
+def test_bucket_spec_cannot_change_over_existing_files(spark):
+    # r9 self-review: the bucket spec IS the join-time hash mapping —
+    # declaring (or changing) it over files written under a different
+    # spec would serve a WRONG murmur3 mapping to every bucketed join
     t = SnapshotTable(spark, tempfile.mkdtemp(prefix="cp_pre_"))
     t.commit_append(spark.createDataFrame([(1, 2)], "k int, v int"))
-    t.set_tblproperties({"bucket.by": "k:4"})
-    with pytest.raises(ValueError, match="bucket-id"):
-        t.register_bucketed_view("cpj_pre")
+    with pytest.raises(ValueError, match="bucket.by cannot change"):
+        t.set_tblproperties({"bucket.by": "k:4"})
+    t2 = _bucketed(spark, "k", 4, "cp_chg_")
+    t2.commit_append(spark.createDataFrame([(1, 2)], "k int, v int"))
+    with pytest.raises(ValueError, match="bucket.by cannot change"):
+        t2.set_tblproperties({"bucket.by": "k:8"})
+    # re-asserting the SAME spec is a no-op, not a change
+    t2.set_tblproperties({"bucket.by": "k:4"})
 
 
 def test_bucketed_files_carry_bucket_ids(spark):
