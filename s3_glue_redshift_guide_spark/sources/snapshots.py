@@ -3999,6 +3999,11 @@ class SnapshotTable:
                     os.path.join(pd, os.path.basename(f)),
                 )
         schema = self.read(cur).schema
+        if "_cv" in {f.name for f in schema.fields}:
+            raise ValueError(
+                "bucketed readback reserves the _cv partition column; "
+                "rename the table's _cv column first"
+            )
         cols_sql = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}"
             for f in schema.fields
