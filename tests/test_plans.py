@@ -422,3 +422,22 @@ def test_downsample_is_two_aggregates_one_window(spark):
     assert plan.count("Window") >= 1
     assert "CartesianProduct" not in plan
     assert "Sort [dev" not in plan.replace("dev#", "dev")
+
+
+def test_sql_select_q5_star_no_cartesian_all_equi(spark):
+    # round-9 read-complete SQL surface: the q5 star as pure SQL over
+    # connector-backed snapshot views must compile to equi-joins only
+    # — a cartesian anywhere means the rewrite lost a join condition
+    df = _q(spark, "sql_select_snapshot_q5")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchScan" in plan or "Scan" in plan  # connector scans
+    assert plan.count("Join") >= 5  # 6 tables -> 5 joins survived
+
+
+def test_copartitioned_row_reports_zero_shuffles(spark):
+    # the registry row itself banks the executed-plan fact; the oracle
+    # pins it to 0, but freeze it here too so a layout regression
+    # fails fast in CI rather than only at the driver
+    row = _q(spark, "join_copartitioned_snapshots").collect()[0]
+    assert row["shuffle_exchanges"] == 0
