@@ -3234,9 +3234,32 @@ class SnapshotTable:
             )
         ent.setdefault("prior", []).insert(0, old)
         ent["name"] = new
+        # layout properties name columns by their LOGICAL name: carry
+        # the rename into bucket.by / cluster.by in the same commit, or
+        # every subsequent append would fail looking for the old name
+        # (the files stay hash-correct — values didn't change)
+        props = dict(m.get("properties") or {})
+        props_changed = False
+        bb = props.get("bucket.by")
+        if bb:
+            col, _, n = str(bb).partition(":")
+            if col.strip() == old:
+                props["bucket.by"] = f"{new}:{n.strip()}"
+                props_changed = True
+        cb = props.get("cluster.by")
+        if cb:
+            cols = [c.strip() for c in str(cb).split(",")]
+            if old in cols:
+                props["cluster.by"] = ",".join(
+                    new if c == old else c for c in cols
+                )
+                props_changed = True
+        kw: dict = {}
+        if props_changed:
+            kw["properties"] = props
         return self._publish(
             m["files"], cur, m["stats"], schema_map=sm,
-            op="RENAME COLUMN",
+            op="RENAME COLUMN", **kw,
         )
 
     def drop_column(self, name: str) -> int:
@@ -3251,6 +3274,20 @@ class SnapshotTable:
         cur = self.current_version()
         m = load_manifest(self.root, cur)
         self._reject_constrained(m, name, "drop")
+        props = m.get("properties") or {}
+        bb = str(props.get("bucket.by") or "").partition(":")[0].strip()
+        cb = [
+            c.strip()
+            for c in str(props.get("cluster.by") or "").split(",")
+            if c.strip()
+        ]
+        if name == bb or name in cb:
+            # the declared layout hashes/sorts on this column: dropping
+            # it would wedge every subsequent append
+            raise ValueError(
+                f"cannot drop {name!r}: it is the table's declared "
+                "bucket.by/cluster.by layout column"
+            )
         sm = self._schema_map_for_edit(m)
         ent = next(
             (

@@ -241,3 +241,49 @@ def test_vacuum_sweeps_aged_view_farms_keeps_fresh(spark):
     assert os.listdir(farms) == []
     v = t.register_bucketed_view("cpj_vac2")
     assert spark.table(v).count() == 8
+
+
+def test_rename_of_layout_column_carries_into_properties(spark):
+    # r9 self-review: renaming the bucket/cluster column previously
+    # wedged every subsequent append (the property kept the old name)
+    t = _bucketed(spark, "k", 4, "cp_ren_")
+    t.commit_append(
+        spark.createDataFrame([(i, i) for i in range(8)], "k int, v int")
+    )
+    t.rename_column("k", "kk")
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        load_manifest,
+    )
+
+    m = load_manifest(t.root, t.current_version())
+    assert m["properties"]["bucket.by"] == "kk:4"
+    # appends keep flowing under the new logical name (values hash
+    # identically — the files stay bucket-correct)
+    t.commit_append(
+        spark.createDataFrame([(100, 100)], "kk int, v int")
+    )
+    assert t.read().count() == 9
+    # the catalog view honestly refuses (physical names differ now)
+    with pytest.raises(ValueError, match="renamed"):
+        t.register_bucketed_view("cpj_ren")
+
+    t2 = SnapshotTable(spark, tempfile.mkdtemp(prefix="cp_ren2_"))
+    t2.set_tblproperties({"cluster.by": "a,b"})
+    t2.commit_append(
+        spark.createDataFrame([(1, 2)], "a int, b int")
+    )
+    t2.rename_column("b", "bb")
+    m2 = load_manifest(t2.root, t2.current_version())
+    assert m2["properties"]["cluster.by"] == "a,bb"
+    t2.commit_append(spark.createDataFrame([(3, 4)], "a int, bb int"))
+    assert t2.read().count() == 2
+
+
+def test_drop_of_layout_column_rejected(spark):
+    t = _bucketed(spark, "k", 4, "cp_drop_")
+    t.commit_append(
+        spark.createDataFrame([(1, 2)], "k int, v int")
+    )
+    with pytest.raises(ValueError, match="layout column"):
+        t.drop_column("k")
+    t.drop_column("v")  # non-layout columns still drop fine
