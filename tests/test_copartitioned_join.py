@@ -79,15 +79,39 @@ def test_bucketed_view_isolates_dead_files_after_delete(spark):
     assert _plan(j).count("Exchange hashpartitioning") == 0
 
 
-def test_bucketed_view_refuses_renames_and_dv(spark):
-    t = _bucketed(spark, "k", 4, "cp_ref_")
+def test_bucketed_view_serves_nonlayout_rename_shuffle_free(spark):
+    # round 10 (VERDICT-r9 #4): renaming a NON-layout column no longer
+    # forfeits the zero-Exchange join — the catalog table declares the
+    # physical union schema and a coalesce view surfaces current names
+    t = _bucketed(spark, "k", 4, "cp_ren_ok_")
     t.commit_append(
-        spark.createDataFrame([(1, 2)], "k int, v int")
+        spark.createDataFrame(
+            [(i, 10 * i) for i in range(8)], "k int, v int"
+        )
     )
     t.rename_column("v", "w")
-    with pytest.raises(ValueError, match="renamed"):
-        t.register_bucketed_view("cpj_refuse1")
+    t.commit_append(
+        spark.createDataFrame(
+            [(i, 10 * i) for i in range(8, 12)], "k int, w int"
+        )
+    )
+    v = t.register_bucketed_view("cpj_ren_ok")
+    rows = sorted(
+        (r["k"], r["w"]) for r in spark.table(v).collect()
+    )
+    # pre-rename rows surface under the NEW name, value-intact
+    assert rows == [(i, 10 * i) for i in range(12)]
+    j = (
+        spark.table(v)
+        .join(spark.table(v).select("k"), "k")
+        .groupBy("k")
+        .count()
+    )
+    j.collect()
+    assert _plan(j).count("Exchange hashpartitioning") == 0
 
+
+def test_bucketed_view_refuses_dv(spark):
     t2 = _bucketed(spark, "k", 4, "cp_dv_")
     t2.commit_append(
         spark.createDataFrame([(i, i) for i in range(10)], "k int, v int")

@@ -433,6 +433,10 @@ def test_sql_select_q5_star_no_cartesian_all_equi(spark):
     assert "CartesianProduct" not in plan
     assert "BatchScan" in plan or "Scan" in plan  # connector scans
     assert plan.count("Join") >= 5  # 6 tables -> 5 joins survived
+    # round 10: the ref rewriter surfaces manifest byte sizes as
+    # broadcast hints (a Python DataSource can't report stats), so the
+    # star's constant-size dims broadcast with no hint in the query
+    assert "BroadcastHashJoin" in plan
 
 
 def test_copartitioned_row_reports_zero_shuffles(spark):

@@ -124,15 +124,24 @@ def test_show_create_escapes_property_quotes_and_lists_statements(
 
 # ---------------------------------------------------------------- 4 --
 def test_malformed_cluster_by_property_raises_on_append(spark):
-    t = _t(spark, "r9cb_")
-    t.commit_append(
-        spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
-    )
-    t.set_tblproperties({"cluster.by": "a, b, c"})  # 3 cols: invalid
-    with pytest.raises(ValueError, match="cluster.by"):
+    # round 10 generalized cluster.by to 2-4 columns (VERDICT-r9 #5),
+    # so the malformed cases are now 1 column and >4 columns
+    for bad in ("a", "a,b,c,a2,b2"):
+        t = _t(spark, "r9cb_")
         t.commit_append(
-            spark.createDataFrame([(4, 5, 6)], "a int, b int, c int")
+            spark.createDataFrame(
+                [(1, 2, 3, 4, 5)],
+                "a int, b int, c int, a2 int, b2 int",
+            )
         )
+        t.set_tblproperties({"cluster.by": bad})
+        with pytest.raises(ValueError, match="cluster.by"):
+            t.commit_append(
+                spark.createDataFrame(
+                    [(6, 7, 8, 9, 10)],
+                    "a int, b int, c int, a2 int, b2 int",
+                )
+            )
 
 
 def test_two_column_cluster_by_property_still_applies(spark):

@@ -1077,3 +1077,126 @@ def test_select_general_timestamp_tag_branch_refs(spark):
     ).collect()[0].m
     assert n_branch == 9
     assert t.read().count() == 3  # main untouched
+
+
+# ------------- round 10: snapshot refs inside verb bodies --------------
+def test_sql_insert_select_reads_snapshot_ref(spark):
+    src = SnapshotTable(spark, _tmp("bodysrc"))
+    src.commit_append(_kv(spark, 10))
+    src.commit_append(_kv(spark, 10, start=10))  # v2: 20 rows
+    dst = SnapshotTable(spark, _tmp("bodydst"))
+    dst.commit_append(_kv(spark, 0))
+    snapshot_sql(
+        spark,
+        f"INSERT INTO pysnapshot.`{dst.root}` SELECT k, v FROM "
+        f"pysnapshot.`{src.root}` WHERE k < 15",
+    )
+    assert _rows(dst) == [(k, 2 * k) for k in range(15)]
+    # time travel in the body: VERSION AS OF 1 sees only the first 10
+    snapshot_sql(
+        spark,
+        f"INSERT INTO pysnapshot.`{dst.root}` SELECT k + 100, v FROM "
+        f"pysnapshot.`{src.root}` VERSION AS OF 1",
+    )
+    assert dst.read().filter(F.col("k") >= 100).count() == 10
+
+
+def test_sql_merge_using_bare_snapshot_ref(spark):
+    tgt = SnapshotTable(spark, _tmp("mrgtgt"))
+    tgt.commit_append(_kv(spark, 20))
+    src = SnapshotTable(spark, _tmp("mrgsrc"))
+    src.commit_append(
+        spark.range(10, 30).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+        )
+    )
+    snapshot_sql(
+        spark,
+        f"""MERGE INTO pysnapshot.`{tgt.root}` t
+            USING pysnapshot.`{src.root}` s
+            ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET v = s.v
+            WHEN NOT MATCHED THEN INSERT *""",
+    )
+    assert _rows(tgt) == [
+        (k, 2 * k) for k in range(10)
+    ] + [(k, 7 * k) for k in range(10, 30)]
+
+
+def test_sql_ctas_body_reads_snapshot_ref(spark):
+    src = SnapshotTable(spark, _tmp("ctassrc"))
+    src.commit_append(_kv(spark, 30))
+    root = _tmp("ctasdst") + "/t"
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE pysnapshot.`{root}` AS SELECT k, v FROM "
+        f"pysnapshot.`{src.root}` WHERE k % 3 = 0",
+    )
+    t = SnapshotTable(spark, root)
+    assert _rows(t) == [(k, 2 * k) for k in range(0, 30, 3)]
+
+
+def test_sql_merge_subquery_body_reads_snapshot_ref(spark):
+    tgt = SnapshotTable(spark, _tmp("mrg2tgt"))
+    tgt.commit_append(_kv(spark, 10))
+    src = SnapshotTable(spark, _tmp("mrg2src"))
+    src.commit_append(_kv(spark, 20))
+    snapshot_sql(
+        spark,
+        f"""MERGE INTO pysnapshot.`{tgt.root}` t
+            USING (SELECT k, v + 1 AS v FROM
+                   pysnapshot.`{src.root}` WHERE k >= 5) s
+            ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET v = s.v
+            WHEN NOT MATCHED THEN INSERT *""",
+    )
+    assert _rows(tgt) == [(k, 2 * k) for k in range(5)] + [
+        (k, 2 * k + 1) for k in range(5, 20)
+    ]
+
+
+def test_sql_body_literal_pysnapshot_is_data_not_ref(spark):
+    dst = SnapshotTable(spark, _tmp("litdst"))
+    dst.create_table("`k` bigint, `s` string")
+    src = SnapshotTable(spark, _tmp("litsrc"))
+    src.commit_append(spark.range(3).select(F.col("id").alias("k")))
+    snapshot_sql(
+        spark,
+        f"INSERT INTO pysnapshot.`{dst.root}` SELECT k, "
+        f"'pysnapshot.`fake`' FROM pysnapshot.`{src.root}`",
+    )
+    rows = sorted(
+        (r["k"], r["s"]) for r in dst.read().collect()
+    )
+    assert rows == [(i, "pysnapshot.`fake`") for i in range(3)]
+
+
+# ---------- round 10: connector table stats -> auto-broadcast ----------
+def test_select_general_auto_broadcasts_small_refs(spark):
+    from s3_glue_redshift_guide_spark.sql_dml import snapshot_sql
+
+    dim = SnapshotTable(spark, _tmp("bcdim"))
+    dim.commit_append(
+        spark.range(10).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        )
+    )
+    fact = SnapshotTable(spark, _tmp("bcfact"))
+    fact.commit_append(_kv(spark, 5000))
+    q = (
+        f"SELECT f.k, d.tag, f.v FROM pysnapshot.`{fact.root}` f "
+        f"JOIN pysnapshot.`{dim.root}` d ON d.k = f.k"
+    )
+    df = snapshot_sql(spark, q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    # threshold -1 disables the hint: the same query falls back to the
+    # stats-less default (no broadcast decision injected by us)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df2 = snapshot_sql(spark, q)
+        plan2 = df2._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan2, plan2[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
