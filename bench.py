@@ -116,6 +116,11 @@ def _minhash_operator(spark, sf_dir):
         load_table(spark, sf_dir, "documents"), "doc_id", "text",
         n=3, n_hashes=32, bands=16, threshold=0.2,
         shingle_sets=_shingle_sets(spark, sf_dir),
+        # the production band-bucket cap (round 10): the sf10 probe
+        # measured the uncapped path at scaling exponent 1.77 on a
+        # low-diversity corpus; capped, oversized buckets emit O(k)
+        # hub-star edges. Does not bind at sf0.1 (floors comparable).
+        max_band_bucket=64,
     )
 
 

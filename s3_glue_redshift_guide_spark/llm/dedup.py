@@ -319,6 +319,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_sets: DataFrame | None = None,
     use_arrow: bool = True,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """L2 candidates: (doc_a, doc_b) sharing at least one LSH band.
 
@@ -327,7 +328,18 @@ def minhash_lsh_candidates(
     every hash seed is a literal (expression path) or a fixed-key/seeded
     numpy derivation (Arrow path, the default — one vectorized pass instead
     of n_hashes interpreted array folds).
-    """
+
+    ``max_band_bucket`` (the round-10 scale guard, measured not guessed:
+    the sf10 probe put uncapped minhash at scaling exponent 1.77 — a
+    low-shingle-diversity corpus, exactly what boilerplate-heavy web data
+    looks like, grows band-bucket pair counts ~n²): a (band, bucket)
+    group larger than the cap emits STAR edges — bucket-min doc paired
+    with each other member, O(k) instead of O(k²) — which preserves
+    connected-component structure for dedup (every member still reaches
+    the rest through the hub) while bounding the verify join. Giant
+    buckets are near-identical boilerplate clusters in practice; the
+    downstream exact-Jaccard verify keeps precision at 1.0 either way.
+    None (the default) disables the cap — oracle rows stay bit-exact."""
     r = n_hashes // bands
     docs = (
         shingle_sets
@@ -359,6 +371,38 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
+    if max_band_bucket is not None:
+        # one window pass on the same (band, bucket) key the join
+        # shuffles on: size + hub per bucket, then all-pairs for small
+        # buckets and hub-star edges for oversized ones
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy("band", "bucket")
+        sized = banded.withColumns(
+            {
+                "__bsz": F.count(F.lit(1)).over(w),
+                "__hub": F.min("doc").over(w),
+            }
+        )
+        small = sized.filter(F.col("__bsz") <= max_band_bucket)
+        a = small.select("band", "bucket", F.col("doc").alias("doc_a"))
+        b = small.select("band", "bucket", F.col("doc").alias("doc_b"))
+        pairs = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        star = (
+            sized.filter(
+                (F.col("__bsz") > max_band_bucket)
+                & (F.col("doc") != F.col("__hub"))
+            )
+            .select(
+                F.col("__hub").alias("doc_a"),
+                F.col("doc").alias("doc_b"),
+            )
+        )
+        return pairs.unionAll(star).distinct()
     a = banded.select("band", "bucket", F.col("doc").alias("doc_a"))
     b = banded.select("band", "bucket", F.col("doc").alias("doc_b"))
     return (
@@ -379,10 +423,14 @@ def minhash_near_dup_pairs(
     threshold: float = 0.5,
     shingle_sets: DataFrame | None = None,
     use_arrow: bool = True,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """L2 (scale path): LSH candidates verified with exact Jaccard — output
     is a SUBSET of ``jaccard_pairs`` (precision 1.0; recall set by b/r).
-    The verify join touches only candidate pairs, not the corpus square."""
+    The verify join touches only candidate pairs, not the corpus square.
+    ``max_band_bucket`` bounds degenerate buckets (see
+    minhash_lsh_candidates) — the production default for boilerplate-
+    heavy corpora; None keeps the exact uncapped candidate set."""
     docs = (
         shingle_sets
         if shingle_sets is not None
@@ -391,6 +439,7 @@ def minhash_near_dup_pairs(
     cands = minhash_lsh_candidates(
         df, id_col, text_col, n, n_hashes, bands,
         shingle_sets=docs, use_arrow=use_arrow,
+        max_band_bucket=max_band_bucket,
     )
     a = docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))

@@ -175,3 +175,56 @@ def test_cluster_by_five_columns_rejected_in_sql(spark):
             f"CREATE TABLE pysnapshot.`{root}` (a int, b int, c int, "
             "d int, e int) CLUSTER BY (a, b, c, d, e)",
         )
+
+
+# ------- round 10: MinHash band-bucket cap (measured sf10 blow-up) -----
+def test_minhash_band_bucket_cap_bounds_giant_clusters(spark):
+    from s3_glue_redshift_guide_spark.llm.dedup import (
+        minhash_lsh_candidates,
+        minhash_near_dup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base) for i in range(200)]  # one giant dup cluster
+    rows += [(1000 + i, f"unique text number {i} with words {i * 7} "
+                        f"{i * 13} {i * 29} distinct") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = minhash_lsh_candidates(
+        df, "doc_id", "text", max_band_bucket=16
+    )
+    n_capped = capped.count()
+    # star edges: the 200-doc cluster contributes 199 edges, not C(200,2)
+    assert n_capped < 1000, n_capped
+    # connectivity survives: every cluster member reaches the hub
+    hub_edges = capped.filter(F.col("doc_a") == 0).count()
+    assert hub_edges == 199
+    # the verified pairs keep precision 1.0 and the full cluster
+    pairs = minhash_near_dup_pairs(
+        df, "doc_id", "text", threshold=0.5, max_band_bucket=16
+    )
+    assert pairs.filter(F.col("jaccard") < 0.5).count() == 0
+    assert pairs.count() == 199
+
+
+def test_minhash_cap_is_noop_on_small_buckets(spark):
+    from s3_glue_redshift_guide_spark.llm.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    rows = [
+        (i, f"some shared words plus token {i} and token {i + 1}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = sorted(
+        map(tuple, minhash_lsh_candidates(df, "doc_id", "text").collect())
+    )
+    capped = sorted(
+        map(
+            tuple,
+            minhash_lsh_candidates(
+                df, "doc_id", "text", max_band_bucket=1000
+            ).collect(),
+        )
+    )
+    assert plain == capped
