@@ -1227,3 +1227,58 @@ def sql_cluster_by_n_pruning(spark, sf_dir):
         "n_rows bigint, n_dim_k bigint, n_dim_c bigint, "
         "n_dim_b bigint, pruned_k int, pruned_c int, pruned_b int",
     )
+
+
+@query(
+    "sql_insert_overwrite",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           2 AS n_versions_after_seed
+    FROM orders WHERE o_orderkey % 5 = 2
+    """,
+)
+def sql_insert_overwrite(spark, sf_dir):
+    """INSERT OVERWRITE (round 10): the classic warehouse full-refresh
+    verb — one ATOMIC commit replaces the table's visible row set
+    (``replace_where(true)``: every live file unreferenced, the new
+    rows landed; older versions stay readable, Spark's lakehouse
+    INSERT OVERWRITE semantics). The pipeline is SQL text end-to-end:
+    CTAS seeds the table from a snapshot ref, INSERT OVERWRITE
+    replaces it reading the ref again with a different predicate, and
+    the final state matches DuckDB value-exactly while the version
+    fact pins exactly-one-commit atomicity (seed v2 -> overwrite v3)."""
+    import tempfile as _tf
+
+    from ..sql_dml import snapshot_sql
+    from ..sources.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    ta = SnapshotTable(spark, _tf.mkdtemp(prefix="sqlovw_a_"))
+    ta.commit_append(o)
+    croot = _tf.mkdtemp(prefix="sqlovw_c_") + "/t"
+    snapshot_sql(
+        spark,
+        f"""CREATE TABLE pysnapshot.`{croot}` AS
+            SELECT o_orderkey, price_cents
+            FROM pysnapshot.`{ta.root}` WHERE o_orderkey < 300""",
+    )
+    t = SnapshotTable(spark, croot)
+    v_seed = t.current_version()
+    snapshot_sql(
+        spark,
+        f"""INSERT OVERWRITE pysnapshot.`{croot}`
+            SELECT o_orderkey, price_cents
+            FROM pysnapshot.`{ta.root}` WHERE o_orderkey % 5 = 2""",
+    )
+    n_commits = t.current_version() - v_seed + 1
+    return t.read().select(
+        "o_orderkey",
+        "price_cents",
+        F.lit(n_commits).alias("n_versions_after_seed"),
+    )

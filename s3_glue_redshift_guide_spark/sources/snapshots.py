@@ -3985,12 +3985,22 @@ class SnapshotTable:
         attribute, so Catalyst still sees the storage hash distribution
         and the join stays Exchange-free.
 
+        Deletion vectors (round 10): MoR point deletes are served too —
+        the view masks them with a per-file (basename, row_index)
+        NOT-filter, the same mask the connector applies, and a Filter
+        preserves the bucketed distribution. Bounded at 10k positions
+        (DVs are the point-delete path; OPTIMIZE folds bigger ones).
+
+        Type widening (round 10): served — the table declares the
+        BANKED (wide) type and Spark 4's vectorized reader upcasts
+        narrower files at scan time (int-family→bigint, float→double).
+
         Refused (fall back to the connector read, which handles them):
-        a renamed BUCKET column (the join key would surface as a
-        coalesce — a derived expression Catalyst cannot match to the
-        bucket distribution), merge-on-read deletion vectors
-        (invisible to a plain scan), and type widening (files narrower
-        than the reader schema)."""
+        a renamed or width-mixed BUCKET column (the join key's
+        identity/hash domain would break — a coalesce is a derived
+        expression Catalyst can't match to the distribution, and
+        murmur3 hashes int/bigint differently), >10k deletion-vector
+        positions, and cross-family physical type drift."""
         bspec = self._bucket_spec()
         if bspec is None:
             raise ValueError(
@@ -4000,11 +4010,32 @@ class SnapshotTable:
         bcol, n_buckets = bspec
         cur = self.current_version()
         m = load_manifest(self.root, cur)
-        if m.get("dv"):
-            raise ValueError(
-                "bucketed readback cannot represent merge-on-read "
-                "deletion vectors; read through the connector instead"
-            )
+        dv = {f: v for f, v in (m.get("dv") or {}).items() if v}
+        if dv:
+            # DVs are the POINT-delete path; the view applies them as a
+            # per-file (basename, row_index) NOT-filter, which stays a
+            # deterministic predicate (bucketing preserved) but lives in
+            # the view text — bound it by sidecar bytes before reading.
+            # Bulk deletes belong to commit_replace/OPTIMIZE, after
+            # which the DVs are gone.
+            sidecar_bytes = 0
+            for d in sorted({p for lst in dv.values() for p in lst}):
+                try:
+                    sidecar_bytes += sum(
+                        os.path.getsize(os.path.join(d, f))
+                        for f in os.listdir(d)
+                    )
+                except OSError:
+                    sidecar_bytes = 4 << 20
+                    break
+            if sidecar_bytes >= 4 << 20:
+                raise ValueError(
+                    "bucketed readback caps deletion vectors at point-"
+                    "delete size (4 MiB of sidecars / 10k positions — "
+                    "the view inlines them as a row-index filter); run "
+                    "OPTIMIZE/REORG PURGE to fold the DVs into files, "
+                    "or read through the connector instead"
+                )
         sm = m.get("schema") or []
         for ent in sm:
             if (
@@ -4025,12 +4056,15 @@ class SnapshotTable:
             raise ValueError("bucketed readback of an empty table")
         if m.get("types"):
             # banked reader types (DDL-declared or widened): the
-            # catalog scan reads files at their PHYSICAL types, so it
-            # can only serve tables where every file already matches
-            # the banked width — an actually-widened narrow file would
-            # fail the vectorized reader mid-query. One footer read
-            # per file, registration-time only (in production these
-            # widths would be banked per-file at write time).
+            # catalog table declares the BANKED width, and Spark 4's
+            # vectorized parquet reader upcasts a narrower file at scan
+            # time (int-family -> bigint, float -> double — verified
+            # empirically; the same mechanism Delta's type widening
+            # rides). Files whose physical type is NOT a widenable
+            # narrower of the banked type (cross-family drift) are
+            # refused. One footer read per file, registration-time
+            # only (in production these widths would be banked per-file
+            # at write time).
             import pyarrow.parquet as _pq
 
             from pyspark.sql.pandas.types import from_arrow_schema
@@ -4052,15 +4086,36 @@ class SnapshotTable:
                     _pq.ParquetFile(f).schema_arrow
                 )
                 for fld in phys.fields:
-                    want = banked.get(cur_of.get(fld.name, fld.name))
+                    cur_name = cur_of.get(fld.name, fld.name)
+                    want = banked.get(cur_name)
                     got = fld.dataType.simpleString().lower()
-                    if want is not None and got != want:
+                    if want is None or got == want:
+                        continue
+                    if cur_name == bcol:
+                        # the BUCKET column's physical width is the
+                        # hash domain: murmur3(int) != murmur3(bigint)
+                        # for the same value, so a width-mixed bucket
+                        # column would silently mis-bucket the join —
+                        # refuse, never upcast
+                        raise ValueError(
+                            "bucketed readback cannot serve a width-"
+                            f"mixed bucket column: {fld.name!r} is "
+                            f"{got} in {os.path.basename(f)} but "
+                            f"{want} banked — murmur3 hashes the two "
+                            "widths differently; read through the "
+                            "connector instead"
+                        )
+                    try:
+                        ok = widen_merge(got, want) == want
+                    except ValueError:
+                        ok = False
+                    if not ok:
                         raise ValueError(
                             "bucketed readback cannot represent "
-                            f"widened reader types: {fld.name!r} is "
-                            f"{got} in {os.path.basename(f)} but "
-                            f"{want} in the banked schema; read "
-                            "through the connector instead"
+                            f"column {fld.name!r}: {got} in "
+                            f"{os.path.basename(f)} does not widen "
+                            f"to the banked {want}; read through "
+                            "the connector instead"
                         )
         bad = [
             f
@@ -4123,9 +4178,37 @@ class SnapshotTable:
                 for f in schema.fields
             ]
             proj = [f"`{f.name}`" for f in schema.fields]
-        tbl = f"{name}__phys" if aliased else name
+        # deletion vectors ride the view as a deterministic per-file
+        # (basename, row_index) NOT-filter — same mask the connector's
+        # _masked_read applies, and a Filter preserves the bucketed
+        # scan's hash distribution, so MoR deletes keep the
+        # Exchange-free join. Basenames are UUID-unique, so matching
+        # the symlink's basename identifies the original file.
+        dv_conds = []
+        if dv:
+            rows = self._dv_rows(dv).collect()  # point-delete sized
+            if len(rows) > 10_000:
+                raise ValueError(
+                    "bucketed readback caps deletion vectors at 10k "
+                    "positions; run OPTIMIZE/REORG PURGE or read "
+                    "through the connector instead"
+                )
+            by_file: dict[str, list[int]] = {}
+            for r in rows:
+                by_file.setdefault(r["__dv_file"], []).append(
+                    int(r["__dv_pos"])
+                )
+            for f, pos in sorted(by_file.items()):
+                base = os.path.basename(f).replace("'", "''")
+                plist = ", ".join(str(p) for p in sorted(pos))
+                dv_conds.append(
+                    "(element_at(split(_metadata.file_path, '/'), -1)"
+                    f" = '{base}' AND _metadata.row_index IN ({plist}))"
+                )
+        use_view = aliased or bool(dv_conds)
+        tbl = f"{name}__phys" if use_view else name
         self._drop_owned_bucket_object(name)
-        if aliased:
+        if use_view:
             self._drop_owned_bucket_object(tbl)
         self.spark.sql(
             f"CREATE TABLE `{tbl}` ({', '.join(col_defs)}, `_cv` INT) "
@@ -4138,15 +4221,21 @@ class SnapshotTable:
             self.spark.sql(
                 f"ALTER TABLE `{tbl}` ADD PARTITION (_cv={i})"
             )
-        if aliased:
-            # the view inlines to a Project over the bucketed scan; the
-            # (unrenamed) bucket column survives as a plain attribute,
-            # so the hash distribution — and the Exchange-free join —
-            # survives the rename
+        if use_view:
+            # the view inlines to a Project(+Filter) over the bucketed
+            # scan; the (unrenamed) bucket column survives as a plain
+            # attribute and a Filter never changes partitioning, so the
+            # hash distribution — and the Exchange-free join — survives
+            # both the rename and the DV mask
+            where = (
+                f" WHERE NOT ({' OR '.join(dv_conds)})"
+                if dv_conds
+                else ""
+            )
             self.spark.sql(
                 f"CREATE VIEW `{name}` "
                 "TBLPROPERTIES ('pysnap.bucketed_view'='true') "
-                f"AS SELECT {', '.join(proj)} FROM `{tbl}`"
+                f"AS SELECT {', '.join(proj)} FROM `{tbl}`{where}"
             )
         return name
 
@@ -4727,6 +4816,18 @@ class SnapshotTable:
             }
         if col not in types:
             raise KeyError(f"no column named {col!r}")
+        bb = str(
+            (m.get("properties") or {}).get("bucket.by") or ""
+        ).partition(":")[0].strip()
+        if col == bb:
+            # the bucket mapping IS murmur3 over the column's physical
+            # width; int and bigint hash differently, so widening the
+            # bucket column would split the mapping across eras and
+            # silently lose matches in every bucketed join
+            raise ValueError(
+                f"cannot widen {col!r}: it is the table's bucket.by "
+                "layout column (murmur3 hashes the widths differently)"
+            )
         widened = widen_merge(types[col], new_type)
         if widened != new_type:
             raise ValueError(

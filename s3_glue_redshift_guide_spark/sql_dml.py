@@ -345,6 +345,12 @@ _REPLACE_WHERE = re.compile(
     r"(?P<where>.+?)\s+(?P<body>VALUES\s+.*|SELECT\s+.*)$",
     re.I | re.S,
 )
+_INSERT_OVERWRITE = re.compile(
+    rf"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?{_TBL}"
+    r"(?:\s*\((?P<cols>[\w\s,]+)\))?"
+    r"\s+(?P<body>VALUES\s+.*|SELECT\s+.*)$",
+    re.I | re.S,
+)
 _ADD_COLUMN = re.compile(
     rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+ADD\s+COLUMN\s+(?P<name>\w+)\s+"
     r"(?P<type>\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*$",
@@ -971,6 +977,38 @@ def snapshot_sql(
             ]
         )
         return t.replace_where(F.expr(m.group("where")), aligned)
+    m = _INSERT_OVERWRITE.match(sql)
+    if m:
+        # full-table replace in ONE atomic commit: replace_where(true)
+        # removes every live file and lands the new rows — readers of
+        # older versions keep their snapshot (Spark's INSERT OVERWRITE
+        # semantics on a lakehouse table)
+        t = SnapshotTable(spark, m.group("root"), clock=clock)
+        src = _body_df(spark, m.group("body"))
+        target = t.read()
+        cols = (
+            [c.strip() for c in m.group("cols").split(",")]
+            if m.group("cols")
+            else list(target.columns)
+        )
+        if len(src.columns) != len(cols):
+            raise ValueError(
+                "INSERT OVERWRITE arity mismatch: "
+                f"{len(src.columns)} values for {len(cols)} columns"
+            )
+        dts = dict(target.dtypes)
+        missing = [c for c in cols if c not in dts]
+        if missing:
+            raise ValueError(
+                f"INSERT OVERWRITE columns not in table: {missing}"
+            )
+        aligned = src.select(
+            *[
+                _qcol(src.columns[i]).cast(dts[c]).alias(c)
+                for i, c in enumerate(cols)
+            ]
+        )
+        return t.replace_where(F.expr("true"), aligned)
     m = _INSERT.match(sql)
     if m:
         return _insert(spark, m, clock)
@@ -1324,7 +1362,8 @@ def snapshot_sql(
     raise ValueError(
         "unrecognized statement (supported: CREATE TABLE ... "
         "[PARTITIONED BY] [TBLPROPERTIES] [AS SELECT], INSERT INTO "
-        "... VALUES/SELECT, MERGE INTO, UPDATE, DELETE FROM, OPTIMIZE "
+        "... VALUES/SELECT, INSERT OVERWRITE [TABLE] ... "
+        "VALUES/SELECT, MERGE INTO, UPDATE, DELETE FROM, OPTIMIZE "
         "[WHERE] [ZORDER BY], DESCRIBE HISTORY, DESCRIBE DETAIL, "
         "RESTORE ... TO VERSION AS OF, VACUUM ... RETAIN n VERSIONS, "
         "REORG TABLE ... APPLY (PURGE), ALTER TABLE ... ADD/DROP "

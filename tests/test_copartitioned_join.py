@@ -111,14 +111,52 @@ def test_bucketed_view_serves_nonlayout_rename_shuffle_free(spark):
     assert _plan(j).count("Exchange hashpartitioning") == 0
 
 
-def test_bucketed_view_refuses_dv(spark):
+def test_bucketed_view_serves_dv_masked_shuffle_free(spark):
+    # round 10: MoR point deletes ride the view as a row-index filter —
+    # deleted rows vanish, the bucket distribution (and zero-Exchange
+    # join) survives
     t2 = _bucketed(spark, "k", 4, "cp_dv_")
     t2.commit_append(
-        spark.createDataFrame([(i, i) for i in range(10)], "k int, v int")
+        spark.createDataFrame(
+            [(i, i) for i in range(10)], "k int, v int"
+        )
     )
     t2.delete_where(F.col("k") == 3)  # MOR: leaves a DV sidecar
-    with pytest.raises(ValueError, match="deletion vectors"):
-        t2.register_bucketed_view("cpj_refuse2")
+    v = t2.register_bucketed_view("cpj_dv_ok")
+    got = sorted(r["k"] for r in spark.table(v).collect())
+    assert got == [0, 1, 2, 4, 5, 6, 7, 8, 9]
+    j = (
+        spark.table(v)
+        .join(spark.table(v).select("k"), "k")
+        .groupBy("k")
+        .count()
+    )
+    j.collect()
+    assert _plan(j).count("Exchange hashpartitioning") == 0
+
+
+def test_bucketed_view_refuses_oversized_dv(spark):
+    from s3_glue_redshift_guide_spark.sources import snapshots as _sn
+
+    t = _bucketed(spark, "k", 4, "cp_dvbig_")
+    t.commit_append(
+        spark.createDataFrame(
+            [(i, i) for i in range(40)], "k int, v int"
+        )
+    )
+    t.delete_where(F.col("k") % 2 == 0)  # 20 DV positions
+    # shrink the budget instead of writing 10k+ real tombstones
+    import unittest.mock as _mock
+
+    m = _sn.load_manifest(t.root, t.current_version())
+    # unreadable sidecar dirs make the byte gate assume oversized —
+    # the budget path without writing 10k real tombstones
+    big = {f: ["/nonexistent/dv_sidecars"] for f in m["files"][:2]}
+    with _mock.patch.object(
+        _sn, "load_manifest", return_value={**m, "dv": big}
+    ):
+        with pytest.raises(ValueError, match="10k"):
+            t.register_bucketed_view("cpj_dvbig")
 
 
 def test_bucket_property_validation(spark):
@@ -221,14 +259,27 @@ def test_clustered_by_and_cluster_by_conflict(spark):
         )
 
 
-def test_actually_widened_table_refused_in_view(spark):
-    t = _bucketed(spark, "k", 4, "cp_wide_")
+def test_cross_family_type_drift_refused_in_view(spark):
+    # round 10 serves in-family widening (see
+    # test_bucketed_view_serves_widened_nonkey_column); what stays
+    # refused is physical type drift that does NOT widen to the banked
+    # type — simulate by banking a cross-family reader type
+    from s3_glue_redshift_guide_spark.sources import snapshots as _sn
+
+    t = _bucketed(spark, "k", 4, "cp_drift_")
     t.commit_append(
         spark.createDataFrame([(1, 2)], "k int, v int")
     )
-    t.widen_column("v", "bigint")  # metadata-only: files stay int32
-    with pytest.raises(ValueError, match="widened"):
-        t.register_bucketed_view("cpj_wide")
+    import unittest.mock as _mock
+
+    m = _sn.load_manifest(t.root, t.current_version())
+    with _mock.patch.object(
+        _sn,
+        "load_manifest",
+        return_value={**m, "types": {"k": "int", "v": "double"}},
+    ):
+        with pytest.raises(ValueError, match="does not widen"):
+            t.register_bucketed_view("cpj_drift")
 
 
 def test_zorder_write_clause_conflicts_with_buckets(spark):
@@ -311,3 +362,46 @@ def test_drop_of_layout_column_rejected(spark):
     with pytest.raises(ValueError, match="layout column"):
         t.drop_column("k")
     t.drop_column("v")  # non-layout columns still drop fine
+
+
+def test_bucketed_view_serves_widened_nonkey_column(spark):
+    # round 10: a widened NON-bucket column reads through the catalog
+    # table at the banked width (Spark 4 parquet upcast), join stays
+    # Exchange-free
+    t = _bucketed(spark, "k", 4, "cp_wide_")
+    t.commit_append(
+        spark.createDataFrame(
+            [(i, i) for i in range(8)], "k int, v int"
+        )
+    )
+    t.widen_column("v", "bigint")
+    t.commit_append(
+        spark.createDataFrame(
+            [(i, 10 * i) for i in range(8, 12)], "k int, v bigint"
+        )
+    )
+    v = t.register_bucketed_view("cpj_wide_ok")
+    assert dict(spark.table(v).dtypes)["v"] == "bigint"
+    rows = sorted((r["k"], r["v"]) for r in spark.table(v).collect())
+    assert rows == [(i, i) for i in range(8)] + [
+        (i, 10 * i) for i in range(8, 12)
+    ]
+    j = (
+        spark.table(v)
+        .join(spark.table(v).select("k"), "k")
+        .groupBy("k")
+        .count()
+    )
+    j.collect()
+    assert _plan(j).count("Exchange hashpartitioning") == 0
+
+
+def test_widen_bucket_column_rejected(spark):
+    # murmur3(int) != murmur3(bigint): widening the bucket column would
+    # split the bucket mapping across eras — engine-level rejection
+    t = _bucketed(spark, "k", 4, "cp_widekey_")
+    t.commit_append(
+        spark.createDataFrame([(1, 2)], "k int, v int")
+    )
+    with pytest.raises(ValueError, match="bucket.by"):
+        t.widen_column("k", "bigint")

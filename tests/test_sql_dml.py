@@ -1200,3 +1200,39 @@ def test_select_general_auto_broadcasts_small_refs(spark):
         assert "BroadcastHashJoin" not in plan2, plan2[:1500]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# --------------------- round 10: INSERT OVERWRITE ----------------------
+def test_sql_insert_overwrite_replaces_table_atomically(spark):
+    t = SnapshotTable(spark, _tmp("ovw"))
+    t.commit_append(_kv(spark, 20))
+    v_before = t.current_version()
+    snapshot_sql(
+        spark,
+        f"INSERT OVERWRITE pysnapshot.`{t.root}` "
+        "SELECT id AS k, id * 5 AS v FROM range(100, 110)",
+    )
+    assert _rows(t) == [(k, 5 * k) for k in range(100, 110)]
+    # exactly one commit; the old snapshot is still readable
+    assert t.current_version() == v_before + 1
+    assert t.read(version=v_before).count() == 20
+    # TABLE keyword + body reading a snapshot ref
+    src = SnapshotTable(spark, _tmp("ovwsrc"))
+    src.commit_append(_kv(spark, 7))
+    snapshot_sql(
+        spark,
+        f"INSERT OVERWRITE TABLE pysnapshot.`{t.root}` "
+        f"SELECT k, v FROM pysnapshot.`{src.root}` WHERE k >= 2",
+    )
+    assert _rows(t) == [(k, 2 * k) for k in range(2, 7)]
+
+
+def test_sql_insert_overwrite_arity_guard(spark):
+    t = SnapshotTable(spark, _tmp("ovw2"))
+    t.commit_append(_kv(spark, 3))
+    with pytest.raises(ValueError, match="arity"):
+        snapshot_sql(
+            spark,
+            f"INSERT OVERWRITE pysnapshot.`{t.root}` "
+            "SELECT id FROM range(3)",
+        )
