@@ -4221,6 +4221,17 @@ class SnapshotTable:
             self.spark.sql(
                 f"ALTER TABLE `{tbl}` ADD PARTITION (_cv={i})"
             )
+        try:
+            # bank sizeInBytes in the catalog (NOSCAN: stats the
+            # symlinked files, no data read) so Catalyst's CBO sizes
+            # the table natively — a small bucketed dim can then
+            # auto-broadcast without hints, and join reordering sees
+            # real numbers
+            self.spark.sql(
+                f"ANALYZE TABLE `{tbl}` COMPUTE STATISTICS NOSCAN"
+            )
+        except Exception:
+            pass  # stats are an optimization, never a failure
         if use_view:
             # the view inlines to a Project(+Filter) over the bucketed
             # scan; the (unrenamed) bucket column survives as a plain

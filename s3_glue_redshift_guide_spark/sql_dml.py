@@ -1322,12 +1322,24 @@ def snapshot_sql(
     m = _EXPLAIN.match(sql)
     if m:
         inner = _SELECT.match(m.group("stmt"))
-        if not inner:
-            raise ValueError(
-                "EXPLAIN supports SELECT * FROM '<root>' [VERSION AS "
-                "OF n | TIMESTAMP AS OF 'ts' | TAG 'name'] [WHERE ...]"
+        if inner:
+            return _explain(spark, inner, clock)
+        if re.search(r"pysnapshot\s*\.", m.group("stmt"), re.I):
+            # general EXPLAIN (round 10): any SELECT the read surface
+            # accepts explains through Catalyst — refs rewrite to
+            # connector views, the formatted plan comes back as a row
+            # (planning only; no job runs)
+            df = _select_general(spark, m.group("stmt"))
+            mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: E501
+                "formatted"
             )
-        return _explain(spark, inner, clock)
+            plan = df._jdf.queryExecution().explainString(mode)
+            return spark.createDataFrame([(plan,)], "plan string")
+        raise ValueError(
+            "EXPLAIN supports SELECT * FROM '<root>' [VERSION AS "
+            "OF n | TIMESTAMP AS OF 'ts' | TAG 'name'] [WHERE ...], "
+            "or any SELECT/WITH statement over pysnapshot refs"
+        )
     m = _SELECT.match(sql)
     if m:
         t = SnapshotTable(spark, m.group("root"), clock=clock)
@@ -1355,9 +1367,11 @@ def snapshot_sql(
         if m.group("where"):
             df = df.filter(F.expr(m.group("where")))
         return df
-    if re.match(r"^\s*(SELECT|WITH)\b", sql, re.I) and re.search(
+    if re.match(r"^\s*(\(\s*)*(SELECT|WITH)\b", sql, re.I) and re.search(
         r"pysnapshot\s*\.", sql, re.I
     ):
+        # parenthesized operands cover top-level set operations:
+        # (SELECT ... FROM ref) UNION/EXCEPT/INTERSECT (SELECT ...)
         return _select_general(spark, sql)
     raise ValueError(
         "unrecognized statement (supported: CREATE TABLE ... "

@@ -1236,3 +1236,30 @@ def test_sql_insert_overwrite_arity_guard(spark):
             f"INSERT OVERWRITE pysnapshot.`{t.root}` "
             "SELECT id FROM range(3)",
         )
+
+
+# ------- round 10: set-op dispatch + general EXPLAIN over refs ---------
+def test_sql_parenthesized_setop_over_refs(spark):
+    a = SnapshotTable(spark, _tmp("setopa"))
+    a.commit_append(_kv(spark, 10))
+    b = SnapshotTable(spark, _tmp("setopb"))
+    b.commit_append(_kv(spark, 15))
+    df = snapshot_sql(
+        spark,
+        f"(SELECT k FROM pysnapshot.`{b.root}`) EXCEPT "
+        f"(SELECT k FROM pysnapshot.`{a.root}`)",
+    )
+    assert sorted(r["k"] for r in df.collect()) == [10, 11, 12, 13, 14]
+
+
+def test_sql_general_explain_over_refs(spark):
+    a = SnapshotTable(spark, _tmp("gexp"))
+    a.commit_append(_kv(spark, 10))
+    df = snapshot_sql(
+        spark,
+        f"EXPLAIN SELECT k, sum(v) AS sv FROM pysnapshot.`{a.root}` "
+        "WHERE k > 3 GROUP BY k",
+    )
+    plan = df.collect()[0]["plan"]
+    assert "HashAggregate" in plan or "Aggregate" in plan
+    assert "pysnapshot" in plan  # connector scan visible in the plan
