@@ -4345,6 +4345,18 @@ class SnapshotTable:
             else {"files": [], "stats": {}, "dv": {}}
         )
         entries = [parse_spec_entry(e) for e in cols]  # validates syntax
+        if cols and self._bucket_spec() is not None:
+            # mirror of the set_tblproperties guard: a spec'd write
+            # skips the bucketed writer, so declaring a spec over a
+            # bucket.by table would silently stop stamping bucket ids
+            raise ValueError(
+                "a partition spec cannot combine with bucket.by: "
+                "spec'd writes route through the partition writer, "
+                "which does not stamp catalog bucket ids. For a "
+                "date x hash layout, use a bucket TRANSFORM in the "
+                "spec instead (['day(ts)', 'bucket(k, 16)']); to "
+                "change layout family, rewrite the table (CTAS)"
+            )
         if cols and m["files"]:
             self._check_spec_types(
                 entries, dict(self.read().dtypes), cols
@@ -4480,6 +4492,21 @@ class SnapshotTable:
             else {"files": [], "stats": {}}
         )
         old_props = m.get("properties") or {}
+        if props.get("bucket.by") and self._partition_spec():
+            # _write_files routes a spec'd write through the partition
+            # writer, which does NOT stamp bucket ids — accepting both
+            # would silently break the bucketed-readback contract on
+            # every subsequent append (files failing the name check)
+            raise ValueError(
+                "bucket.by cannot combine with a partition spec: "
+                "spec'd writes route through the partition writer, "
+                "which does not stamp catalog bucket ids. For a "
+                "date x hash layout, put the hash INTO the spec — "
+                "set_partition_spec(['day(ts)', 'bucket(k, 16)']) — "
+                "which prunes on both dimensions through the "
+                "connector; bucket.by exists for the catalog "
+                "zero-Exchange join and stands alone"
+            )
         if (
             "bucket.by" in props
             and m["files"]

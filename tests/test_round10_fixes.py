@@ -228,3 +228,28 @@ def test_minhash_cap_is_noop_on_small_buckets(spark):
         )
     )
     assert plain == capped
+
+
+# ----- round 10: bucket.by x partition-spec mutual exclusion -----------
+def test_bucket_by_and_partition_spec_mutually_exclusive(spark):
+    # _write_files routes spec'd writes through the partition writer
+    # (no bucket-id stamping) — both declaration orders must refuse,
+    # or the bucketed-readback contract silently breaks on append
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="r10bs1_"))
+    t.set_tblproperties({"bucket.by": "k:4"})
+    with pytest.raises(ValueError, match="partition spec"):
+        t.set_partition_spec(["v"])
+
+    t2 = SnapshotTable(spark, tempfile.mkdtemp(prefix="r10bs2_"))
+    t2.commit_append(
+        spark.createDataFrame([(1, 2)], "k int, v int")
+    )
+    t2.set_partition_spec(["v"])
+    with pytest.raises(ValueError, match="bucket.by"):
+        t2.set_tblproperties({"bucket.by": "k:4"})
+    # dropping the spec re-opens the bucket path... on an empty-file
+    # table only (existing files lack bucket ids); the existing-files
+    # guard still applies and is the message the user sees
+    with pytest.raises(ValueError, match="existing files"):
+        t2.set_partition_spec([])
+        t2.set_tblproperties({"bucket.by": "k:4"})
