@@ -65,6 +65,7 @@ _PRIORITY = [
     # -- (b) new round-10 feature rows (append here as they land) ----------
     "sql_verb_body_snapshot_refs", "sql_cluster_by_n_pruning",
     "join_copartitioned_rename", "sql_insert_overwrite",
+    "llm_minhash_capped",
     # -- (c) round-5-evidence cohort (50): the leading rows fill the -------
     # -- window to 50, the rest queue for round 11 --------------------------
     "q6_forecast_revenue", "q10_returned_items", "q12_priority_shipping",

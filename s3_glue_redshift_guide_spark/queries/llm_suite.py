@@ -2802,3 +2802,61 @@ def llm_ann_sql_lifecycle(spark, sf_dir):
         "sql_equals_method int, replay_noop int, "
         "gens_after_optimize int",
     )
+
+
+@query(
+    "llm_minhash_capped",
+    oracle="""
+    SELECT CAST(301 AS BIGINT) AS n_cluster_docs,
+           CAST(300 AS BIGINT) AS n_cluster_pairs,
+           CAST(1.0 AS DOUBLE) AS min_jaccard
+    """,
+)
+def llm_minhash_capped(spark, sf_dir):
+    """MinHash-LSH with the BAND-BUCKET CAP engaged (round 10 — the
+    guard the sf10 probe motivated: uncapped, a low-diversity corpus
+    grows band-bucket pair counts ~n², exponent 1.77 measured;
+    BENCH_NOTES.md round-10 table). A 301-copy boilerplate cluster is
+    injected into the corpus, so every band bucket it occupies exceeds
+    ``max_band_bucket=16`` and emits HUB-STAR edges: exactly
+    ``n-1 = 300`` pairs instead of C(301,2) = 45 150 — the O(k) bound
+    — while every member still reaches the hub (301 distinct docs in
+    the pair set: connectivity for downstream connected-components
+    dedup is intact) and the exact-Jaccard verify step keeps precision
+    exact (identical clones: every pair's jaccard is exactly 1.0).
+    All three facts are corpus-independent constants, so DuckDB pins
+    them without reproducing the LSH internals."""
+    from ..llm.dedup import minhash_near_dup_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog "
+        "again and again and again"
+    )
+    clones = spark.range(301).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.lit(base).alias("text"),
+    )
+    corpus = _docs(spark, sf_dir).select("doc_id", "text").unionAll(
+        clones
+    )
+    pairs = minhash_near_dup_pairs(
+        corpus, "doc_id", "text", n=3, n_hashes=32, bands=16,
+        threshold=0.2, max_band_bucket=16,
+    )
+    cl = pairs.filter(
+        (F.col("doc_a") >= 10_000_000) & (F.col("doc_b") >= 10_000_000)
+    )
+    reached = (
+        cl.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_cluster_docs"))
+    )
+    facts = cl.agg(
+        F.count(F.lit(1)).alias("n_cluster_pairs"),
+        F.round(F.min("jaccard"), 6).cast("double").alias("min_jaccard"),
+    )
+    return reached.crossJoin(facts).select(
+        "n_cluster_docs", "n_cluster_pairs", "min_jaccard"
+    )
