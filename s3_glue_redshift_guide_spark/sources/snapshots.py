@@ -4208,8 +4208,10 @@ class SnapshotTable:
         use_view = aliased or bool(dv_conds)
         tbl = f"{name}__phys" if use_view else name
         self._drop_owned_bucket_object(name)
-        if use_view:
-            self._drop_owned_bucket_object(tbl)
+        # drop the companion physical table unconditionally: a prior
+        # registration may have used the view path (DVs since folded by
+        # OPTIMIZE, say) and its __phys entry would otherwise go stale
+        self._drop_owned_bucket_object(f"{name}__phys")
         self.spark.sql(
             f"CREATE TABLE `{tbl}` ({', '.join(col_defs)}, `_cv` INT) "
             f"USING PARQUET PARTITIONED BY (_cv) "

@@ -405,3 +405,48 @@ def test_widen_bucket_column_rejected(spark):
     )
     with pytest.raises(ValueError, match="bucket.by"):
         t.widen_column("k", "bigint")
+
+
+def test_reregistration_across_view_and_plain_paths(spark):
+    # DV -> view path; OPTIMIZE folds the DVs -> plain path; the stale
+    # __phys companion must not linger in the catalog
+    t = _bucketed(spark, "k", 4, "cp_rereg_")
+    t.commit_append(
+        spark.createDataFrame(
+            [(i, i) for i in range(12)], "k int, v int"
+        )
+    )
+    t.delete_where(F.col("k") == 5)
+    v = t.register_bucketed_view("cpj_rereg")
+    assert spark.catalog.tableExists("cpj_rereg__phys")
+    assert spark.table(v).count() == 11
+    t.materialize_deletes()  # folds the DVs into rewritten files
+    v = t.register_bucketed_view("cpj_rereg")
+    assert spark.table(v).count() == 11
+    assert not spark.catalog.tableExists("cpj_rereg__phys")
+
+
+def test_renamed_and_dv_compose_in_view(spark):
+    # both evolution axes at once: rename a non-layout column AND carry
+    # a DV — coalesce projection + row-index filter in one view
+    t = _bucketed(spark, "k", 4, "cp_rendv_")
+    t.commit_append(
+        spark.createDataFrame(
+            [(i, 10 * i) for i in range(10)], "k int, v int"
+        )
+    )
+    t.rename_column("v", "w")
+    t.commit_append(
+        spark.createDataFrame(
+            [(i, 10 * i) for i in range(10, 14)], "k int, w int"
+        )
+    )
+    t.delete_where(F.col("k").isin(3, 12))
+    v = t.register_bucketed_view("cpj_rendv")
+    rows = sorted((r["k"], r["w"]) for r in spark.table(v).collect())
+    assert rows == [
+        (i, 10 * i) for i in range(14) if i not in (3, 12)
+    ]
+    j = spark.table(v).join(spark.table(v).select("k"), "k")
+    j.collect()
+    assert _plan(j).count("Exchange hashpartitioning") == 0
