@@ -1002,6 +1002,15 @@ def snapshot_sql(
             raise ValueError(
                 f"INSERT OVERWRITE columns not in table: {missing}"
             )
+        uncovered = [c for c in dts if c not in cols]
+        if uncovered:
+            # a partial overwrite is ill-defined without column
+            # defaults — the cleared rows have no value source for the
+            # uncovered columns
+            raise ValueError(
+                "INSERT OVERWRITE must cover every table column; "
+                f"missing {uncovered}"
+            )
         aligned = src.select(
             *[
                 _qcol(src.columns[i]).cast(dts[c]).alias(c)
@@ -1424,15 +1433,22 @@ def _broadcast_threshold_bytes(spark: SparkSession) -> int:
 def _ref_file_bytes(root: str, version: str | None) -> int | None:
     """Total live-file bytes of a snapshot ref, from the manifest — the
     table statistic a Python DataSource cannot report to Catalyst
-    (VERDICT-r9 directive #6). Metadata-only: no file opens."""
+    (VERDICT-r9 directive #6). Banked sizes first (zero filesystem
+    round-trips — at 100k files on an object store a per-statement
+    stat walk would be the planning bottleneck); stat only the files
+    an old manifest didn't bank."""
     import os as _os
 
     from .sources.snapshots import latest_version, load_manifest
 
     try:
         v = int(version) if version else latest_version(root)
-        files = load_manifest(root, v)["files"]
-        return sum(_os.path.getsize(f) for f in files)
+        m = load_manifest(root, v)
+        banked = m.get("sizes") or {}
+        return sum(
+            int(banked[f]) if f in banked else _os.path.getsize(f)
+            for f in m["files"]
+        )
     except Exception:
         return None
 

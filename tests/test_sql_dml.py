@@ -1263,3 +1263,14 @@ def test_sql_general_explain_over_refs(spark):
     plan = df.collect()[0]["plan"]
     assert "HashAggregate" in plan or "Aggregate" in plan
     assert "pysnapshot" in plan  # connector scan visible in the plan
+
+
+def test_sql_insert_overwrite_requires_full_column_coverage(spark):
+    t = SnapshotTable(spark, _tmp("ovw3"))
+    t.commit_append(_kv(spark, 3))
+    with pytest.raises(ValueError, match="every table column"):
+        snapshot_sql(
+            spark,
+            f"INSERT OVERWRITE pysnapshot.`{t.root}` (k) "
+            "SELECT id FROM range(3)",
+        )
