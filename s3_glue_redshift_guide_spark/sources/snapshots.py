@@ -4208,10 +4208,14 @@ class SnapshotTable:
         use_view = aliased or bool(dv_conds)
         tbl = f"{name}__phys" if use_view else name
         self._drop_owned_bucket_object(name)
-        # drop the companion physical table unconditionally: a prior
-        # registration may have used the view path (DVs since folded by
-        # OPTIMIZE, say) and its __phys entry would otherwise go stale
-        self._drop_owned_bucket_object(f"{name}__phys")
+        # drop the companion physical table too: a prior registration
+        # may have used the view path (DVs since folded by OPTIMIZE,
+        # say) and its __phys entry would otherwise go stale. Only the
+        # view path NEEDS the name — a foreign table that merely
+        # collides with it blocks nothing on the plain path
+        self._drop_owned_bucket_object(
+            f"{name}__phys", required=use_view
+        )
         self.spark.sql(
             f"CREATE TABLE `{tbl}` ({', '.join(col_defs)}, `_cv` INT) "
             f"USING PARQUET PARTITIONED BY (_cv) "
@@ -4252,12 +4256,16 @@ class SnapshotTable:
             )
         return name
 
-    def _drop_owned_bucket_object(self, nm: str) -> None:
+    def _drop_owned_bucket_object(
+        self, nm: str, required: bool = True
+    ) -> None:
         """Drop a catalog table/view ONLY if register_bucketed_view made
         it (external table rooted in a _bucket_views symlink farm, or a
         view carrying the pysnap.bucketed_view marker property) — never
         silently destroy a managed warehouse table or a user's object
-        that happens to collide on name (ADVICE-r9 #1)."""
+        that happens to collide on name (ADVICE-r9 #1). With
+        ``required=False`` a foreign object is left alone instead of
+        raising (used for the optional __phys companion cleanup)."""
         if not self.spark.catalog.tableExists(nm):
             return
         detail = {
@@ -4274,6 +4282,8 @@ class SnapshotTable:
                 ).collect()
             }
             if props.get("pysnap.bucketed_view") != "true":
+                if not required:
+                    return
                 raise ValueError(
                     f"catalog view {nm!r} already exists and was not "
                     "created by register_bucketed_view; refusing to "
@@ -4283,6 +4293,8 @@ class SnapshotTable:
             self.spark.sql(f"DROP VIEW IF EXISTS `{nm}`")
             return
         if "/_bucket_views/" not in detail.get("Location", ""):
+            if not required:
+                return
             raise ValueError(
                 f"catalog table {nm!r} already exists and was not "
                 "created by register_bucketed_view; refusing to "

@@ -450,3 +450,28 @@ def test_renamed_and_dv_compose_in_view(spark):
     j = spark.table(v).join(spark.table(v).select("k"), "k")
     j.collect()
     assert _plan(j).count("Exchange hashpartitioning") == 0
+
+
+def test_foreign_phys_name_collision_blocks_only_view_path(spark):
+    # an unrelated user table named {name}__phys must not block the
+    # PLAIN registration path (which never touches that name) — but
+    # the view path, which needs it, still refuses
+    spark.sql("DROP TABLE IF EXISTS cpj_coll__phys")
+    spark.range(3).write.saveAsTable("cpj_coll__phys")
+    try:
+        t = _bucketed(spark, "k", 4, "cp_coll_")
+        t.commit_append(
+            spark.createDataFrame([(1, 2)], "k int, v int")
+        )
+        v = t.register_bucketed_view("cpj_coll")  # plain path: OK
+        assert spark.table(v).count() == 1
+        assert spark.table("cpj_coll__phys").count() == 3  # untouched
+        t.rename_column("v", "w")  # now the view path NEEDS __phys
+        t.commit_append(
+            spark.createDataFrame([(2, 3)], "k int, w int")
+        )
+        with pytest.raises(ValueError, match="not created by"):
+            t.register_bucketed_view("cpj_coll")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cpj_coll__phys")
+        spark.sql("DROP TABLE IF EXISTS cpj_coll")
