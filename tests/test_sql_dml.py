@@ -1274,3 +1274,30 @@ def test_sql_insert_overwrite_requires_full_column_coverage(spark):
             f"INSERT OVERWRITE pysnapshot.`{t.root}` (k) "
             "SELECT id FROM range(3)",
         )
+
+
+def test_sql_merge_using_time_travelled_ref(spark):
+    tgt = SnapshotTable(spark, _tmp("mrgtt"))
+    tgt.commit_append(_kv(spark, 10))
+    src = SnapshotTable(spark, _tmp("mrgttsrc"))
+    src.commit_append(
+        spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") * 100).alias("v")
+        )
+    )  # v1
+    src.commit_append(
+        spark.range(5, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 100).alias("v")
+        )
+    )  # v2
+    snapshot_sql(
+        spark,
+        f"""MERGE INTO pysnapshot.`{tgt.root}` t
+            USING pysnapshot.`{src.root}` VERSION AS OF 1 s
+            ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET v = s.v""",
+    )
+    # only v1's five keys updated — v2's rows invisible to the merge
+    assert _rows(tgt) == [(k, 100 * k) for k in range(5)] + [
+        (k, 2 * k) for k in range(5, 10)
+    ]
