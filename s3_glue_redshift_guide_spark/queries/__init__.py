@@ -39,52 +39,49 @@ for _m in _MODULES:
 
 # Registry iteration order is the order the grading driver checks queries
 # in; the driver verifies exactly the FIRST 50 entries per round. Round
-# 10's window (VERDICT r9 directive #1): (a) the 24 rows whose newest
-# driver evidence is round 4 — five rounds of snapshot-layer churn
-# (DVs, schema maps, checkpoints, rebase) since their last oracle check
-# makes them the only open correctness exposure; (b) NEW round-10
-# feature rows, so they get driver evidence the round they land; (c) the
-# 50-query round-5-evidence cohort in registry order — the 24+new rows
-# fill the first slots, the leading r5 rows take the remainder of the
-# window, and the rest queue contiguously for round 11 (the contiguity
-# invariant tests/test_registry_window.py enforces covers only
-# never-verified rows; already-verified r5 rows may straddle the
-# 50-boundary freely).
+# 11's window (VERDICT r10 directive #1): (a) the 29 rows whose newest
+# driver evidence is round 5 — the five snapshot-layer rows lead because
+# they sit on five rounds of churned code (DVs served through bucketed
+# views, union-schema rename maps, rebase, checkpoints), then the 24
+# core-relational/function/window rows; (b) NEW round-11 feature rows,
+# so they get driver evidence the round they land; (c) the
+# round-6-evidence cohort in its round-6 driver order — the leading rows
+# fill the window to 50 and the rest queue contiguously for round 12
+# (the contiguity invariant tests/test_registry_window.py enforces
+# covers only never-verified rows; already-verified r6 rows may straddle
+# the 50-boundary freely).
 _PRIORITY = [
-    # -- (a) round-4-evidence rows (24) — rotate-first directive -----------
-    "llm_contamination_bloom", "llm_quality_classifier",
-    "join_scd2_pointintime", "llm_normalized_dedup", "llm_vocab_oov",
-    "src_time_travel", "sink_snapshot_stream", "src_surgical_delete",
-    "sink_snapshot_merge", "src_change_feed", "src_manifest_pruning",
-    "llm_weighted_sample", "llm_frame_sample",
-    "ev_stream_dedup_watermark", "src_snapshot_incremental",
-    "src_file_metadata", "dq_observe_metrics", "agg_grouping_sets",
-    "fn_try_safe", "udf_arrow_scalar", "src_python_datasource",
-    "sink_snapshot_optimize", "llm_word_bigrams",
-    "src_stream_datasource",
-    # -- (b) new round-10 feature rows (append here as they land) ----------
-    "sql_verb_body_snapshot_refs", "sql_cluster_by_n_pruning",
-    "join_copartitioned_rename", "sql_insert_overwrite",
-    "llm_minhash_capped",
-    # -- (c) round-5-evidence cohort (50): the leading rows fill the -------
-    # -- window to 50, the rest queue for round 11 --------------------------
-    "q6_forecast_revenue", "q10_returned_items", "q12_priority_shipping",
-    "p_change_schema", "etl_string_first_typing", "p_filter_predicates",
-    "join_left_outer", "join_right_outer", "join_full_outer",
-    "join_semi_exists", "join_anti_not_exists", "join_theta",
-    "join_cross", "join_range_events", "join_asof_events",
-    "join_aqe_skew", "agg_stats", "agg_count_distinct",
-    "agg_minmax_by", "agg_rollup", "agg_cube", "agg_pivot",
-    "agg_dedup_distinct", "win_rank_topk", "win_lag_lead",
+    # -- (a) round-5-evidence rows (29) — snapshot-layer five first --------
+    "src_deletion_vector", "src_schema_rename", "sink_snapshot_update_mor",
+    "src_dynamic_partition_pruning", "src_snapshot_concurrent_writers",
+    "agg_pivot", "agg_dedup_distinct", "win_rank_topk", "win_lag_lead",
     "win_running_frames", "win_ntile_percent", "sort_limit_topk",
     "setop_union", "setop_union_all_counts", "setop_intersect",
     "setop_except", "fn_string", "fn_datetime", "fn_math",
     "fn_conditional", "fn_json", "fn_map_entries", "fn_unpivot",
     "fn_posexplode_map", "fn_fuzzy_levenshtein", "ev_tumbling_window",
     "ev_sliding_window", "llm_bpe_merges", "llm_bpe_encode",
-    "sink_snapshot_update_mor", "src_dynamic_partition_pruning",
-    "src_deletion_vector", "src_schema_rename",
-    "src_snapshot_concurrent_writers",
+    # -- (b) new round-11 feature rows (append here as they land) ----------
+    # -- (c) round-6-evidence cohort (49): the leading rows fill the -------
+    # -- window to 50, the rest queue for round 12 --------------------------
+    "sql_recursive_cte", "q2_min_cost_supplier", "q8_market_share",
+    "q9_product_profit", "q11_important_value", "q13_customer_orders_dist",
+    "q15_top_supplier", "sql_volume_shipping", "sql_scalar_subquery",
+    "sql_correlated_subquery", "sql_exists_subquery", "sql_in_having",
+    "sql_or_of_ands", "sql_anti_scalar", "sql_promo_revenue",
+    "sql_q21_waiting_suppliers", "src_restore", "src_shallow_clone",
+    "src_nullcount_skipping", "src_rowgroup_pruning",
+    "src_check_constraints", "src_stream_change_feed",
+    "src_timestamp_as_of", "sink_connector_clustered_write",
+    "sink_snapshot_merge_mor", "llm_canonical_selection",
+    "src_generated_columns", "src_metadata_only_agg", "src_bloom_index",
+    "rollup_mv_change_feed", "llm_dsir_resample", "stats_join_advisor",
+    "llm_bigram_logprob", "src_table_history", "src_vacuum_retention",
+    "src_partition_spec", "src_row_tracking", "stats_ndv_estimate",
+    "src_copy_into", "src_type_widening", "src_branch_wap",
+    "src_column_defaults", "src_identity_column", "ev_stream_outer_join",
+    "llm_contamination_spans", "src_schema_enforcement", "src_deep_clone",
+    "sink_merge_sync", "src_table_detail",
 ]
 _ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
 _ordered.update({n: q for n, q in REGISTRY.items() if n not in _ordered})
