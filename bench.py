@@ -501,7 +501,38 @@ def main() -> None:
             "sf": 1.0,
             **tf1_extras,
         }
-    print(json.dumps(out))
+    # The grading driver captures a 2000-char stdout TAIL and parses the
+    # last line as JSON. BENCH_r10.json came back parsed:null because the
+    # verbose annotation (floor ratios, suspects, merge phases) outgrew
+    # that window and truncated the line mid-JSON — the round's sf0.1
+    # headline total vanished from the graded record (VERDICT r10 #2).
+    # So: the FULL annotated record goes to the committed sidecar
+    # BENCH_DETAIL.json, and the final stdout line is a compact
+    # headline-only JSON (totals + per-query seconds, compact
+    # separators) that stays well under 1.5 KB by construction —
+    # 12 headline + ~9 table-format + 12 sf1 keys at ~33 bytes each.
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "queries": out["queries"],
+        "table_format_total_sec": out["table_format"]["value"],
+        "detail": "BENCH_DETAIL.json",
+    }
+    if "sf1" in out:
+        compact["sf1_total_sec"] = out["sf1"]["value"]
+        compact["sf1_queries"] = out["sf1"]["queries"]
+        compact["sf1_table_format_total_sec"] = (
+            out["sf1"]["table_format"]["value"]
+        )
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1500:  # hard guarantee: never outgrow the tail again
+        compact.pop("sf1_queries", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
