@@ -1476,7 +1476,11 @@ def _rewrite_snapshot_refs(spark: SparkSession, sql: str) -> str:
         lits.append(m.group(0))
         return f"\x00{len(lits) - 1}\x00"
 
-    masked = re.sub(r"'[^']*'", _mask, sql)
+    # one alternation so mixed quoting nests correctly left-to-right:
+    # Spark parses double-quoted text as a STRING literal by default
+    # (spark.sql.ansi.doubleQuotedIdentifiers off), so "pysnapshot.`x`"
+    # is data on either quote style (VERDICT-r10 directive #7)
+    masked = re.sub(r"'[^']*'|\"[^\"]*\"", _mask, sql)
 
     def _unmask(s: str) -> str:
         return re.sub(
