@@ -1416,41 +1416,10 @@ _SNAP_REF = re.compile(
 )
 
 
-def _broadcast_threshold_bytes(spark: SparkSession) -> int:
-    """spark.sql.autoBroadcastJoinThreshold, parsed to bytes (the conf
-    accepts '10MB' / '10485760b' / plain digits; -1 disables)."""
-    raw = str(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    ).strip().lower()
-    m = re.match(r"^(-?\d+)\s*(b|kb?|mb?|gb?)?$", raw)
-    if not m:
-        return 10 << 20
-    n = int(m.group(1))
-    unit = (m.group(2) or "b")[0]
-    return n * {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[unit]
-
-
-def _ref_file_bytes(root: str, version: str | None) -> int | None:
-    """Total live-file bytes of a snapshot ref, from the manifest — the
-    table statistic a Python DataSource cannot report to Catalyst
-    (VERDICT-r9 directive #6). Banked sizes first (zero filesystem
-    round-trips — at 100k files on an object store a per-statement
-    stat walk would be the planning bottleneck); stat only the files
-    an old manifest didn't bank."""
-    import os as _os
-
-    from .sources.snapshots import latest_version, load_manifest
-
-    try:
-        v = int(version) if version else latest_version(root)
-        m = load_manifest(root, v)
-        banked = m.get("sizes") or {}
-        return sum(
-            int(banked[f]) if f in banked else _os.path.getsize(f)
-            for f in m["files"]
-        )
-    except Exception:
-        return None
+# broadcast-threshold parsing + manifest-byte ref sizing moved to
+# sources.pyds (broadcast_threshold_bytes / ref_file_bytes) so the
+# DataFrame-API helper read_snapshot and this SQL surface share ONE
+# sizing path (VERDICT-r10 directive #5).
 
 
 def _rewrite_snapshot_refs(spark: SparkSession, sql: str) -> str:
@@ -1467,7 +1436,7 @@ def _rewrite_snapshot_refs(spark: SparkSession, sql: str) -> str:
     reference."""
     import hashlib
 
-    from .sources.pyds import register_snapshot_source
+    from .sources.pyds import read_snapshot, register_snapshot_source
 
     register_snapshot_source(spark)
     lits: list[str] = []
@@ -1504,31 +1473,19 @@ def _rewrite_snapshot_refs(spark: SparkSession, sql: str) -> str:
                 .replace(tzinfo=timezone.utc)
                 .timestamp()
             )
-        r = spark.read.format("pysnapshot").option(
-            "root", groups["root"]
+        # read_snapshot carries the manifest-sized broadcast hint
+        # (the table statistic Catalyst can't get from a Python
+        # DataSource), so SQL-surface users get broadcast star joins
+        # without knowing the advisor exists — and DataFrame-API users
+        # of read_snapshot get the identical plan (r10 directive #5).
+        df = read_snapshot(
+            spark,
+            groups["root"],
+            version=groups["v"] or None,
+            timestamp_as_of=groups["ts"] or None,
+            tag=groups["tag"] or None,
+            branch=groups["branch"] or None,
         )
-        for opt, val in (
-            ("version", groups["v"]),
-            ("timestampAsOf", groups["ts"]),
-            ("tag", groups["tag"]),
-            ("branch", groups["branch"]),
-        ):
-            if val:
-                r = r.option(opt, val)
-        df = r.load()
-        # surface the table statistic Catalyst can't get from a Python
-        # DataSource: when the ref's live files are small enough that
-        # a catalog table of the same bytes would auto-broadcast, pin
-        # the decision with a broadcast hint — SQL-surface users get
-        # broadcast star joins without knowing the advisor exists.
-        # (x4 expansion factor: parquet→in-memory, the conservative
-        # side of Delta's heuristic. Tag/branch/timestamp refs skip
-        # the sizing — resolving them costs more than the hint saves.)
-        if not (groups["ts"] or groups["tag"] or groups["branch"]):
-            thresh = _broadcast_threshold_bytes(spark)
-            size = _ref_file_bytes(groups["root"], groups["v"])
-            if thresh > 0 and size is not None and size * 4 <= thresh:
-                df = df.hint("broadcast")
         df.createOrReplaceTempView(name)
         return name
 
