@@ -3678,6 +3678,138 @@ class SnapshotTable:
             "version": v,
         }
 
+    def rewrite_physical(self) -> dict[str, int]:
+        """``OPTIMIZE ... REWRITE PHYSICAL`` — one-time physical rebind
+        (VERDICT-r10 directive #4): rewrite every live file whose
+        PHYSICAL shape has drifted from the current logical schema, then
+        publish a manifest with NO schema map — after which the table's
+        physical and logical schemas are identical again and
+        ``register_bucketed_view`` serves cases it must otherwise
+        refuse. A file is rewritten when it
+
+        * carries a PRIOR physical name of a live field (pre-rename
+          era) or any bytes of a DROPPED field (purged, Delta's
+          ``REORG ... PURGE`` shape),
+        * carries a deletion vector (folded into the replacement), or
+        * stores a banked-width column at a NARROWER physical type
+          (pre-widening era; the replacement lands at the banked
+          width).
+
+        Rewritten rows pass back through ``_write_files``, so a
+        bucketed table re-hashes them with the CURRENT name and width —
+        bucket membership depends on values, not names, and every
+        replacement file re-earns the murmur3 file-name contract. The
+        metadata rebind (schema map -> None) is what restores the
+        zero-Exchange co-partitioned join after a BUCKET-column rename:
+        the join key is a plain physical attribute again instead of a
+        coalesce Catalyst can't match to the storage distribution.
+
+        Untouched files keep their byte identity (and their banked
+        stats/blooms); older versions time-travel through their own
+        manifests, whose maps still describe the old files. Detection
+        is one footer read per live file, driver-side — an explicit
+        maintenance command priced like registration; at fleet scale
+        the footer sweep would fan out exactly like
+        ``DISTRIBUTED_STATS_THRESHOLD`` stats collection."""
+        import pyarrow.parquet as _pq
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        cur = self.current_version()
+        m = load_manifest(self.root, cur)
+        files = m["files"]
+        if not files:
+            raise ValueError("REWRITE PHYSICAL of an empty table")
+        sm = m.get("schema") or []
+        dv = {f: v for f, v in (m.get("dv") or {}).items() if v}
+        live = [e for e in sm if not e.get("dropped")]
+        # any historical-only physical name: prior names of live
+        # fields, plus every name a dropped field ever had
+        hist = {p for e in live for p in e.get("prior", [])}
+        for e in sm:
+            if e.get("dropped"):
+                hist |= {e["name"], *e.get("prior", [])}
+        banked = {
+            k: v.lower() for k, v in (m.get("types") or {}).items()
+        }
+        cur_of = {
+            p: e["name"]
+            for e in live
+            for p in (e["name"], *e.get("prior", []))
+        }
+        targets: list[str] = []
+        for f in files:
+            if dv.get(f):
+                targets.append(f)
+                continue
+            phys = from_arrow_schema(_pq.ParquetFile(f).schema_arrow)
+            for fld in phys.fields:
+                if fld.name in hist:
+                    targets.append(f)
+                    break
+                want = banked.get(cur_of.get(fld.name, fld.name))
+                got = fld.dataType.simpleString().lower()
+                if want is not None and got != want:
+                    try:
+                        ok = widen_merge(got, want) == want
+                    except ValueError:
+                        ok = False
+                    if not ok:
+                        raise ValueError(
+                            f"REWRITE PHYSICAL cannot represent "
+                            f"column {fld.name!r}: {got} in "
+                            f"{os.path.basename(f)} does not widen "
+                            f"to the banked {want}"
+                        )
+                    targets.append(f)
+                    break
+        keep = [f for f in files if f not in set(targets)]
+        if not targets and not sm:
+            # physically clean already — nothing to rewrite or rebind
+            return {
+                "n_files_rewritten": 0,
+                "n_files_kept": len(keep),
+                "version": cur,
+            }
+        new: list[str] = []
+        if targets:
+            # the table's OWN read path, restricted to the drifted
+            # files: DV rows masked, prior names coalesced onto
+            # current ones, narrow widths upcast by the explicit
+            # reader schema — the replacement rows ARE the logical
+            # truth of those files
+            rows = self._apply_schema_map(
+                self._masked_read(targets, m["dv"], manifest=m),
+                m["schema"],
+            )
+            new = self._write_files(rows)
+        visible = keep + new
+        stats = self._merged_stats(cur, new, None)
+        v = self._publish(
+            visible,
+            cur,
+            {f: stats.get(f, {}) for f in visible},
+            # every DV'd file was rewritten with its deletes folded
+            dv={},
+            # THE REBIND: no live file carries a historical name or a
+            # narrow width anymore, so the physical schema IS the
+            # logical schema — and the old names' reservations lift
+            # (their bytes are gone from every live file; old
+            # versions keep their own maps)
+            schema_map=None,
+            blooms=(
+                self._extend_blooms(m, new)
+                if m.get("bloom_cols")
+                else _UNSET
+            ),
+            op="REWRITE PHYSICAL",
+        )
+        return {
+            "n_files_rewritten": len(targets),
+            "n_files_kept": len(keep),
+            "version": v,
+        }
+
     def read_changes_images(
         self, from_version: int, to_version: int
     ) -> DataFrame:

@@ -246,6 +246,9 @@ _DELETE = re.compile(
     r"(?:\s+WHERE\s+(?P<where>.*))?\s*$",
     re.I | re.S,
 )
+_REWRITE_PHYS = re.compile(
+    rf"^\s*OPTIMIZE\s+{_TBL}\s+REWRITE\s+PHYSICAL\s*$", re.I
+)
 _OPTIMIZE = re.compile(
     rf"^\s*OPTIMIZE\s+{_TBL}"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
@@ -1187,6 +1190,14 @@ def snapshot_sql(
         return ann_index_optimize(
             SnapshotTable(spark, m.group("root"), clock=clock)
         )
+    m = _REWRITE_PHYS.match(sql)
+    if m:
+        # one-time physical rebind: fold renames/drops/DVs/widening
+        # into the files and clear the schema map — restores bucketed
+        # readback (zero-Exchange joins) after a BUCKET-column rename
+        return SnapshotTable(
+            spark, m.group("root"), clock=clock
+        ).rewrite_physical()
     m = _OPTIMIZE.match(sql)
     if m:
         t = SnapshotTable(spark, m.group("root"), clock=clock)

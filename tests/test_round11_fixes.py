@@ -87,3 +87,121 @@ def test_read_snapshot_serves_version_and_tag_refs(spark):
     assert read_snapshot(spark, t.root).count() == 9
     assert read_snapshot(spark, t.root, version=v1).count() == 4
     assert read_snapshot(spark, t.root, tag="first").count() == 4
+
+
+# ---------------------------------------------------------------- 4 --
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _bucketed_kn(spark, col, n, prefix):
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix=prefix))
+    t.set_tblproperties({"bucket.by": f"{col}:{n}"})
+    return t
+
+
+def test_rewrite_physical_restores_bucketed_join_after_rename(spark):
+    """The r10 honest refusal, now with a recovery path: renaming the
+    BUCKET column loses bucketed readback (a coalesce join key can't
+    match the storage hash distribution) — until OPTIMIZE ... REWRITE
+    PHYSICAL rewrites the old-era files under the current physical
+    name and clears the schema map, after which the zero-Exchange
+    join returns, value-exact."""
+    import pytest
+
+    from s3_glue_redshift_guide_spark.sql_dml import snapshot_sql
+
+    ta = _bucketed_kn(spark, "k", 4, "r11rw_a_")
+    ta.commit_append(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(60)], "k int, a int"
+        )
+    )
+    ta.rename_column("k", "key")
+    ta.commit_append(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(60, 90)], "key int, a int"
+        )
+    )
+    with pytest.raises(ValueError, match="renamed BUCKET"):
+        ta.register_bucketed_view("r11rw_a")
+    facts = snapshot_sql(
+        spark, f"OPTIMIZE pysnapshot.`{ta.root}` REWRITE PHYSICAL"
+    )
+    assert facts["n_files_rewritten"] >= 1  # the pre-rename era
+    tb = _bucketed_kn(spark, "k", 4, "r11rw_b_")
+    tb.commit_append(
+        spark.createDataFrame(
+            [(i, i * 3) for i in range(90)], "k int, b int"
+        )
+    )
+    va = ta.register_bucketed_view("r11rw_a")
+    vb = tb.register_bucketed_view("r11rw_b")
+    try:
+        a = spark.table(va).select("key", "a")
+        b = spark.table(vb).select("k", "b")
+        j = (
+            a.join(b, a["key"] == b["k"])
+            .groupBy("key")
+            .agg(F.sum(F.col("a") + F.col("b")).alias("s"))
+        )
+        rows = sorted((r.key, r.s) for r in j.collect())
+        assert rows == [(i, i * 13) for i in range(90)]
+        p = _plan(j)
+        assert "Bucketed: true" in p
+        assert p.count("Exchange hashpartitioning") == 0
+    finally:
+        for nm in (va, vb):
+            spark.sql(f"DROP TABLE IF EXISTS `{nm}`")
+
+
+def test_rewrite_physical_folds_dvs_purges_drops_keeps_history(spark):
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="r11rw_dv_"))
+    t.commit_append(
+        spark.createDataFrame(
+            [(i, i * 2, f"s{i}") for i in range(40)],
+            "k int, v int, junk string",
+        )
+    )
+    t.drop_column("junk")
+    t.delete_where(F.col("k") < 5)  # DV tombstones
+    pre = t.current_version()
+    expect = sorted(
+        (r.k, r.v) for r in t.read().collect()
+    )
+    facts = t.rewrite_physical()
+    # every file carried dropped bytes -> all rewritten, DVs folded
+    assert facts["n_files_rewritten"] >= 1
+    m_now = __import__(
+        "s3_glue_redshift_guide_spark.sources.snapshots",
+        fromlist=["load_manifest"],
+    ).load_manifest(t.root, facts["version"])
+    assert not m_now.get("dv")
+    assert not m_now.get("schema")  # the rebind
+    assert sorted((r.k, r.v) for r in t.read().collect()) == expect
+    # time travel: the pre-rewrite version still reads through its map
+    assert (
+        sorted((r.k, r.v) for r in t.read(pre).collect()) == expect
+    )
+    # dropped bytes are physically gone from live files
+    import pyarrow.parquet as pq
+
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        load_manifest,
+    )
+
+    for f in load_manifest(t.root, facts["version"])["files"]:
+        assert "junk" not in pq.ParquetFile(f).schema_arrow.names
+
+
+def test_rewrite_physical_noop_on_clean_table(spark):
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="r11rw_cl_"))
+    v = t.commit_append(
+        spark.range(10).select(F.col("id").alias("k"))
+    )
+    facts = t.rewrite_physical()
+    assert facts == {
+        "n_files_rewritten": 0,
+        "n_files_kept": facts["n_files_kept"],
+        "version": v,
+    }
