@@ -205,3 +205,45 @@ def test_rewrite_physical_noop_on_clean_table(spark):
         "n_files_kept": facts["n_files_kept"],
         "version": v,
     }
+
+
+def test_rewrite_physical_normalizes_widened_column(spark):
+    """A widened (non-bucket) column leaves narrow-era files behind;
+    REWRITE PHYSICAL lands them at the banked width, after which every
+    live file is physically uniform — the explicit-reader-schema
+    crutch is no longer load-bearing, and values stay exact. (Widening
+    the BUCKET column itself is refused upstream by widen_column —
+    murmur3 hashes the widths differently — so that state cannot
+    arise.)"""
+    import pyarrow.parquet as pq
+
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        load_manifest,
+    )
+
+    t = _bucketed_kn(spark, "k", 4, "r11rw_w_")
+    t.commit_append(
+        spark.createDataFrame(
+            [(i, i * 2) for i in range(30)], "k int, v int"
+        )
+    )
+    t.widen_column("v", "bigint")
+    t.commit_append(
+        spark.createDataFrame(
+            [(i, i * 2) for i in range(30, 50)], "k int, v bigint"
+        )
+    )
+    facts = t.rewrite_physical()
+    assert facts["n_files_rewritten"] >= 1  # the int-era files
+    for f in load_manifest(t.root, facts["version"])["files"]:
+        sch = pq.ParquetFile(f).schema_arrow
+        assert str(sch.field("v").type) == "int64", (f, sch)
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (i, i * 2) for i in range(50)
+    ]
+    # bucketed readback still serves (bucket column untouched)
+    nm = t.register_bucketed_view("r11rw_w")
+    try:
+        assert spark.table(nm).count() == 50
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS `{nm}`")
