@@ -702,3 +702,83 @@ def join_copartitioned_rewrite(spark, sf_dir):
         [(row["n_orders"], row["sum_cents"], n_shuffles)],
         "n_orders bigint, sum_cents bigint, shuffle_exchanges int",
     )
+
+
+@query(
+    "join_connector_broadcast_df",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))
+                AS BIGINT) AS acctbal_cents,
+           1 AS broadcast_join
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_connector_broadcast_df(spark, sf_dir):
+    """DataFrame-API connector reads with manifest-sized AUTO-BROADCAST
+    (round 11, VERDICT-r10 directive #5; SURVEY §2 S77). A Python
+    DataSource cannot report sizeInBytes to Catalyst, so a star join
+    over connector-backed snapshot tables built with the plain
+    DataFrame API used to sort-merge even when the dim is 25 rows.
+    ``sources.pyds.read_snapshot`` — the documented DataFrame twin of
+    the SQL surface's ref views — sizes the ref from BANKED manifest
+    bytes (zero filesystem round-trips) and pins a broadcast hint when
+    x4 the live bytes fit under autoBroadcastJoinThreshold. The plan
+    fact ``broadcast_join`` comes from the EXECUTED plan and the
+    oracle pins it to 1: the dim broadcast with NO manual hint in the
+    query. Sizing is metadata-only, so the same code plans identically
+    at 100x the fact data."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ..sources.pyds import read_snapshot
+    from ..sources.snapshots import SnapshotTable
+
+    tc = SnapshotTable(spark, _tf.mkdtemp(prefix="cbd_cust_"))
+    tc.commit_append(
+        _t(spark, sf_dir, "customer").select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100)
+            .cast("long")
+            .alias("acct_cents"),
+        )
+    )
+    tn = SnapshotTable(spark, _tf.mkdtemp(prefix="cbd_nat_"))
+    tn.commit_append(
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    try:
+        cust = read_snapshot(spark, tc.root)
+        nat = read_snapshot(spark, tn.root)
+        per_nation = (
+            cust.join(
+                nat, cust["c_nationkey"] == nat["n_nationkey"]
+            )
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_custs"),
+                F.sum("acct_cents")
+                .cast("long")
+                .alias("acctbal_cents"),
+            )
+        )
+        rows = per_nation.collect()
+        plan = (
+            per_nation._jdf.queryExecution().executedPlan().toString()
+        )
+        bcast = int("BroadcastHashJoin" in plan)
+    finally:
+        for t in (tc, tn):
+            _sh.rmtree(t.root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["n_name"], r["n_custs"], r["acctbal_cents"], bcast)
+            for r in rows
+        ],
+        "nation_name string, n_custs bigint, acctbal_cents bigint, "
+        "broadcast_join int",
+    )
