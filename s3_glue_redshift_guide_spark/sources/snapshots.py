@@ -134,6 +134,44 @@ def _footer_num_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def _physical_drift_one(
+    path: str, hist: set, banked: dict, cur_of: dict
+) -> tuple[bool, str | None]:
+    """Whether ONE file's footer schema drifted from the current
+    logical schema: a historical physical name present (pre-rename era
+    or dropped-field bytes), or a banked-width column stored narrower.
+    Module-level so REWRITE PHYSICAL's detection sweep ships it to
+    executors past ``DISTRIBUTED_STATS_THRESHOLD``. Returns
+    ``(drifted, err)`` — ``err`` names a cross-family type the rewrite
+    cannot represent (the driver raises, never half-rewrites)."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    phys = from_arrow_schema(pq.ParquetFile(path).schema_arrow)
+    for fld in phys.fields:
+        if fld.name in hist:
+            return True, None
+        want = banked.get(cur_of.get(fld.name, fld.name))
+        if want is None:
+            continue
+        got = fld.dataType.simpleString().lower()
+        if got == want:
+            continue
+        try:
+            ok = widen_merge(got, want) == want
+        except ValueError:
+            ok = False
+        if not ok:
+            return True, (
+                f"column {fld.name!r}: {got} in "
+                f"{os.path.basename(path)} does not widen to the "
+                f"banked {want}"
+            )
+        return True, None
+    return False, None
+
+
 # ------------------------------------------------- bloom file index --
 # Per-file Bloom filters (Delta's bloom filter index): point lookups on
 # HIGH-CARDINALITY columns whose values interleave across files — the
@@ -3707,14 +3745,11 @@ class SnapshotTable:
         Untouched files keep their byte identity (and their banked
         stats/blooms); older versions time-travel through their own
         manifests, whose maps still describe the old files. Detection
-        is one footer read per live file, driver-side — an explicit
-        maintenance command priced like registration; at fleet scale
-        the footer sweep would fan out exactly like
-        ``DISTRIBUTED_STATS_THRESHOLD`` stats collection."""
-        import pyarrow.parquet as _pq
-
-        from pyspark.sql.pandas.types import from_arrow_schema
-
+        is one footer read per live file; past
+        ``DISTRIBUTED_STATS_THRESHOLD`` files the sweep fans out as a
+        Spark job (``_physical_drift_one``) exactly like stats
+        collection, so a 100k-file table detects drift at cluster
+        parallelism."""
         cur = self.current_version()
         m = load_manifest(self.root, cur)
         files = m["files"]
@@ -3737,32 +3772,36 @@ class SnapshotTable:
             for e in live
             for p in (e["name"], *e.get("prior", []))
         }
-        targets: list[str] = []
-        for f in files:
-            if dv.get(f):
-                targets.append(f)
-                continue
-            phys = from_arrow_schema(_pq.ParquetFile(f).schema_arrow)
-            for fld in phys.fields:
-                if fld.name in hist:
-                    targets.append(f)
-                    break
-                want = banked.get(cur_of.get(fld.name, fld.name))
-                got = fld.dataType.simpleString().lower()
-                if want is not None and got != want:
-                    try:
-                        ok = widen_merge(got, want) == want
-                    except ValueError:
-                        ok = False
-                    if not ok:
-                        raise ValueError(
-                            f"REWRITE PHYSICAL cannot represent "
-                            f"column {fld.name!r}: {got} in "
-                            f"{os.path.basename(f)} does not widen "
-                            f"to the banked {want}"
-                        )
-                    targets.append(f)
-                    break
+        undv = [f for f in files if not dv.get(f)]
+        if len(undv) >= self.DISTRIBUTED_STATS_THRESHOLD:
+            # the detection sweep fans out like _footer_stats: a
+            # 100k-file table reads footers at cluster parallelism and
+            # only (path, drifted, err) tuples return to the driver
+            sc = self.spark.sparkContext
+            n_slices = max(1, min(len(undv) // 16, 256))
+            drift = dict(
+                sc.parallelize(undv, n_slices)
+                .map(
+                    lambda p: (
+                        p,
+                        _physical_drift_one(p, hist, banked, cur_of),
+                    )
+                )
+                .collect()
+            )
+        else:
+            drift = {
+                p: _physical_drift_one(p, hist, banked, cur_of)
+                for p in undv
+            }
+        bad = sorted(e for _d, e in drift.values() if e)
+        if bad:
+            raise ValueError(
+                "REWRITE PHYSICAL cannot represent " + "; ".join(bad)
+            )
+        targets = [
+            f for f in files if dv.get(f) or drift.get(f, (False,))[0]
+        ]
         keep = [f for f in files if f not in set(targets)]
         if not targets and not sm:
             # physically clean already — nothing to rewrite or rebind

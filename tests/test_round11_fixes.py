@@ -247,3 +247,27 @@ def test_rewrite_physical_normalizes_widened_column(spark):
         assert spark.table(nm).count() == 50
     finally:
         spark.sql(f"DROP TABLE IF EXISTS `{nm}`")
+
+
+def test_rewrite_physical_distributed_sweep_branch(spark):
+    """Past DISTRIBUTED_STATS_THRESHOLD files the drift detection runs
+    as a Spark job (module-level _physical_drift_one) — same verdicts
+    as the driver loop."""
+    t = _bucketed_kn(spark, "k", 4, "r11rw_dist_")
+    t.commit_append(
+        spark.createDataFrame(
+            [(i, i) for i in range(40)], "k int, a int"
+        )
+    )
+    t.rename_column("a", "b")
+    t.commit_append(
+        spark.createDataFrame(
+            [(i, i) for i in range(40, 60)], "k int, b int"
+        )
+    )
+    t.DISTRIBUTED_STATS_THRESHOLD = 2  # instance override: force fanout
+    facts = t.rewrite_physical()
+    assert facts["n_files_rewritten"] >= 1
+    assert sorted((r.k, r.b) for r in t.read().collect()) == [
+        (i, i) for i in range(60)
+    ]
