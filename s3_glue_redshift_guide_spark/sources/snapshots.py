@@ -3802,7 +3802,8 @@ class SnapshotTable:
         targets = [
             f for f in files if dv.get(f) or drift.get(f, (False,))[0]
         ]
-        keep = [f for f in files if f not in set(targets)]
+        tset = set(targets)
+        keep = [f for f in files if f not in tset]
         if not targets and not sm:
             # physically clean already — nothing to rewrite or rebind
             return {

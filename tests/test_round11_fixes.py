@@ -271,3 +271,40 @@ def test_rewrite_physical_distributed_sweep_branch(spark):
     assert sorted((r.k, r.b) for r in t.read().collect()) == [
         (i, i) for i in range(60)
     ]
+
+
+def test_rewrite_physical_spec_partitioned_table(spark):
+    """REWRITE PHYSICAL on a partition-spec'd table: the rewrite rows
+    pass back through _write_files, which recomputes the derived
+    __part_ path columns from the data columns — the layout survives
+    the rebind and reads stay value-exact under the current names."""
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="r11rw_spec_"))
+    t.set_partition_spec(["bucket(k, 4)"])
+    t.commit_append(
+        spark.createDataFrame(
+            [(i, i * 5) for i in range(40)], "k int, val int"
+        )
+    )
+    t.rename_column("val", "amount")
+    t.commit_append(
+        spark.createDataFrame(
+            [(i, i * 5) for i in range(40, 60)], "k int, amount int"
+        )
+    )
+    facts = t.rewrite_physical()
+    assert facts["n_files_rewritten"] >= 1
+    assert sorted((r.k, r.amount) for r in t.read().collect()) == [
+        (i, i * 5) for i in range(60)
+    ]
+    # the spec still prunes: per-partition file routing survived
+    from s3_glue_redshift_guide_spark.sources.snapshots import (
+        load_manifest,
+    )
+
+    m = load_manifest(t.root, facts["version"])
+    assert not m.get("schema")
+    import os as _os
+
+    assert all(
+        "__part_bucket_k_4=" in _os.path.dirname(f) for f in m["files"]
+    )
