@@ -4205,8 +4205,9 @@ class SnapshotTable:
                     "bucketed readback caps deletion vectors at point-"
                     "delete size (4 MiB of sidecars / 10k positions — "
                     "the view inlines them as a row-index filter); run "
-                    "OPTIMIZE/REORG PURGE to fold the DVs into files, "
-                    "or read through the connector instead"
+                    "OPTIMIZE ... REWRITE PHYSICAL (or OPTIMIZE/REORG "
+                    "PURGE) to fold the DVs into files, or read "
+                    "through the connector instead"
                 )
         sm = m.get("schema") or []
         for ent in sm:
@@ -4220,8 +4221,10 @@ class SnapshotTable:
                     f"column ({ent['prior'][0]!r} -> {bcol!r}): the "
                     "join key would surface as a coalesce across "
                     "physical names, which Catalyst cannot match to "
-                    "the storage hash distribution; read through the "
-                    "connector instead"
+                    "the storage hash distribution; run OPTIMIZE ... "
+                    "REWRITE PHYSICAL to rebind the files to the "
+                    "current name, or read through the connector "
+                    "instead"
                 )
         files = m["files"]
         if not files:
@@ -4274,7 +4277,9 @@ class SnapshotTable:
                             f"mixed bucket column: {fld.name!r} is "
                             f"{got} in {os.path.basename(f)} but "
                             f"{want} banked — murmur3 hashes the two "
-                            "widths differently; read through the "
+                            "widths differently; run OPTIMIZE ... "
+                            "REWRITE PHYSICAL to land every file at "
+                            "the banked width, or read through the "
                             "connector instead"
                         )
                     try:
@@ -4362,8 +4367,9 @@ class SnapshotTable:
             if len(rows) > 10_000:
                 raise ValueError(
                     "bucketed readback caps deletion vectors at 10k "
-                    "positions; run OPTIMIZE/REORG PURGE or read "
-                    "through the connector instead"
+                    "positions; run OPTIMIZE ... REWRITE PHYSICAL "
+                    "(or OPTIMIZE/REORG PURGE) or read through the "
+                    "connector instead"
                 )
             by_file: dict[str, list[int]] = {}
             for r in rows:
