@@ -3822,7 +3822,20 @@ class SnapshotTable:
                 self._masked_read(targets, m["dv"], manifest=m),
                 m["schema"],
             )
-            new = self._write_files(rows)
+            # a cluster.by table's replacement files re-sort along the
+            # declared Morton key, so the rewrite never degrades the
+            # zone-map locality the layout exists for (bucket.by and
+            # cluster.by are mutually exclusive, and _write_files
+            # rejects order_within on bucketed tables)
+            order_within = None
+            cb = (m.get("properties") or {}).get("cluster.by")
+            if cb and self._bucket_spec() is None:
+                cb_cols = [
+                    c.strip() for c in str(cb).split(",") if c.strip()
+                ]
+                if 2 <= len(cb_cols) <= 4:
+                    order_within = self._z_order_within(rows, *cb_cols)
+            new = self._write_files(rows, order_within=order_within)
         visible = keep + new
         stats = self._merged_stats(cur, new, None)
         v = self._publish(

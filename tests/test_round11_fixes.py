@@ -308,3 +308,28 @@ def test_rewrite_physical_spec_partitioned_table(spark):
     assert all(
         "__part_bucket_k_4=" in _os.path.dirname(f) for f in m["files"]
     )
+
+
+def test_rewrite_physical_keeps_cluster_by_locality(spark):
+    """A cluster.by table's REWRITE PHYSICAL re-sorts the replacement
+    files along the declared Morton key — zone-map pruning on the
+    clustered columns survives the rebind."""
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="r11rw_cb_"))
+    t.set_tblproperties({"cluster.by": "a,b"})
+    t.commit_append(
+        spark.range(4096).selectExpr(
+            "CAST(id % 64 AS INT) AS a",
+            "CAST(id * 2654435761 % 64 AS INT) AS b",
+            "id AS payload",
+        ).repartition(8)
+    )
+    t.rename_column("payload", "val")
+    facts = t.rewrite_physical()
+    assert facts["n_files_rewritten"] >= 4
+    # both clustered columns still prune after the rewrite
+    ka, total = t.pruned_files("a", 10, 12)
+    kb, _ = t.pruned_files("b", 10, 12)
+    assert total >= 4
+    assert len(ka) < total, "a-ranges stopped pruning after rewrite"
+    assert len(kb) < total, "b-ranges stopped pruning after rewrite"
+    assert t.read().count() == 4096
