@@ -63,6 +63,7 @@ _PRIORITY = [
     "ev_sliding_window", "llm_bpe_merges", "llm_bpe_encode",
     # -- (b) new round-11 feature rows (append here as they land) ----------
     "join_copartitioned_rewrite", "join_connector_broadcast_df",
+    "join_copartitioned_dv_anti",
     # -- (c) round-6-evidence cohort (49): the leading rows fill the -------
     # -- window to 50, the rest queue for round 12 --------------------------
     "sql_recursive_cte", "q2_min_cost_supplier", "q8_market_share",

@@ -705,6 +705,107 @@ def join_copartitioned_rewrite(spark, sf_dir):
 
 
 @query(
+    "join_copartitioned_dv_anti",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           0 AS shuffle_exchanges
+    FROM (
+        SELECT l.l_orderkey,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                 AS cents
+        FROM (SELECT l_orderkey, l_extendedprice FROM lineitem
+              WHERE l_linenumber % 2 <> 0) l
+        JOIN (SELECT o_orderkey FROM orders
+              WHERE o_orderkey % 3 = 0) o
+          ON o.o_orderkey = l.l_orderkey
+        GROUP BY l.l_orderkey
+    )
+    """,
+)
+def join_copartitioned_dv_anti(spark, sf_dir):
+    """Zero-Exchange co-partitioned join UNDER A LARGE DELETION VECTOR
+    (round 11). The inline view mask caps at 10k positions — here
+    ~half of lineitem is MoR-deleted, far past it — so
+    ``register_bucketed_view`` serves the DV through its scale tier: a
+    broadcast LEFT ANTI JOIN against the sidecar parquet
+    (sources/snapshots.py::register_bucketed_view, dv_serve='anti').
+    BroadcastHashJoin preserves the streamed side's output
+    partitioning, so the fact⋈keys join + per-key aggregate still run
+    with ZERO hash-partitioning Exchanges — pinned in the oracle —
+    and the result is value-exact with the deleted rows absent. At
+    100 TB: heavy fact bytes never re-shuffle for the mask; the
+    (file, position) set ships once per executor, bounded at
+    DV_ANTI_JOIN_MAX_BYTES, past which OPTIMIZE ... REWRITE PHYSICAL
+    is the named recovery."""
+    import shutil as _sh
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from ..sources.snapshots import SnapshotTable
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    ta = SnapshotTable(spark, _tf.mkdtemp(prefix="cpdv_a_"))
+    ta.set_tblproperties({"bucket.by": "l_orderkey:8"})
+    ta.commit_append(li)
+    ta.delete_where(F.col("l_linenumber") % 2 == 0)
+    tb = SnapshotTable(spark, _tf.mkdtemp(prefix="cpdv_b_"))
+    tb.set_tblproperties({"bucket.by": "o_orderkey:8"})
+    tb.commit_append(
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey")
+    )
+    sfx = _uuid.uuid4().hex[:8]
+    # dv_serve pinned so the row exercises the anti tier at EVERY sf
+    # (at sf0.001 the DV is point-delete sized and auto would inline)
+    va = ta.register_bucketed_view(f"cpdv_facts_{sfx}", dv_serve="anti")
+    vb = tb.register_bucketed_view(f"cpdv_keys_{sfx}")
+    try:
+        per_key = (
+            spark.table(va)
+            .join(
+                spark.table(vb),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("l_orderkey")
+            .agg(F.sum("cents").alias("cents"))
+        )
+        agg = per_key.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        row = agg.collect()[0]
+        plan = per_key._jdf.queryExecution().executedPlan().toString()
+        n_shuffles = plan.count("Exchange hashpartitioning")
+        assert "Bucketed: true" in plan, "bucketed scan did not engage"
+        assert "LeftAnti" in plan, "DV anti-join tier did not engage"
+    finally:
+        for v in (va, vb):
+            for stmt in (
+                f"DROP VIEW IF EXISTS `{v}`",
+                f"DROP TABLE IF EXISTS `{v}`",
+                f"DROP TABLE IF EXISTS `{v}__phys`",
+            ):
+                try:
+                    spark.sql(stmt)
+                except Exception:
+                    pass
+        for t in (ta, tb):
+            _sh.rmtree(t.root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(row["n_keys"], row["sum_cents"], n_shuffles)],
+        "n_keys bigint, sum_cents bigint, shuffle_exchanges int",
+    )
+
+
+@query(
     "join_connector_broadcast_df",
     oracle="""
     SELECT n.n_name AS nation_name,

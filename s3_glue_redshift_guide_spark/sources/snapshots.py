@@ -1664,6 +1664,11 @@ class SnapshotTable:
     #: broadcast: point deletes (KBs) broadcast; a wide delete's
     #: millions of positions shuffle-join instead of flooding executors
     DV_BROADCAST_MAX_BYTES = 64 << 20
+    #: bucketed readback serves deletion vectors up to this much
+    #: sidecar parquet through a broadcast LEFT ANTI JOIN (the view's
+    #: scale tier — past the 4 MiB inline-predicate tier); above it,
+    #: the churn belongs in OPTIMIZE ... REWRITE PHYSICAL
+    DV_ANTI_JOIN_MAX_BYTES = 256 << 20
 
     def _dv_rows(self, dv: dict[str, list[str]]) -> DataFrame:
         """The (file, position) pairs of every sidecar in ``dv``, deduped
@@ -4145,7 +4150,9 @@ class SnapshotTable:
             )
         return parts[0], n
 
-    def register_bucketed_view(self, name: str) -> str:
+    def register_bucketed_view(
+        self, name: str, dv_serve: str | None = None
+    ) -> str:
         """Register the table's CURRENT snapshot as a session-catalog
         BUCKETED table, so joins/aggregations between co-bucketed
         snapshot tables elide their shuffle entirely (Spark's bucketed
@@ -4170,11 +4177,19 @@ class SnapshotTable:
         attribute, so Catalyst still sees the storage hash distribution
         and the join stays Exchange-free.
 
-        Deletion vectors (round 10): MoR point deletes are served too —
-        the view masks them with a per-file (basename, row_index)
-        NOT-filter, the same mask the connector applies, and a Filter
-        preserves the bucketed distribution. Bounded at 10k positions
-        (DVs are the point-delete path; OPTIMIZE folds bigger ones).
+        Deletion vectors are served in two tiers. Point-delete sized
+        (<4 MiB of sidecars / ≤10k positions): the view masks them with
+        a per-file (basename, row_index) NOT-filter, the same mask the
+        connector applies, and a Filter preserves the bucketed
+        distribution. Bigger (round 11, up to ``DV_ANTI_JOIN_MAX_BYTES``
+        of sidecars — millions of positions): the view becomes a
+        broadcast LEFT ANTI JOIN against the sidecar parquet itself
+        (symlink-farmed next to the data farm) — a BroadcastHashJoin
+        preserves the STREAMED side's output partitioning, so the
+        zero-Exchange co-bucketed join survives DVs far past what any
+        inlined predicate could carry; the heavy side never moves, the
+        DV side ships once per executor. ``dv_serve`` forces a tier
+        ("inline"/"anti") — default picks by sidecar size.
 
         Type widening (round 10): served — the table declares the
         BANKED (wide) type and Spark 4's vectorized reader upcasts
@@ -4184,8 +4199,10 @@ class SnapshotTable:
         a renamed or width-mixed BUCKET column (the join key's
         identity/hash domain would break — a coalesce is a derived
         expression Catalyst can't match to the distribution, and
-        murmur3 hashes int/bigint differently), >10k deletion-vector
-        positions, and cross-family physical type drift."""
+        murmur3 hashes int/bigint differently), deletion vectors past
+        the broadcastable anti-join tier (that much churn belongs in
+        OPTIMIZE ... REWRITE PHYSICAL, not a standing mask), and
+        cross-family physical type drift."""
         bspec = self._bucket_spec()
         if bspec is None:
             raise ValueError(
@@ -4203,6 +4220,11 @@ class SnapshotTable:
             # the view text — bound it by sidecar bytes before reading.
             # Bulk deletes belong to commit_replace/OPTIMIZE, after
             # which the DVs are gone.
+            if dv_serve not in (None, "inline", "anti"):
+                raise ValueError(
+                    f"dv_serve must be 'inline', 'anti' or None, "
+                    f"got {dv_serve!r}"
+                )
             sidecar_bytes = 0
             for d in sorted({p for lst in dv.values() for p in lst}):
                 try:
@@ -4211,17 +4233,32 @@ class SnapshotTable:
                         for f in os.listdir(d)
                     )
                 except OSError:
-                    sidecar_bytes = 4 << 20
+                    sidecar_bytes = self.DV_ANTI_JOIN_MAX_BYTES
                     break
-            if sidecar_bytes >= 4 << 20:
+            if sidecar_bytes >= self.DV_ANTI_JOIN_MAX_BYTES:
                 raise ValueError(
-                    "bucketed readback caps deletion vectors at point-"
-                    "delete size (4 MiB of sidecars / 10k positions — "
-                    "the view inlines them as a row-index filter); run "
-                    "OPTIMIZE ... REWRITE PHYSICAL (or OPTIMIZE/REORG "
-                    "PURGE) to fold the DVs into files, or read "
+                    "bucketed readback caps deletion vectors at "
+                    "broadcast anti-join size "
+                    f"({self.DV_ANTI_JOIN_MAX_BYTES >> 20} MiB of "
+                    "sidecars); that much churn belongs in a rewrite — "
+                    "run OPTIMIZE ... REWRITE PHYSICAL (or OPTIMIZE/"
+                    "REORG PURGE) to fold the DVs into files, or read "
                     "through the connector instead"
                 )
+            if dv_serve == "inline" and sidecar_bytes >= 4 << 20:
+                raise ValueError(
+                    "dv_serve='inline' caps deletion vectors at point-"
+                    "delete size (4 MiB of sidecars / 10k positions — "
+                    "the view inlines them as a row-index filter); "
+                    "use dv_serve='anti' (broadcast anti-join) or run "
+                    "OPTIMIZE ... REWRITE PHYSICAL"
+                )
+            dv_anti = (
+                dv_serve == "anti"
+                or (dv_serve is None and sidecar_bytes >= 4 << 20)
+            )
+        else:
+            dv_anti = False
         sm = m.get("schema") or []
         for ent in sm:
             if (
@@ -4375,15 +4412,38 @@ class SnapshotTable:
         # Exchange-free join. Basenames are UUID-unique, so matching
         # the symlink's basename identifies the original file.
         dv_conds = []
-        if dv:
+        dv_farm = None
+        if dv and not dv_anti:
             rows = self._dv_rows(dv).collect()  # point-delete sized
             if len(rows) > 10_000:
-                raise ValueError(
-                    "bucketed readback caps deletion vectors at 10k "
-                    "positions; run OPTIMIZE ... REWRITE PHYSICAL "
-                    "(or OPTIMIZE/REORG PURGE) or read through the "
-                    "connector instead"
-                )
+                if dv_serve == "inline":
+                    raise ValueError(
+                        "dv_serve='inline' caps deletion vectors at "
+                        "10k positions; use dv_serve='anti' or run "
+                        "OPTIMIZE ... REWRITE PHYSICAL"
+                    )
+                # sidecar bytes under-estimated the position count
+                # (highly compressible runs); promote to the anti tier
+                dv_anti = True
+        if dv and dv_anti:
+            # broadcast anti-join tier: symlink-farm the sidecar
+            # parquet next to the data farm (same _bucket_views tree,
+            # so the same ownership/cleanup rules apply) and let the
+            # view read it directly — the positions NEVER pass through
+            # the driver, and the mask ships as one broadcast
+            dv_farm = view_root + "__dv"
+            os.makedirs(dv_farm)
+            k = 0
+            for d in sorted({p for lst in dv.values() for p in lst}):
+                for f in sorted(os.listdir(d)):
+                    if f.startswith(("_", ".")):
+                        continue
+                    os.symlink(
+                        os.path.abspath(os.path.join(d, f)),
+                        os.path.join(dv_farm, f"{k:05d}_{f}"),
+                    )
+                    k += 1
+        elif dv:
             by_file: dict[str, list[int]] = {}
             for r in rows:
                 by_file.setdefault(r["__dv_file"], []).append(
@@ -4396,7 +4456,7 @@ class SnapshotTable:
                     "(element_at(split(_metadata.file_path, '/'), -1)"
                     f" = '{base}' AND _metadata.row_index IN ({plist}))"
                 )
-        use_view = aliased or bool(dv_conds)
+        use_view = aliased or bool(dv_conds) or dv_farm is not None
         tbl = f"{name}__phys" if use_view else name
         self._drop_owned_bucket_object(name)
         # drop the companion physical table too: a prior registration
@@ -4440,10 +4500,30 @@ class SnapshotTable:
                 if dv_conds
                 else ""
             )
+            hint, anti = "", ""
+            if dv_farm is not None:
+                # BroadcastHashJoin(LeftAnti) keeps the STREAMED side's
+                # output partitioning, so the bucketed hash distribution
+                # — and the Exchange-free co-bucketed join — survives a
+                # DV mask too big to inline: the fact bytes never move,
+                # the (file, position) set ships once per executor
+                hint = "/*+ BROADCAST(d) */ "
+                # no DISTINCT on the build side: LEFT ANTI excludes on
+                # ANY match, so duplicate (file, pos) rows are harmless
+                # — and skipping the dedup aggregate keeps the DV side
+                # Exchange-free too (one BroadcastExchange, nothing
+                # hash-partitioned anywhere in the plan)
+                anti = (
+                    f" LEFT ANTI JOIN parquet.`{dv_farm}` d ON "
+                    "element_at(split(t._metadata.file_path, '/'), -1)"
+                    " = element_at(split(d.__dv_file, '/'), -1) AND "
+                    "t._metadata.row_index = d.__dv_pos"
+                )
             self.spark.sql(
                 f"CREATE VIEW `{name}` "
                 "TBLPROPERTIES ('pysnap.bucketed_view'='true') "
-                f"AS SELECT {', '.join(proj)} FROM `{tbl}`{where}"
+                f"AS SELECT {hint}{', '.join(proj)} "
+                f"FROM `{tbl}` t{anti}{where}"
             )
         return name
 

@@ -150,12 +150,13 @@ def test_bucketed_view_refuses_oversized_dv(spark):
 
     m = _sn.load_manifest(t.root, t.current_version())
     # unreadable sidecar dirs make the byte gate assume oversized —
-    # the budget path without writing 10k real tombstones
+    # past even the round-11 broadcast anti-join tier, where the only
+    # named recovery is a physical rewrite
     big = {f: ["/nonexistent/dv_sidecars"] for f in m["files"][:2]}
     with _mock.patch.object(
         _sn, "load_manifest", return_value={**m, "dv": big}
     ):
-        with pytest.raises(ValueError, match="10k"):
+        with pytest.raises(ValueError, match="REWRITE PHYSICAL"):
             t.register_bucketed_view("cpj_dvbig")
 
 

@@ -14,7 +14,7 @@ from s3_glue_redshift_guide_spark.queries import _PRIORITY, REGISTRY
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: Update when queries land; test_registry_size keeps COVERAGE.md honest.
-EXPECTED_REGISTRY_SIZE = 280
+EXPECTED_REGISTRY_SIZE = 281
 
 
 def _verified_names() -> set[str]:

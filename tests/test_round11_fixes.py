@@ -333,3 +333,150 @@ def test_rewrite_physical_keeps_cluster_by_locality(spark):
     assert len(ka) < total, "a-ranges stopped pruning after rewrite"
     assert len(kb) < total, "b-ranges stopped pruning after rewrite"
     assert t.read().count() == 4096
+
+
+# ------------------------------------------------- DV anti-join tier --
+def _drop_bucket_objs(spark, *names):
+    for v in names:
+        for stmt in (
+            f"DROP VIEW IF EXISTS `{v}`",
+            f"DROP TABLE IF EXISTS `{v}`",
+            f"DROP TABLE IF EXISTS `{v}__phys`",
+        ):
+            try:
+                spark.sql(stmt)
+            except Exception:
+                pass
+
+
+def test_bucketed_readback_serves_large_dvs_via_anti_join(spark):
+    """Round 11: deletion vectors past the 4 MiB / 10k-position inline
+    tier serve through a broadcast LEFT ANTI JOIN against the sidecar
+    parquet — value-exact, and the co-bucketed join keeps ZERO
+    hash-partitioning Exchanges (BroadcastHashJoin preserves the
+    streamed side's output partitioning)."""
+    import uuid
+
+    df = spark.range(30_000).selectExpr(
+        "CAST(id % 997 AS BIGINT) AS k",
+        "id AS seq",
+        "CAST(id * 3 AS BIGINT) AS val",
+    )
+    ta = SnapshotTable(spark, tempfile.mkdtemp(prefix="r11dv_a_"))
+    ta.set_tblproperties({"bucket.by": "k:8"})
+    ta.commit_append(df)
+    ta.delete_where(F.col("seq") % 2 == 0)  # ~15k positions > 10k
+    tb = SnapshotTable(spark, tempfile.mkdtemp(prefix="r11dv_b_"))
+    tb.set_tblproperties({"bucket.by": "k:8"})
+    tb.commit_append(df.select("k").distinct())
+    sfx = uuid.uuid4().hex[:8]
+    va = ta.register_bucketed_view(f"r11dva_{sfx}")  # auto -> anti
+    vb = tb.register_bucketed_view(f"r11dvb_{sfx}")
+    try:
+        text = spark.sql(f"SHOW CREATE TABLE `{va}`").collect()[0][0]
+        assert "ANTI JOIN" in text.upper(), "auto tier did not promote"
+        assert spark.table(va).count() == 15_000
+        j = (
+            spark.table(va)
+            .join(spark.table(vb), "k")
+            .groupBy("k")
+            .agg(F.sum("val").alias("s"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 0
+        assert "LeftAnti" in plan and "Bucketed: true" in plan
+        got = {(r["k"], r["s"]) for r in j.collect()}
+        exp = {
+            (r["k"], r["s"])
+            for r in df.filter(F.col("seq") % 2 != 0)
+            .groupBy("k")
+            .agg(F.sum("val").alias("s"))
+            .collect()
+        }
+        assert got == exp
+    finally:
+        _drop_bucket_objs(spark, va, vb)
+
+
+def test_bucketed_readback_dv_serve_forced_tiers(spark):
+    """dv_serve='anti' engages the anti-join on a point-delete-sized DV;
+    dv_serve='inline' refuses past 10k positions instead of silently
+    promoting; a bogus mode raises."""
+    import uuid
+
+    import pytest
+
+    df = spark.range(20_000).selectExpr(
+        "CAST(id % 97 AS BIGINT) AS k", "id AS seq"
+    )
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="r11dv_f_"))
+    t.set_tblproperties({"bucket.by": "k:4"})
+    t.commit_append(df)
+    t.delete_where(F.col("seq") < 100)  # small: inline-tier sized
+    sfx = uuid.uuid4().hex[:8]
+    va = t.register_bucketed_view(f"r11dvf_{sfx}", dv_serve="anti")
+    try:
+        text = spark.sql(f"SHOW CREATE TABLE `{va}`").collect()[0][0]
+        assert "ANTI JOIN" in text.upper()
+        assert spark.table(va).count() == 19_900
+    finally:
+        _drop_bucket_objs(spark, va)
+    t.delete_where(F.col("seq") < 15_000)  # now >10k positions total
+    with pytest.raises(ValueError, match="dv_serve='inline' caps"):
+        t.register_bucketed_view(
+            f"r11dvg_{sfx}", dv_serve="inline"
+        )
+    with pytest.raises(ValueError, match="dv_serve must be"):
+        t.register_bucketed_view(f"r11dvh_{sfx}", dv_serve="bogus")
+
+
+def test_bucketed_readback_dv_anti_cap_refuses_to_rewrite(spark):
+    """Past DV_ANTI_JOIN_MAX_BYTES of sidecars even the anti tier
+    refuses, naming OPTIMIZE ... REWRITE PHYSICAL as the recovery."""
+    import uuid
+
+    import pytest
+
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="r11dv_c_"))
+    t.set_tblproperties({"bucket.by": "k:4"})
+    t.commit_append(
+        spark.range(1_000).selectExpr(
+            "CAST(id % 97 AS BIGINT) AS k", "id AS seq"
+        )
+    )
+    t.delete_where(F.col("seq") % 5 == 0)
+    t.DV_ANTI_JOIN_MAX_BYTES = 1  # instance override, test-only
+    with pytest.raises(ValueError, match="REWRITE PHYSICAL"):
+        t.register_bucketed_view(f"r11dvc_{uuid.uuid4().hex[:8]}")
+
+
+def test_bucketed_readback_dv_anti_composes_with_rename(spark):
+    """The anti tier composes with the coalesce-projection rename path:
+    a renamed NON-bucket column plus a large DV serve through one view
+    (coalesce projection + broadcast anti join), value-exact."""
+    import uuid
+
+    df = spark.range(24_000).selectExpr(
+        "CAST(id % 503 AS BIGINT) AS k", "id AS seq"
+    )
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="r11dv_r_"))
+    t.set_tblproperties({"bucket.by": "k:8"})
+    t.commit_append(df)
+    t.rename_column("seq", "ordinal")
+    t.commit_append(
+        spark.range(24_000, 26_000).selectExpr(
+            "CAST(id % 503 AS BIGINT) AS k", "id AS ordinal"
+        )
+    )
+    t.delete_where(F.col("ordinal") % 2 == 1)  # ~13k positions
+    v = t.register_bucketed_view(f"r11dvr_{uuid.uuid4().hex[:8]}")
+    try:
+        text = spark.sql(f"SHOW CREATE TABLE `{v}`").collect()[0][0]
+        assert "ANTI JOIN" in text.upper()
+        assert "coalesce" in text.lower()
+        assert spark.table(v).count() == 13_000
+        s = spark.table(v).agg(F.sum("ordinal")).collect()[0][0]
+        exp = sum(x for x in range(26_000) if x % 2 == 0)
+        assert s == exp
+    finally:
+        _drop_bucket_objs(spark, v)
