@@ -40,6 +40,20 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for toPandas / pandas_udf hot paths.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # RocksDB state store for streaming state (round-11 probe,
+    # BENCH_NOTES.md "streaming state-store probe"): the HDFS-backed
+    # default keeps every state row ON EXECUTOR HEAP at a measured
+    # ~215 B/row — 1e8 keys/executor is ~21 GB of heap — and its
+    # per-trigger cost drifts up with state (exponent 0.24/decade);
+    # RocksDB's is flat in state size (-0.06) at equal local wall
+    # clock. Safe here because every engine stream builds a fresh
+    # checkpoint; Spark refuses a provider switch under an existing
+    # checkpoint loudly, so a user resuming foreign checkpoints must
+    # override this conf back.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
 }
 
 

@@ -2,31 +2,36 @@
 
 Every other layer has measured growth exponents (relational sf0.1->sf1,
 LLM trio sf0.1->sf1->sf10, manifest log to 2k commits, table-format
-sf10); the STREAMING layer's 100 TB claims — bounded state under
-watermarks, O(batch) not O(state) per-trigger cost — are so far
-plan-shape arguments. This probe turns them into data.
+sf10); the STREAMING layer's 100 TB claims — watermarks bound state,
+per-trigger cost tracks the BATCH not the accumulated STATE — were so
+far plan-shape arguments. This probe turns both into data, read
+straight from the engine's own telemetry (``query.recentProgress``:
+per-trigger durations, ``stateOperators[].numRowsTotal`` /
+``memoryUsedBytes`` / ``commitTimeMs``).
 
-Method: pre-stage B zero-padded parquet batch files, drive a stream
-with ``maxFilesPerTrigger=1`` + ``processAllAvailable()``, then read
-``query.recentProgress`` — per-trigger durations and
-``stateOperators[].numRowsTotal`` — straight from the engine's own
-telemetry. Two stateful ops x three key-cardinality decades x two
-state-store providers:
+Two experiments x two state-store providers (HDFS-backed heap map vs
+RocksDB), driven by pre-staged zero-padded parquet batches with
+``maxFilesPerTrigger=1`` + ``processAllAvailable()``:
 
-- ``dedup``   — ``dropDuplicates`` under a watermark: state grows to K
-  then saturates; the question is whether per-trigger cost follows
-  state size (O(state) snapshot re-write) or batch size (incremental).
-- ``window``  — tumbling event-time count per key: watermark closes
-  windows each trigger, so state is windows-in-horizon x K.
+- ``dedup-grow``: every batch carries ALL-NEW keys, so
+  ``dropDuplicates`` state grows by one batch per trigger (the
+  unbounded-retention shape; production bounds it with
+  dropDuplicatesWithinWatermark — this measures the cost curve a
+  pipeline rides if it doesn't). Fit: log(trigger ms) vs log(state
+  rows) across batches -> the per-trigger exponent in state size. The
+  other number that matters at 100 TB is ``memoryUsedBytes``: the
+  HDFS-backed provider keeps every key ON HEAP, so its growth line is
+  the executor-memory ceiling; RocksDB's stays off-heap/disk.
 
-Providers: HDFS-backed (default; keeps every key in executor heap and
-snapshots per maintenance interval) vs RocksDB (incremental
-changelog). The 100 TB question is exactly the provider choice: at
-1e8+ keys per executor heap-backed state stops fitting; RocksDB's
-per-trigger cost must stay flat in K for streams to scale.
+- ``window-bounded``: fixed key population, event time advancing one
+  minute per batch, 2-minute tumbling windows under a 5-minute
+  watermark. The claim: state PLATEAUS (closed windows evict) while
+  input keeps flowing, and trigger cost stays flat. Reported as
+  plateau ratio (final state / mid-run state, ~1.0 = bounded) and
+  steady-cost ratio (last-5 / mid-5 trigger ms).
 
 Run:  python tools/probe_streaming_state.py [--quick]
-Writes a markdown table to stdout; bank the result in BENCH_NOTES.md.
+Bank the table + readings in BENCH_NOTES.md.
 """
 
 from __future__ import annotations
@@ -46,22 +51,30 @@ ROCKSDB = (
     "org.apache.spark.sql.execution.streaming.state."
     "RocksDBStateStoreProvider"
 )
+HDFS = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "HDFSBackedStateStoreProvider"
+)
 
 
 def stage_batches(
-    spark, root: str, n_batches: int, rows: int, n_keys: int
+    spark, root: str, n_batches: int, rows: int, mode: str, n_keys: int
 ) -> str:
-    """Batch b: ``rows`` events, keys uniform in [0, n_keys), event
-    time advancing one minute per batch (so watermarks close old
-    windows as the stream progresses)."""
+    """dedup-grow: batch b's keys are [b*rows, (b+1)*rows) — all new.
+    window-bounded: keys uniform in [0, n_keys), event time advancing
+    one minute per batch so the watermark closes old windows."""
     src = os.path.join(root, "in")
     for b in range(n_batches):
+        base = spark.range(rows)
+        if mode == "grow":
+            k = (F.col("id") + b * rows).alias("k")
+        else:
+            k = ((F.col("id") * 2654435761 + b * 97) % n_keys).alias(
+                "k"
+            )
         (
-            spark.range(rows)
-            .select(
-                ((F.col("id") * 2654435761 + b * 97) % n_keys).alias(
-                    "k"
-                ),
+            base.select(
+                k,
                 F.to_timestamp(
                     F.lit("2026-01-01 00:00:00").cast("timestamp")
                     + F.make_interval(mins=F.lit(b))
@@ -104,127 +117,149 @@ def run_stream(spark, src: str, ckpt: str, op: str, provider: str):
     wall = time.time() - t0
     prog = [json.loads(p.json) for p in q.recentProgress]
     q.stop()
-    return wall, prog
-
-
-def summarize(prog):
     batches = [
         p
         for p in prog
         if p.get("numInputRows", 0) > 0 and p.get("stateOperators")
     ]
-    if not batches:
-        return None
-    trig = [p["durationMs"].get("triggerExecution", 0) for p in batches]
-    state = [p["stateOperators"][0].get("numRowsTotal", 0) for p in batches]
-    commit = [
-        p["stateOperators"][0].get("commitTimeMs", 0) for p in batches
+    return wall, [
+        {
+            "trigger_ms": p["durationMs"].get("triggerExecution", 0),
+            "commit_ms": p["stateOperators"][0].get("commitTimeMs", 0),
+            "state_rows": p["stateOperators"][0].get("numRowsTotal", 0),
+            "mem_bytes": p["stateOperators"][0].get(
+                "memoryUsedBytes", 0
+            ),
+        }
+        for p in batches
     ]
-    k = max(1, min(3, len(trig) // 2))
-    return {
-        "n_batches": len(batches),
-        "first_ms": sum(trig[:k]) / k,
-        "last_ms": sum(trig[-k:]) / k,
-        "final_state_rows": state[-1],
-        "last_commit_ms": sum(commit[-k:]) / k,
-    }
+
+
+def _mean(xs):
+    return sum(xs) / max(1, len(xs))
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
-    n_batches = 8 if args.quick else 16
+    n_batches = 10 if args.quick else 40
     rows = 20_000 if args.quick else 100_000
-    cards = [10_000, 100_000, 1_000_000]
-    if args.quick:
-        cards = cards[:2]
+    n_keys = 20_000
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("probe-streaming-state")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", "12g")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # warm-up: one throwaway stream so JIT/codegen/state-store class
-    # loading doesn't land in the first measured configuration
+    # warm-up: throwaway streams so JIT/codegen/provider class loading
+    # don't land in the first measured configuration
     wroot = tempfile.mkdtemp(prefix="probe_ss_warm_")
     try:
-        wsrc = stage_batches(spark, wroot, 3, 5_000, 1_000)
-        run_stream(
-            spark, wsrc, os.path.join(wroot, "ck"), "dedup", ROCKSDB
-        )
-    except Exception:
-        pass
+        wsrc = stage_batches(spark, wroot, 3, 5_000, "grow", n_keys)
+        for prov in (HDFS, ROCKSDB):
+            run_stream(
+                spark,
+                wsrc,
+                os.path.join(wroot, f"ck_{prov[-20:]}"),
+                "dedup",
+                prov,
+            )
+    except Exception as e:
+        print(f"warm-up failed: {e}", file=sys.stderr)
     finally:
         shutil.rmtree(wroot, ignore_errors=True)
-    providers = [("hdfs", None), ("rocksdb", ROCKSDB)]
-    results = []
-    for n_keys in cards:
-        root = tempfile.mkdtemp(prefix=f"probe_ss_{n_keys}_")
+
+    for op, mode in (("dedup", "grow"), ("window", "bounded")):
+        root = tempfile.mkdtemp(prefix=f"probe_ss_{op}_")
         try:
-            src = stage_batches(spark, root, n_batches, rows, n_keys)
-            for op in ("dedup", "window"):
-                for pname, pclass in providers:
-                    ckpt = os.path.join(root, f"ck_{op}_{pname}")
-                    try:
-                        wall, prog = run_stream(
-                            spark,
-                            src,
-                            ckpt,
-                            op,
-                            pclass
-                            or spark.conf.get(
-                                "spark.sql.streaming.stateStore."
-                                "providerClass.default",
-                                "org.apache.spark.sql.execution."
-                                "streaming.state."
-                                "HDFSBackedStateStoreProvider",
+            src = stage_batches(
+                spark, root, n_batches, rows, mode, n_keys
+            )
+            for pname, pclass in (("hdfs", HDFS), ("rocksdb", ROCKSDB)):
+                ckpt = os.path.join(root, f"ck_{pname}")
+                try:
+                    wall, b = run_stream(spark, src, ckpt, op, pclass)
+                except Exception as e:
+                    print(f"{op}/{pname}: UNAVAILABLE {str(e)[:120]}")
+                    continue
+                n = len(b)
+                mid = b[n // 2 - 2 : n // 2 + 3]
+                last = b[-5:]
+                first = b[2:7]
+                out = {
+                    "op": op,
+                    "provider": pname,
+                    "batches": n,
+                    "early_trigger_ms": round(
+                        _mean([x["trigger_ms"] for x in first])
+                    ),
+                    "mid_trigger_ms": round(
+                        _mean([x["trigger_ms"] for x in mid])
+                    ),
+                    "late_trigger_ms": round(
+                        _mean([x["trigger_ms"] for x in last])
+                    ),
+                    "late_commit_ms": round(
+                        _mean([x["commit_ms"] for x in last])
+                    ),
+                    "mid_state_rows": b[n // 2]["state_rows"],
+                    "final_state_rows": b[-1]["state_rows"],
+                    "early_mem_mb": round(
+                        b[4]["mem_bytes"] / 1e6, 1
+                    ),
+                    "final_mem_mb": round(
+                        b[-1]["mem_bytes"] / 1e6, 1
+                    ),
+                    "wall_s": round(wall, 1),
+                }
+                if mode == "grow":
+                    # per-trigger cost exponent in STATE SIZE: compare
+                    # steady readings one state-decade apart
+                    s0, s1 = (
+                        b[max(2, n // 10)],
+                        b[-1],
+                    )
+                    if s0["state_rows"] > 0 and s1["state_rows"] > 0:
+                        out["trigger_vs_state_exp"] = round(
+                            math.log(
+                                max(
+                                    _mean(
+                                        [x["trigger_ms"] for x in last]
+                                    ),
+                                    1,
+                                )
+                                / max(s0["trigger_ms"], 1)
+                            )
+                            / math.log(
+                                s1["state_rows"] / s0["state_rows"]
                             ),
+                            2,
                         )
-                    except Exception as e:  # provider unavailable
-                        print(
-                            f"| {op} | {pname} | {n_keys} | "
-                            f"UNAVAILABLE: {str(e)[:80]} |"
-                        )
-                        continue
-                    s = summarize(prog)
-                    s.update(
-                        op=op, provider=pname, n_keys=n_keys, wall=wall
+                    out["mem_growth_x"] = round(
+                        b[-1]["mem_bytes"]
+                        / max(1, b[max(2, n // 10)]["mem_bytes"]),
+                        1,
                     )
-                    results.append(s)
-                    print(
-                        f"| {op} | {pname} | {n_keys:>9,} | "
-                        f"{s['n_batches']:>2} | {s['first_ms']:8.0f} | "
-                        f"{s['last_ms']:8.0f} | {s['last_commit_ms']:7.0f} | "
-                        f"{s['final_state_rows']:>9,} | {wall:6.1f} |",
-                        flush=True,
+                else:
+                    out["state_plateau_ratio"] = round(
+                        b[-1]["state_rows"]
+                        / max(1, b[n // 2]["state_rows"]),
+                        2,
                     )
+                    out["steady_cost_ratio"] = round(
+                        _mean([x["trigger_ms"] for x in last])
+                        / max(
+                            1.0, _mean([x["trigger_ms"] for x in mid])
+                        ),
+                        2,
+                    )
+                print(json.dumps(out), flush=True)
         finally:
             shutil.rmtree(root, ignore_errors=True)
-    # growth of steady-state trigger cost vs key cardinality
-    print()
-    for op in ("dedup", "window"):
-        for pname, _ in providers:
-            pts = [
-                r
-                for r in results
-                if r["op"] == op and r["provider"] == pname
-            ]
-            if len(pts) >= 2:
-                a, b = pts[0], pts[-1]
-                exp = (
-                    math.log(max(b["last_ms"], 1) / max(a["last_ms"], 1))
-                    / math.log(b["n_keys"] / a["n_keys"])
-                )
-                print(
-                    f"{op}/{pname}: steady trigger "
-                    f"{a['last_ms']:.0f} -> {b['last_ms']:.0f} ms over "
-                    f"{a['n_keys']:,} -> {b['n_keys']:,} keys; "
-                    f"exponent {exp:.2f}/decade"
-                )
     spark.stop()
 
 
