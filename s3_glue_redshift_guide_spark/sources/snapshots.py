@@ -4453,8 +4453,8 @@ class SnapshotTable:
                 base = os.path.basename(f).replace("'", "''")
                 plist = ", ".join(str(p) for p in sorted(pos))
                 dv_conds.append(
-                    "(element_at(split(_metadata.file_path, '/'), -1)"
-                    f" = '{base}' AND _metadata.row_index IN ({plist}))"
+                    f"(_metadata.file_name = '{base}' AND "
+                    f"_metadata.row_index IN ({plist}))"
                 )
         use_view = aliased or bool(dv_conds) or dv_farm is not None
         tbl = f"{name}__phys" if use_view else name
@@ -4513,9 +4513,13 @@ class SnapshotTable:
                 # — and skipping the dedup aggregate keeps the DV side
                 # Exchange-free too (one BroadcastExchange, nothing
                 # hash-partitioned anywhere in the plan)
+                # _metadata.file_name reads the basename straight from
+                # the scan's metadata struct — no per-row path split on
+                # the 6M+-row streamed side (the split stays on the
+                # small DV side only, where __dv_file is a data column)
                 anti = (
                     f" LEFT ANTI JOIN parquet.`{dv_farm}` d ON "
-                    "element_at(split(t._metadata.file_path, '/'), -1)"
+                    "t._metadata.file_name"
                     " = element_at(split(d.__dv_file, '/'), -1) AND "
                     "t._metadata.row_index = d.__dv_pos"
                 )
