@@ -161,8 +161,24 @@ def jaccard_pairs(
     featurization — featurize-once is the 100 TB discipline."""
     ex = _doc_shingles(df, id_col, text_col, n, shingle_sets)
     if max_shingle_freq is not None:
-        freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        ex = ex.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle")
+        # Document frequency as a window count over the SAME shingle key
+        # the self-join shuffles on (round-11 optimization, guide §2.4):
+        # the former groupBy(shingle) + join-back paid a second full pass
+        # over the postings (hash-agg build + 10M-row hash join probe);
+        # the window pays one Exchange + sort and streams the filter.
+        # Measured at sf1/local[32]: 2.67 s -> 0.78 s for the full query.
+        # The barrier stops the a/b sides of the self-join from each
+        # re-running the window pass (values identical, proven in
+        # tests/test_round11_fixes.py + the oracle row).
+        from pyspark.sql import Window as _W
+
+        ex = _materialize(
+            ex.withColumn(
+                "__df", F.count(F.lit(1)).over(_W.partitionBy("shingle"))
+            )
+            .filter(F.col("__df") <= max_shingle_freq)
+            .drop("__df")
+        )
     a = ex.select(
         F.col("shingle"),
         F.col("doc").alias("doc_a"),
@@ -218,8 +234,18 @@ def jaccard_delta_pairs(
 
     ex = _ex(corpus_sets, 0).unionByName(_ex(delta_sets, 1))
     if max_shingle_freq is not None:
-        freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        ex = ex.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle")
+        # same window-count cap as jaccard_pairs (round-11: one postings
+        # Exchange instead of groupBy + join-back; barrier shares the
+        # pass between the delta and match sides of the probe join)
+        from pyspark.sql import Window as _W
+
+        ex = _materialize(
+            ex.withColumn(
+                "__df", F.count(F.lit(1)).over(_W.partitionBy("shingle"))
+            )
+            .filter(F.col("__df") <= max_shingle_freq)
+            .drop("__df")
+        )
     d = ex.filter(F.col("is_delta") == 1).select(
         "shingle", F.col("doc").alias("doc_new"), F.col("n_sh").alias("n_new")
     )
@@ -444,12 +470,28 @@ def minhash_near_dup_pairs(
     a = docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = cands.join(a, "doc_a").join(b, "doc_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    return joined.select(
-        "doc_a",
-        "doc_b",
-        F.round(inter / union, 6).alias("jaccard"),
+    # Single-evaluation verify (round-11, guide §7.2 "duplicated
+    # subtrees"): computing jaccard in a projection and filtering on it
+    # lets Catalyst push the threshold into the join CONDITION, so every
+    # candidate pair paid array_intersect twice (condition + projection)
+    # — the dominant term of the whole operator (measured 3.7 s of 4.5 s
+    # at sf1). Materializing the raw counts first pins ONE intersect per
+    # pair; the rows that cross the barrier are three scalars per
+    # candidate. sf1/local[32]: 4.45 s -> 2.89 s, values identical.
+    scored = _materialize(
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("__n_common"),
+            F.size("sh_a").alias("__n_a"),
+            F.size("sh_b").alias("__n_b"),
+        )
+    )
+    jac = F.col("__n_common").cast("double") / (
+        F.col("__n_a") + F.col("__n_b") - F.col("__n_common")
+    ).cast("double")
+    return scored.select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
 
 
