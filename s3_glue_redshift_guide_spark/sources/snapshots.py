@@ -2903,34 +2903,6 @@ class SnapshotTable:
             else ()
         )
         mapped = self._apply_schema_map(tagged, m["schema"], keep=keep)
-        _ph0 = _mtime.perf_counter()
-        # ambiguity guard: >1 source row per join key is an error IF any
-        # target row carries that key (Delta's multiple-matches error)
-        dup_keys = (
-            src.groupBy(*[F.col(f"__src_{k}") for k in on])
-            .count()
-            .filter(F.col("count") > 1)
-            .drop("count")
-        )
-        ambiguous = (
-            mapped.join(
-                dup_keys,
-                [
-                    mapped[k].eqNullSafe(dup_keys[f"__src_{k}"])
-                    for k in on
-                ],
-                "left_semi",
-            ).limit(1).count()
-        )
-        if ambiguous:
-            raise ValueError(
-                "merge_mor: multiple source rows match a single "
-                "target row on " + str(on) + " — deduplicate the "
-                "source first (the merge would be ambiguous)"
-            )
-        MERGE_METRICS["ambiguity_check_sec"] = round(
-            _mtime.perf_counter() - _ph0, 3
-        )
         for c in m.get("identity") or {}:
             if when_matched_update and c in when_matched_update:
                 raise ValueError(
@@ -2960,18 +2932,81 @@ class SnapshotTable:
                 else F.lit(True)
             )
         )
-        # ONE full-table pass detects and MATERIALIZES the matched
-        # rows (localCheckpoint, O(matched rows) storage): tombstones
-        # AND post-images both derive from this frame, so the join
-        # never re-scans the table for the post-image pass (pre-r8 it
-        # re-ran the whole join against the written sidecar — churned
-        # files read twice) and nondeterministic clause conditions are
-        # pinned by the materialization itself.
-        _ph0 = _mtime.perf_counter()
-        touched = joined.filter(del_cond | upd_cond).localCheckpoint(
-            eager=True
+        has_matched_clauses = (
+            when_matched_delete is not None
+            or when_matched_update is not None
         )
+        _ph0 = _mtime.perf_counter()
+        if has_matched_clauses:
+            # ONE full-table pass (round-11: it also serves the ambiguity
+            # guard below, which previously paid its own semi-join scan of
+            # the masked table) detects and MATERIALIZES every matched row
+            # with its clause outcomes pinned as boolean columns
+            # (localCheckpoint, O(matched rows) storage): the ambiguity
+            # count, tombstones AND post-images all derive from this one
+            # frame, so the table is never re-scanned for them, and
+            # nondeterministic clause conditions are evaluated exactly
+            # once (the flags cross the barrier as data).
+            matched = joined.withColumns(
+                {"__is_del": del_cond, "__is_upd": upd_cond}
+            ).localCheckpoint(eager=True)
+            touched = matched.filter(
+                F.col("__is_del") | F.col("__is_upd")
+            ).drop("__is_upd")
+        else:
+            # insert-only merge: nothing downstream needs the matched
+            # rows, so no materialization — the ambiguity guard keeps
+            # the pre-r11 standalone semi-join shape (same cost class
+            # as before; this path's behavior is unchanged)
+            matched = None
+            touched = joined.filter(F.lit(False)).withColumn(
+                "__is_del", F.lit(False)
+            )
         MERGE_METRICS["detect_matched_sec"] = round(
+            _mtime.perf_counter() - _ph0, 3
+        )
+        _ph0 = _mtime.perf_counter()
+        # ambiguity guard (Delta's multiple-matches error): >1 source row
+        # MATCHING one target row. With matched clauses the count comes
+        # from the already-materialized matched frame — a target row is
+        # (__dv_file, __dv_pos) — so the guard costs a KB-scale aggregate
+        # instead of a second masked-table scan. Matching follows the
+        # merge join itself (`=`): NULL join keys never match, so they
+        # cannot be ambiguous — Delta's semantics (the pre-r11 standalone
+        # check used a null-safe probe and could raise for null-key rows
+        # the merge would never touch; the insert-only path retains it).
+        if matched is not None:
+            ambiguous = (
+                matched.groupBy("__dv_file", "__dv_pos")
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+        else:
+            dup_keys = (
+                src.groupBy(*[F.col(f"__src_{k}") for k in on])
+                .count()
+                .filter(F.col("count") > 1)
+                .drop("count")
+            )
+            ambiguous = (
+                mapped.join(
+                    dup_keys,
+                    [
+                        mapped[k].eqNullSafe(dup_keys[f"__src_{k}"])
+                        for k in on
+                    ],
+                    "left_semi",
+                ).limit(1).count()
+            )
+        if ambiguous:
+            raise ValueError(
+                "merge_mor: multiple source rows match a single "
+                "target row on " + str(on) + " — deduplicate the "
+                "source first (the merge would be ambiguous)"
+            )
+        MERGE_METRICS["ambiguity_check_sec"] = round(
             _mtime.perf_counter() - _ph0, 3
         )
         _ph0 = _mtime.perf_counter()
@@ -2999,13 +3034,28 @@ class SnapshotTable:
         tomb.write.mode(
             "errorifexists"
         ).parquet(dvdir)
-        affected = [
-            r["__dv_file"]
-            for r in self.spark.read.parquet(dvdir)
-            .select("__dv_file")
-            .distinct()
-            .collect()
-        ]
+        if (
+            when_not_matched_by_source_delete is not None
+            and when_not_matched_by_source_delete is not False
+        ):
+            # the NMBS anti-join is NOT materialized: the written
+            # sidecar is its single evaluation, so the affected-file
+            # set must come from reading it back
+            affected = [
+                r["__dv_file"]
+                for r in self.spark.read.parquet(dvdir)
+                .select("__dv_file")
+                .distinct()
+                .collect()
+            ]
+        else:
+            # round-11: every tombstone derives from the materialized
+            # touched frame — the distinct file set reads the checkpoint
+            # (KB-scale job), not the just-written sidecar parquet back
+            affected = [
+                r["__dv_file"]
+                for r in touched.select("__dv_file").distinct().collect()
+            ]
         MERGE_METRICS["sidecar_write_sec"] = round(
             _mtime.perf_counter() - _ph0, 3
         )
@@ -3026,7 +3076,10 @@ class SnapshotTable:
                 for g in self._generated()
                 if g in target_cols and g not in when_matched_update
             }
-            pre = touched.filter(~del_cond)
+            # __is_del is the clause outcome pinned AT the checkpoint
+            # (round-11): filtering on it cannot disagree with the
+            # tombstone set even for a nondeterministic delete condition
+            pre = touched.filter(~F.col("__is_del"))
             out_cols = [c for c in target_cols if c not in regen]
             if track:
                 # row tracking: the post-image keeps the pre-image's
