@@ -2975,14 +2975,33 @@ class SnapshotTable:
         # cannot be ambiguous — Delta's semantics (the pre-r11 standalone
         # check used a null-safe probe and could raise for null-key rows
         # the merge would never touch; the insert-only path retains it).
+        touched_files: list | None = None
         if matched is not None:
-            ambiguous = (
+            # one job serves BOTH driver-side facts the merge needs from
+            # the checkpoint: the per-(file,pos) match multiplicity (the
+            # ambiguity guard) and the distinct files carrying a clause
+            # hit (the affected-file set the rewrite pass scans). Rows
+            # collected = distinct files among matched rows — metadata
+            # scale, bounded by the table's file count.
+            stats = (
                 matched.groupBy("__dv_file", "__dv_pos")
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .count()
+                .agg(
+                    F.count(F.lit(1)).alias("__c"),
+                    F.max(
+                        F.col("__is_del") | F.col("__is_upd")
+                    ).alias("__t"),
+                )
+                .groupBy("__dv_file")
+                .agg(
+                    F.max("__c").alias("__maxc"),
+                    F.max("__t").alias("__any_t"),
+                )
+                .collect()
             )
+            ambiguous = any(r["__maxc"] > 1 for r in stats)
+            touched_files = [
+                r["__dv_file"] for r in stats if r["__any_t"]
+            ]
         else:
             dup_keys = (
                 src.groupBy(*[F.col(f"__src_{k}") for k in on])
@@ -3049,13 +3068,11 @@ class SnapshotTable:
                 .collect()
             ]
         else:
-            # round-11: every tombstone derives from the materialized
-            # touched frame — the distinct file set reads the checkpoint
-            # (KB-scale job), not the just-written sidecar parquet back
-            affected = [
-                r["__dv_file"]
-                for r in touched.select("__dv_file").distinct().collect()
-            ]
+            # every tombstone derives from the materialized touched
+            # frame, whose distinct-file set already rode the ambiguity
+            # aggregate above — zero extra jobs here (insert-only merges
+            # have no matched rows, so no files are affected)
+            affected = touched_files if touched_files is not None else []
         MERGE_METRICS["sidecar_write_sec"] = round(
             _mtime.perf_counter() - _ph0, 3
         )
