@@ -20,7 +20,7 @@ import numpy as np
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from ..functions.vectors import cosine, dot
+from ..functions.vectors import cosine, dot, l2_norm
 from .dedup import _materialize, _spread
 
 #: quantizer-training observability: every Lloyd round (coarse k-means
@@ -44,11 +44,20 @@ def topk_bruteforce(
     decimals makes the rank stable across engines' last-ulp float noise,
     and the id tiebreak makes it total.
     """
+    # norms hoisted BELOW the join (r11): cosine(qv, cv) re-folds both
+    # vector norms per PAIR; computing them in the side projections (the
+    # join node blocks CollapseProject, so they stay per-row) drops the
+    # per-pair work from three 64-element folds to one. Same sequential
+    # folds in the same order — cos_sim stays bit-identical.
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
     c = _spread(corpus).select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         F.broadcast(q)
@@ -57,7 +66,11 @@ def topk_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -104,13 +117,24 @@ def lsh_topk(
     width = n_planes // bands
     mask = (1 << width) - 1
 
-    def banded(df, id_alias):
+    def banded(df, id_alias, norm_alias):
         sig = _signature(F.col(vec_col), planes)
         # barrier: the band explode reads __sig per band; without it
         # CollapseProject inlines the n_planes dot products per read.
-        return _materialize(df.select(F.col("*"), sig.alias("__sig"))).select(
+        # The L2 norm rides the same barrier (r11): computed once per
+        # VECTOR here instead of re-folded per candidate pair below —
+        # 8 extra bytes per band row buys back two 64-element folds per
+        # collision.
+        return _materialize(
+            df.select(
+                F.col("*"),
+                sig.alias("__sig"),
+                l2_norm(F.col(vec_col)).alias(norm_alias),
+            )
+        ).select(
             F.col(id_alias[0]).alias(id_alias[1]),
             F.col(vec_col).alias(id_alias[2]),
+            norm_alias,
             F.explode(
                 F.array(
                     *[
@@ -124,10 +148,10 @@ def lsh_topk(
                     ]
                 )
             ).alias("bk"),
-        ).select(id_alias[1], id_alias[2], "bk.band", "bk.key")
+        ).select(id_alias[1], id_alias[2], norm_alias, "bk.band", "bk.key")
 
-    qb = banded(queries, (query_id, "query_id", "qv"))
-    cb = banded(_spread(corpus), (corpus_id, "neighbor_id", "cv"))
+    qb = banded(queries, (query_id, "query_id", "qv"), "__qn")
+    cb = banded(_spread(corpus), (corpus_id, "neighbor_id", "cv"), "__cn")
     # Score in the band join's projection, THEN dedup on the three scalar
     # columns: a (query, neighbor) pair colliding in b bands is re-scored b
     # times (64 multiplies each — cheap, and deterministic so the copies are
@@ -140,7 +164,11 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("cos_sim"),
         )
         .distinct()
     )
@@ -239,25 +267,34 @@ def kmeans_centroids(
     return cents
 
 
-def _nearest_lists(df, cents, vec_col, id_out, vec_out, n_keep):
+def _nearest_lists(df, cents, vec_col, id_out, vec_out, n_keep, norm_out=None):
     """Attach each row's ``n_keep`` nearest centroid ids as an exploded
     column — the IVF assignment pass. Centroids ride a 1-row broadcast as
     a data column (``_centroid_frame`` — plan size O(1) in k*dim); the
     frame is materialized so the explode can't re-inline the distance
-    expressions per reference."""
+    expressions per reference. With ``norm_out`` the row's L2 norm rides
+    the same barrier (r11): computed once per vector for the downstream
+    candidate scoring instead of re-folded per candidate pair."""
     withc = df.crossJoin(
         F.broadcast(_centroid_frame(df.sparkSession, cents))
     )
+    extra = (
+        [l2_norm(F.col(vec_col)).alias(norm_out)] if norm_out else []
+    )
     withd = _materialize(
         withc.select(
-            F.col("*"), _nearest_slice(vec_col, n_keep).alias("__near")
+            F.col("*"),
+            _nearest_slice(vec_col, n_keep).alias("__near"),
+            *extra,
         ).drop("__cents")
     )
+    out_cols = [id_out[1], vec_out] + ([norm_out] if norm_out else [])
     return withd.select(
         F.col(id_out[0]).alias(id_out[1]),
         F.col(vec_col).alias(vec_out),
+        *([F.col(norm_out)] if norm_out else []),
         F.explode("__near").alias("__n"),
-    ).select(id_out[1], vec_out, F.col("__n.list_id").alias("list_id"))
+    ).select(*out_cols, F.col("__n.list_id").alias("list_id"))
 
 
 def ivf_topk(
@@ -283,10 +320,12 @@ def ivf_topk(
     """
     cents = kmeans_centroids(corpus, corpus_id, vec_col, n_lists, kmeans_iters)
     cb = _nearest_lists(
-        _spread(corpus), cents, vec_col, (corpus_id, "neighbor_id"), "cv", 1
+        _spread(corpus), cents, vec_col, (corpus_id, "neighbor_id"), "cv", 1,
+        norm_out="__cn",
     )
     qb = _nearest_lists(
-        queries, cents, vec_col, (query_id, "query_id"), "qv", n_probe
+        queries, cents, vec_col, (query_id, "query_id"), "qv", n_probe,
+        norm_out="__qn",
     )
     scored = (
         qb.join(cb, "list_id")
@@ -294,7 +333,11 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("cos_sim"),
         )
         .distinct()
     )
@@ -330,13 +373,20 @@ def semantic_dedup_pairs(
     discipline as ``lsh_topk``)."""
     cents = kmeans_centroids(corpus, corpus_id, vec_col, n_lists, kmeans_iters)
     assigned = _nearest_lists(
-        _spread(corpus), cents, vec_col, (corpus_id, "id"), "v", n_probe
+        _spread(corpus), cents, vec_col, (corpus_id, "id"), "v", n_probe,
+        norm_out="__vn",
     )
     a = assigned.select(
-        "list_id", F.col("id").alias("id_a"), F.col("v").alias("va")
+        "list_id",
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("__vn").alias("__na"),
     )
     b = assigned.select(
-        "list_id", F.col("id").alias("id_b"), F.col("v").alias("vb")
+        "list_id",
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("__vn").alias("__nb"),
     )
     return (
         a.join(b, "list_id")
@@ -344,7 +394,11 @@ def semantic_dedup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
@@ -547,6 +601,10 @@ def pq_topk(
         ).select(
             F.col(query_id).alias("query_id"),
             F.col(vec_col).alias("qv"),
+            # query norm hoisted into the barrier (r11): the exact
+            # re-rank folds it once per QUERY here instead of once per
+            # candidate pair
+            l2_norm(F.col(vec_col)).alias("__qn"),
             F.transform(
                 F.col("__pqc"),
                 lambda c: F.round(
@@ -593,7 +651,7 @@ def pq_topk(
         .select("query_id", "neighbor_id")
     )
     exact = cand.join(
-        F.broadcast(qtab.select("query_id", "qv")), "query_id"
+        F.broadcast(qtab.select("query_id", "qv", "__qn")), "query_id"
     ).join(
         _spread(corpus).select(
             F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
@@ -602,7 +660,11 @@ def pq_topk(
     ).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("qv"), F.col("cv"))
+            / (F.col("__qn") * l2_norm(F.col("cv"))),
+            6,
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -689,6 +751,10 @@ def ivfpq_search(
         ).select(
             F.col(query_id).alias("query_id"),
             F.col(vec_col).alias("qv"),
+            # query norm hoisted into the barrier (r11): the exact
+            # re-rank folds it once per QUERY here instead of once per
+            # candidate pair
+            l2_norm(F.col(vec_col)).alias("__qn"),
             F.transform(
                 F.col("__pqc"),
                 lambda c: F.round(
@@ -738,14 +804,18 @@ def ivfpq_search(
         .select("query_id", "neighbor_id")
     )
     exact = cand.join(
-        F.broadcast(qtab.select("query_id", "qv")), "query_id"
+        F.broadcast(qtab.select("query_id", "qv", "__qn")), "query_id"
     ).join(
         corpus_vecs,
         "neighbor_id",
     ).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("qv"), F.col("cv"))
+            / (F.col("__qn") * l2_norm(F.col("cv"))),
+            6,
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

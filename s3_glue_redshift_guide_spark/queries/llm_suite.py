@@ -27,7 +27,7 @@ from ..llm.dedup import (
 )
 from ..llm.components import connected_components
 from ..llm.multimodal import attach_fake_media, decode_image_features
-from ..functions.vectors import cosine as vcosine
+from ..functions.vectors import dot as vdot, l2_norm as vl2
 from ..llm.similarity import (
     ivf_topk,
     ivfpq_topk,
@@ -322,17 +322,31 @@ def llm_simhash_pairs(spark, sf_dir):
 def llm_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (L2/L3 hybrid) — exact pairwise on a
     bounded slice; the LSH path (llm_lsh_topk) is the full-corpus shape."""
-    from ..functions.vectors import cosine
+    from ..functions.vectors import dot, l2_norm
 
+    # norms hoisted below the join (r11): once per vector, not per pair
+    # (same sequential folds, same order — cos_sim bit-identical)
     e = _emb(spark, sf_dir).filter(F.col("vec_id") < 200)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("__na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("__nb"),
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("ea"), F.col("eb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.3)
     )
@@ -402,8 +416,18 @@ def llm_semantic_dedup(spark, sf_dir):
     found = semantic_dedup_pairs(
         e, threshold=0.4, n_lists=8, n_probe=3, kmeans_iters=2
     ).select("id_a", "id_b")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # norms hoisted below the cross join (r11): once per vector, not per
+    # pair (same sequential folds, same order — cs bit-identical)
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        vl2(F.col("embedding")).alias("__na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        vl2(F.col("embedding")).alias("__nb"),
+    )
     exact = (
         F.broadcast(a)
         .crossJoin(b)
@@ -411,7 +435,11 @@ def llm_semantic_dedup(spark, sf_dir):
         .select(
             "id_a",
             "id_b",
-            F.round(vcosine(F.col("va"), F.col("vb")), 6).alias("cs"),
+            F.round(
+                vdot(F.col("va"), F.col("vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cs"),
         )
         .filter(F.col("cs") >= 0.4)
         .select("id_a", "id_b")
