@@ -118,3 +118,140 @@ def test_minhash_verify_values_match_condition_pushed_reference(spark):
             "doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")
         ).filter(F.col("jaccard") >= 0.2)
         assert _rows(got) == _rows(ref)
+
+
+# ---------------------- similarity norm hoisting (r11) ----------------------
+
+
+def _emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def test_topk_bruteforce_matches_per_pair_cosine_reference(spark):
+    """Hoisted-norm scoring must stay bit-identical to the pre-r11 shape
+    (cosine() evaluated wholly per pair) — same sequential folds, same
+    order, so exact equality is the contract, not approximate."""
+    from s3_glue_redshift_guide_spark.functions.vectors import cosine
+    from s3_glue_redshift_guide_spark.llm.similarity import topk_bruteforce
+    from pyspark.sql import Window as W
+
+    e = _emb(spark)
+    got = topk_bruteforce(e.filter(F.col("vec_id") < 10), e, k=5)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    ref = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+    assert _rows(got) == _rows(ref)
+
+
+def test_topk_bruteforce_pair_projection_folds_once(spark):
+    """The join-output projection must carry exactly ONE aggregate() fold
+    (the dot product) — the two norm folds live in the side projections
+    below the join (r11 hoisting). Three folds per pair is the regression."""
+    from s3_glue_redshift_guide_spark.llm.similarity import topk_bruteforce
+
+    e = _emb(spark)
+    plan = topk_bruteforce(
+        e.filter(F.col("vec_id") < 10), e, k=5
+    )._jdf.queryExecution().executedPlan().toString()
+    pair_lines = [
+        ln for ln in plan.splitlines() if "cos_sim" in ln and "aggregate(" in ln
+    ]
+    assert pair_lines, plan
+    for ln in pair_lines:
+        assert ln.count("aggregate(") == 1, ln
+        assert "__qn" in ln and "__cn" in ln, ln
+
+
+def test_lsh_topk_matches_per_pair_cosine_reference(spark):
+    """lsh_topk's banded-norm scoring vs an inline reference that scores
+    candidates with the whole-expression cosine (pre-r11 shape)."""
+    from s3_glue_redshift_guide_spark.llm.similarity import lsh_topk
+
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 10)
+    got = lsh_topk(q, e, dim=64, k=5, n_planes=16, bands=8)
+    ref = _lsh_topk_reference(q, e, dim=64, k=5, n_planes=16, bands=8)
+    assert _rows(got) == _rows(ref)
+
+
+def _lsh_topk_reference(queries, corpus, dim, k, n_planes, bands):
+    """Pre-r11 lsh_topk: identical banding, per-pair cosine()."""
+    from pyspark.sql import Window as W
+
+    from s3_glue_redshift_guide_spark.functions.vectors import cosine
+    from s3_glue_redshift_guide_spark.llm.dedup import (
+        _materialize,
+        _spread,
+    )
+    from s3_glue_redshift_guide_spark.llm.similarity import (
+        _signature,
+        hyperplanes,
+    )
+
+    planes = hyperplanes(dim, n_planes)
+    width = n_planes // bands
+    mask = (1 << width) - 1
+
+    def banded(df, id_alias):
+        sig = _signature(F.col("embedding"), planes)
+        return _materialize(
+            df.select(F.col("*"), sig.alias("__sig"))
+        ).select(
+            F.col(id_alias[0]).alias(id_alias[1]),
+            F.col("embedding").alias(id_alias[2]),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftright("__sig", i * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("key"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(id_alias[1], id_alias[2], "bk.band", "bk.key")
+
+    qb = banded(queries, ("vec_id", "query_id", "qv"))
+    cb = banded(_spread(corpus), ("vec_id", "neighbor_id", "cv"))
+    scored = (
+        qb.join(cb, ["band", "key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
