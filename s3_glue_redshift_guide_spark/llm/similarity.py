@@ -188,13 +188,19 @@ def _centroid_frame(spark, cents: list[list[float]]):
     literal-tree alternative builds ~k*dim expression nodes, which at
     realistic IVF scale (k=4096, dim=768) is ~3M plan nodes and blows up
     compile time and driver memory long before the data does. The struct
-    array is sorted by list_id so its layout is deterministic."""
+    array is sorted by list_id so its layout is deterministic. Each
+    centroid's L2 norm rides the struct (r11): folded once per CENTROID
+    at frame build instead of once per (row, centroid) in every
+    assignment pass — same sequential fold over the same doubles, so
+    the assignment distances stay bit-identical."""
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
     cdf = spark.createDataFrame(rows, "list_id int, cent array<double>")
-    return cdf.agg(
-        F.array_sort(F.collect_list(F.struct("list_id", "cent"))).alias(
-            "__cents"
-        )
+    return cdf.select(
+        "list_id", "cent", l2_norm(F.col("cent")).alias("cn")
+    ).agg(
+        F.array_sort(
+            F.collect_list(F.struct("list_id", "cent", "cn"))
+        ).alias("__cents")
     )
 
 
@@ -206,8 +212,16 @@ def _nearest_slice(vec_col: str, n_keep: int):
     column instead of k inline expressions."""
     dists = F.transform(
         F.col("__cents"),
+        # -cosine(vec, cent) with the centroid norm read from the banked
+        # struct field (r11): two folds per (row, centroid) instead of
+        # three; same arithmetic in the same order (dot / (|v| * |c|))
         lambda c: F.struct(
-            (-cosine(F.col(vec_col), c["cent"])).alias("d"),
+            (
+                -(
+                    dot(F.col(vec_col), c["cent"])
+                    / (l2_norm(F.col(vec_col)) * c["cn"])
+                )
+            ).alias("d"),
             c["list_id"].alias("list_id"),
         ),
     )
@@ -239,6 +253,15 @@ def kmeans_centroids(
         .select(F.col(vec_col).alias("cv"))
         .collect()
     ]
+    # spread BEFORE the rounds (r11): on a one-file local corpus the
+    # assignment pass otherwise runs single-threaded interpreted folds
+    # (the same serialization _spread exists for; at cluster scale the
+    # corpus already has thousands of splits and this is a cheap
+    # rebalance). Summation-order changes in the per-cluster means are
+    # absorbed by the documented round-6 convention — the same
+    # convention that keeps llm_embed_centroids hash-identical to
+    # DuckDB's differently-ordered avg.
+    corpus = _spread(corpus)
     for _ in range(iters):
         TRAIN_METRICS["lloyd_rounds"] += 1
         # two selects: a generator in the same projection as the struct
@@ -376,20 +399,42 @@ def semantic_dedup_pairs(
         _spread(corpus), cents, vec_col, (corpus_id, "id"), "v", n_probe,
         norm_out="__vn",
     )
+    # Salted self-join (r11, guide's low-cardinality-key treatment): the
+    # join key has only n_lists distinct values, so a plain shuffle join
+    # caps the pair-scoring parallelism at n_lists tasks — at n_lists=8
+    # on 32 cores, 3/4 of the machine idles through the dominant stage.
+    # The left side salts on a hash of its id; the right side replicates
+    # once per salt, so every co-resident (a, b) pair still meets EXACTLY
+    # once and the emitted pair set is identical. Scale-adaptive: salts =
+    # ceil(cores / n_lists), so a production quantizer with n_lists >=
+    # cores gets salts=1 — no replication, the exact unsalted plan.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    salts = max(1, -(-par // max(1, n_lists)))
     a = assigned.select(
         "list_id",
         F.col("id").alias("id_a"),
         F.col("v").alias("va"),
         F.col("__vn").alias("__na"),
+        F.pmod(F.xxhash64("id"), F.lit(salts)).alias("__salt"),
     )
     b = assigned.select(
         "list_id",
         F.col("id").alias("id_b"),
         F.col("v").alias("vb"),
         F.col("__vn").alias("__nb"),
+        F.explode(
+            F.array(*[F.lit(s).cast("bigint") for s in range(salts)])
+        ).alias("__salt"),
     )
+    # Scoring stays a JVM fold DELIBERATELY (r11 measured experiment):
+    # an Arrow pandas_udf with strict sequential accumulation (bitwise-
+    # equal to the fold, proven on 90k-pair cross joins) was prototyped
+    # and REJECTED — shipping both 256-byte vectors per pair through
+    # Arrow cost more than the interpreted fold it replaced (sf1, 36M
+    # pairs: 60.2 s udf vs 37.2 s fold; the threshold filter also stops
+    # pushing into the join condition once a udf is in the expression).
     return (
-        a.join(b, "list_id")
+        a.join(b, ["list_id", "__salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
@@ -454,7 +499,10 @@ def pq_codebooks(
         [init[c][j * d : (j + 1) * d] for c in range(k_codes)]
         for j in range(m)
     ]
-    pts = corpus.select(
+    # spread before slicing (r11): same single-partition serialization
+    # fix as kmeans_centroids — the sliced points otherwise train the
+    # codebooks on one core on a one-file local corpus
+    pts = _spread(corpus).select(
         F.explode(
             F.array(
                 *[

@@ -255,3 +255,54 @@ def _lsh_topk_reference(queries, corpus, dim, k, n_planes, bands):
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def test_semantic_dedup_salted_join_matches_unsalted_reference(spark):
+    """The salted self-join (low-cardinality list_id key) must emit the
+    IDENTICAL pair set as the unsalted reference, and the join must key
+    on (list_id, __salt) so pair scoring parallelism is not capped at
+    n_lists tasks."""
+    from s3_glue_redshift_guide_spark.llm.similarity import (
+        _nearest_lists,
+        kmeans_centroids,
+        semantic_dedup_pairs,
+    )
+    from s3_glue_redshift_guide_spark.llm.dedup import _spread
+    from s3_glue_redshift_guide_spark.functions.vectors import dot
+
+    e = _emb(spark)
+    got = semantic_dedup_pairs(
+        e, threshold=0.4, n_lists=8, n_probe=3, kmeans_iters=2
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan, plan
+
+    # unsalted reference: same quantizer, plain list_id join
+    cents = kmeans_centroids(e, "vec_id", "embedding", 8, 2)
+    assigned = _nearest_lists(
+        _spread(e), cents, "embedding", ("vec_id", "id"), "v", 3,
+        norm_out="__vn",
+    )
+    a = assigned.select(
+        "list_id", F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("__vn").alias("__na"),
+    )
+    b = assigned.select(
+        "list_id", F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("__vn").alias("__nb"),
+    )
+    ref = (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+        .distinct()
+    )
+    assert _rows(got) == _rows(ref)
