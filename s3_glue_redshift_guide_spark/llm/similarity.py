@@ -410,21 +410,34 @@ def semantic_dedup_pairs(
     # cores gets salts=1 — no replication, the exact unsalted plan.
     par = corpus.sparkSession.sparkContext.defaultParallelism
     salts = max(1, -(-par // max(1, n_lists)))
+    a_salt = (
+        [F.pmod(F.xxhash64("id"), F.lit(salts)).alias("__salt")]
+        if salts > 1
+        else []
+    )
+    b_salt = (
+        [
+            F.explode(
+                F.array(*[F.lit(s).cast("bigint") for s in range(salts)])
+            ).alias("__salt")
+        ]
+        if salts > 1
+        else []
+    )
+    join_keys = ["list_id"] + (["__salt"] if salts > 1 else [])
     a = assigned.select(
         "list_id",
         F.col("id").alias("id_a"),
         F.col("v").alias("va"),
         F.col("__vn").alias("__na"),
-        F.pmod(F.xxhash64("id"), F.lit(salts)).alias("__salt"),
+        *a_salt,
     )
     b = assigned.select(
         "list_id",
         F.col("id").alias("id_b"),
         F.col("v").alias("vb"),
         F.col("__vn").alias("__nb"),
-        F.explode(
-            F.array(*[F.lit(s).cast("bigint") for s in range(salts)])
-        ).alias("__salt"),
+        *b_salt,
     )
     # Scoring stays a JVM fold DELIBERATELY (r11 measured experiment):
     # an Arrow pandas_udf with strict sequential accumulation (bitwise-
@@ -434,7 +447,7 @@ def semantic_dedup_pairs(
     # pairs: 60.2 s udf vs 37.2 s fold; the threshold filter also stops
     # pushing into the join condition once a udf is in the expression).
     return (
-        a.join(b, ["list_id", "__salt"])
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",

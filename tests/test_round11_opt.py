@@ -271,16 +271,21 @@ def test_semantic_dedup_salted_join_matches_unsalted_reference(spark):
     from s3_glue_redshift_guide_spark.functions.vectors import dot
 
     e = _emb(spark)
+    # n_lists chosen BELOW the session's core count so salts > 1 and the
+    # salted path is actually exercised (at n_lists >= cores the operator
+    # deliberately plans unsalted — see the sibling test)
+    par = spark.sparkContext.defaultParallelism
+    n_lists = max(2, par // 4)
     got = semantic_dedup_pairs(
-        e, threshold=0.4, n_lists=8, n_probe=3, kmeans_iters=2
+        e, threshold=0.4, n_lists=n_lists, n_probe=2, kmeans_iters=2
     )
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan, plan
 
     # unsalted reference: same quantizer, plain list_id join
-    cents = kmeans_centroids(e, "vec_id", "embedding", 8, 2)
+    cents = kmeans_centroids(e, "vec_id", "embedding", n_lists, 2)
     assigned = _nearest_lists(
-        _spread(e), cents, "embedding", ("vec_id", "id"), "v", 3,
+        _spread(e), cents, "embedding", ("vec_id", "id"), "v", 2,
         norm_out="__vn",
     )
     a = assigned.select(
@@ -306,3 +311,21 @@ def test_semantic_dedup_salted_join_matches_unsalted_reference(spark):
         .distinct()
     )
     assert _rows(got) == _rows(ref)
+
+
+def test_semantic_dedup_high_list_count_plans_unsalted(spark):
+    """Scale-adaptivity: with n_lists >= cores, salts == 1 and the plan
+    must be the EXACT unsalted shape (no salt column, no replication) —
+    the salting is a low-cardinality-key treatment, not a constant tuned
+    to the local core count."""
+    from s3_glue_redshift_guide_spark.llm.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    e = _emb(spark)
+    par = spark.sparkContext.defaultParallelism
+    df = semantic_dedup_pairs(
+        e, threshold=0.4, n_lists=max(par, 16), n_probe=2, kmeans_iters=0
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" not in plan, plan
