@@ -204,22 +204,27 @@ def _centroid_frame(spark, cents: list[list[float]]):
     )
 
 
-def _nearest_slice(vec_col: str, n_keep: int):
+def _nearest_slice(vec_col: str, n_keep: int, vn_col: str = "__avn"):
     """Expression: the ``n_keep`` nearest centroids of ``__cents`` to
     ``vec_col``, as an array of (d, list_id) structs sorted by (distance,
     list_id) — identical ordering semantics (and bit-identical distances)
     to the former literal-tree form, just folded over the broadcast data
-    column instead of k inline expressions."""
+    column instead of k inline expressions.
+
+    ``vn_col`` is the row's L2 norm, computed ONCE per row in a
+    projection BELOW the centroid cross-join (the join node blocks
+    CollapseProject, so the fold can't be re-inlined per centroid); the
+    centroid norms are banked in the ``__cents`` structs. Each distance
+    is therefore ONE fold (the dot) — down from three in the original
+    cosine() form, same arithmetic in the same order
+    (dot / (|v| * |c|)), so assignments are bit-identical."""
     dists = F.transform(
         F.col("__cents"),
-        # -cosine(vec, cent) with the centroid norm read from the banked
-        # struct field (r11): two folds per (row, centroid) instead of
-        # three; same arithmetic in the same order (dot / (|v| * |c|))
         lambda c: F.struct(
             (
                 -(
                     dot(F.col(vec_col), c["cent"])
-                    / (l2_norm(F.col(vec_col)) * c["cn"])
+                    / (F.col(vn_col) * c["cn"])
                 )
             ).alias("d"),
             c["list_id"].alias("list_id"),
@@ -267,7 +272,9 @@ def kmeans_centroids(
         # two selects: a generator in the same projection as the struct
         # field access makes Catalyst re-plan the struct with anonymous
         # fields (col1/col2), losing the list_id name
-        assigned = corpus.crossJoin(
+        assigned = corpus.withColumn(
+            "__avn", l2_norm(F.col(vec_col))
+        ).crossJoin(
             F.broadcast(_centroid_frame(corpus.sparkSession, cents))
         ).select(
             F.element_at(_nearest_slice(vec_col, 1), 1)["list_id"].alias(
@@ -298,18 +305,16 @@ def _nearest_lists(df, cents, vec_col, id_out, vec_out, n_keep, norm_out=None):
     expressions per reference. With ``norm_out`` the row's L2 norm rides
     the same barrier (r11): computed once per vector for the downstream
     candidate scoring instead of re-folded per candidate pair."""
-    withc = df.crossJoin(
+    withc = df.withColumn("__avn", l2_norm(F.col(vec_col))).crossJoin(
         F.broadcast(_centroid_frame(df.sparkSession, cents))
     )
-    extra = (
-        [l2_norm(F.col(vec_col)).alias(norm_out)] if norm_out else []
-    )
+    extra = [F.col("__avn").alias(norm_out)] if norm_out else []
     withd = _materialize(
         withc.select(
             F.col("*"),
             _nearest_slice(vec_col, n_keep).alias("__near"),
             *extra,
-        ).drop("__cents")
+        ).drop("__cents", "__avn")
     )
     out_cols = [id_out[1], vec_out] + ([norm_out] if norm_out else [])
     return withd.select(
