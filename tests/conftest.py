@@ -20,6 +20,19 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
 
+def pytest_collection_modifyitems(config, items):
+    """Tag the workflow-scale tests ``slow`` (VERDICT-r11 directive #1):
+    the default run deselects them (pytest.ini ``-m "not slow"``) so it
+    finishes inside the driver's verify budget; ``pytest tests/ -m ""``
+    runs everything, ``-m slow`` runs only the tagged set. The list
+    lives in tests/_slow_list.py (measured, regenerable)."""
+    from ._slow_list import SLOW_TESTS
+
+    for item in items:
+        if item.nodeid in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def spark():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
