@@ -2731,9 +2731,13 @@ class SnapshotTable:
         All three branches publish in a SINGLE atomic manifest (sidecar
         + post-image/insert files), so a reader sees the whole merge or
         none of it. Cost is O(matched rows + inserts) — copy-on-write
-        MERGE rewrites every FILE containing a match. A source with
-        duplicate join keys against one target row is rejected (the
-        Delta multiple-matches error): the merge would be ambiguous.
+        MERGE rewrites every FILE containing a match. When a matched
+        clause is present, a source with duplicate join keys against
+        one target row is rejected (the Delta multiple-matches error):
+        the merge would be ambiguous. Insert-only merges never raise —
+        matched rows are ignored whatever their multiplicity, exactly
+        Delta's semantics (r12; the pre-r12 insert-only guard was a
+        non-Delta extra scan).
         Post-images/tombstones derive from the WRITTEN sidecar, the same
         recompute-divergence pinning as ``update_where``."""
         import uuid as _uuid
@@ -3003,22 +3007,21 @@ class SnapshotTable:
                 r["__dv_file"] for r in stats if r["__any_t"]
             ]
         else:
-            dup_keys = (
-                src.groupBy(*[F.col(f"__src_{k}") for k in on])
-                .count()
-                .filter(F.col("count") > 1)
-                .drop("count")
-            )
-            ambiguous = (
-                mapped.join(
-                    dup_keys,
-                    [
-                        mapped[k].eqNullSafe(dup_keys[f"__src_{k}"])
-                        for k in on
-                    ],
-                    "left_semi",
-                ).limit(1).count()
-            )
+            # insert-only merge: CANNOT be ambiguous under Delta's
+            # semantics — "multiple matches" only matters when a matched
+            # clause would apply two source rows to one target row, and
+            # an insert-only merge ignores matched rows entirely
+            # (duplicate not-matched source rows simply both insert,
+            # exactly like Delta). Dropping the pre-r12 standalone
+            # null-safe probe removes a source aggregation, a masked-
+            # table semi-join scan and a limit(1).count() driver job
+            # from every insert-only merge (r12, ADVICE-r11; guide §5 —
+            # driver round-trips are jobs). It also aligns the two
+            # paths' null-key behavior: null-key source duplicates
+            # never raise on either path now (the merge join's `=`
+            # matching never touches them) — pinned by
+            # tests/test_round12_opt.py.
+            ambiguous = False
         if ambiguous:
             raise ValueError(
                 "merge_mor: multiple source rows match a single "
