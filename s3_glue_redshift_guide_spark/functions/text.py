@@ -170,10 +170,23 @@ def text_stats_batches(batches):
 
 def text_stats_arrow(df, id_col: str = "doc_id", text_col: str = "text"):
     """Arrow-vectorized token/fingerprint featurization of a corpus frame.
-    One linear pass, embarrassingly parallel, no shuffle; batch size is
-    Arrow's (spark.sql.execution.arrow.maxRecordsPerBatch)."""
-    src = df.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    One linear pass, embarrassingly parallel; batch size is Arrow's
+    (spark.sql.execution.arrow.maxRecordsPerBatch).
+
+    ``_spread`` first (r12, guide §2.5 input-skew): a local single-file
+    corpus scans as ONE split (the 4 MB open-cost floor packs the whole
+    file into one task), so the featurization ran serial however many
+    cores the session had — the r11 scaling block read llm_text_stats
+    flat between 8 and 32 cores for exactly this reason. Size-capped
+    width (dedup._spread_width), per-doc outputs independent of batch
+    boundaries, values unchanged; at cluster scale the corpus already
+    has thousands of splits and the rebalance is no-op-ish."""
+    from ..llm.dedup import _spread
+
+    src = _spread(
+        df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
     )
     out = src.mapInPandas(
         text_stats_batches,

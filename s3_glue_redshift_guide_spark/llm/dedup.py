@@ -28,15 +28,61 @@ from pyspark.sql import Column, DataFrame, functions as F
 from ..functions.text import shingles, tokens
 
 
+#: _spread granularity: one partition per this many SOURCE bytes (plan-
+#: stats estimate, ~= compressed parquet bytes for a scan). Sized from a
+#: measured sweep (OPTIMIZATION_r12.md, min-of-3 noop of the four
+#: spread-sensitive headline queries): at sf0.1/local[32] the totals
+#: were 8 KB 3.11 s / 32 KB 2.34 s / 128 KB 2.05 s / uncapped (pre-r12,
+#: width = cores) 2.72 s, and 128 KB also closed the 8-vs-32-core
+#: anti-correlation (2.05 s on 32 cores vs 2.12 s on 8; r11 read the
+#: LLM queries up to 1.5x FASTER on 8 cores). sf1 is flat across the
+#: sweep (4.38-4.55 s), so the cap costs nothing where data dominates.
+#: Only the SMALL-INPUT cap depends on this constant; at cluster scale
+#: (TB inputs) the ceiling below is always defaultParallelism, exactly
+#: the pre-r12 shape.
+_SPREAD_BYTES_PER_SLICE = 128 << 10
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for the frame (file bytes for a scan) —
+    a DRIVER-side metadata read, no job."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition a (possibly single-file) corpus across all cores before
     per-document featurization. Shingling/minhashing are higher-order
     expression folds — evaluated, not codegen'd — so they're CPU-bound and
     a one-partition scan serializes them; the tiny shuffle here buys full
     parallelism. At cluster scale a 100 TB corpus already has thousands of
-    input splits and this is a cheap no-op-ish rebalance."""
+    input splits and this is a cheap no-op-ish rebalance.
+
+    Width is capped by a data-size signal (r12, VERDICT-r11 #7): a KB-
+    scale local corpus fanned 32 ways pays more in task scheduling and
+    shuffle bookkeeping than the parallelism buys (the r11 scaling block
+    read the LLM queries FASTER on 8 cores than 32 at sf0.1). The cap is
+    purely a plan-width change — row values are untouched — and unwinds
+    by construction at scale: any input past a few MB hits the
+    defaultParallelism ceiling, the pre-r12 behavior."""
+    return df.repartition(_spread_width(df))
+
+
+def _spread_width(df: DataFrame) -> int:
+    """The partition width ``_spread`` would use for ``df``: one slice
+    per ``_SPREAD_BYTES_PER_SLICE`` source bytes, ceilinged at
+    defaultParallelism. Shared with the self-join salting in
+    llm/similarity.py so salt replication right-sizes the same way."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    width = sc.defaultParallelism
+    size = _plan_size_bytes(df)
+    if size is not None and size > 0:
+        width = min(width, max(1, -(-size // _SPREAD_BYTES_PER_SLICE)))
+    return width
 
 
 def _materialize(df: DataFrame) -> DataFrame:
@@ -169,7 +215,7 @@ def jaccard_pairs(
         # Measured at sf1/local[32]: 2.67 s -> 0.78 s for the full query.
         # The barrier stops the a/b sides of the self-join from each
         # re-running the window pass (values identical, proven in
-        # tests/test_round11_fixes.py + the oracle row).
+        # tests/test_round11_opt.py + the oracle row).
         from pyspark.sql import Window as _W
 
         ex = _materialize(
@@ -400,7 +446,29 @@ def minhash_lsh_candidates(
     if max_band_bucket is not None:
         # one window pass on the same (band, bucket) key the join
         # shuffles on: size + hub per bucket, then all-pairs for small
-        # buckets and hub-star edges for oversized ones
+        # buckets and hub-star edges for oversized ones.
+        #
+        # r12 measured-and-REJECTED restructures (guide §1 discipline —
+        # banked so a future round doesn't re-derive them; numbers are
+        # the capped candidate stage at sf1/local[32], min-of-3 noop,
+        # r11 shape = 1.22 s):
+        # 1. localCheckpoint on the sized frame (one derivation shared
+        #    by the three consumers instead of three
+        #    Generate+Exchange+Sort+Window passes): 2.11 s. The barrier
+        #    stores the full postings and serializes the broadcast-
+        #    build job behind the checkpoint job; the saved passes are
+        #    24-byte-narrow and cheaper than the barrier at every
+        #    measurable SF.
+        # 2. groupBy(band,bucket) stats + KB-scale barrier holding only
+        #    the OVERSIZED buckets, membership via map-side broadcast
+        #    anti/inner joins (one narrow shuffle instead of three):
+        #    1.92 s — the extra sequential job for the tiny checkpoint
+        #    plus a fourth Generate derivation outweigh the saved
+        #    exchanges here too.
+        # The exchanges this shape pays carry (doc int64, band int,
+        # bucket int64) only — the banded key is already the narrow
+        # proxy the guide's §8 asks for; there is no signature payload
+        # to slim (VERDICT-r11 #4's premise).
         from pyspark.sql import Window as _W
 
         w = _W.partitionBy("band", "bucket")

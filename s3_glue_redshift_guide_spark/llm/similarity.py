@@ -21,7 +21,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from ..functions.vectors import cosine, dot, l2_norm
-from .dedup import _materialize, _spread
+from .dedup import _materialize, _spread, _spread_width
 
 #: quantizer-training observability: every Lloyd round (coarse k-means
 #: or PQ codebook) increments ``lloyd_rounds``. The persisted-index
@@ -239,6 +239,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     k: int = 16,
     iters: int = 2,
+    use_arrow: bool = True,
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means for the IVF coarse quantizer.
 
@@ -269,19 +270,29 @@ def kmeans_centroids(
     corpus = _spread(corpus)
     for _ in range(iters):
         TRAIN_METRICS["lloyd_rounds"] += 1
-        # two selects: a generator in the same projection as the struct
-        # field access makes Catalyst re-plan the struct with anonymous
-        # fields (col1/col2), losing the list_id name
-        assigned = corpus.withColumn(
-            "__avn", l2_norm(F.col(vec_col))
-        ).crossJoin(
-            F.broadcast(_centroid_frame(corpus.sparkSession, cents))
-        ).select(
-            F.element_at(_nearest_slice(vec_col, 1), 1)["list_id"].alias(
-                "list_id"
-            ),
-            F.col(vec_col).alias("__v"),
-        ).select("list_id", F.posexplode("__v").alias("pos", "v"))
+        if use_arrow:
+            # Arrow assignment kernel (r12, guide §4.2): bit-identical
+            # winners, numpy-vectorized distances — see _nearest_kernel
+            vec_type = dict(corpus.dtypes)[vec_col]
+            assigned = corpus.select(
+                F.col(vec_col).alias("__v")
+            ).mapInPandas(
+                _nearest_kernel(cents, "__v", 1, False),
+                schema=f"__v {vec_type}, list_id int",
+            ).select("list_id", F.posexplode("__v").alias("pos", "v"))
+        else:
+            # two selects: a generator in the same projection as the
+            # struct field access makes Catalyst re-plan the struct with
+            # anonymous fields (col1/col2), losing the list_id name
+            assigned = corpus.withColumn(
+                "__avn", l2_norm(F.col(vec_col))
+            ).crossJoin(
+                F.broadcast(_centroid_frame(corpus.sparkSession, cents))
+            ).select(
+                F.element_at(_nearest_slice(vec_col, 1), 1)["list_id"]
+                .alias("list_id"),
+                F.col(vec_col).alias("__v"),
+            ).select("list_id", F.posexplode("__v").alias("pos", "v"))
         means = (
             assigned.groupBy("list_id", "pos")
             .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
@@ -297,14 +308,112 @@ def kmeans_centroids(
     return cents
 
 
-def _nearest_lists(df, cents, vec_col, id_out, vec_out, n_keep, norm_out=None):
+def _nearest_kernel(cents, vec_col: str, n_keep: int, norm: bool):
+    """mapInPandas kernel for the coarse-quantizer assignment (r12,
+    guide §4.2): the O(n*L) distance evaluation — the measured dominant
+    superlinear term of the whole ANN family (BENCH_NOTES.md decade
+    probe: exponent 0.89/decade at constant per-list occupancy) — moves
+    from one interpreted JVM fold per (row, centroid) to numpy ops
+    vectorized ACROSS rows while looping ACROSS dimensions, so every
+    fp64 operation happens in exactly the order of the expression fold:
+
+    * JVM ``dot``: zip_with products, then fold ``acc + x_d*y_d`` for
+      d=0..dim-1  ->  numpy ``acc = acc + v[:, d] * c[d]`` per d.
+    * JVM ``l2_norm``: fold ``acc + x_d*x_d`` then SQRT  ->  same loop,
+      ``np.sqrt`` (both are IEEE-754 correctly-rounded).
+    * distance ``-(dot / (vn * cn))``: same multiply/divide/negate
+      order, elementwise.
+    * ``array_sort`` over struct<d, list_id> with list_id ascending on
+      ties  ->  stable argsort on d (list_id IS the column order, so
+      stability == the tiebreak; NaN sorts last in both engines).
+
+    Elements cast float32 -> float64 BEFORE arithmetic, exactly like
+    ``as_double``. Assignments are therefore bit-identical to the
+    ``_nearest_slice`` expression path — pinned by
+    tests/test_round12_opt.py on real data at two SFs, plus the oracle
+    rows. (The r11 Arrow experiment that LOST shipped both 256-byte
+    vectors per candidate PAIR — 36M pairs at sf1; this kernel ships
+    each vector ONCE per assignment pass, so the boundary cost is O(n)
+    while the saved interpreted work is O(n*L).)
+
+    Centroids travel in the function closure (k*dim doubles — the
+    pickled command Spark already broadcasts per stage), so the Arrow
+    path doesn't need the ``_centroid_frame`` cross-join at all."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)  # k x dim
+    k, dim = C.shape
+    # centroid norms: the same sequential fold _centroid_frame banks
+    cn = np.zeros(k)
+    for d in range(dim):
+        cn = cn + C[:, d] * C[:, d]
+    cn = np.sqrt(cn)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]]
+            ).astype(np.float64)
+            acc = np.zeros(n)
+            for d in range(dim):
+                acc = acc + vecs[:, d] * vecs[:, d]
+            vn = np.sqrt(acc)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                D = np.empty((n, k))
+                for j in range(k):
+                    cj = C[j]
+                    accd = np.zeros(n)
+                    for d in range(dim):
+                        accd = accd + vecs[:, d] * cj[d]
+                    D[:, j] = -(accd / (vn * cn[j]))
+            nearest = np.argsort(D, axis=1, kind="stable")[:, :n_keep]
+            out = pdf.iloc[
+                np.repeat(np.arange(n), nearest.shape[1])
+            ].reset_index(drop=True)
+            out["list_id"] = nearest.astype(np.int32).ravel()
+            if norm:
+                out["__avn"] = np.repeat(vn, nearest.shape[1])
+            yield out
+
+    return fn
+
+
+def _nearest_lists(df, cents, vec_col, id_out, vec_out, n_keep,
+                   norm_out=None, use_arrow: bool = True):
     """Attach each row's ``n_keep`` nearest centroid ids as an exploded
-    column — the IVF assignment pass. Centroids ride a 1-row broadcast as
-    a data column (``_centroid_frame`` — plan size O(1) in k*dim); the
-    frame is materialized so the explode can't re-inline the distance
-    expressions per reference. With ``norm_out`` the row's L2 norm rides
-    the same barrier (r11): computed once per vector for the downstream
+    column — the IVF assignment pass. Default path (r12): the Arrow
+    kernel above — one Python boundary crossing per row instead of
+    n_lists interpreted distance folds, bit-identical assignments. The
+    expression path (``use_arrow=False``) is retained as the parity
+    reference: centroids ride a 1-row broadcast as a data column
+    (``_centroid_frame`` — plan size O(1) in k*dim); the frame is
+    materialized so the explode can't re-inline the distance
+    expressions per reference. With ``norm_out`` the row's L2 norm
+    rides along (r11): computed once per vector for the downstream
     candidate scoring instead of re-folded per candidate pair."""
+    if use_arrow:
+        sel = df.select(F.col(id_out[0]).alias(id_out[1]),
+                        F.col(vec_col).alias(vec_out))
+        vec_type = dict(sel.dtypes)[vec_out]
+        id_type = dict(sel.dtypes)[id_out[1]]
+        schema = f"{id_out[1]} {id_type}, {vec_out} {vec_type}, list_id int"
+        if norm_out:
+            schema += ", __avn double"
+        assigned = _materialize(
+            sel.mapInPandas(
+                _nearest_kernel(cents, vec_out, n_keep, bool(norm_out)),
+                schema=schema,
+            )
+        )
+        out_cols = [id_out[1], vec_out] + ([norm_out] if norm_out else [])
+        if norm_out:
+            assigned = assigned.withColumnRenamed("__avn", norm_out)
+        return assigned.select(*out_cols, "list_id")
     withc = df.withColumn("__avn", l2_norm(F.col(vec_col))).crossJoin(
         F.broadcast(_centroid_frame(df.sparkSession, cents))
     )
@@ -413,7 +522,11 @@ def semantic_dedup_pairs(
     # once and the emitted pair set is identical. Scale-adaptive: salts =
     # ceil(cores / n_lists), so a production quantizer with n_lists >=
     # cores gets salts=1 — no replication, the exact unsalted plan.
-    par = corpus.sparkSession.sparkContext.defaultParallelism
+    # The core count is capped by the corpus size signal (r12, same cap
+    # as _spread): a KB-scale corpus stops paying 4x salt replication
+    # of tiny inputs, while any corpus past a few MB sees the exact
+    # pre-r12 ceil(defaultParallelism / n_lists).
+    par = _spread_width(corpus)
     salts = max(1, -(-par // max(1, n_lists)))
     a_salt = (
         [F.pmod(F.xxhash64("id"), F.lit(salts)).alias("__salt")]
@@ -711,24 +824,36 @@ def pq_topk(
     # the candidate window shuffles 20-byte scalar rows; qv re-attaches
     # from the broadcast query side only for the bounded re-rank
     wc = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
-    cand = (
+    # the candidate frame is MATERIALIZED: it now has TWO consumers (the
+    # norm semi-join below + the re-rank join), and without the barrier
+    # each consumer re-derives it — i.e. the whole ADC scan + candidate
+    # window runs twice, the exact cost the PQ design exists to avoid
+    cand = _materialize(
         adc.withColumn("__r", F.row_number().over(wc))
         .filter(F.col("__r") <= n_candidates)
         .select("query_id", "neighbor_id")
     )
+    # candidate-scoped corpus norms (r12, VERDICT-r11 #3): the corpus-side
+    # L2 norm used to fold once per candidate PAIR in the re-rank
+    # projection (a neighbor serving many queries re-folded its norm per
+    # query). The semi-join scopes the norm projection to the surviving
+    # candidates — never the full corpus, so sparse candidate sets don't
+    # regress — and the projection sits below the re-rank join (the join
+    # node blocks CollapseProject), so each surviving neighbor folds its
+    # norm exactly once. Same fold, same order: cos_sim bit-identical.
+    cvn = _spread(corpus).select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).join(
+        cand.select("neighbor_id").distinct(), "neighbor_id", "left_semi"
+    ).select("neighbor_id", "cv", l2_norm(F.col("cv")).alias("__cn"))
     exact = cand.join(
         F.broadcast(qtab.select("query_id", "qv", "__qn")), "query_id"
-    ).join(
-        _spread(corpus).select(
-            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
-        ),
-        "neighbor_id",
-    ).select(
+    ).join(cvn, "neighbor_id").select(
         "query_id",
         "neighbor_id",
         F.round(
             dot(F.col("qv"), F.col("cv"))
-            / (F.col("__qn") * l2_norm(F.col("cv"))),
+            / (F.col("__qn") * F.col("__cn")),
             6,
         ).alias("cos_sim"),
     )
@@ -864,22 +989,34 @@ def ivfpq_search(
         .distinct()
     )
     wc = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
-    cand = (
+    # materialized: two consumers (norm semi-join + re-rank join) would
+    # otherwise each re-derive the probe join + ADC scan + window
+    cand = _materialize(
         adc.withColumn("__r", F.row_number().over(wc))
         .filter(F.col("__r") <= n_candidates)
         .select("query_id", "neighbor_id")
     )
+    # candidate-scoped corpus norms (r12, VERDICT-r11 #3): semi-join
+    # scopes the norm projection to surviving candidates, the projection
+    # below the re-rank join folds each neighbor's norm exactly once
+    # (was: once per candidate PAIR). Same fold, same order —
+    # cos_sim bit-identical; the live-table probe semantics (deleted
+    # vectors drop out via the inner join) are unchanged, the semi-join
+    # only narrows the side that the inner join would filter anyway.
+    cvn = corpus_vecs.join(
+        cand.select("neighbor_id").distinct(), "neighbor_id", "left_semi"
+    ).select("neighbor_id", "cv", l2_norm(F.col("cv")).alias("__cn"))
     exact = cand.join(
         F.broadcast(qtab.select("query_id", "qv", "__qn")), "query_id"
     ).join(
-        corpus_vecs,
+        cvn,
         "neighbor_id",
     ).select(
         "query_id",
         "neighbor_id",
         F.round(
             dot(F.col("qv"), F.col("cv"))
-            / (F.col("__qn") * l2_norm(F.col("cv"))),
+            / (F.col("__qn") * F.col("__cn")),
             6,
         ).alias("cos_sim"),
     )
