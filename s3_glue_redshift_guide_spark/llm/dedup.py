@@ -75,8 +75,9 @@ def _spread(df: DataFrame) -> DataFrame:
 def _spread_width(df: DataFrame) -> int:
     """The partition width ``_spread`` would use for ``df``: one slice
     per ``_SPREAD_BYTES_PER_SLICE`` source bytes, ceilinged at
-    defaultParallelism. Shared with the self-join salting in
-    llm/similarity.py so salt replication right-sizes the same way."""
+    defaultParallelism. FEATURIZATION paths only (work ∝ input bytes);
+    the vector operators keep full-width fan-out — see
+    llm/similarity.py::_spread for the measured reason."""
     sc = df.sparkSession.sparkContext
     width = sc.defaultParallelism
     size = _plan_size_bytes(df)
