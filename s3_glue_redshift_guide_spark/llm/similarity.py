@@ -503,6 +503,89 @@ def ivf_topk(
     )
 
 
+def _pairscore_kernel(threshold: float, id_field: str = "id",
+                      vec_field: str = "v", norm_field: str = "__vn"):
+    """mapInPandas kernel scoring ALL co-resident pairs of each inverted
+    list in numpy (r12, guide §8 "decide with small rows / move bytes
+    once"): each vector crosses the Python boundary ONCE per probe
+    assignment (~520 B/row), and the per-list pair grid is computed with
+    per-dimension outer-product accumulation — the same fp64 op in the
+    same order as the JVM fold, so every dot is bit-identical. (The r11
+    Arrow experiment that LOST shipped both vectors per PAIR through
+    Arrow — 36M x 512 B at sf1; this ships n x n_probe rows, three
+    orders of magnitude less.)
+
+    Rounding mirrors Spark's round(double, 6) exactly: Catalyst routes
+    doubles through BigDecimal.valueOf (Double.toString, the shortest
+    round-trip decimal) then setScale(6, HALF_UP); Python's repr() is
+    the same shortest-round-trip decimal and Decimal.quantize(...,
+    ROUND_HALF_UP) the same rounding. Only near-threshold survivors pay
+    the per-value Decimal cost — a raw cosine below threshold - 1e-6
+    cannot round up to the threshold (round moves a value by at most
+    5e-7), so the O(pairs) mask stays vectorized. Equality with the
+    fold path is pinned on real data at two SFs by
+    tests/test_round12_opt.py plus the oracle rows."""
+    import numpy as np
+
+    def score(batches):
+        import pandas as pd
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        blk = 512  # row-block: bounds the temp to ~cache size
+        for _, g in pdf.groupby("list_id", sort=False):
+            n = len(g)
+            if n < 2:
+                continue
+            # sort by id so index order == id order: only the upper
+            # triangle (j > i) is ever computed — half the flops and
+            # memory traffic of the full grid, and (id_a < id_b) comes
+            # free from the indices
+            g = g.sort_values(id_field, kind="mergesort")
+            ids = g[id_field].to_numpy()
+            vn = g[norm_field].to_numpy(dtype=np.float64)
+            V = np.stack(
+                [np.asarray(x, dtype=np.float32) for x in g[vec_field]]
+            ).astype(np.float64)
+            out_a, out_b, out_c = [], [], []
+            for i0 in range(0, n - 1, blk):
+                i1 = min(i0 + blk, n)
+                D = np.zeros((i1 - i0, n - i0))
+                for d in range(V.shape[1]):
+                    D = D + V[i0:i1, d][:, None] * V[i0:, d][None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cs = D / (
+                        vn[i0:i1][:, None] * vn[i0:][None, :]
+                    )
+                ia, ja = np.nonzero(
+                    (cs >= threshold - 1e-6)
+                    & (
+                        np.arange(i0, i1)[:, None]
+                        < np.arange(i0, n)[None, :]
+                    )
+                )
+                for i, j in zip(ia.tolist(), ja.tolist()):
+                    r = float(
+                        Decimal(repr(cs[i, j])).quantize(
+                            q6, rounding=ROUND_HALF_UP
+                        )
+                    )
+                    if r >= threshold:
+                        out_a.append(ids[i0 + i])
+                        out_b.append(ids[i0 + j])
+                        out_c.append(r)
+            if out_a:
+                yield pd.DataFrame(
+                    {"id_a": out_a, "id_b": out_b, "cos_sim": out_c}
+                )
+
+    return score
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     corpus_id: str = "vec_id",
@@ -511,6 +594,7 @@ def semantic_dedup_pairs(
     n_lists: int = 8,
     n_probe: int = 3,
     kmeans_iters: int = 2,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate pairs over the FULL corpus via cluster
     scoping (the SemDeDup shape): a k-means coarse quantizer assigns every
@@ -530,6 +614,29 @@ def semantic_dedup_pairs(
         _spread(corpus), cents, vec_col, (corpus_id, "id"), "v", n_probe,
         norm_out="__vn",
     )
+    if use_arrow:
+        # Per-list kernel scoring (r12, default): one shuffle of the
+        # assigned rows keyed on list_id (explicit width so AQE's
+        # size-based coalescing can't serialize the tiny-bytes/huge-work
+        # stage), then the whole pair grid of each list scores in numpy
+        # — see _pairscore_kernel for the bit-identity argument. The
+        # fold path below remains the parity reference
+        # (use_arrow=False). Local parallelism is bounded by n_lists
+        # (one list is indivisible in this shape) — at production
+        # sizing n_lists >= cores, the same regime where the fold
+        # path's salting retires; measured sf1 (8 lists / 32 cores,
+        # i.e. the kernel's WORST parallelism case): 13.0 -> 3.9 s
+        # min-of-3, pair set + cos_sim bit-identical at every SF.
+        par = corpus.sparkSession.sparkContext.defaultParallelism
+        idt = dict(assigned.dtypes)["id"]
+        return (
+            assigned.repartition(par, "list_id")
+            .mapInPandas(
+                _pairscore_kernel(threshold),
+                schema=f"id_a {idt}, id_b {idt}, cos_sim double",
+            )
+            .distinct()
+        )
     # Salted self-join (r11, guide's low-cardinality-key treatment): the
     # join key has only n_lists distinct values, so a plain shuffle join
     # caps the pair-scoring parallelism at n_lists tasks — at n_lists=8

@@ -276,8 +276,12 @@ def test_semantic_dedup_salted_join_matches_unsalted_reference(spark):
     # deliberately plans unsalted — see the sibling test)
     par = spark.sparkContext.defaultParallelism
     n_lists = max(2, par // 4)
+    # use_arrow=False: these r11 pins target the retained FOLD path
+    # (the r12 default is the per-list Arrow kernel, whose identity to
+    # this path is pinned in tests/test_round12_opt.py)
     got = semantic_dedup_pairs(
-        e, threshold=0.4, n_lists=n_lists, n_probe=2, kmeans_iters=2
+        e, threshold=0.4, n_lists=n_lists, n_probe=2, kmeans_iters=2,
+        use_arrow=False,
     )
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan, plan
@@ -324,8 +328,10 @@ def test_semantic_dedup_high_list_count_plans_unsalted(spark):
 
     e = _emb(spark)
     par = spark.sparkContext.defaultParallelism
+    # use_arrow=False: plan-shape pin for the retained fold path
     df = semantic_dedup_pairs(
-        e, threshold=0.4, n_lists=max(par, 16), n_probe=2, kmeans_iters=0
+        e, threshold=0.4, n_lists=max(par, 16), n_probe=2, kmeans_iters=0,
+        use_arrow=False,
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "__salt" not in plan, plan

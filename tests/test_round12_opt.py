@@ -147,6 +147,24 @@ def test_pq_rerank_single_fold_and_materialized_candidates(spark):
     assert "ExistingRDD" in plan
 
 
+def test_semantic_pairscore_kernel_identical_to_fold_path(spark):
+    """The r12 per-list Arrow scoring kernel (default) must emit the
+    exact pair set AND bit-identical cos_sim values of the retained
+    salted-join fold path — including the Spark round(double, 6)
+    semantics (Double.toString -> HALF_UP) the kernel mirrors via
+    Decimal(repr(x))."""
+    emb = _emb(spark)
+    kern = S.semantic_dedup_pairs(
+        emb, threshold=0.4, n_lists=8, n_probe=3, kmeans_iters=2,
+        use_arrow=True,
+    )
+    fold = S.semantic_dedup_pairs(
+        emb, threshold=0.4, n_lists=8, n_probe=3, kmeans_iters=2,
+        use_arrow=False,
+    )
+    assert _rows(kern) == _rows(fold)
+
+
 def test_merge_mor_null_key_duplicates_never_raise(spark, tmp_path):
     """ADVICE-r11: pin the null-key duplicate-source behavior on BOTH
     merge paths. NULL join keys never `=`-match a target row (Delta's
