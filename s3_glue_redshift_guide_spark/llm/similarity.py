@@ -716,6 +716,82 @@ def _l2sq(a, b):
     )
 
 
+def _pq_argmin_codes(S, C):
+    """Per-row nearest-codeword index within ONE subspace, replicating
+    the expression path bit-for-bit: distances are ``round(_l2sq, 6)``
+    and the winner is the (rounded distance, code) struct-sort minimum.
+
+    numpy computes the RAW squared distances with the fold's exact
+    per-dimension accumulation order. Rounding can move a value by at
+    most 5e-7, so the rounded argmin can differ from the raw argmin
+    only when a competitor's raw distance sits within ~1e-6 of the raw
+    minimum — those rare rows (ties included, broken by code order)
+    fall back to the exact rounding Spark applies
+    (BigDecimal.valueOf == Double.toString, then HALF_UP — mirrored by
+    ``Decimal(repr(x))``). Everything else stays vectorized."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6 = Decimal("0.000001")
+    n = S.shape[0]
+    k = C.shape[0]
+    D = np.zeros((n, k))
+    for j in range(k):
+        cj = C[j]
+        acc = np.zeros(n)
+        for d in range(S.shape[1]):
+            t = S[:, d] - cj[d]
+            acc = acc + t * t
+        D[:, j] = acc
+    best = np.argmin(D, axis=1)  # ties: lowest code (argmin is first)
+    m0 = D[np.arange(n), best]
+    close = (D <= (m0[:, None] + 2.01e-6)).sum(axis=1)
+    for i in np.nonzero(close > 1)[0].tolist():
+        cand = np.nonzero(D[i] <= m0[i] + 2.01e-6)[0]
+        best[i] = min(
+            (
+                Decimal(repr(D[i, j])).quantize(
+                    q6, rounding=ROUND_HALF_UP
+                ),
+                j,
+            )
+            for j in cand.tolist()
+        )[1]
+    return best
+
+
+def _pq_assign_kernel(cents, m: int, d: int):
+    """mapInPandas kernel assigning every subspace slice of every row to
+    its nearest codeword — replaces the interpreted per-point
+    filter(128 structs) + 16 ``_l2sq`` folds of the expression path
+    (r12, guide §4.2; same bit-identity discipline as
+    ``_nearest_kernel``). Input rows carry the raw vector; all m
+    subspace codes compute in one boundary crossing. Emits the codes
+    array per row."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)  # m x k_codes x d
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float32) for v in pdf["__vec"]]
+            ).astype(np.float64)
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                codes[:, j] = _pq_argmin_codes(
+                    V[:, j * d : (j + 1) * d], C[j]
+                )
+            yield pdf.assign(codes=list(codes))
+
+    return fn
+
+
 def _pq_slices(vec_col, m: int, d: int):
     """The m contiguous d-dim subvectors of ``vec_col`` (1-based slice)."""
     return [
@@ -732,6 +808,7 @@ def pq_codebooks(
     m: int = 8,
     k_codes: int = 16,
     iters: int = 2,
+    use_arrow: bool = True,
 ) -> list[list[list[float]]]:
     """Per-subspace k-means codebooks (Jégou et al., PQ): split ``dim``
     into ``m`` subspaces and learn ``k_codes`` centroids in each — ALL
@@ -758,42 +835,86 @@ def pq_codebooks(
     # spread before slicing (r11): same single-partition serialization
     # fix as kmeans_centroids — the sliced points otherwise train the
     # codebooks on one core on a one-file local corpus
-    pts = _spread(corpus).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("sub"), s.alias("sl"))
-                    for j, s in enumerate(_pq_slices(vec_col, m, d))
-                ]
-            )
-        ).alias("p")
-    ).select(F.col("p.sub").alias("sub"), F.col("p.sl").alias("sl"))
+    spread = _spread(corpus)
+    if not use_arrow:
+        pts = spread.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("sub"), s.alias("sl"))
+                        for j, s in enumerate(_pq_slices(vec_col, m, d))
+                    ]
+                )
+            ).alias("p")
+        ).select(F.col("p.sub").alias("sub"), F.col("p.sl").alias("sl"))
+    vec_type = dict(corpus.dtypes)[vec_col]
     for _ in range(iters):
         TRAIN_METRICS["lloyd_rounds"] += 1
-        cdf = _pq_cent_frame(corpus.sparkSession, cents)
-        assigned = (
-            pts.crossJoin(F.broadcast(cdf))
-            .select(
-                "sub",
-                "sl",
-                F.element_at(
-                    F.array_sort(
-                        F.transform(
-                            F.filter(
-                                F.col("__pqc"),
-                                lambda c: c["sub"] == F.col("sub"),
-                            ),
-                            lambda c: F.struct(
-                                F.round(_l2sq(F.col("sl"), c["cent"]), 6).alias("d"),
-                                c["code"].alias("code"),
-                            ),
-                        )
-                    ),
-                    1,
-                )["code"].alias("code"),
+        if use_arrow:
+            # PQ assignment kernel (r12, guide §4.2): all m subspace
+            # codes per vector in ONE boundary crossing, numpy-
+            # vectorized with fold-order arithmetic and exact rounded
+            # tie handling — see _pq_assign_kernel / _pq_argmin_codes.
+            # The slice values the means need re-derive in codegen'd
+            # JVM slices below (cheap), so the kernel ships only the
+            # vector and the codes.
+            coded = spread.select(
+                F.col(vec_col).alias("__vec")
+            ).mapInPandas(
+                _pq_assign_kernel(cents, m, d),
+                schema=f"__vec {vec_type}, codes array<int>",
             )
-            .select("sub", "code", F.posexplode("sl").alias("pos", "v"))
-        )
+            assigned = coded.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("sub"),
+                                F.element_at("codes", j + 1).alias(
+                                    "code"
+                                ),
+                                F.slice(
+                                    F.col("__vec").cast(
+                                        "array<double>"
+                                    ),
+                                    j * d + 1,
+                                    d,
+                                ).alias("sl"),
+                            )
+                            for j in range(m)
+                        ]
+                    )
+                ).alias("p")
+            ).select(
+                "p.sub", "p.code", F.posexplode("p.sl").alias("pos", "v")
+            )
+        else:
+            cdf = _pq_cent_frame(corpus.sparkSession, cents)
+            assigned = (
+                pts.crossJoin(F.broadcast(cdf))
+                .select(
+                    "sub",
+                    "sl",
+                    F.element_at(
+                        F.array_sort(
+                            F.transform(
+                                F.filter(
+                                    F.col("__pqc"),
+                                    lambda c: c["sub"] == F.col("sub"),
+                                ),
+                                lambda c: F.struct(
+                                    F.round(
+                                        _l2sq(F.col("sl"), c["cent"]), 6
+                                    ).alias("d"),
+                                    c["code"].alias("code"),
+                                ),
+                            )
+                        ),
+                        1,
+                    )["code"].alias("code"),
+                )
+                .select("sub", "code", F.posexplode("sl").alias("pos", "v"))
+            )
         means = (
             assigned.groupBy("sub", "code", "pos")
             .agg(F.round(F.avg("v"), 6).alias("mv"))
@@ -839,12 +960,26 @@ def pq_encode(
     id_col: str,
     vec_col: str = "embedding",
     out_id: str = "neighbor_id",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Compress each vector to its m nearest-codeword indices — the
     8-byte-per-vector representation the candidate scan reads INSTEAD of
-    the raw embeddings (64x smaller at m=8 codes vs 64 floats)."""
+    the raw embeddings (64x smaller at m=8 codes vs 64 floats). Default
+    path (r12): the PQ assignment kernel — one boundary crossing per
+    vector, bit-identical codes (see _pq_assign_kernel); the expression
+    path is the retained parity reference."""
     m, k_codes = len(cents), len(cents[0])
     d = len(cents[0][0])
+    if use_arrow:
+        sel = df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias("__vec")
+        )
+        idt = dict(sel.dtypes)[out_id]
+        vec_type = dict(sel.dtypes)["__vec"]
+        return sel.mapInPandas(
+            _pq_assign_kernel(cents, m, d),
+            schema=f"{out_id} {idt}, __vec {vec_type}, codes array<int>",
+        ).select(out_id, "codes")
     withc = df.crossJoin(
         F.broadcast(_pq_cent_frame(df.sparkSession, cents))
     )

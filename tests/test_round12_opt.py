@@ -147,6 +147,23 @@ def test_pq_rerank_single_fold_and_materialized_candidates(spark):
     assert "ExistingRDD" in plan
 
 
+def test_pq_assign_kernel_identical_to_expression_path(spark):
+    """The r12 PQ assignment kernel (default for codebook training and
+    pq_encode) must produce bit-identical codebooks AND codes vs the
+    retained expression path — including the rounded-distance argmin
+    tie semantics (round(_l2sq, 6) then (d, code) struct-sort order,
+    reproduced with a raw-distance band + exact HALF_UP fallback)."""
+    emb = _emb(spark)
+    cb_k = S.pq_codebooks(emb, 64, m=8, k_codes=16, iters=2,
+                          use_arrow=True)
+    cb_e = S.pq_codebooks(emb, 64, m=8, k_codes=16, iters=2,
+                          use_arrow=False)
+    assert cb_k == cb_e
+    enc_k = S.pq_encode(emb, cb_k, "vec_id", use_arrow=True)
+    enc_e = S.pq_encode(emb, cb_k, "vec_id", use_arrow=False)
+    assert _rows(enc_k) == _rows(enc_e)
+
+
 def test_semantic_pairscore_kernel_identical_to_fold_path(spark):
     """The r12 per-list Arrow scoring kernel (default) must emit the
     exact pair set AND bit-identical cos_sim values of the retained
